@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table access for the driver test data (`/root/testdata/sf*`).
+  *
+  * All operators are parameterized `(SparkSession, sfDir) => DataFrame`;
+  * this is the single place that knows the on-disk layout. Reads are plain
+  * parquet scans so Catalyst can push filters/column pruning into the scan
+  * (verify with `.explain`: `PushedFilters`, `ReadSchema`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The APM transaction stream, mapped per FIXTURES.md §A onto `events`:
+    * endTs→ts, service→event_type, elapsed→value, server→srv(user_id%3),
+    * logId→event_id. Reference schema: /root/reference/entries.js:1-43.
+    * Timestamps flow as epoch millis (BIGINT) end-to-end so Spark and the
+    * DuckDB oracle agree bit-for-bit regardless of parquet time units.
+    */
+  /** Epoch-millis from the events `ts` column. The test parquet stores
+    * TIMESTAMP(NANOS), which Spark 4 only reads as LongType (nanos) under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — integer `div` keeps
+    * full precision (ns values exceed 2^53, so float division would not).
+    */
+  def tsMillis(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => unix_millis(col("ts"))
+    }
+
+  def txBase(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = load(spark, sfDir, "events")
+    ev.select(
+      col("event_id").as("log_id"),
+      concat(lit("srv"), pmod(col("user_id"), lit(3))).as("server"),
+      col("event_type").as("service"),
+      tsMillis(ev).as("end_ms"),
+      col("value").as("elapsed"))
+  }
+
+  /** Same mapping expressed for the DuckDB oracle. */
+  val txBaseSql: String =
+    """SELECT event_id AS log_id,
+       'srv' || CAST(user_id % 3 AS VARCHAR) AS server,
+       event_type AS service,
+       epoch_ms(ts) AS end_ms,
+       value AS elapsed
+       FROM events"""
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.RefStats
+
+/** Sliding-window statistics layer — the reference's `stream_calc_stats.js`
+  * re-expressed as declarative Spark (SURVEY.md §2.4, A1-A7).
+  *
+  * Semantics (batch form, verified against the DuckDB oracle):
+  *  - A1 bucketize: tumbling buckets `floor(end_ms/intervalMs)`
+  *    (stream_calc_stats.js:89-101; the reference fixes interval=10 s,
+  *    config:105 — here it is a parameter, and registered queries use a
+  *    coarser interval so the dense scaffold stays oracle-sized on the
+  *    30-day test range).
+  *  - A2/A5: per (server, service), for every bucket in the global bucket
+  *    range (dense scaffold -> the reference's "emit tpm=0 rows for every
+  *    known key each interval", stream_calc_stats.js:157-203), stats over
+  *    the `windowN`-bucket window ending at that bucket: count,
+  *    tpm = count / (windowN*intervalSec/60), mean, p75, p95.
+  *  - A6: exact percentile arithmetic in [[RefStats.refPercentile]].
+  *
+  * Scale notes: two-phase aggregation — a groupBy pre-collapses raw rows to
+  * one row per (key, bucket) (map-side combinable count; the sorted value
+  * list is the irreducible payload exact percentiles need), then a window
+  * over the *dense* per-bucket series, whose size is |keys| x |buckets|,
+  * independent of raw row count. Shuffles: one for the groupBy, one for the
+  * window — both keyed on (server, service). The scaffold is built from a
+  * broadcast-sized keys x bucket-range cross join. Per-key window work
+  * distributes by key across executors; no collect() anywhere.
+  */
+object ApmStats {
+
+  def bucketed(spark: SparkSession, sfDir: String, intervalMs: Long): DataFrame =
+    Tables.txBase(spark, sfDir)
+      .withColumn("bucket", expr(s"end_ms div $intervalMs"))
+
+  def bucketedSql(intervalMs: Long): String =
+    s"""SELECT *, end_ms // $intervalMs AS bucket
+        FROM (${Tables.txBaseSql})"""
+
+  /** A1/A2 — tumbling-bucket aggregation (10 s, the reference interval). */
+  def bucketize(spark: SparkSession, sfDir: String): DataFrame =
+    bucketed(spark, sfDir, 10000L)
+      .groupBy("server", "service", "bucket")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("elapsed")), 6).as("sum_elapsed"))
+
+  val bucketizeSql: String =
+    s"""SELECT server, service, bucket, count(*) AS n,
+        round(sum(elapsed), 6) AS sum_elapsed
+        FROM (${bucketedSql(10000L)}) GROUP BY server, service, bucket"""
+
+  /** Dense per-bucket pre-aggregation: one row per (key, bucket) over the
+    * global bucket range, with the bucket's sorted elapsed values.
+    */
+  def denseBuckets(spark: SparkSession, sfDir: String, intervalMs: Long): DataFrame = {
+    val b = bucketed(spark, sfDir, intervalMs)
+    val perBucket = b.groupBy("server", "service", "bucket")
+      .agg(count(lit(1)).as("cnt"),
+        sort_array(collect_list(col("elapsed"))).as("vals"))
+    val buckets = b.agg(min("bucket").as("mn"), max("bucket").as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("bucket"))
+    val keys = b.select("server", "service").distinct()
+    keys.crossJoin(buckets)
+      .join(perBucket, Seq("server", "service", "bucket"), "left")
+      .select(col("server"), col("service"), col("bucket"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        coalesce(col("vals"), array().cast("array<double>")).as("vals"))
+  }
+
+  def denseBucketsSql(intervalMs: Long): String =
+    s"""SELECT k.server, k.service, b.bucket,
+          coalesce(p.cnt, 0) AS cnt,
+          coalesce(p.vals, CAST([] AS DOUBLE[])) AS vals
+        FROM (SELECT DISTINCT server, service FROM (${bucketedSql(intervalMs)})) k
+        CROSS JOIN (SELECT unnest(range(mn, mx+1)) AS bucket
+                    FROM (SELECT min(bucket) mn, max(bucket) mx
+                          FROM (${bucketedSql(intervalMs)}))) b
+        LEFT JOIN (SELECT server, service, bucket, count(*) AS cnt,
+                     list_sort(list(elapsed)) AS vals
+                   FROM (${bucketedSql(intervalMs)}) GROUP BY 1,2,3) p
+          ON k.server=p.server AND k.service=p.service AND b.bucket=p.bucket"""
+
+  /** A5/A6 — sliding window stats, emitted for every (key, bucket)
+    * including empty windows (tpm=0, stats null), exactly like the
+    * reference's per-interval stat generation. `tpm` keeps the reference's
+    * fixed-denominator semantics (stream_calc_stats.js:186): count divided
+    * by the full window length in minutes even during warm-up.
+    */
+  def slidingStats(spark: SparkSession, sfDir: String,
+      intervalMs: Long = 600000L, windowN: Int = 30): DataFrame = {
+    val tpmDen = windowN * (intervalMs / 1000.0) / 60.0
+    val w = Window.partitionBy("server", "service").orderBy("bucket")
+      .rowsBetween(-(windowN - 1), 0)
+    denseBuckets(spark, sfDir, intervalMs)
+      .withColumn("n", sum(col("cnt")).over(w))
+      .withColumn("sorted", sort_array(flatten(collect_list(col("vals")).over(w))))
+      .select(col("server"), col("service"),
+        (col("bucket") * intervalMs).as("ts_ms"),
+        col("n"),
+        round(col("n") / lit(tpmDen), 6).as("tpm"),
+        round(RefStats.arrayMean(col("sorted")), 6).as("average"),
+        round(RefStats.refPercentile(col("sorted"), 0.75), 6).as("per75"),
+        round(RefStats.refPercentile(col("sorted"), 0.95), 6).as("per95"))
+  }
+
+  def slidingStatsSql(intervalMs: Long = 600000L, windowN: Int = 30): String = {
+    val tpmDen = windowN * (intervalMs / 1000.0) / 60.0
+    val p75 = RefStats.refPercentileSql("sorted", "0.75")
+    val p95 = RefStats.refPercentileSql("sorted", "0.95")
+    val mean = RefStats.arrayMeanSql("sorted")
+    s"""SELECT server, service, bucket*$intervalMs AS ts_ms,
+          CAST(n AS BIGINT) AS n,
+          round(n/$tpmDen, 6) AS tpm,
+          round($mean, 6) AS average,
+          round($p75, 6) AS per75,
+          round($p95, 6) AS per95
+        FROM (
+          SELECT server, service, bucket,
+            sum(cnt) OVER w AS n,
+            list_sort(flatten(list(vals) OVER w)) AS sorted
+          FROM (${denseBucketsSql(intervalMs)})
+          WINDOW w AS (PARTITION BY server, service ORDER BY bucket
+                       ROWS BETWEEN ${windowN - 1} PRECEDING AND CURRENT ROW))"""
+  }
+}
