@@ -23,13 +23,74 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_bucketize"     -> ((s, dir) => ApmStats.bucketize(s, dir)),
     "a5_sliding_stats" -> ((s, dir) => ApmStats.slidingStats(s, dir)),
+    "z2_zscore_win"    -> ((s, dir) => ZScore.zScoreWindowed(ApmStats.slidingStats(s, dir))),
+    "z2_zscore_fold"   -> ((s, dir) => ZScore.zScoreFold(ApmStats.slidingStats(s, dir))),
+    "r2_candidates"    -> ((s, dir) =>
+      Alerts.candidates(ZScore.zScoreWindowed(ApmStats.slidingStats(s, dir)), alertCfg)),
+    "r3_alerts"        -> ((s, dir) =>
+      Alerts.alerts(Alerts.candidates(ZScore.zScoreWindowed(ApmStats.slidingStats(s, dir)), alertCfg), alertCfg)),
+    "j1_pairing"       -> ((s, dir) => Correlation.pairing(s, dir)),
+    "j2_enrichment"    -> ((s, dir) => Correlation.enrichment(s, dir)),
+    "j3_dim_lookup"    -> ((s, dir) => Correlation.dimLookup(s, dir)),
+    "p5_parse_roundtrip" -> ((s, dir) => Parsing.parseRoundtrip(s, dir)),
+    "f8_csv_roundtrip" -> ((s, dir) => Parsing.csvRoundtrip(s, dir)),
+    "f9_json_flatten"  -> ((s, dir) => Parsing.jsonFlatten(s, dir)),
+    "t1_tokens"        -> ((s, dir) => TextAnalysis.tokens(s, dir)),
+    "t2_quality"       -> ((s, dir) => TextAnalysis.quality(s, dir)),
+    "t3_langid"        -> ((s, dir) => TextAnalysis.langId(s, dir)),
+    "t4_fingerprint"   -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
+    "d1_dedup_exact"   -> ((s, dir) => Dedup.exact(s, dir)),
+    "d2_dedup_ngram"   -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    "d3_dedup_minhash" -> ((s, dir) => Dedup.minhash(s, dir)),
+    "d4_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
+    "d5_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
+    "s1_knn_brute"     -> ((s, dir) => Similarity.knnBrute(s, dir)),
+    "s2_knn_lsh"       -> ((s, dir) => Similarity.knnLsh(s, dir)),
+    "m1_media_meta"    -> ((s, dir) => Multimodal.meta(s, dir)),
+    "m2_media_decode"  -> ((s, dir) => Multimodal.decodeAll(s, dir).toDF),
     "q1_agg"           -> ((s, dir) => tpchQ1(s, dir)),
   )
+
+  /** Alert config used by registered queries: thresholds tuned so the test
+    * data produces a mix of firing and quiet intervals; one per-service
+    * hard-max override exercises the J4 broadcast-config join.
+    */
+  private val alertCfg = Alerts.AlertCfg(
+    hardMaxMs = 150.0, hardMinMs = 50.0, hardMinTpm = 0.005,
+    windowSz = 60, voteThreshold = 45,
+    hardMaxOverrides = Map("purchase" -> 120.0))
 
   /** DuckDB-dialect oracle for each query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
     "a1_bucketize"     -> ApmStats.bucketizeSql,
     "a5_sliding_stats" -> ApmStats.slidingStatsSql(),
+    "z2_zscore_win"    -> ZScore.zScoreWindowedSql(ApmStats.slidingStatsSql()),
+    "r2_candidates"    -> Alerts.candidatesSql(
+      ZScore.zScoreWindowedSql(ApmStats.slidingStatsSql()), alertCfg),
+    // z2_zscore_fold / r3_alerts: sequential recurrences (influence
+    // feedback, leaky-bucket counter) — no SQL equivalent; rows-only check
+    // + ScalaTest property tests against direct reference ports.
+    "j1_pairing"       -> Correlation.pairingSql,
+    "j2_enrichment"    -> Correlation.enrichmentSql,
+    "j3_dim_lookup"    -> Correlation.dimLookupSql,
+    "p5_parse_roundtrip" -> Parsing.parseRoundtripSql,
+    "f8_csv_roundtrip" -> Parsing.csvRoundtripSql,
+    "f9_json_flatten"  -> Parsing.jsonFlattenSql,
+    "t1_tokens"        -> TextAnalysis.tokensSql,
+    "t2_quality"       -> TextAnalysis.qualitySql,
+    "t3_langid"        -> TextAnalysis.langIdSql,
+    "t4_fingerprint"   -> TextAnalysis.fingerprintSql,
+    "d1_dedup_exact"   -> Dedup.exactSql,
+    "d2_dedup_ngram"   -> Dedup.ngramJaccardSql(),
+    "d3_dedup_minhash" -> Dedup.minhashSql,
+    "d4_dedup_minhash_lsh" -> Dedup.minhashLshSql(),
+    "d5_dedup_simhash" -> Dedup.simhashSql,
+    "s1_knn_brute"     -> Similarity.knnBruteSql(),
+    "s2_knn_lsh"       -> Similarity.knnLshSql(),
+    "m1_media_meta"    -> Multimodal.metaSql,
+    // m2_media_decode: mapPartitions decode pipeline with stubbed codec —
+    // rows-only check (the declarative m1_media_meta covers the checksum
+    // parity; ScalaTest covers decode/metadata agreement).
     // Rounding note: whole-table float sums accumulate order-dependent
     // error ~1e-5 at sf0.01, so compare at 2 decimals (inputs are 2-dp
     // money values -> true sum is a 2-dp value, 0.005 from any boundary).

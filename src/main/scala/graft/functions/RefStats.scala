@@ -67,8 +67,15 @@ object RefStats {
       .otherwise(lit(null).cast("double"))
   }
 
+  /** Sequential left-fold sum — `list_sum` is NOT guaranteed to accumulate
+    * left-to-right (observed ulp differences vs Spark's `aggregate` fold),
+    * so the oracle folds explicitly with `list_reduce`.
+    */
+  def foldSumSql(a: String): String =
+    s"list_reduce(list_prepend(0.0, $a), (acc, v) -> acc + v)"
+
   def arrayMeanSql(a: String): String =
-    s"CASE WHEN len($a)>0 THEN list_sum($a)/CAST(len($a) AS DOUBLE) ELSE NULL END"
+    s"CASE WHEN len($a)>0 THEN ${foldSumSql(a)}/CAST(len($a) AS DOUBLE) ELSE NULL END"
 
   /** Direct Scala port of util_methods.js:112-142 — used only by tests
     * as the ground truth for `refPercentile`.

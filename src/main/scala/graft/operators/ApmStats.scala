@@ -98,13 +98,18 @@ object ApmStats {
     denseBuckets(spark, sfDir, intervalMs)
       .withColumn("n", sum(col("cnt")).over(w))
       .withColumn("sorted", sort_array(flatten(collect_list(col("vals")).over(w))))
+      // Raw doubles, no round(): every value is an ordered fold / identical
+      // arithmetic on both engines, so the bits match exactly — and
+      // round() itself is NOT cross-engine-stable on decimal .5
+      // boundaries (Spark goes via BigDecimal shortest-repr HALF_UP,
+      // DuckDB multiplies in binary).
       .select(col("server"), col("service"),
         (col("bucket") * intervalMs).as("ts_ms"),
         col("n"),
-        round(col("n") / lit(tpmDen), 6).as("tpm"),
-        round(RefStats.arrayMean(col("sorted")), 6).as("average"),
-        round(RefStats.refPercentile(col("sorted"), 0.75), 6).as("per75"),
-        round(RefStats.refPercentile(col("sorted"), 0.95), 6).as("per95"))
+        (col("n") / lit(tpmDen)).as("tpm"),
+        RefStats.arrayMean(col("sorted")).as("average"),
+        RefStats.refPercentile(col("sorted"), 0.75).as("per75"),
+        RefStats.refPercentile(col("sorted"), 0.95).as("per95"))
   }
 
   def slidingStatsSql(intervalMs: Long = 600000L, windowN: Int = 30): String = {
@@ -114,10 +119,10 @@ object ApmStats {
     val mean = RefStats.arrayMeanSql("sorted")
     s"""SELECT server, service, bucket*$intervalMs AS ts_ms,
           CAST(n AS BIGINT) AS n,
-          round(n/$tpmDen, 6) AS tpm,
-          round($mean, 6) AS average,
-          round($p75, 6) AS per75,
-          round($p95, 6) AS per95
+          n/$tpmDen AS tpm,
+          $mean AS average,
+          $p75 AS per75,
+          $p95 AS per95
         FROM (
           SELECT server, service, bucket,
             sum(cnt) OVER w AS n,

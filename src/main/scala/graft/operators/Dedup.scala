@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.PolyHash.{poly_hash, sql => polySql}
+
+/** Deduplication operators for the training-data pipeline: exact
+  * (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard. All built on
+  * the codegen'd [[graft.functions.PolyHash]] so Spark and the DuckDB
+  * oracle hash identically.
+  *
+  * Scale notes: exact dedup is one shuffle on the fingerprint (map-side
+  * combinable min). MinHash/LSH is the classic shingle -> k minhashes ->
+  * banded bucket-join pipeline: candidate generation never compares all
+  * pairs — only docs sharing a band bucket meet, which is the whole point
+  * at 100 TB (the band explode is x(#bands) rows, the bucket join shuffles
+  * on the band hash, and the final Jaccard verify touches only candidate
+  * pairs). SimHash reduces each doc to one 64-bit-ish signature -> near-dup
+  * search by signature bucketing.
+  */
+object Dedup {
+
+  private def normText: Column =
+    regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+  private val normTextSql =
+    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** Exact dedup by content fingerprint: canonical = min doc_id per
+    * normalized-text hash; `is_dup` marks losers.
+    */
+  def exact(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+      .withColumn("fp", poly_hash(normText))
+    val canon = d.groupBy("fp").agg(min("doc_id").as("canonical_id"))
+    d.join(canon, Seq("fp"))
+      .select(col("doc_id"), col("fp"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).cast("int").as("is_dup"))
+  }
+
+  val exactSql: String =
+    s"""WITH d AS (SELECT doc_id, ${polySql(normTextSql)} AS fp FROM documents),
+        canon AS (SELECT fp, min(doc_id) AS canonical_id FROM d GROUP BY fp)
+        SELECT doc_id, fp, canonical_id,
+          CAST(doc_id <> canonical_id AS INT) AS is_dup
+        FROM d JOIN canon USING (fp)"""
+
+  // ---------------------------------------------------------------- shingles
+
+  /** Word 3-gram shingles of the normalized text (distinct). */
+  private def shingles(words: Column): Column = array_distinct(
+    when(size(words) >= 3,
+      transform(sequence(lit(0), size(words) - 3), i =>
+        concat_ws(" ", element_at(words, i + 1),
+          element_at(words, i + 2), element_at(words, i + 3))))
+      .otherwise(array(concat_ws(" ", words))))
+
+  private def shinglesSql(w: String): String =
+    s"""list_distinct(CASE WHEN len($w) >= 3
+        THEN list_transform(range(1, len($w)-1),
+          i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])
+        ELSE [array_to_string($w, ' ')] END)"""
+
+  /** N-gram Jaccard near-dup: candidate pairs limited to same-`source`
+    * docs (a cheap blocking key), exact Jaccard over distinct shingle
+    * sets, pairs >= threshold.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        shingles(split(normText, " ")).as("sh"))
+    val a = d.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+      .withColumn("n_union", size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double"))
+      .withColumn("n_inter", size(col("sh_a")) + size(col("sh_b")) - col("n_union"))
+      .withColumn("jaccard", col("n_inter") / col("n_union"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("source"), col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  def ngramJaccardSql(threshold: Double = 0.4): String = {
+    val sh = shinglesSql("string_split(" + normTextSql + ", ' ')")
+    s"""WITH d AS (SELECT doc_id, source, $sh AS sh FROM documents),
+        pairs AS (
+          SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS n_union,
+            CAST(len(a.sh) + len(b.sh) AS DOUBLE)
+              - len(list_distinct(list_concat(a.sh, b.sh))) AS n_inter
+          FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+        SELECT source, id_a, id_b, n_inter/n_union AS jaccard
+        FROM pairs WHERE n_inter/n_union >= $threshold"""
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /** k hash families h_i(x) = (a_i*x + b_i) mod p over the shingle
+    * PolyHash. Constants are fixed (deterministic, shared with the
+    * oracle).
+    */
+  val MinhashK = 12
+  val MinhashBands = 4 // 4 bands x 3 rows
+  private val P = 2147483647L
+  private def aConst(i: Int): Long = 2 * i + 3
+  private def bConst(i: Int): Long = 7 * i + 1
+
+  /** Per-doc MinHash signature (array of k minima). */
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        transform(shingles(split(normText, " ")), s => poly_hash(s)).as("hs"))
+    val sig = array((0 until MinhashK).map { i =>
+      array_min(transform(col("hs"), h => (h * aConst(i) + bConst(i)) % P))
+    }: _*)
+    d.select(col("doc_id"), col("source"), sig.as("sig"))
+  }
+
+  def minhashSignaturesSql: String = {
+    val sh = shinglesSql("string_split(" + normTextSql + ", ' ')")
+    val sigs = (0 until MinhashK).map { i =>
+      s"list_min(list_transform(hs, h -> (h*${aConst(i)} + ${bConst(i)}) % $P))"
+    }.mkString("[", ", ", "]")
+    s"""SELECT doc_id, source, $sigs AS sig FROM (
+          SELECT doc_id, source,
+            list_transform($sh, s -> ${polySql("s")}) AS hs
+          FROM documents)"""
+  }
+
+  /** MinHash signatures flattened for the oracle (list columns hash
+    * differently across engines in some drivers — emit scalar columns).
+    */
+  def minhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, sfDir)
+    sigs.select(Seq(col("doc_id"), col("source")) ++
+      (0 until MinhashK).map(i => element_at(col("sig"), i + 1).as(s"mh_$i")): _*)
+  }
+
+  val minhashSql: String = {
+    val cols = (0 until MinhashK).map(i => s"sig[${i + 1}] AS mh_$i").mkString(", ")
+    s"SELECT doc_id, source, $cols FROM ($minhashSignaturesSql)"
+  }
+
+  /** MinHash+LSH near-dup pairs: band the signature (bands of rows),
+    * bucket-join on (band index, band hash), verify candidates with the
+    * signature-estimated Jaccard, keep pairs >= threshold.
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
+    val rows = MinhashK / MinhashBands
+    val sigs = minhashSignatures(spark, sfDir)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until MinhashBands).map { bIdx =>
+        struct(lit(bIdx).as("band"),
+          concat_ws(":", (0 until rows).map(r =>
+            element_at(col("sig"), bIdx * rows + r + 1)): _*).as("bkey"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.band"), col("b.bkey"))
+    val a = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val bb = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val cand = a.join(bb, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+    cand
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") / MinhashK)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  def minhashLshSql(threshold: Double = 0.4): String = {
+    val rows = MinhashK / MinhashBands
+    val bandStructs = (0 until MinhashBands).map { bIdx =>
+      val key = (0 until rows).map(r => s"CAST(sig[${bIdx * rows + r + 1}] AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"{'band': $bIdx, 'bkey': $key}"
+    }.mkString("[", ", ", "]")
+    s"""WITH sigs AS ($minhashSignaturesSql),
+        banded AS (
+          SELECT doc_id, sig, b.band AS band, b.bkey AS bkey
+          FROM (SELECT doc_id, sig, unnest($bandStructs) AS b FROM sigs)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            a.sig AS sig_a, b.sig AS sig_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+          CAST(len(list_filter(list_zip(sig_a, sig_b),
+            p -> p[1] = p[2])) AS DOUBLE) / $MinhashK AS est_jaccard
+        FROM cand
+        WHERE CAST(len(list_filter(list_zip(sig_a, sig_b),
+            p -> p[1] = p[2])) AS DOUBLE) / $MinhashK >= $threshold"""
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** SimHash: 32-bit signature — for each bit, sum +-1 over the doc's
+    * shingle hashes weighted by that hash's bit; near-dups share buckets
+    * on the signature's upper half.
+    */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        transform(shingles(split(normText, " ")), s => poly_hash(s)).as("hs"))
+    val bits: Seq[Column] = (0 until 32).map { bit =>
+      val vote = aggregate(col("hs"), lit(0L), (acc, h) =>
+        acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << bit)).otherwise(lit(0L))
+    }
+    d.select(col("doc_id"),
+      bits.reduce(_ + _).as("simhash"))
+  }
+
+  val simhashSql: String = {
+    val sh = shinglesSql("string_split(" + normTextSql + ", ' ')")
+    val bits = (0 until 32).map { bit =>
+      s"""CASE WHEN list_sum(list_transform(hs,
+            h -> CASE WHEN (h // ${1L << bit}) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+          THEN ${1L << bit} ELSE 0 END"""
+    }.mkString(" + ")
+    s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM (
+          SELECT doc_id, list_transform($sh, s -> ${polySql("s")}) AS hs
+          FROM documents)"""
+  }
+}

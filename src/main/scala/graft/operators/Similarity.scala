@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (`vec_id`,
+  * `embedding: array<float>`, `label`).
+  *
+  * - [[knnBrute]] — exact brute-force cosine top-k: the correctness
+  *   baseline. Query set x corpus join, ordered-fold dot products (both
+  *   engines fold in index order -> bit-stable), rank by rounded
+  *   similarity with id tie-break (deterministic top-k).
+  * - [[knnLsh]] — the scale path: sign-random-projection LSH. Each vector
+  *   is bucketed by the sign pattern of `nBits` fixed pseudo-random
+  *   hyperplanes (deterministic constants shared with the oracle);
+  *   candidates only meet within a bucket, so the join is equi-key and
+  *   shuffle-partitioned by bucket instead of all-pairs. At 100 TB this is
+  *   the difference between O(Q*N) and O(Q*N/2^bits) comparisons; recall
+  *   is tunable via bits/band count (classic SRP-LSH).
+  *
+  * Implementation is pure `functions._` (zip_with + aggregate folds) —
+  * no UDFs; floats are cast to double before arithmetic so both engines
+  * compute IEEE-754 double folds over identical operands.
+  */
+object Similarity {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  private def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  private def vecsDouble(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "embeddings").select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  private val vecsDoubleSql =
+    """SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"""
+
+  // list_reduce (sequential left fold) rather than list_sum: matches
+  // Spark's aggregate() fold bit-for-bit (list_sum's accumulation order
+  // is unspecified).
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> $a[i] * $b[i])), (acc, v) -> acc + v)"
+  private def normSql(a: String): String =
+    s"sqrt(list_reduce(list_prepend(0.0, list_transform($a, x -> x*x)), (acc, v) -> acc + v))"
+
+  /** Exact top-k cosine neighbors for query vectors (vec_id < nQueries). */
+  def knnBrute(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 20): DataFrame = {
+    val vecs = vecsDouble(spark, sfDir)
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = vecs.select(col("vec_id").as("n_id"), col("v").as("nv"))
+    val sims = q.join(c, col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "cos", "rank")
+  }
+
+  def knnBruteSql(k: Int = 5, nQueries: Int = 20): String =
+    s"""WITH vecs AS ($vecsDoubleSql),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id < $nQueries),
+        c AS (SELECT vec_id AS n_id, v AS nv FROM vecs),
+        sims AS (
+          SELECT q_id, n_id,
+            ${dotSql("qv", "nv")} / (${normSql("qv")} * ${normSql("nv")}) AS cos
+          FROM q JOIN c ON q_id <> n_id),
+        ranked AS (
+          SELECT q_id, n_id, cos,
+            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+          FROM sims)
+        SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= $k"""
+
+  /** Fixed pseudo-random hyperplane component for (bit, dim): a cheap
+    * deterministic LCG-ish constant in [-0.5, 0.5), identical in both
+    * engines (pure integer arithmetic then scale).
+    */
+  private def planeCoef(bit: Int, dim: Int): Double =
+    (((bit * 73L + dim * 179L + 11L) * 2654435761L % 1000L) - 500L) / 1000.0
+
+  val LshBits = 8
+
+  /** SRP-LSH bucketing + within-bucket exact cosine top-k. */
+  def knnLsh(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 20): DataFrame = {
+    val vecs = vecsDouble(spark, sfDir)
+    val dim = 64
+    val bucket = (0 until LshBits).map { bit =>
+      val proj = (0 until dim).map(d =>
+        element_at(col("v"), d + 1) * lit(planeCoef(bit, d))).reduce(_ + _)
+      when(proj >= 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bucketed = vecs.withColumn("bucket", bucket)
+    val q = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("n_id"), col("v").as("nv"), col("bucket"))
+    val sims = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "bucket", "cos", "rank")
+  }
+
+  def knnLshSql(k: Int = 5, nQueries: Int = 20): String = {
+    val dim = 64
+    val bucket = (0 until LshBits).map { bit =>
+      val proj = (0 until dim).map(d => s"v[${d + 1}] * ${planeCoef(bit, d)}")
+        .mkString(" + ")
+      s"CASE WHEN ($proj) >= 0 THEN ${1L << bit} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH vecs AS (SELECT *, CAST($bucket AS BIGINT) AS bucket FROM ($vecsDoubleSql)),
+        q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM vecs WHERE vec_id < $nQueries),
+        c AS (SELECT vec_id AS n_id, v AS nv, bucket FROM vecs),
+        sims AS (
+          SELECT q_id, n_id, q.bucket AS bucket,
+            ${dotSql("qv", "nv")} / (${normSql("qv")} * ${normSql("nv")}) AS cos
+          FROM q JOIN c ON q.bucket = c.bucket AND q_id <> n_id),
+        ranked AS (
+          SELECT q_id, n_id, bucket, cos,
+            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+          FROM sims)
+        SELECT q_id, n_id, bucket, cos, rank FROM ranked WHERE rank <= $k"""
+  }
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.PolyHash.{poly_hash, sql => polySql}
+
+/** Text-analysis operators for the training-data pipeline (BASELINE.json
+  * extended surface): language-ID heuristic, quality scoring, token
+  * counting, document fingerprinting. All pure column expressions over
+  * `documents` — the scan layer prunes to the needed columns and the ops
+  * are embarrassingly parallel (no shuffle at all), so they scale linearly
+  * with input splits at 100 TB.
+  */
+object TextAnalysis {
+
+  private val wsSplit = "\\s+"
+
+  /** Token counting — whitespace tokens + a BPE-ish regex token count
+    * (letter runs / digit runs / single punctuation marks).
+    */
+  def tokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents").select(
+      col("doc_id"),
+      size(split(trim(col("text")), wsSplit)).cast("long").as("n_words"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars_computed"),
+      col("n_chars"))
+
+  val tokensSql: String =
+    """SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_words,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+         length(text) AS n_chars_computed, n_chars
+       FROM documents"""
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Quality scoring — length, mean word length, stopword ratio,
+    * punctuation ratio, all-caps ratio; plus a composite quality flag
+    * (the usual pre-training heuristics, cf. C4/Gopher-style rules).
+    */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = split(trim(col("text")), wsSplit)
+    val nWords = size(words).cast("double")
+    val stopCnt = size(filter(words, w => w.isin(stopwords: _*))).cast("double")
+    val punctCnt = size(regexp_extract_all(col("text"),
+      lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    Tables.load(spark, sfDir, "documents").select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_c"),
+      size(words).cast("long").as("n_words"),
+      ((length(col("text")).cast("double") - nWords + 1) / nWords).as("mean_word_len"),
+      (stopCnt / nWords).as("stopword_ratio"),
+      (punctCnt / greatest(length(col("text")).cast("double"), lit(1.0))).as("punct_ratio"),
+      (nWords >= 10 && nWords <= 1000 && stopCnt / nWords > 0.01).cast("int").as("quality_ok"))
+  }
+
+  val qualitySql: String = {
+    val stopList = stopwords.map("'" + _ + "'").mkString("[", ",", "]")
+    s"""SELECT doc_id,
+         length(text) AS n_chars_c,
+         len(w) AS n_words,
+         (CAST(length(text) AS DOUBLE) - len(w) + 1) / len(w) AS mean_word_len,
+         stop_cnt / len(w) AS stopword_ratio,
+         punct_cnt / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+         CAST(len(w) >= 10 AND len(w) <= 1000 AND stop_cnt / len(w) > 0.01 AS INT) AS quality_ok
+       FROM (
+         SELECT doc_id, text,
+           string_split_regex(trim(text), '\\s+') AS w,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> list_contains($stopList, x))) AS DOUBLE) AS stop_cnt,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS punct_cnt
+         FROM documents)"""
+  }
+
+  /** N-gram-profile language ID: score each candidate language by its
+    * marker-token hit rate; argmax with deterministic (alphabetical)
+    * tie-break toward 'und'. Marker sets are ASCII function words — the
+    * standard n-gram-heuristic shape, deterministic and oracle-checkable.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "los", "es"),
+    "fr" -> Seq("le", "la", "de", "les", "est"))
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = split(trim(lower(col("text"))), wsSplit)
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> (size(filter(words, w => w.isin(markers: _*)))
+        .cast("double") / size(words).cast("double"))
+    }
+    val best = scores.foldLeft((lit("und"), lit(0.0))) {
+      case ((bl, bs), (lang, sc)) =>
+        (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+    }
+    Tables.load(spark, sfDir, "documents").select(
+      col("doc_id"), col("lang").as("lang_label"),
+      best._1.as("lang_pred"), best._2.as("lang_score"))
+  }
+
+  val langIdSql: String = {
+    def score(markers: Seq[String]) = {
+      val lst = markers.map("'" + _ + "'").mkString("[", ",", "]")
+      s"CAST(len(list_filter(w, x -> list_contains($lst, x))) AS DOUBLE) / len(w)"
+    }
+    val cases = langMarkers.map { case (lang, m) => (lang, score(m)) }
+    // same left-to-right fold: strictly-greater replaces
+    val (predExpr, scoreExpr) = cases.foldLeft(("'und'", "0.0")) {
+      case ((bl, bs), (lang, sc)) =>
+        (s"CASE WHEN ($sc) > ($bs) THEN '$lang' ELSE ($bl) END",
+         s"CASE WHEN ($sc) > ($bs) THEN ($sc) ELSE ($bs) END")
+    }
+    s"""SELECT doc_id, lang AS lang_label,
+          $predExpr AS lang_pred, $scoreExpr AS lang_score
+        FROM (SELECT doc_id, lang,
+          string_split_regex(trim(lower(text)), '\\s+') AS w
+          FROM documents)"""
+  }
+
+  /** Document fingerprinting — rolling polynomial hash of the normalized
+    * text (lowercase, collapsed whitespace), via the codegen'd
+    * [[graft.functions.PolyHash]] expression.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), wsSplit, " ")
+    Tables.load(spark, sfDir, "documents").select(
+      col("doc_id"), poly_hash(norm).as("fingerprint"))
+  }
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id,
+         ${polySql("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fingerprint
+       FROM documents"""
+}

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+import graft.functions.RefStats
+
+/** Smoothed z-score anomaly detection — the reference's
+  * `stream_calc_z_score.js` (SURVEY.md §2.5) re-expressed Spark-first.
+  *
+  * The reference applies the classic lag/threshold/influence "robust peak
+  * detection" independently to 3 metrics (average, per75, per95) per
+  * (server, service, lag), fanning one input stat row out to one output
+  * row per configured lag (Z5).
+  *
+  * Two variants:
+  *  - [[zScoreWindowed]] — the *stateless* z-score: avg / population-stddev
+  *    over the `lag` previous raw metric values
+  *    (`Window.rowsBetween(-lag, -1)`). Pure window functions -> fully
+  *    SQL-expressible, DuckDB-verified. Replicates the reference quirks:
+  *    stats only once `lag` prior rows exist (list-length check incl.
+  *    undefined entries -> count(*) not count(metric)); sd "0 => undefined"
+  *    (stream_calc_z_score.js:66-104, util_methods.js:26-50) so a constant
+  *    series never signals; null metric => signal 0 but still occupies a
+  *    list slot.
+  *  - [[zScoreFold]] — the *faithful* reference semantics including
+  *    influence feedback (on signal, the stored value becomes
+  *    `influence*x + (1-influence)*prev` — a sequential per-key recurrence,
+  *    stream_calc_z_score.js:95-97,301-305). Ordered per-key fold via
+  *    `groupByKey.flatMapGroups`; property-tested against the direct port
+  *    in [[RefStats.zScoreStepRef]] (no SQL oracle exists for a recurrence).
+  *
+  * Scale notes: the windowed variant is one shuffle on (server, service) —
+  * the per-lag frames reuse the same sort order, and lag fan-out is a
+  * union of projections over the same shuffled data (no re-shuffle; Spark
+  * reuses the exchange). The fold variant shuffles once on
+  * (server, service, lag) and streams each group's rows through a
+  * fixed-size ring buffer (O(lag) memory per key, not O(history)).
+  */
+object ZScore {
+
+  /** (lag, threshold, influence) — interval-count lags; the reference uses
+    * 360 (1 h of 10 s) and 8640 (1 d) with thresholds 5/3.5
+    * (config/apm_config.json:126-151). Registered queries use the same
+    * wall-clock horizons expressed in the 10-minute test interval.
+    */
+  case class LagCfg(lag: Int, threshold: Double, influence: Double)
+  val defaultLags: Seq[LagCfg] = Seq(LagCfg(6, 3.5, 0.5), LagCfg(144, 5.0, 0.0))
+
+  private val metrics = Seq("average", "per75", "per95")
+
+  /** Stateless windowed z-score over a stats frame (columns: server,
+    * service, ts_ms, tpm, average, per75, per95). One output row per
+    * (input row x lag).
+    */
+  def zScoreWindowed(stats: DataFrame, lags: Seq[LagCfg] = defaultLags): DataFrame = {
+    val perLag = lags.map { cfg =>
+      val w = Window.partitionBy("server", "service").orderBy("ts_ms")
+        .rowsBetween(-cfg.lag, -1)
+      val cnt = count(lit(1)).over(w)
+      // Mean and population variance as ordered folds over the frame's
+      // defined values (frame order = ts order on both engines) — exactly
+      // the reference's two-pass formula. This is deliberate: engine-
+      // native var_pop differs (DuckDB's naive E[x^2]-E[x]^2 leaves tiny
+      // nonzero variance on constant windows, breaking the "0 =>
+      // undefined" quirk; and incremental window avgs differ in final
+      // ulps, breaking rounding parity).
+      val base = Seq(col("server"), col("service"), col("ts_ms"),
+        col("tpm"), col("average"), col("per75"), col("per95"))
+      // stage 1: frame lists (nulls skipped, frame-ordered) + frame count
+      val staged = stats.select(base ++ Seq(cnt.as("cnt")) ++
+        metrics.map(m => collect_list(col(m)).over(w).as(s"lst_$m")): _*)
+      // stage 2: per-metric mean over the list
+      val withMean = staged.select(staged.columns.map(col) ++
+        metrics.map { m =>
+          val lst = col(s"lst_$m")
+          (when(size(lst) > 0,
+            aggregate(lst, lit(0.0), (a, v) => a + v) / size(lst).cast("double")))
+            .as(s"mean_$m")
+        }: _*)
+      // stage 3: z-score outputs
+      val zCols = metrics.flatMap { m =>
+        val x = col(m)
+        val lst = col(s"lst_$m")
+        val meanAll = col(s"mean_$m")
+        val msq = when(size(lst) > 0,
+          aggregate(lst, lit(0.0), (a, v) => a + (v - meanAll) * (v - meanAll)) /
+            size(lst).cast("double"))
+        val avgW = when(col("cnt") >= cfg.lag, meanAll)
+        val sdW  = when(col("cnt") >= cfg.lag, sqrt(nullif(msq, lit(0.0))))
+        val t = lit(cfg.threshold)
+        val signal = when(avgW.isNotNull && sdW.isNotNull && x.isNotNull &&
+            abs(x - avgW) > t * sdW,
+          when(x > avgW, 1).otherwise(-1)).otherwise(0)
+        Seq(
+          avgW.as(s"${m}_avg"),
+          (avgW - t * sdW).as(s"${m}_lb"),
+          (avgW + t * sdW).as(s"${m}_ub"),
+          signal.as(s"${m}_signal"))
+      }
+      withMean.select(
+        Seq(col("server"), col("service"), col("ts_ms"),
+          lit(cfg.lag).as("lag"), col("tpm"),
+          col("average"), col("per75"), col("per95")) ++ zCols: _*)
+    }
+    perLag.reduce(_.unionAll(_))
+  }
+
+  /** DuckDB oracle for [[zScoreWindowed]]: `statsSql` must produce the same
+    * stats frame. Same union-per-lag shape, same arithmetic.
+    */
+  def zScoreWindowedSql(statsSql: String, lags: Seq[LagCfg] = defaultLags): String = {
+    val perLag = lags.map { cfg =>
+      val zCols = metrics.map { m =>
+        // Same ordered-fold mean/msq as the Spark side (see
+        // zScoreWindowed): bit-identical across engines.
+        val mean = s"CASE WHEN len(lst_$m) > 0 THEN ${RefStats.foldSumSql(s"lst_$m")} / CAST(len(lst_$m) AS DOUBLE) END"
+        val msq = s"""CASE WHEN len(lst_$m) > 0 THEN
+            ${RefStats.foldSumSql(s"list_transform(lst_$m, v -> (v - ($mean)) * (v - ($mean)))")}
+              / CAST(len(lst_$m) AS DOUBLE) END"""
+        val avgW = s"CASE WHEN cnt >= ${cfg.lag} THEN ($mean) END"
+        val sdW  = s"CASE WHEN cnt >= ${cfg.lag} THEN sqrt(nullif($msq, 0.0)) END"
+        val t = cfg.threshold
+        s"""($avgW) AS ${m}_avg,
+           ($avgW) - $t*($sdW) AS ${m}_lb,
+           ($avgW) + $t*($sdW) AS ${m}_ub,
+           CASE WHEN ($avgW) IS NOT NULL AND ($sdW) IS NOT NULL
+                 AND $m IS NOT NULL AND abs($m - ($avgW)) > $t*($sdW)
+                THEN CASE WHEN $m > ($avgW) THEN 1 ELSE -1 END
+                ELSE 0 END AS ${m}_signal"""
+      }.mkString(",\n")
+      s"""SELECT server, service, ts_ms, ${cfg.lag} AS lag, tpm,
+            average, per75, per95, $zCols
+          FROM (
+            SELECT server, service, ts_ms, tpm, average, per75, per95,
+              count(*) OVER w AS cnt,
+              list_filter(list(average) OVER w, v -> v IS NOT NULL) AS lst_average,
+              list_filter(list(per75) OVER w, v -> v IS NOT NULL) AS lst_per75,
+              list_filter(list(per95) OVER w, v -> v IS NOT NULL) AS lst_per95
+            FROM ($statsSql)
+            WINDOW w AS (PARTITION BY server, service ORDER BY ts_ms
+                         ROWS BETWEEN ${cfg.lag} PRECEDING AND 1 PRECEDING))"""
+    }
+    perLag.mkString(" UNION ALL ")
+  }
+
+  /** Faithful reference z-score with influence feedback — ordered fold per
+    * (server, service) x lag. Output schema matches [[zScoreWindowed]].
+    */
+  def zScoreFold(stats: DataFrame, lags: Seq[LagCfg] = defaultLags): DataFrame = {
+    val spark = stats.sparkSession
+    import spark.implicits._
+    val rows = stats.select("server", "service", "ts_ms", "tpm",
+        "average", "per75", "per95")
+      .as[(String, String, Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+    val lagsB = lags
+    val out = rows.groupByKey { case (srv, svc, _, _, _, _, _) => (srv, svc) }
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Option[Double], Option[Double], Option[Double], Option[Double])]) =>
+        val (srv, svc) = key
+        val sorted = it.toArray.sortBy(_._3)
+        lagsB.iterator.flatMap { cfg =>
+          // One bounded queue of *influenced* values per metric — exactly
+          // the reference's avgList/per75List/per95List.
+          val lists = Array.fill(3)(mutable.Queue.empty[Option[Double]])
+          sorted.iterator.map { case (_, _, ts, tpm, a, p75, p95) =>
+            val ms = Array(a, p75, p95)
+            val zs = (0 until 3).map { i =>
+              val (infl, avgV, lb, ub, sig) = RefStats.zScoreStepRef(
+                cfg.lag, cfg.threshold, cfg.influence, ms(i), lists(i).toIndexedSeq)
+              if (lists(i).size >= cfg.lag) lists(i).dequeue()
+              lists(i).enqueue(infl)
+              (avgV, lb, ub, sig)
+            }
+            (srv, svc, ts, cfg.lag, tpm, a, p75, p95,
+              zs(0)._1, zs(0)._2, zs(0)._3, zs(0)._4,
+              zs(1)._1, zs(1)._2, zs(1)._3, zs(1)._4,
+              zs(2)._1, zs(2)._2, zs(2)._3, zs(2)._4)
+          }
+        }
+      }
+    out.toDF("server", "service", "ts_ms", "lag", "tpm",
+      "average", "per75", "per95",
+      "average_avg", "average_lb", "average_ub", "average_signal",
+      "per75_avg", "per75_lb", "per75_ub", "per75_signal",
+      "per95_avg", "per95_lb", "per95_ub", "per95_signal")
+  }
+}

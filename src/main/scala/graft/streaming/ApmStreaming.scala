@@ -1,0 +1,219 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import scala.collection.mutable
+import graft.functions.RefStats
+import graft.operators.{Alerts, ZScore}
+
+/** Structured Streaming realization of the reference pipeline (SURVEY.md
+  * §2.8): the same column expressions as the batch operators, driven by
+  * `readStream` sources with watermarks, windowed aggregation, and keyed
+  * state.
+  *
+  * Reference mapping:
+  *  - S1 file-tail source -> `spark.readStream` (file/kafka source); here
+  *    any streaming DataFrame with (server, service, end_ts, elapsed).
+  *  - A1-A5 window stats -> watermarked sliding `window()` aggregation;
+  *    the 6-bucket lateness buffer (stream_calc_stats.js:103-113) is the
+  *    watermark delay; exact percentiles via sort_array(collect_list).
+  *  - J1 pairing -> stream-stream left-outer join with event-time range
+  *    (the 120 s TTL cache, stream_parse_transactions.js:211-224).
+  *  - Z2 z-score -> flatMapGroupsWithState keyed on (server, service,
+  *    lag), bounded per-key list state — the faithful influence-feedback
+  *    recurrence (stream_calc_z_score.js:232-307).
+  *  - R3/R4 alert folds -> flatMapGroupsWithState: leaky-bucket counter
+  *    keyed (server, service, lag); cooldown keyed (service).
+  *  - S6 buffered DB sink -> `foreachBatch` micro-batch writer (count/
+  *    time flush becomes the trigger interval; exactly-once via
+  *    checkpoint + idempotent write).
+  *  - S7 resume files -> checkpointLocation.
+  *
+  * Scale notes: state per key is O(lag) doubles (bounded, like the
+  * reference's shifted lists); RocksDB state store handles key counts in
+  * the hundreds of millions; the window agg shuffles on (key, window)
+  * with partial aggregation upstream.
+  */
+object ApmStreaming {
+
+  /** A1-A5: sliding 5-min/10-s window stats over a streaming tx frame
+    * with event-time column `end_ts` (TimestampType) — emits per closed
+    * window once the 1-minute watermark passes (A4 lateness buffer).
+    */
+  def slidingStatsStream(tx: DataFrame,
+      windowLen: String = "300 seconds", slide: String = "10 seconds",
+      lateness: String = "60 seconds"): DataFrame = {
+    val winMin = 300.0 / 60.0
+    tx.withWatermark("end_ts", lateness)
+      .groupBy(col("server"), col("service"),
+        window(col("end_ts"), windowLen, slide))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(col("elapsed"))).as("sorted"))
+      .select(col("server"), col("service"),
+        unix_millis(col("window.end")).as("ts_ms"),
+        col("n"),
+        (col("n") / lit(winMin)).as("tpm"),
+        RefStats.arrayMean(col("sorted")).as("average"),
+        RefStats.refPercentile(col("sorted"), 0.75).as("per75"),
+        RefStats.refPercentile(col("sorted"), 0.95).as("per95"))
+  }
+
+  /** J1/J2: entry<->exit pairing as a watermarked stream-stream left-outer
+    * join; unmatched exits emit with null entry after the watermark closes
+    * the join window (the salvage path), unmatched entries simply expire.
+    */
+  def pairingStream(entries: DataFrame, exits: DataFrame,
+      ttl: String = "120 seconds"): DataFrame = {
+    val e = entries.select(col("log_id").as("e_log_id"),
+      col("service").as("e_service"), col("entry_ts"))
+      .withWatermark("entry_ts", "30 seconds")
+    val x = exits.withWatermark("exit_ts", "30 seconds")
+    x.join(e,
+      col("log_id") === col("e_log_id") &&
+        col("service") === col("e_service") &&
+        col("exit_ts") >= col("entry_ts") &&
+        col("exit_ts") <= col("entry_ts") + expr(s"INTERVAL $ttl"),
+      "leftOuter")
+      .select(col("log_id"), col("service"), col("entry_ts"),
+        col("exit_ts"), col("elapsed"),
+        when(col("entry_ts").isNull, "N").otherwise("Y").as("complete"))
+  }
+
+  // ------------------------------------------------------------- z-score
+
+  /** Bounded per-key z-score state: the three influenced-value lists
+    * (NaN encodes the reference's `undefined` entries).
+    */
+  case class ZKey(server: String, service: String, lag: Int,
+      threshold: Double, influence: Double)
+  case class ZIn(server: String, service: String, lag: Int,
+      threshold: Double, influence: Double, ts_ms: Long, tpm: Double,
+      average: Double, per75: Double, per95: Double) // NaN = undefined
+  case class ZState(avgL: Seq[Double], p75L: Seq[Double], p95L: Seq[Double])
+  case class ZOut(server: String, service: String, ts_ms: Long, lag: Int,
+      tpm: Double, average: Double, per75: Double, per95: Double,
+      average_avg: Double, average_lb: Double, average_ub: Double, average_signal: Int,
+      per75_avg: Double, per75_lb: Double, per75_ub: Double, per75_signal: Int,
+      per95_avg: Double, per95_lb: Double, per95_ub: Double, per95_signal: Int)
+
+  private def od(d: Double): Option[Double] = if (d.isNaN) None else Some(d)
+  private def dd(o: Option[Double]): Double = o.getOrElse(Double.NaN)
+
+  def zScoreStep(rows: Iterator[ZIn], st: ZState, key: ZKey): (Iterator[ZOut], ZState) = {
+    val lists = Array(
+      mutable.Queue(st.avgL.map(od): _*),
+      mutable.Queue(st.p75L.map(od): _*),
+      mutable.Queue(st.p95L.map(od): _*))
+    val out = rows.toArray.sortBy(_.ts_ms).map { r =>
+      val ms = Array(od(r.average), od(r.per75), od(r.per95))
+      val zs = (0 until 3).map { i =>
+        val (infl, avgV, lb, ub, sig) = RefStats.zScoreStepRef(
+          key.lag, key.threshold, key.influence, ms(i), lists(i).toIndexedSeq)
+        if (lists(i).size >= key.lag) lists(i).dequeue()
+        lists(i).enqueue(infl)
+        (dd(avgV), dd(lb), dd(ub), sig)
+      }
+      ZOut(r.server, r.service, r.ts_ms, r.lag, r.tpm, r.average, r.per75, r.per95,
+        zs(0)._1, zs(0)._2, zs(0)._3, zs(0)._4,
+        zs(1)._1, zs(1)._2, zs(1)._3, zs(1)._4,
+        zs(2)._1, zs(2)._2, zs(2)._3, zs(2)._4)
+    }
+    (out.iterator,
+      ZState(lists(0).toSeq.map(dd), lists(1).toSeq.map(dd), lists(2).toSeq.map(dd)))
+  }
+
+  /** Z1-Z5 as a stateful streaming transform. Input: a streaming stats
+    * frame already fanned out per lag config (columns of [[ZIn]]).
+    */
+  def zScoreStream(stats: Dataset[ZIn]): Dataset[ZOut] = {
+    import stats.sparkSession.implicits._
+    stats.groupByKey(r => ZKey(r.server, r.service, r.lag, r.threshold, r.influence))
+      .flatMapGroupsWithState[ZState, ZOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: ZKey, rows: Iterator[ZIn], state: GroupState[ZState]) =>
+          val st = state.getOption.getOrElse(ZState(Nil, Nil, Nil))
+          val (out, st2) = zScoreStep(rows, st, key)
+          state.update(st2)
+          out
+      }
+  }
+
+  /** Fan a streaming stats frame out per lag config (Z5) into [[ZIn]]. */
+  def fanOutLags(stats: DataFrame, lags: Seq[ZScore.LagCfg]): Dataset[ZIn] = {
+    import stats.sparkSession.implicits._
+    val lagRows = lags.map(c => (c.lag, c.threshold, c.influence))
+    val lagDf = stats.sparkSession.createDataFrame(lagRows)
+      .toDF("lag", "threshold", "influence")
+    stats.crossJoin(broadcast(lagDf))
+      .select(col("server"), col("service"), col("lag"), col("threshold"),
+        col("influence"), col("ts_ms"), col("tpm"),
+        coalesce(col("average"), lit(Double.NaN)).as("average"),
+        coalesce(col("per75"), lit(Double.NaN)).as("per75"),
+        coalesce(col("per95"), lit(Double.NaN)).as("per95"))
+      .as[ZIn]
+  }
+
+  // ------------------------------------------------------------- alerts
+
+  case class VoteIn(server: String, service: String, lag: Int, ts_ms: Long,
+      bad: Int, causes: String)
+  case class VoteOut(server: String, service: String, lag: Int, ts_ms: Long,
+      causes: String)
+
+  /** R3 leaky-bucket vote counter as keyed streaming state. */
+  def voteStream(cand: Dataset[VoteIn], cfg: Alerts.AlertCfg): Dataset[VoteOut] = {
+    import cand.sparkSession.implicits._
+    cand.groupByKey(r => (r.server, r.service, r.lag))
+      .flatMapGroupsWithState[Int, VoteOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, String, Int), rows: Iterator[VoteIn], state: GroupState[Int]) =>
+          var c = state.getOption.getOrElse(0)
+          val out = rows.toArray.sortBy(_.ts_ms).flatMap { r =>
+            var fire = false
+            if (r.bad == 1) {
+              if (c <= cfg.windowSz) c += 1
+              fire = c >= cfg.voteThreshold
+            } else if (c > 0) c -= 1
+            if (fire) Some(VoteOut(r.server, r.service, r.lag, r.ts_ms, r.causes))
+            else None
+          }
+          state.update(c)
+          out.iterator
+      }
+  }
+
+  /** R4 per-service cooldown dedup as keyed streaming state. */
+  def cooldownStream(fired: Dataset[VoteOut], cfg: Alerts.AlertCfg): Dataset[VoteOut] = {
+    import fired.sparkSession.implicits._
+    fired.groupByKey(_.service)
+      .flatMapGroupsWithState[Long, VoteOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (svc: String, rows: Iterator[VoteOut], state: GroupState[Long]) =>
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = rows.toArray.sortBy(r => (r.ts_ms, r.server, r.lag)).flatMap { r =>
+            val emit = last == Long.MinValue ||
+              (r.ts_ms - last) / 1000.0 > cfg.cooldownMs / 1000.0
+            if (emit) { last = r.ts_ms; Some(r) } else None
+          }
+          state.update(last)
+          out.iterator
+      }
+  }
+
+  /** S6 — the buffered batch sink: micro-batch parquet/JDBC writer.
+    * `foreachBatch` gives exactly-once with the checkpoint; the
+    * reference's 1000-row/5-s flush policy maps to the trigger interval.
+    */
+  def sinkToParquet(df: DataFrame, outDir: String, checkpoint: String,
+      trigger: String = "5 seconds"): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(trigger))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/batch_$batchId")
+        ()
+      }
+      .start()
+}

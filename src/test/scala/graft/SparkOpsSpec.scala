@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+import graft.functions.RefStats
+import graft.operators._
+
+/** Spark-level tests: the distributed operators against their pure-Scala
+  * reference ports, on small in-memory data.
+  */
+class SparkOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("refPercentile column expression == calcPercentileRef") {
+    import spark.implicits._
+    val rnd = new Random(3)
+    val arrays = (1 to 200).map(i =>
+      (i.toLong, Vector.fill(rnd.nextInt(15))(rnd.nextDouble() * 1000).sorted))
+    val df = arrays.toDF("id", "arr")
+    val got = df.select(col("id"),
+        RefStats.refPercentile(col("arr"), 0.75).as("p75"),
+        RefStats.refPercentile(col("arr"), 0.95).as("p95"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    arrays.foreach { case (id, a) =>
+      assert(got(id)._1 == RefStats.calcPercentileRef(a, 75), s"p75 id=$id")
+      assert(got(id)._2 == RefStats.calcPercentileRef(a, 95), s"p95 id=$id")
+    }
+  }
+
+  test("zScoreFold == per-key loop over zScoreStepRef") {
+    import spark.implicits._
+    val rnd = new Random(5)
+    val rows = for {
+      srv <- Seq("s0", "s1"); svc <- Seq("a", "b"); i <- 0 until 40
+    } yield (srv, svc, i * 1000L, Some(1.0),
+      if (rnd.nextDouble() < 0.15) None else Some(rnd.nextDouble() * 100),
+      Some(rnd.nextDouble() * 100), Some(rnd.nextDouble() * 100))
+    val df = rows.toDF("server", "service", "ts_ms", "tpm", "average", "per75", "per95")
+    val cfg = ZScore.LagCfg(5, 2.0, 0.3)
+    val got = ZScore.zScoreFold(df, Seq(cfg))
+      .select("server", "service", "ts_ms", "average_avg", "average_signal")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
+        (Option(r.get(3)).map(_.asInstanceOf[Double]), r.getInt(4)))).toMap
+    // naive per-key replay
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((srv, svc), rs) =>
+      val lst = scala.collection.mutable.Queue.empty[Option[Double]]
+      rs.sortBy(_._3).foreach { case (_, _, ts, _, a, _, _) =>
+        val (infl, avg, _, _, sig) =
+          RefStats.zScoreStepRef(cfg.lag, cfg.threshold, cfg.influence, a, lst.toIndexedSeq)
+        if (lst.size >= cfg.lag) lst.dequeue()
+        lst.enqueue(infl)
+        val (gAvg, gSig) = got((srv, svc, ts))
+        assert(gAvg == avg && gSig == sig, s"$srv/$svc@$ts")
+      }
+    }
+  }
+
+  test("alerts two-phase fold == interleaved reference fold") {
+    import spark.implicits._
+    val rnd = new Random(13)
+    val rows = (0 until 400).map { i =>
+      (s"srv${rnd.nextInt(2)}", s"svc${rnd.nextInt(3)}", Seq(6, 144)(rnd.nextInt(2)),
+        i * 1000L, if (rnd.nextDouble() < 0.55) 1 else 0)
+    }.map { case (srv, svc, lag, ts, bad) =>
+      (srv, svc, lag, ts, bad, if (bad == 1) "cause" else "")
+    }
+    val cfg = Alerts.AlertCfg(windowSz = 8, voteThreshold = 4, cooldownMs = 20000L)
+    val df = rows.toDF("server", "service", "lag", "ts_ms", "bad", "causes")
+    val got = Alerts.alerts(df, cfg)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3), r.getString(4)))
+      .sortBy(r => (r._1, r._2, r._4))
+    val exp = Alerts.alertsRef(rows.map(r => (r._1, r._2, r._3, r._4, r._5 == 1, r._6)), cfg)
+      .sortBy(r => (r._1, r._2, r._4))
+    assert(got.toSeq == exp)
+  }
+
+  test("multimodal: mapPartitions decode agrees with declarative meta") {
+    val decoded = Multimodal.decodeAll(spark, sf)
+      .collect().map(f => f.doc_id -> f).toMap
+    val meta = Multimodal.meta(spark, sf).collect()
+    assert(meta.nonEmpty)
+    meta.foreach { r =>
+      val f = decoded(r.getLong(0))
+      assert(r.getString(1) == f.kind)
+      assert(r.getLong(2) == f.n_bytes.toLong)
+      assert(r.getLong(3) == f.checksum)
+      assert(r.getInt(4) == f.width)
+    }
+  }
+
+  test("poly_hash expression == reference fold, with codegen") {
+    import spark.implicits._
+    import graft.functions.PolyHash.poly_hash
+    val strs = Seq("", "a", "abc def", "the quick brown fox", "x" * 500)
+    val got = strs.toDF("s").select(poly_hash(col("s")).as("h"))
+      .collect().map(_.getLong(0))
+    val exp = strs.map { s =>
+      var h = 0L; s.foreach(c => h = (h * 31 + c) % 1000000007L); h
+    }
+    assert(got.toSeq == exp)
+  }
+}

@@ -19,11 +19,8 @@ def canon(rows, cols):
         rr = []
         for i in order:
             v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 9)
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
             rr.append(v)
         out.append(tuple(rr))
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
