@@ -33,6 +33,7 @@ object SparkEntry {
     "j2_enrichment"    -> ((s, dir) => Correlation.enrichment(s, dir)),
     "j3_dim_lookup"    -> ((s, dir) => Correlation.dimLookup(s, dir)),
     "p5_parse_roundtrip" -> ((s, dir) => Parsing.parseRoundtrip(s, dir)),
+    "p7_audit_trail"   -> ((s, dir) => AuditTrail.parseAuditTrails(s, dir)),
     "f8_csv_roundtrip" -> ((s, dir) => Parsing.csvRoundtrip(s, dir)),
     "f9_json_flatten"  -> ((s, dir) => Parsing.jsonFlatten(s, dir)),
     "t1_tokens"        -> ((s, dir) => TextAnalysis.tokens(s, dir)),
@@ -74,6 +75,7 @@ object SparkEntry {
     "j2_enrichment"    -> Correlation.enrichmentSql,
     "j3_dim_lookup"    -> Correlation.dimLookupSql,
     "p5_parse_roundtrip" -> Parsing.parseRoundtripSql,
+    "p7_audit_trail"   -> AuditTrail.parseAuditTrailsSql,
     "f8_csv_roundtrip" -> Parsing.csvRoundtripSql,
     "f9_json_flatten"  -> Parsing.jsonFlattenSql,
     "t1_tokens"        -> TextAnalysis.tokensSql,

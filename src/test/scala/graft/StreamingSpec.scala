@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+import graft.streaming.ApmStreaming
+import graft.operators.{Alerts, ZScore}
+import graft.functions.RefStats
+
+/** Structured Streaming semantics tests with MemoryStream: watermarked
+  * sliding-window stats (A4/A5), stateful z-score (Z2), alert folds
+  * (R3/R4) — streaming output must agree with the batch folds / reference
+  * ports on the same data.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000)
+
+  test("sliding-window stats stream: exact percentiles per closed window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, Timestamp, Double)]
+    val tx = in.toDF.toDF("server", "service", "end_ts", "elapsed")
+    val agg = ApmStreaming.slidingStatsStream(tx,
+      windowLen = "20 seconds", slide = "10 seconds", lateness = "10 seconds")
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("stats_out").start()
+    try {
+      in.addData(
+        ("s0", "svc", ts(5), 10.0), ("s0", "svc", ts(8), 20.0),
+        ("s0", "svc", ts(15), 30.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the early windows
+      in.addData(("s0", "svc", ts(100), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("stats_out")
+        .select("ts_ms", "n", "average", "per75", "per95")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).sortBy(_._1).toList
+      // window [0,20) end=20: values 10,20,30 -> mean 20, p75: idx=1.25->i=2 last -> 30
+      val w20 = rows.find(_._1 == 20000L).get
+      assert(w20._2 == 3 && w20._3 == 20.0 && w20._4 == 30.0 && w20._5 == 30.0)
+      // window [10,30) end=30: only 30.0
+      val w30 = rows.find(_._1 == 30000L).get
+      assert(w30._2 == 1 && w30._3 == 30.0)
+    } finally q.stop()
+  }
+
+  test("z-score stream == batch fold on same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    val cfg = ZScore.LagCfg(4, 2.0, 0.5)
+    val data = for {
+      srv <- Seq("s0", "s1"); i <- 0 until 30
+    } yield ApmStreaming.ZIn(srv, "svc", cfg.lag, cfg.threshold, cfg.influence,
+      i * 1000L, 1.0, rnd.nextDouble() * 100,
+      rnd.nextDouble() * 100, rnd.nextDouble() * 100)
+    val in = MemoryStream[ApmStreaming.ZIn]
+    val out = ApmStreaming.zScoreStream(in.toDS())
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("z_out").start()
+    try {
+      // feed in two chunks to exercise state persistence across batches
+      val (c1, c2) = data.partition(_.ts_ms < 15000L)
+      in.addData(c1); q.processAllAvailable()
+      in.addData(c2); q.processAllAvailable()
+      val got = spark.table("z_out").as[ApmStreaming.ZOut].collect()
+        .map(o => (o.server, o.ts_ms) -> ((o.average_avg, o.average_signal))).toMap
+      // batch fold over the same data
+      val statsDf = data.map(z => (z.server, z.service, z.ts_ms, Some(z.tpm),
+          Some(z.average), Some(z.per75), Some(z.per95)))
+        .toDF("server", "service", "ts_ms", "tpm", "average", "per75", "per95")
+      val exp = ZScore.zScoreFold(statsDf, Seq(cfg))
+        .select("server", "ts_ms", "average_avg", "average_signal")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((Option(r.get(2)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN), r.getInt(3)))).toMap
+      assert(got.size == exp.size)
+      exp.foreach { case (k, (eAvg, eSig)) =>
+        val (gAvg, gSig) = got(k)
+        assert((gAvg.isNaN && eAvg.isNaN) || gAvg == eAvg, s"$k avg")
+        assert(gSig == eSig, s"$k sig")
+      }
+    } finally q.stop()
+  }
+
+  test("alert vote + cooldown streams == reference fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = Alerts.AlertCfg(windowSz = 5, voteThreshold = 3, cooldownMs = 8000L)
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 200).map { i =>
+      val bad = rnd.nextDouble() < 0.6
+      ApmStreaming.VoteIn(s"srv${rnd.nextInt(2)}", s"svc${rnd.nextInt(2)}",
+        6, i * 1000L, if (bad) 1 else 0, if (bad) "cause" else "")
+    }
+    val in = MemoryStream[ApmStreaming.VoteIn]
+    val fired = ApmStreaming.voteStream(in.toDS(), cfg)
+    val alerts = ApmStreaming.cooldownStream(fired, cfg)
+    val q = alerts.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("alerts_out").start()
+    try {
+      // single ordered chunk: streaming arrival order == batch ts order
+      in.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("alerts_out").as[ApmStreaming.VoteOut].collect()
+        .map(o => (o.ts_ms, o.server, o.service, o.lag)).sorted.toList
+      val exp = Alerts.alertsRef(
+        rows.map(r => (r.server, r.service, r.lag, r.ts_ms, r.bad == 1, r.causes)), cfg)
+        .map(a => (a._1, a._2, a._3, a._4)).sorted.toList
+      assert(got == exp)
+    } finally q.stop()
+  }
+
+  test("pairing stream: match + salvage semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val entries = MemoryStream[(Long, String, Timestamp)]
+    val exits = MemoryStream[(Long, String, Timestamp, Double)]
+    val paired = ApmStreaming.pairingStream(
+      entries.toDF.toDF("log_id", "service", "entry_ts"),
+      exits.toDF.toDF("log_id", "service", "exit_ts", "elapsed"))
+    val q = paired.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("pair_out").start()
+    try {
+      entries.addData((1L, "a", ts(10)))
+      exits.addData((1L, "a", ts(12), 2000.0), (2L, "a", ts(13), 1.0))
+      q.processAllAvailable()
+      // push watermarks forward so the unmatched exit (log 2) is emitted
+      entries.addData((99L, "zz", ts(500)))
+      exits.addData((99L, "zz", ts(500), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("pair_out")
+        .select("log_id", "complete").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows.contains((1L, "Y")), s"matched pair missing: $rows")
+      assert(rows.contains((2L, "N")), s"salvage row missing: $rows")
+    } finally q.stop()
+  }
+}
