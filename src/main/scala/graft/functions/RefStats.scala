@@ -60,12 +60,10 @@ object RefStats {
   /** Null-skipping mean over a (sorted) array via an ordered fold — the
     * fold order is fixed by the array order, so Spark and DuckDB produce
     * the same double bit-for-bit (util_methods.js:10-24 `average`).
+    * Computed by the native [[ArrayStats]] expression (null for empty).
     */
-  def arrayMean(arr: Column): Column = {
-    val s = aggregate(arr, lit(0.0), (acc, x) => acc + x)
-    when(size(arr) > 0, s / size(arr).cast("double"))
-      .otherwise(lit(null).cast("double"))
-  }
+  def arrayMean(arr: Column): Column =
+    ArrayStats.array_stats(arr).getField("mean")
 
   /** Sequential left-fold sum — `list_sum` is NOT guaranteed to accumulate
     * left-to-right (observed ulp differences vs Spark's `aggregate` fold),

@@ -127,30 +127,39 @@ object Alerts {
   def alerts(cand: DataFrame, cfg: AlertCfg = default): DataFrame = {
     val spark = cand.sparkSession
     import spark.implicits._
-    val rows = cand.select("server", "service", "lag", "ts_ms", "bad", "causes")
-      .as[(String, String, Int, Long, Int, String)]
     // Phase 1 (R3): per (server,service,lag) ordered fold of the counter.
-    val voted = rows.groupByKey { case (srv, svc, lag, _, _, _) => (srv, svc, lag) }
-      .flatMapGroups { (key: (String, String, Int), it: Iterator[(String, String, Int, Long, Int, String)]) =>
-        val (srv, svc, lag) = key
-        val sorted = it.toArray.sortBy(_._4)
+    // Repartition + Tungsten sort + one streaming pass (O(1) state per
+    // key, no per-group buffering — the scale-safe fold shape).
+    val voted = cand.select("server", "service", "lag", "ts_ms", "bad", "causes")
+      .repartition(col("server"), col("service"), col("lag"))
+      .sortWithinPartitions("server", "service", "lag", "ts_ms")
+      .as[(String, String, Int, Long, Int, String)]
+      .mapPartitions { it =>
+        var curKey: (String, String, Int) = null
         var c = 0
-        sorted.iterator.map { case (_, _, _, ts, bad, causes) =>
+        it.flatMap { case (srv, svc, lag, ts, bad, causes) =>
+          if (curKey == null || curKey != ((srv, svc, lag))) {
+            curKey = (srv, svc, lag); c = 0
+          }
           var fire = false
           if (bad == 1) {
             if (c <= cfg.windowSz) c += 1 // saturate at windowSz+1 (:374-378)
             fire = c >= cfg.voteThreshold
           } else if (c > 0) c -= 1
-          (srv, svc, lag, ts, if (fire) causes else "", fire)
+          if (fire) Some((srv, svc, lag, ts, causes)) else None
         }
-      }.filter(_._6)
+      }
     // Phase 2 (R4): per-service cooldown on *emitted* alerts — keyed on
-    // service alone (stream_process_alerts.js:449-467).
-    voted.groupByKey(_._2)
-      .flatMapGroups { (_: String, it: Iterator[(String, String, Int, Long, String, Boolean)]) =>
-        val sorted = it.toArray.sortBy(r => (r._4, r._1, r._3))
+    // service alone (stream_process_alerts.js:449-467), rows in
+    // (ts, server, lag) order.
+    voted
+      .repartition(col("_2"))
+      .sortWithinPartitions("_2", "_4", "_1", "_3")
+      .mapPartitions { it =>
+        var curSvc: String = null
         var lastEmit = Long.MinValue
-        sorted.iterator.flatMap { case (srv, svc, lag, ts, causes, _) =>
+        it.flatMap { case (srv, svc, lag, ts, causes) =>
+          if (curSvc == null || curSvc != svc) { curSvc = svc; lastEmit = Long.MinValue }
           val emit = lastEmit == Long.MinValue ||
             (ts - lastEmit) / 1000.0 > cfg.cooldownMs / 1000.0
           if (emit) { lastEmit = ts; Some((ts, srv, svc, lag, causes)) }

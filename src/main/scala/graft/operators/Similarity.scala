@@ -26,10 +26,9 @@ import graft.Tables
   */
 object Similarity {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-  private def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+  import graft.functions.VecDot.vec_dot
+  private def dot(a: Column, b: Column): Column = vec_dot(a, b)
+  private def norm(a: Column): Column = sqrt(vec_dot(a, a))
 
   private def vecsDouble(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "embeddings").select(

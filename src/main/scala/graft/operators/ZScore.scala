@@ -71,24 +71,27 @@ object ZScore {
       // stage 1: frame lists (nulls skipped, frame-ordered) + frame count
       val staged = stats.select(base ++ Seq(cnt.as("cnt")) ++
         metrics.map(m => collect_list(col(m)).over(w).as(s"lst_$m")): _*)
-      // stage 2: per-metric mean over the list
-      val withMean = staged.select(staged.columns.map(col) ++
-        metrics.map { m =>
-          val lst = col(s"lst_$m")
-          (when(size(lst) > 0,
-            aggregate(lst, lit(0.0), (a, v) => a + v) / size(lst).cast("double")))
-            .as(s"mean_$m")
+      // stage 2: per-metric two-pass (mean, msq) in ONE evaluation via the
+      // native ArrayStats expression — see its scaladoc for why a
+      // HOF-fold formulation here is O(lag^2) per row after optimizer
+      // inlining.
+      val withMm = staged.select(base ++ Seq(col("cnt")) ++
+        metrics.map(m =>
+          graft.functions.ArrayStats.array_stats(col(s"lst_$m")).as(s"mm_$m")): _*)
+      // stage 3: gated avg/sd as attributes
+      val withAvgSd = withMm.select(withMm.columns.map(col) ++
+        metrics.flatMap { m =>
+          val mm = col(s"mm_$m")
+          Seq(
+            when(col("cnt") >= cfg.lag, mm.getField("mean")).as(s"avgw_$m"),
+            when(col("cnt") >= cfg.lag,
+              sqrt(nullif(mm.getField("msq"), lit(0.0)))).as(s"sdw_$m"))
         }: _*)
-      // stage 3: z-score outputs
+      // stage 4: z-score outputs from cheap attribute refs
       val zCols = metrics.flatMap { m =>
         val x = col(m)
-        val lst = col(s"lst_$m")
-        val meanAll = col(s"mean_$m")
-        val msq = when(size(lst) > 0,
-          aggregate(lst, lit(0.0), (a, v) => a + (v - meanAll) * (v - meanAll)) /
-            size(lst).cast("double"))
-        val avgW = when(col("cnt") >= cfg.lag, meanAll)
-        val sdW  = when(col("cnt") >= cfg.lag, sqrt(nullif(msq, lit(0.0))))
+        val avgW = col(s"avgw_$m")
+        val sdW = col(s"sdw_$m")
         val t = lit(cfg.threshold)
         val signal = when(avgW.isNotNull && sdW.isNotNull && x.isNotNull &&
             abs(x - avgW) > t * sdW,
@@ -99,7 +102,7 @@ object ZScore {
           (avgW + t * sdW).as(s"${m}_ub"),
           signal.as(s"${m}_signal"))
       }
-      withMean.select(
+      withAvgSd.select(
         Seq(col("server"), col("service"), col("ts_ms"),
           lit(cfg.lag).as("lag"), col("tpm"),
           col("average"), col("per75"), col("per95")) ++ zCols: _*)
@@ -147,29 +150,40 @@ object ZScore {
 
   /** Faithful reference z-score with influence feedback — ordered fold per
     * (server, service) x lag. Output schema matches [[zScoreWindowed]].
+    *
+    * Shape: hash-repartition on the key, Tungsten sort within partitions
+    * (key, ts), then a single mapPartitions pass with key-change
+    * detection. Unlike `groupByKey.flatMapGroups` + per-group
+    * `toArray.sortBy`, this never buffers a key's whole history — state is
+    * O(lag) per active key — and the sort runs off-heap. That is the shape
+    * that survives a key with years of history at 100 TB.
     */
   def zScoreFold(stats: DataFrame, lags: Seq[LagCfg] = defaultLags): DataFrame = {
     val spark = stats.sparkSession
     import spark.implicits._
-    val rows = stats.select("server", "service", "ts_ms", "tpm",
-        "average", "per75", "per95")
-      .as[(String, String, Long, Option[Double], Option[Double], Option[Double], Option[Double])]
     val lagsB = lags
-    val out = rows.groupByKey { case (srv, svc, _, _, _, _, _) => (srv, svc) }
-      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Option[Double], Option[Double], Option[Double], Option[Double])]) =>
-        val (srv, svc) = key
-        val sorted = it.toArray.sortBy(_._3)
-        lagsB.iterator.flatMap { cfg =>
-          // One bounded queue of *influenced* values per metric — exactly
-          // the reference's avgList/per75List/per95List.
-          val lists = Array.fill(3)(mutable.Queue.empty[Option[Double]])
-          sorted.iterator.map { case (_, _, ts, tpm, a, p75, p95) =>
-            val ms = Array(a, p75, p95)
+    val out = stats.select("server", "service", "ts_ms", "tpm",
+        "average", "per75", "per95")
+      .repartition(col("server"), col("service"))
+      .sortWithinPartitions("server", "service", "ts_ms")
+      .as[(String, String, Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .mapPartitions { it =>
+        var curKey: (String, String) = null
+        // per lag-config: one bounded queue of *influenced* values per
+        // metric — exactly the reference's avgList/per75List/per95List.
+        var lists: Array[Array[mutable.Queue[Option[Double]]]] = null
+        it.flatMap { case (srv, svc, ts, tpm, a, p75, p95) =>
+          if (curKey == null || curKey != ((srv, svc))) {
+            curKey = (srv, svc)
+            lists = Array.fill(lagsB.size)(Array.fill(3)(mutable.Queue.empty[Option[Double]]))
+          }
+          val ms = Array(a, p75, p95)
+          lagsB.iterator.zipWithIndex.map { case (cfg, li) =>
             val zs = (0 until 3).map { i =>
               val (infl, avgV, lb, ub, sig) = RefStats.zScoreStepRef(
-                cfg.lag, cfg.threshold, cfg.influence, ms(i), lists(i).toIndexedSeq)
-              if (lists(i).size >= cfg.lag) lists(i).dequeue()
-              lists(i).enqueue(infl)
+                cfg.lag, cfg.threshold, cfg.influence, ms(i), lists(li)(i).toIndexedSeq)
+              if (lists(li)(i).size >= cfg.lag) lists(li)(i).dequeue()
+              lists(li)(i).enqueue(infl)
               (avgV, lb, ub, sig)
             }
             (srv, svc, ts, cfg.lag, tpm, a, p75, p95,
