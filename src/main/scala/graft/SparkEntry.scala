@@ -13,11 +13,14 @@ import graft.operators._
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The full APM chain: bucketize -> sliding stats (exact percentiles).
+    * The full APM chain (SURVEY §7.3): bucketize -> sliding-window stats
+    * with exact percentiles -> z-score bounds/signals -> alert-candidate
+    * flags. Emits one scored row per (key, interval, lag).
     */
   def entry(spark: SparkSession): DataFrame =
-    ApmStats.slidingStats(spark, "/root/testdata/sf0.001")
-      .filter(col("n") > 0)
+    Alerts.candidates(
+      ZScore.zScoreWindowed(ApmStats.slidingStats(spark, "/root/testdata/sf0.001")),
+      alertCfg)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -34,6 +37,7 @@ object SparkEntry {
     "j3_dim_lookup"    -> ((s, dir) => Correlation.dimLookup(s, dir)),
     "p5_parse_roundtrip" -> ((s, dir) => Parsing.parseRoundtrip(s, dir)),
     "p7_audit_trail"   -> ((s, dir) => AuditTrail.parseAuditTrails(s, dir)),
+    "p2_soap_acct"     -> ((s, dir) => SoapExtract.extractPairs(s, dir)),
     "f8_csv_roundtrip" -> ((s, dir) => Parsing.csvRoundtrip(s, dir)),
     "f9_json_flatten"  -> ((s, dir) => Parsing.jsonFlatten(s, dir)),
     "t1_tokens"        -> ((s, dir) => TextAnalysis.tokens(s, dir)),
@@ -50,6 +54,7 @@ object SparkEntry {
     "m1_media_meta"    -> ((s, dir) => Multimodal.meta(s, dir)),
     "m2_media_decode"  -> ((s, dir) => Multimodal.decodeAll(s, dir).toDF),
     "q1_agg"           -> ((s, dir) => tpchQ1(s, dir)),
+    "q3_join"          -> ((s, dir) => tpchQ3(s, dir)),
   )
 
   /** Alert config used by registered queries: thresholds tuned so the test
@@ -76,6 +81,7 @@ object SparkEntry {
     "j3_dim_lookup"    -> Correlation.dimLookupSql,
     "p5_parse_roundtrip" -> Parsing.parseRoundtripSql,
     "p7_audit_trail"   -> AuditTrail.parseAuditTrailsSql,
+    "p2_soap_acct"     -> SoapExtract.extractPairsSql,
     "f8_csv_roundtrip" -> Parsing.csvRoundtripSql,
     "f9_json_flatten"  -> Parsing.jsonFlattenSql,
     "t1_tokens"        -> TextAnalysis.tokensSql,
@@ -101,6 +107,17 @@ object SparkEntry {
         round(sum(l_extendedprice), 2) AS sum_base_price,
         count(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q3_join"          -> """SELECT l_orderkey,
+        epoch_ms(o_orderdate) AS o_orderdate_ms,
+        round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        count(*) AS n_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND epoch_ms(o_orderdate) < 883612800000
+          AND epoch_ms(l_shipdate) >= 883612800000
+        GROUP BY l_orderkey, epoch_ms(o_orderdate)""",
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 
   /** TPC-H Q1-style pricing summary — the relational-aggregation smoke
@@ -113,4 +130,35 @@ object SparkEntry {
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style shipping-priority join: fact-fact shuffle join +
+    * broadcast dimension + filtered aggregation — the multi-join
+    * relational path (predicate pushdown on both scans; customer side
+    * broadcasts).
+    */
+  private def tpchQ3(s: SparkSession, dir: String): DataFrame = {
+    // epoch ms of 1998-01-01T00:00:00Z (dates span 1995..2001)
+    val cutoffMs = 883612800000L
+    val cust = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord0 = Tables.load(s, dir, "orders")
+    val ord = ord0
+      .select(col("o_orderkey"), col("o_custkey"),
+        Tables.colMillis(ord0, "o_orderdate").as("o_orderdate_ms"))
+      .filter(col("o_orderdate_ms") < cutoffMs)
+    val li0 = Tables.load(s, dir, "lineitem")
+    val li = li0
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        Tables.colMillis(li0, "l_shipdate").as("l_shipdate_ms"))
+      .filter(col("l_shipdate_ms") >= cutoffMs)
+      .drop("l_shipdate_ms")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate_ms")
+      // revenue is a true 4-dp decimal (2-dp price x 2-dp factor), so
+      // round(4) is boundary-safe per-group (see float-parity policy).
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"), count(lit(1)).as("n_lines"))
+  }
 }

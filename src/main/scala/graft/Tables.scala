@@ -29,10 +29,18 @@ object Tables {
     * `spark.sql.legacy.parquet.nanosAsLong=true` — integer `div` keeps
     * full precision (ns values exceed 2^53, so float division would not).
     */
-  def tsMillis(df: DataFrame): org.apache.spark.sql.Column =
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
-      case _ => unix_millis(col("ts"))
+  def tsMillis(df: DataFrame): org.apache.spark.sql.Column = colMillis(df, "ts")
+
+  /** Epoch-ms column for any nano-timestamp parquet column (read as
+    * LongType nanos under nanosAsLong, or as a native timestamp).
+    */
+  def colMillis(df: DataFrame, name: String): org.apache.spark.sql.Column =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$name div 1000000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ wall-clock == UTC instant under the UTC session timezone
+        unix_millis(col(name).cast("timestamp"))
+      case _ => unix_millis(col(name))
     }
 
   def txBase(spark: SparkSession, sfDir: String): DataFrame = {
