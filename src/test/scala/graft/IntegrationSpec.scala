@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+import java.nio.file.Files
+import graft.streaming.ApmStreaming
+
+/** End-to-end pieces: driver flagship smoke, SQL-registered extensions,
+  * and the streaming sink (S6/S7: foreachBatch + checkpoint).
+  */
+class IntegrationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .withExtensions(new GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("driver flagship entry() returns rows on sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+
+  test("every registered query has matching column names with its oracle output contract") {
+    // structural check: queries and oracleSql keys line up
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle keys without query: ${o -- q}")
+  }
+
+  test("extensions register SQL functions") {
+    import spark.implicits._
+    // getOrCreate may return a pre-existing session (suite order), so use
+    // the explicit registration path.
+    GraftExtensions.register(spark)
+    Seq(("abc", Seq(1.0, 2.0, 3.0))).toDF("s", "v").createOrReplaceTempView("ext_t")
+    val r = spark.sql(
+      """SELECT poly_hash(s) AS h, vec_dot(v, v) AS d,
+         array_stats(v).mean AS m FROM ext_t""").collect().head
+    val expH = { var h = 0L; "abc".foreach(c => h = (h * 31 + c) % 1000000007L); h }
+    assert(r.getLong(0) == expH)
+    assert(r.getDouble(1) == 14.0)
+    assert(r.getDouble(2) == 2.0)
+  }
+
+  test("streaming sink: micro-batches land in parquet with checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val in = MemoryStream[(String, String, Timestamp, Double)]
+    val tx = in.toDF.toDF("server", "service", "end_ts", "elapsed")
+    val q = ApmStreaming.sinkToParquet(tx, s"$dir/out", s"$dir/ckpt",
+      trigger = "1 seconds")
+    try {
+      in.addData(("s0", "svc", new Timestamp(1000), 1.0),
+        ("s0", "svc", new Timestamp(2000), 2.0))
+      q.processAllAvailable()
+      in.addData(("s1", "svc", new Timestamp(3000), 3.0))
+      q.processAllAvailable()
+      val written = spark.read.parquet(s"$dir/out/batch_*")
+      assert(written.count() == 3)
+      // checkpoint exists (S7 resume state)
+      assert(new java.io.File(s"$dir/ckpt").exists())
+    } finally q.stop()
+  }
+}
