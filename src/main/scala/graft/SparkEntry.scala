@@ -32,6 +32,9 @@ object SparkEntry {
       Alerts.candidates(ZScore.zScoreWindowed(ApmStats.slidingStats(s, dir)), alertCfg)),
     "r3_alerts"        -> ((s, dir) =>
       Alerts.alerts(Alerts.candidates(ZScore.zScoreWindowed(ApmStats.slidingStats(s, dir)), alertCfg), alertCfg)),
+    "r7_digest"        -> ((s, dir) =>
+      Alerts.digest(Alerts.candidates(ZScore.zScoreWindowed(ApmStats.slidingStats(s, dir)), alertCfg))),
+    "d6_dedup_embed"   -> ((s, dir) => Similarity.embedNearDup(s, dir)),
     "j1_pairing"       -> ((s, dir) => Correlation.pairing(s, dir)),
     "j2_enrichment"    -> ((s, dir) => Correlation.enrichment(s, dir)),
     "j3_dim_lookup"    -> ((s, dir) => Correlation.dimLookup(s, dir)),
@@ -73,6 +76,9 @@ object SparkEntry {
     "z2_zscore_win"    -> ZScore.zScoreWindowedSql(ApmStats.slidingStatsSql()),
     "r2_candidates"    -> Alerts.candidatesSql(
       ZScore.zScoreWindowedSql(ApmStats.slidingStatsSql()), alertCfg),
+    "r7_digest"        -> Alerts.digestSql(Alerts.candidatesSql(
+      ZScore.zScoreWindowedSql(ApmStats.slidingStatsSql()), alertCfg)),
+    "d6_dedup_embed"   -> Similarity.embedNearDupSql(),
     // z2_zscore_fold / r3_alerts: sequential recurrences (influence
     // feedback, leaky-bucket counter) — no SQL equivalent; rows-only check
     // + ScalaTest property tests against direct reference ports.

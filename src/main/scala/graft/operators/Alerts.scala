@@ -169,6 +169,32 @@ object Alerts {
       .toDF("alert_ts_ms", "server", "service", "lag", "causes")
   }
 
+  /** R7 — the alert-digest assembly that feeds the batch emailer
+    * (stream_process_alerts.js:153-206,269-333): per flush window, the
+    * distinct servers / services / lags of the window's alerting rows
+    * (the reference builds its Grafana URL from exactly these lists) plus
+    * the bad-interval count. Daily windows over candidate rows keep the
+    * digest non-empty regardless of the vote threshold.
+    */
+  def digest(cand: DataFrame): DataFrame =
+    cand.filter(col("bad") === 1)
+      .withColumn("day_ms", expr("ts_ms div 86400000") * 86400000L)
+      .groupBy("day_ms")
+      .agg(
+        count(lit(1)).as("n_bad"),
+        sort_array(collect_set(col("server"))).as("servers"),
+        sort_array(collect_set(col("service"))).as("services"),
+        sort_array(collect_set(col("lag"))).as("lags"))
+
+  def digestSql(candSql: String): String =
+    s"""SELECT day_ms, count(*) AS n_bad,
+          list_sort(list(DISTINCT server)) AS servers,
+          list_sort(list(DISTINCT service)) AS services,
+          list_sort(list(DISTINCT lag)) AS lags
+        FROM (SELECT *, (ts_ms // 86400000) * 86400000 AS day_ms
+              FROM ($candSql) WHERE bad = 1)
+        GROUP BY day_ms"""
+
   /** Pure-Scala reference fold for tests (mirrors reference processFSEntry
     * control flow directly — one pass, interleaved counter + cooldown).
     */

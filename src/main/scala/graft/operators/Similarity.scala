@@ -108,6 +108,46 @@ object Similarity {
       .select("q_id", "n_id", "bucket", "cos", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs: SRP-LSH bucketing, exact
+    * cosine within buckets, pairs >= threshold (the embedding-space
+    * analogue of MinHash dedup; at scale only bucket-mates meet).
+    */
+  def embedNearDup(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val vecs = vecsDouble(spark, sfDir)
+    val dim = 64
+    val bucket = (0 until LshBits).map { bit =>
+      val proj = (0 until dim).map(d =>
+        element_at(col("v"), d + 1) * lit(planeCoef(bit, d))).reduce(_ + _)
+      when(proj >= 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val b = vecs.withColumn("bucket", bucket)
+    val a = b.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
+    val c = b.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket"))
+    a.join(c, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) /
+        (norm(col("va")) * norm(col("vb"))))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  def embedNearDupSql(threshold: Double = 0.3): String = {
+    val dim = 64
+    val bucket = (0 until LshBits).map { bit =>
+      val proj = (0 until dim).map(d => s"v[${d + 1}] * ${planeCoef(bit, d)}")
+        .mkString(" + ")
+      s"CASE WHEN ($proj) >= 0 THEN ${1L << bit} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH vecs AS (SELECT *, CAST($bucket AS BIGINT) AS bucket FROM ($vecsDoubleSql)),
+        a AS (SELECT vec_id AS id_a, v AS va, bucket FROM vecs),
+        c AS (SELECT vec_id AS id_b, v AS vb, bucket FROM vecs),
+        sims AS (
+          SELECT id_a, id_b,
+            ${dotSql("va", "vb")} / (${normSql("va")} * ${normSql("vb")}) AS cos
+          FROM a JOIN c ON a.bucket = c.bucket AND id_a < id_b)
+        SELECT id_a, id_b, cos FROM sims WHERE cos >= $threshold"""
+  }
+
   def knnLshSql(k: Int = 5, nQueries: Int = 20): String = {
     val dim = 64
     val bucket = (0 until LshBits).map { bit =>
