@@ -49,6 +49,37 @@ class IntegrationSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 2.0)
   }
 
+  test("full pipeline composes: streaming stats -> parquet -> batch z-score -> alert candidates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_pipe").toString
+    val in = MemoryStream[(String, String, Timestamp, Double)]
+    val tx = in.toDF.toDF("server", "service", "end_ts", "elapsed")
+    val stats = ApmStreaming.slidingStatsStream(tx,
+      windowLen = "20 seconds", slide = "10 seconds", lateness = "10 seconds")
+    val q = stats.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("parquet").option("path", s"$dir/stats").start()
+    try {
+      val rnd = new scala.util.Random(41)
+      in.addData((0 until 300).map(i =>
+        ("s0", "svc", new Timestamp(i * 1000L), 50.0 + rnd.nextDouble() * 10)))
+      q.processAllAvailable()
+      in.addData(("s0", "svc", new Timestamp(600000L), 1.0)) // advance watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val statsBatch = spark.read.parquet(s"$dir/stats")
+    assert(statsBatch.count() > 10)
+    val scored = graft.operators.Alerts.candidates(
+      graft.operators.ZScore.zScoreWindowed(statsBatch,
+        Seq(graft.operators.ZScore.LagCfg(3, 2.0, 0.0))),
+      graft.operators.Alerts.AlertCfg(hardMaxMs = 55.0))
+    val rows = scored.collect()
+    assert(rows.nonEmpty)
+    // the hard-max rule should flag some windows (means hover ~55)
+    assert(rows.exists(_.getAs[Int]("bad") == 1))
+  }
+
   test("streaming sink: micro-batches land in parquet with checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -88,6 +88,31 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(got.toSeq == exp)
   }
 
+  test("zScoreFold == zScoreWindowed when no signal fires (no feedback)") {
+    import spark.implicits._
+    val rnd = new Random(29)
+    val rows = for {
+      srv <- Seq("s0", "s1"); svc <- Seq("a", "b"); i <- 0 until 50
+    } yield (srv, svc, i * 1000L, Some(1.0),
+      Some(rnd.nextDouble() * 100), Some(rnd.nextDouble() * 100),
+      Some(rnd.nextDouble() * 100))
+    val df = rows.toDF("server", "service", "ts_ms", "tpm", "average", "per75", "per95")
+    // threshold so large that |x-avg| can never exceed t*sd -> influence
+    // feedback never engages -> both variants see identical raw windows.
+    val cfg = ZScore.LagCfg(lag = 7, threshold = 1e9, influence = 0.9)
+    val cols = Seq("server", "service", "ts_ms", "average_avg", "average_lb",
+      "per75_avg", "per95_avg", "average_signal")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select(cols.head, cols.tail: _*).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+          cols.drop(3).indices.map(i => Option(r.get(i + 3))).toList)
+        .toMap
+    val a = canon(ZScore.zScoreFold(df, Seq(cfg)))
+    val b = canon(ZScore.zScoreWindowed(df, Seq(cfg)))
+    assert(a.size == b.size && a.keySet == b.keySet)
+    a.foreach { case (k, v) => assert(v == b(k), s"$k") }
+  }
+
   test("multimodal: mapPartitions decode agrees with declarative meta") {
     val decoded = Multimodal.decodeAll(spark, sf)
       .collect().map(f => f.doc_id -> f).toMap
