@@ -54,6 +54,7 @@ object SparkEntry {
     "d5_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "s1_knn_brute"     -> ((s, dir) => Similarity.knnBrute(s, dir)),
     "s2_knn_lsh"       -> ((s, dir) => Similarity.knnLsh(s, dir)),
+    "s3_knn_ivf"       -> ((s, dir) => Similarity.knnIvf(s, dir)),
     "m1_media_meta"    -> ((s, dir) => Multimodal.meta(s, dir)),
     "m2_media_decode"  -> ((s, dir) => Multimodal.decodeAll(s, dir).toDF),
     "q1_agg"           -> ((s, dir) => tpchQ1(s, dir)),
@@ -101,6 +102,7 @@ object SparkEntry {
     "d5_dedup_simhash" -> Dedup.simhashSql,
     "s1_knn_brute"     -> Similarity.knnBruteSql(),
     "s2_knn_lsh"       -> Similarity.knnLshSql(),
+    "s3_knn_ivf"       -> Similarity.knnIvfSql(),
     "m1_media_meta"    -> Multimodal.metaSql,
     // m2_media_decode: mapPartitions decode pipeline with stubbed codec —
     // rows-only check (the declarative m1_media_meta covers the checksum

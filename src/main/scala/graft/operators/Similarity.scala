@@ -148,6 +148,78 @@ object Similarity {
         SELECT id_a, id_b, cos FROM sims WHERE cos >= $threshold"""
   }
 
+  /** IVF-Flat ANN: a coarse quantizer of `nCells` centroids (taken
+    * deterministically as the first `nCells` corpus vectors — a k-means
+    * iteration would refine them, but the *search* structure is the
+    * point), every vector assigned to its nearest centroid by cosine,
+    * queries probing only their own cell (nprobe=1). At scale the
+    * centroid assignment is a broadcast map-side pass and the search
+    * shuffle is keyed by cell — O(Q*N/nCells) comparisons.
+    */
+  val IvfCells = 8
+
+  private def cellAssign(vecs: DataFrame, cents: Seq[(Long, Seq[Double])]): Column = {
+    // argmin over centroids of negative cosine == argmax cosine;
+    // left-to-right strict-greater fold matches the SQL CASE chain.
+    val scored = cents.map { case (cid, cv) =>
+      val cvCol = array(cv.map(lit): _*)
+      (cid, dot(col("v"), cvCol) / (norm(col("v")) * norm(cvCol)))
+    }
+    scored.foldLeft((lit(-1L), lit(Double.MinValue))) {
+      case ((bc, bs), (cid, sc)) =>
+        (when(sc > bs, lit(cid)).otherwise(bc), when(sc > bs, sc).otherwise(bs))
+    }._1
+  }
+
+  def knnIvf(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 20): DataFrame = {
+    val vecs = vecsDouble(spark, sfDir)
+    val cents = vecs.filter(col("vec_id") < IvfCells)
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+    val assigned = vecs.withColumn("cell", cellAssign(vecs, cents))
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
+    val c = assigned.select(col("vec_id").as("n_id"), col("v").as("nv"), col("cell"))
+    val sims = q.join(c, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "cell", "cos", "rank")
+  }
+
+  def knnIvfSql(k: Int = 5, nQueries: Int = 20): String = {
+    // centroid cosine per cell, as columns of the same fold shape
+    val centSql = (0 until IvfCells).map { cid =>
+      val cv = s"(SELECT v FROM vecs0 WHERE vec_id = $cid)"
+      (cid, s"${dotSql("v", s"c$cid")} / (${normSql("v")} * ${normSql(s"c$cid")})")
+    }
+    val centCols = (0 until IvfCells)
+      .map(cid => s"(SELECT v FROM vecs0 WHERE vec_id = $cid) AS c$cid").mkString(", ")
+    val (cellExpr, _) = centSql.foldLeft(("CAST(-1 AS BIGINT)", "-1.7976931348623157E308")) {
+      case ((bc, bs), (cid, sc)) =>
+        (s"CASE WHEN ($sc) > ($bs) THEN $cid ELSE ($bc) END",
+         s"CASE WHEN ($sc) > ($bs) THEN ($sc) ELSE ($bs) END")
+    }
+    s"""WITH vecs0 AS ($vecsDoubleSql),
+        withc AS (SELECT vec_id, v, $centCols FROM vecs0),
+        assigned AS (SELECT vec_id, v, CAST($cellExpr AS BIGINT) AS cell FROM withc),
+        q AS (SELECT vec_id AS q_id, v AS qv, cell FROM assigned WHERE vec_id < $nQueries),
+        c AS (SELECT vec_id AS n_id, v AS nv, cell FROM assigned),
+        sims AS (
+          SELECT q_id, n_id, q.cell AS cell,
+            ${dotSql("qv", "nv")} / (${normSql("qv")} * ${normSql("nv")}) AS cos
+          FROM q JOIN c ON q.cell = c.cell AND q_id <> n_id),
+        ranked AS (
+          SELECT q_id, n_id, cell, cos,
+            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+          FROM sims)
+        SELECT q_id, n_id, cell, cos, rank FROM ranked WHERE rank <= $k"""
+  }
+
   def knnLshSql(k: Int = 5, nQueries: Int = 20): String = {
     val dim = 64
     val bucket = (0 until LshBits).map { bit =>
