@@ -154,6 +154,69 @@ object ApmStreaming {
       .as[ZIn]
   }
 
+  // -------------------------------------------------- J2 park-and-expire
+
+  case class EnrichIn(log_id: Long, kind: String, // "tx" | "acct"
+      service: String, ts_ms: Long, elapsed: Double, acct: String)
+  case class EnrichOut(log_id: Long, service: String, ts_ms: Long,
+      elapsed: Double, acct: String, matched: Boolean)
+  case class EnrichState(txs: Seq[(String, Long, Double)], acct: String,
+      deadlineMs: Long)
+
+  /** J2 — acctNum enrichment with the reference's park/flush/expire
+    * semantics (stream_parse_transactions.js:218,226-239,294-327): a tx
+    * lacking its account number parks in keyed state; a late acct
+    * arrival flushes every parked tx enriched; after the TTL the state
+    * times out and parked txs emit with acct='' (left-outer-with-
+    * deadline, realized as EventTimeTimeout keyed state).
+    */
+  def enrichStream(in: Dataset[EnrichIn], ttlMs: Long = 30000L): Dataset[EnrichOut] = {
+    import in.sparkSession.implicits._
+    in.withColumn("event_ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_ts", "10 seconds")
+      .as[(Long, String, String, Long, Double, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EnrichState, EnrichOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (logId: Long,
+         rows: Iterator[(Long, String, String, Long, Double, String, java.sql.Timestamp)],
+         state: GroupState[EnrichState]) =>
+          if (state.hasTimedOut) {
+            // TTL expiry: emit parked txs with empty acct (:226-239)
+            val st = state.get
+            state.remove()
+            st.txs.iterator.map { case (svc, ts, el) =>
+              EnrichOut(logId, svc, ts, el, "", matched = false)
+            }
+          } else {
+            var st = state.getOption.getOrElse(EnrichState(Nil, "", 0L))
+            val out = scala.collection.mutable.Buffer.empty[EnrichOut]
+            val batch = rows.toArray.sortBy(_._4)
+            batch.foreach {
+              case (_, "acct", _, _, _, acct, _) =>
+                // late acct arrival flushes parked rows (:316-325)
+                st.txs.foreach { case (svc, ts, el) =>
+                  out += EnrichOut(logId, svc, ts, el, acct, matched = true)
+                }
+                st = EnrichState(Nil, acct, st.deadlineMs)
+              case (_, _, svc, ts, el, _, _) =>
+                if (st.acct.nonEmpty)
+                  out += EnrichOut(logId, svc, ts, el, st.acct, matched = true)
+                else {
+                  st = st.copy(txs = st.txs :+ ((svc, ts, el)),
+                    deadlineMs = math.max(st.deadlineMs, ts + ttlMs))
+                }
+            }
+            if (st.txs.nonEmpty || st.acct.nonEmpty) {
+              val maxTs = batch.map(_._4).max
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(st.deadlineMs, maxTs + ttlMs))
+            }
+            out.iterator
+          }
+      }
+  }
+
   // ------------------------------------------------------------- alerts
 
   case class VoteIn(server: String, service: String, lag: Int, ts_ms: Long,
