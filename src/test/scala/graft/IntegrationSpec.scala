@@ -19,6 +19,8 @@ class IntegrationSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -78,6 +80,24 @@ class IntegrationSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     // the hard-max rule should flag some windows (means hover ~55)
     assert(rows.exists(_.getAs[Int]("bad") == 1))
+  }
+
+  test("bucketed pairing join runs shuffle-free and matches the plain join") {
+    import graft.operators.{Bucketing, Correlation}
+    Bucketing.writePairingTables(spark, "/root/testdata/sf0.001")
+    val joined = Bucketing.pairingBucketed(spark)
+    // force SMJ (no broadcast) to make the shuffle question observable
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      val got = joined.collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)), r.getString(5))).toSet
+      val exp = Correlation.pairing(spark, "/root/testdata/sf0.001").collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)), r.getString(5))).toSet
+      assert(got == exp)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("streaming sink: micro-batches land in parquet with checkpoint") {
