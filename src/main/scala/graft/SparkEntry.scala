@@ -26,6 +26,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_bucketize"     -> ((s, dir) => ApmStats.bucketize(s, dir)),
     "a5_sliding_stats" -> ((s, dir) => ApmStats.slidingStats(s, dir)),
+    "a8_salted_stats"  -> ((s, dir) => Salting.saltedServiceStats(s, dir)),
     "z2_zscore_win"    -> ((s, dir) => ZScore.zScoreWindowed(ApmStats.slidingStats(s, dir))),
     "z2_zscore_fold"   -> ((s, dir) => ZScore.zScoreFold(ApmStats.slidingStats(s, dir))),
     "r2_candidates"    -> ((s, dir) =>
@@ -74,6 +75,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "a1_bucketize"     -> ApmStats.bucketizeSql,
     "a5_sliding_stats" -> ApmStats.slidingStatsSql(),
+    "a8_salted_stats"  -> Salting.saltedServiceStatsSql,
     "z2_zscore_win"    -> ZScore.zScoreWindowedSql(ApmStats.slidingStatsSql()),
     "r2_candidates"    -> Alerts.candidatesSql(
       ZScore.zScoreWindowedSql(ApmStats.slidingStatsSql()), alertCfg),

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression tests: the physical plans the engine is
+  * designed around (pushdown, pruning, broadcast, codegen) must not
+  * silently regress.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("j2 enrichment: dimension side broadcasts, scans prune columns") {
+    val p = plan("j2_enrichment")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // orders scan must not read all columns
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>"), p)
+  }
+
+  test("q3 join: filters push to parquet scans") {
+    val p = plan("q3_join")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q1 agg: partial aggregation before the exchange") {
+    val p = plan("q1_agg")
+    // two HashAggregates around one exchange = map-side combine
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_returnflag:string,l_linestatus:string>")
+      || p.contains("ReadSchema: struct<l_returnflag:string,l_linestatus:string,l_quantity:double,l_extendedprice:double>"), p)
+  }
+
+  test("t4 fingerprint: PolyHash runs inside WholeStageCodegen") {
+    val df = SparkEntry.queries("t4_fingerprint")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // "*(1)" prefixes mark WholeStageCodegen stages in plan toString
+    assert(p.contains("*(1) Project") && p.contains("polyhash"), p)
+    // no shuffle at all for the embarrassingly-parallel scan layer
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("a1 bucketize: single shuffle keyed on the group-by keys") {
+    val p = plan("a1_bucketize")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+}
