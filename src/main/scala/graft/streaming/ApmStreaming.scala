@@ -264,18 +264,25 @@ object ApmStreaming {
       }
   }
 
-  /** S6 — the buffered batch sink: micro-batch parquet/JDBC writer.
+  /** S6/A7 — the buffered batch sink: micro-batch parquet/JDBC writer.
     * `foreachBatch` gives exactly-once with the checkpoint; the
     * reference's 1000-row/5-s flush policy maps to the trigger interval.
+    * A7 (the reference's min-heap watermark-ordered emission,
+    * stream_calc_stats.js:136-155 + binary_heap.js): rows are sorted by
+    * event time within each emitted batch — Spark's watermark already
+    * bounds what a batch contains, so a per-batch local sort reproduces
+    * the ordered-emission guarantee without any heap.
     */
   def sinkToParquet(df: DataFrame, outDir: String, checkpoint: String,
-      trigger: String = "5 seconds"): org.apache.spark.sql.streaming.StreamingQuery =
+      trigger: String = "5 seconds", orderCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(trigger))
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.write.mode("append").parquet(s"$outDir/batch_$batchId")
+        val ordered = orderCol.fold(batch)(c => batch.sortWithinPartitions(c))
+        ordered.write.mode("append").parquet(s"$outDir/batch_$batchId")
         ()
       }
       .start()
