@@ -35,26 +35,30 @@ object AuditTrail {
   private val openRe = """^Audit Trail id *: *(\S+).*""".r
   private val elapsedRe = """^\s*(\S+) :\[(\d+) millis\].*""".r
 
-  /** The pure per-file machine: (line) ordered fold -> records. */
+  /** The pure per-file machine: lazy ordered scan -> records. Emits
+    * incrementally (Iterator.flatMap is ordered and lazy) — state is the
+    * open block + pending id map, not the file or its output.
+    */
   def runMachine(file: String, lines: Iterator[String]): Iterator[AuditRecord] = {
     val idMap = mutable.Map.empty[String, String]   // autrId -> logId
     var openLogId: Option[String] = None
-    val out = mutable.Buffer.empty[AuditRecord]
-    lines.foreach {
+    lines.flatMap {
       case l @ idMapRe(autrId) =>
         l match {
           case bracketRe(logId) => idMap(autrId) = logId
           case _ =>
         }
+        Nil
       case openRe(autrId) =>
         openLogId = idMap.remove(autrId) // delete-after-use (J3)
+        Nil
       case elapsedRe(svc, n) if openLogId.isDefined =>
-        out += AuditRecord(file, openLogId.get, svc, n.toLong)
+        AuditRecord(file, openLogId.get, svc, n.toLong) :: Nil
       case l if l.startsWith("]") =>
         openLogId = None
-      case _ =>
+        Nil
+      case _ => Nil
     }
-    out.iterator
   }
 
   /** Synthesize reference-shaped audit-trail line blocks from `events`
@@ -80,11 +84,29 @@ object AuditTrail {
       .select(col("file"), col("event_id"), posexplode(col("ls")))
       .select(col("file"), (col("event_id") * 10 + col("pos")).as("line_no"),
         col("col").as("line"))
+    // Repartition by file + Tungsten sort + one streaming pass per
+    // partition (files change mid-iterator; the machine restarts per
+    // file) — never buffers a whole file, same scale-safe fold shape as
+    // the other sequential recurrences.
     lines.as[(String, Long, String)]
-      .groupByKey(_._1)
-      .flatMapGroups { (file: String, it: Iterator[(String, Long, String)]) =>
-        val ordered = it.toArray.sortBy(_._2).iterator.map(_._3)
-        runMachine(file, ordered)
+      .repartition(col("file"))
+      .sortWithinPartitions("file", "line_no")
+      .mapPartitions { it =>
+        val b = it.buffered
+        new Iterator[AuditRecord] {
+          private var cur: Iterator[AuditRecord] = Iterator.empty
+          private def advance(): Unit =
+            while (!cur.hasNext && b.hasNext) {
+              val file = b.head._1
+              val fileLines = new Iterator[String] {
+                def hasNext = b.hasNext && b.head._1 == file
+                def next() = b.next()._3
+              }
+              cur = runMachine(file, fileLines)
+            }
+          def hasNext = { advance(); cur.hasNext }
+          def next() = { advance(); cur.next() }
+        }
       }
       .toDF("file", "log_id", "service", "elapsed")
   }

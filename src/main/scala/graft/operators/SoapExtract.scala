@@ -28,24 +28,26 @@ object SoapExtract {
   def runMachine(file: String, lines: Iterator[String]): Iterator[AcctPair] = {
     var pending: Option[String] = None
     var keySeen = false
-    val out = scala.collection.mutable.Buffer.empty[AcctPair]
-    lines.foreach {
-      case ioRe(logId) => pending = Some(logId); keySeen = false
+    lines.flatMap {
+      case ioRe(logId) => pending = Some(logId); keySeen = false; Nil
       case acctRe(acct) =>
         if (pending.isDefined && acct.matches("^[0-9]+$")) {
-          out += AcctPair(file, pending.get, acct)
+          val p = AcctPair(file, pending.get, acct)
           pending = None
-        }
-      case keyRe() => keySeen = true
+          p :: Nil
+        } else Nil
+      case keyRe() => keySeen = true; Nil
       case valRe(acct) =>
-        if (keySeen && pending.isDefined && acct.matches("^[0-9]+$")) {
-          out += AcctPair(file, pending.get, acct)
-          pending = None
-        }
+        val out =
+          if (keySeen && pending.isDefined && acct.matches("^[0-9]+$")) {
+            val p = AcctPair(file, pending.get, acct)
+            pending = None
+            p :: Nil
+          } else Nil
         keySeen = false
-      case _ =>
+        out
+      case _ => Nil
     }
-    out.iterator
   }
 
   /** Synthesize soap_io-shaped line sequences from `events` (even ids use
@@ -76,11 +78,27 @@ object SoapExtract {
       .select(col("file"), col("event_id"), posexplode(col("ls")))
       .select(col("file"), (col("event_id") * 10 + col("pos")).as("line_no"),
         col("col").as("line"))
+    // Same streaming per-file fold shape as AuditTrail: repartition by
+    // file, Tungsten sort, one lazy pass (state = pending logId only).
     lines.as[(String, Long, String)]
-      .groupByKey(_._1)
-      .flatMapGroups { (file: String, it: Iterator[(String, Long, String)]) =>
-        val ordered = it.toArray.sortBy(_._2).iterator.map(_._3)
-        runMachine(file, ordered)
+      .repartition(col("file"))
+      .sortWithinPartitions("file", "line_no")
+      .mapPartitions { it =>
+        val b = it.buffered
+        new Iterator[AcctPair] {
+          private var cur: Iterator[AcctPair] = Iterator.empty
+          private def advance(): Unit =
+            while (!cur.hasNext && b.hasNext) {
+              val file = b.head._1
+              val fileLines = new Iterator[String] {
+                def hasNext = b.hasNext && b.head._1 == file
+                def next() = b.next()._3
+              }
+              cur = runMachine(file, fileLines)
+            }
+          def hasNext = { advance(); cur.hasNext }
+          def next() = { advance(); cur.next() }
+        }
       }
       .toDF("file", "log_id", "acct_num")
   }
