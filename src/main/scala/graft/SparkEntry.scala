@@ -36,6 +36,7 @@ object SparkEntry {
     "r7_digest"        -> ((s, dir) =>
       Alerts.digest(Alerts.candidates(ZScore.zScoreWindowed(ApmStats.slidingStats(s, dir)), alertCfg))),
     "d6_dedup_embed"   -> ((s, dir) => Similarity.embedNearDup(s, dir)),
+    "c1_corpus_curation" -> ((s, dir) => Curation.curate(s, dir)),
     "j1_pairing"       -> ((s, dir) => Correlation.pairing(s, dir)),
     "j2_enrichment"    -> ((s, dir) => Correlation.enrichment(s, dir)),
     "j3_dim_lookup"    -> ((s, dir) => Correlation.dimLookup(s, dir)),
@@ -82,6 +83,7 @@ object SparkEntry {
     "r7_digest"        -> Alerts.digestSql(Alerts.candidatesSql(
       ZScore.zScoreWindowedSql(ApmStats.slidingStatsSql()), alertCfg)),
     "d6_dedup_embed"   -> Similarity.embedNearDupSql(),
+    "c1_corpus_curation" -> Curation.curateSql,
     // z2_zscore_fold / r3_alerts: sequential recurrences (influence
     // feedback, leaky-bucket counter) — no SQL equivalent; rows-only check
     // + ScalaTest property tests against direct reference ports.
