@@ -1,5 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.lang.management.ManagementFactory
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable
+
+/** Benchmark main. Prints ONE bare JSON line as the LAST stdout line (and
+  * also writes it to /tmp/bench.json) so the driver's extractor can't miss
+  * it regardless of logger prefixes.
+  *
+  * Timing discipline (this box has documented episodic host-level vCPU
+  * stalls — wall>>cpu with idle load — that min-of-2 didn't survive):
+  *   - median of 3 passes per query;
+  *   - if max/min spread across the 3 exceeds 5x, up to 2 extra passes are
+  *     taken and the median of all collected passes is reported;
+  *   - process-CPU seconds are recorded per query alongside wall time, so
+  *     a host stall (wall >> cpu) is self-evident in the artifact.
+  * Queries are materialized via the `noop` sink, not count(): count() lets
+  * Catalyst prune every unevaluated projection, which under-reports any
+  * query whose cost is in the computed columns.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,26 +32,53 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val osBean = ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     // Warm the JVM (codegen, parquet reader, shuffle machinery) so the
     // first measured query doesn't absorb one-time init cost.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // Two timed passes per query, report the min: this box shows
-    // episodic multi-second host-level vCPU stalls (wall time >> cpu
-    // time with near-idle load), and min-of-2 keeps one frozen pass
-    // from polluting a query's number.
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+
+    val errors = mutable.Map.empty[String, String]
+    // Returns (wallSec, cpuSec); a crashed query is marked, not hidden.
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        errors(name) = e.getClass.getSimpleName
+      }
+      ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val passes = mutable.Buffer.empty[(Double, Double)]
+      passes += timeOnce(name, fn)
+      passes += timeOnce(name, fn)
+      passes += timeOnce(name, fn)
+      var extra = 0
+      while (extra < 2 && {
+        val ws = passes.map(_._1)
+        ws.max / math.max(ws.min, 1e-9) > 5.0
+      }) { passes += timeOnce(name, fn); extra += 1 }
+      (name, median(passes.map(_._1).toSeq), median(passes.map(_._2).toSeq))
+    }
+    def jnum(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, w, _) => s""""$k":${jnum(w)}""" }.mkString("{", ",", "}")
+    val cpu = results.map { case (k, _, c) => s""""$k":${jnum(c)}""" }.mkString("{", ",", "}")
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cpu_sec":$cpu,"errors":$errJson,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("/tmp/bench.json"), json)
     spark.stop()
+    // Bare, final stdout line (spark.stop() already happened so nothing
+    // logs after it; run/outputStrategy passes it through un-prefixed).
+    println(json)
   }
 }

@@ -19,32 +19,49 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame =
     Alerts.candidates(
-      ZScore.zScoreWindowed(ApmStats.slidingStats(spark, "/root/testdata/sf0.001")),
+      ZScore.zScoreWindowed(ApmStats.slidingStats(spark, "/root/testdata/sf0.001"),
+        ZScore.defaultLags, zOvr),
       alertCfg)
+
+  /** Z1 per-service settings overrides (config/apm_config.json:152-172
+    * shape): threshold tightened for `purchase` at the short lag, loosened
+    * for `click` at the long lag (influence override exercises the fold
+    * variant). Used by every z-scored query AND its oracle.
+    */
+  private val zOvr = Seq(
+    ZScore.ZOverride("purchase", 6, threshold = Some(2.5)),
+    ZScore.ZOverride("click", 144, threshold = Some(4.0), influence = Some(0.3)))
+
+  private def zWin(s: SparkSession, dir: String): DataFrame =
+    ZScore.zScoreWindowed(ApmStats.slidingStats(s, dir), ZScore.defaultLags, zOvr)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_bucketize"     -> ((s, dir) => ApmStats.bucketize(s, dir)),
     "a5_sliding_stats" -> ((s, dir) => ApmStats.slidingStats(s, dir)),
     "a8_salted_stats"  -> ((s, dir) => Salting.saltedServiceStats(s, dir)),
-    "z2_zscore_win"    -> ((s, dir) => ZScore.zScoreWindowed(ApmStats.slidingStats(s, dir))),
-    "z2_zscore_fold"   -> ((s, dir) => ZScore.zScoreFold(ApmStats.slidingStats(s, dir))),
-    "r2_candidates"    -> ((s, dir) =>
-      Alerts.candidates(ZScore.zScoreWindowed(ApmStats.slidingStats(s, dir)), alertCfg)),
+    "z2_zscore_win"    -> ((s, dir) => zWin(s, dir)),
+    "z2_zscore_fold"   -> ((s, dir) =>
+      ZScore.zScoreFold(ApmStats.slidingStats(s, dir), ZScore.defaultLags, zOvr)),
+    "r2_candidates"    -> ((s, dir) => Alerts.candidates(zWin(s, dir), alertCfg)),
     "r3_alerts"        -> ((s, dir) =>
-      Alerts.alerts(Alerts.candidates(ZScore.zScoreWindowed(ApmStats.slidingStats(s, dir)), alertCfg), alertCfg)),
+      Alerts.alertsFull(Alerts.candidates(zWin(s, dir), alertCfg), alertCfg)),
+    "r5_assembly"      -> ((s, dir) =>
+      Alerts.assemblyRoundtrip(Alerts.candidates(zWin(s, dir), alertCfg))),
     "r7_digest"        -> ((s, dir) =>
-      Alerts.digest(Alerts.candidates(ZScore.zScoreWindowed(ApmStats.slidingStats(s, dir)), alertCfg))),
+      Alerts.digest(Alerts.candidates(zWin(s, dir), alertCfg))),
     "d6_dedup_embed"   -> ((s, dir) => Similarity.embedNearDup(s, dir)),
     "c1_corpus_curation" -> ((s, dir) => Curation.curate(s, dir)),
     "j1_pairing"       -> ((s, dir) => Correlation.pairing(s, dir)),
     "j2_enrichment"    -> ((s, dir) => Correlation.enrichment(s, dir)),
     "j3_dim_lookup"    -> ((s, dir) => Correlation.dimLookup(s, dir)),
+    "p3_ejb_roundtrip" -> ((s, dir) => Parsing.ejbRoundtrip(s, dir)),
     "p5_parse_roundtrip" -> ((s, dir) => Parsing.parseRoundtrip(s, dir)),
     "p7_audit_trail"   -> ((s, dir) => AuditTrail.parseAuditTrails(s, dir)),
     "p2_soap_acct"     -> ((s, dir) => SoapExtract.extractPairs(s, dir)),
     "f8_csv_roundtrip" -> ((s, dir) => Parsing.csvRoundtrip(s, dir)),
     "f9_json_flatten"  -> ((s, dir) => Parsing.jsonFlatten(s, dir)),
+    "s5_jmx_cli"       -> ((s, dir) => Parsing.jmxCliNormalize(s, dir)),
     "t1_tokens"        -> ((s, dir) => TextAnalysis.tokens(s, dir)),
     "t2_quality"       -> ((s, dir) => TextAnalysis.quality(s, dir)),
     "t3_langid"        -> ((s, dir) => TextAnalysis.langId(s, dir)),
@@ -54,9 +71,11 @@ object SparkEntry {
     "d3_dedup_minhash" -> ((s, dir) => Dedup.minhash(s, dir)),
     "d4_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "d5_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
+    "d5_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "s1_knn_brute"     -> ((s, dir) => Similarity.knnBrute(s, dir)),
     "s2_knn_lsh"       -> ((s, dir) => Similarity.knnLsh(s, dir)),
     "s3_knn_ivf"       -> ((s, dir) => Similarity.knnIvf(s, dir)),
+    "s4_ivf_recall"    -> ((s, dir) => Similarity.ivfRecall(s, dir)),
     "m1_media_meta"    -> ((s, dir) => Multimodal.meta(s, dir)),
     "m2_media_decode"  -> ((s, dir) => Multimodal.decodeAll(s, dir).toDF),
     "q1_agg"           -> ((s, dir) => tpchQ1(s, dir)),
@@ -70,18 +89,26 @@ object SparkEntry {
   private val alertCfg = Alerts.AlertCfg(
     hardMaxMs = 150.0, hardMinMs = 50.0, hardMinTpm = 0.005,
     windowSz = 60, voteThreshold = 45,
+    // R1 — non-empty suppression lists (config/apm_config.json:200-207
+    // suppresses a service list + lag list) so the oracle exercises the
+    // suppression predicate: `error` alerts are muted entirely, as is the
+    // short lag for every service.
+    suppressedServices = Seq("error"), suppressedLags = Seq(6),
     hardMaxOverrides = Map("purchase" -> 120.0))
+
+  private lazy val zWinSql: String =
+    ZScore.zScoreWindowedSql(ApmStats.slidingStatsSql(), ZScore.defaultLags, zOvr)
 
   /** DuckDB-dialect oracle for each query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
     "a1_bucketize"     -> ApmStats.bucketizeSql,
     "a5_sliding_stats" -> ApmStats.slidingStatsSql(),
     "a8_salted_stats"  -> Salting.saltedServiceStatsSql,
-    "z2_zscore_win"    -> ZScore.zScoreWindowedSql(ApmStats.slidingStatsSql()),
-    "r2_candidates"    -> Alerts.candidatesSql(
-      ZScore.zScoreWindowedSql(ApmStats.slidingStatsSql()), alertCfg),
-    "r7_digest"        -> Alerts.digestSql(Alerts.candidatesSql(
-      ZScore.zScoreWindowedSql(ApmStats.slidingStatsSql()), alertCfg)),
+    "z2_zscore_win"    -> zWinSql,
+    "r2_candidates"    -> Alerts.candidatesSql(zWinSql, alertCfg),
+    "r5_assembly"      -> Alerts.assemblyRoundtripSql(
+      Alerts.candidatesSql(zWinSql, alertCfg)),
+    "r7_digest"        -> Alerts.digestSql(Alerts.candidatesSql(zWinSql, alertCfg)),
     "d6_dedup_embed"   -> Similarity.embedNearDupSql(),
     "c1_corpus_curation" -> Curation.curateSql,
     // z2_zscore_fold / r3_alerts: sequential recurrences (influence
@@ -90,11 +117,13 @@ object SparkEntry {
     "j1_pairing"       -> Correlation.pairingSql,
     "j2_enrichment"    -> Correlation.enrichmentSql,
     "j3_dim_lookup"    -> Correlation.dimLookupSql,
+    "p3_ejb_roundtrip" -> Parsing.ejbRoundtripSql,
     "p5_parse_roundtrip" -> Parsing.parseRoundtripSql,
     "p7_audit_trail"   -> AuditTrail.parseAuditTrailsSql,
     "p2_soap_acct"     -> SoapExtract.extractPairsSql,
     "f8_csv_roundtrip" -> Parsing.csvRoundtripSql,
     "f9_json_flatten"  -> Parsing.jsonFlattenSql,
+    "s5_jmx_cli"       -> Parsing.jmxCliNormalizeSql,
     "t1_tokens"        -> TextAnalysis.tokensSql,
     "t2_quality"       -> TextAnalysis.qualitySql,
     "t3_langid"        -> TextAnalysis.langIdSql,
@@ -104,9 +133,11 @@ object SparkEntry {
     "d3_dedup_minhash" -> Dedup.minhashSql,
     "d4_dedup_minhash_lsh" -> Dedup.minhashLshSql(),
     "d5_dedup_simhash" -> Dedup.simhashSql,
+    "d5_simhash_pairs" -> Dedup.simhashPairsSql(),
     "s1_knn_brute"     -> Similarity.knnBruteSql(),
     "s2_knn_lsh"       -> Similarity.knnLshSql(),
     "s3_knn_ivf"       -> Similarity.knnIvfSql(),
+    "s4_ivf_recall"    -> Similarity.ivfRecallSql(),
     "m1_media_meta"    -> Multimodal.metaSql,
     // m2_media_decode: mapPartitions decode pipeline with stubbed codec —
     // rows-only check (the declarative m1_media_meta covers the checksum

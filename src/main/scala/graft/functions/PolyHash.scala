@@ -21,8 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Cross-engine parity: the DuckDB oracle computes the same fold via
   * `list_reduce(list_prepend(0, list_transform(string_split(s,''),
-  * c -> ascii(c))), (h,c) -> (h*31+c) % 1000000007)` — identical for the
-  * BMP/ASCII text in the test corpus.
+  * c -> ascii(c))), (h,c) -> (h*31+c) % 1000000007)`. DuckDB's per-char
+  * `ascii` yields Unicode CODEPOINTS (verified: '😀' -> 128512), so both
+  * sides iterate codepoints, not UTF-16 code units — identical hashes for
+  * the full multilingual range dedup/minhash target, not just the BMP.
   */
 case class PolyHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -34,8 +36,9 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     var h = 0L
     var i = 0
     while (i < s.length) {
-      h = (h * 31L + s.charAt(i)) % 1000000007L
-      i += 1
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
     }
     java.lang.Long.valueOf(h)
   }
@@ -44,11 +47,15 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c => {
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
       s"""
         java.lang.String $s = $c.toString();
         long ${ev.value}_h = 0L;
-        for (int $i = 0; $i < $s.length(); $i++) {
-          ${ev.value}_h = (${ev.value}_h * 31L + $s.charAt($i)) % 1000000007L;
+        int $i = 0;
+        while ($i < $s.length()) {
+          int $cp = $s.codePointAt($i);
+          ${ev.value}_h = (${ev.value}_h * 31L + $cp) % 1000000007L;
+          $i += java.lang.Character.charCount($cp);
         }
         ${ev.value} = ${ev.value}_h;
       """

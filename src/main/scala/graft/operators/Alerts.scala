@@ -90,9 +90,9 @@ object Alerts {
       else cfg.hardMaxOverrides.map { case (s, v) =>
         s"SELECT '$s' AS service, CAST($v AS DOUBLE) AS hard_max_override" }.mkString(" UNION ALL ")
     val supLag = if (cfg.suppressedLags.isEmpty) "FALSE"
-      else s"lag IN (${cfg.suppressedLags.mkString(",")})"
+      else s"fs.lag IN (${cfg.suppressedLags.mkString(",")})"
     val supSvc = if (cfg.suppressedServices.isEmpty) "FALSE"
-      else s"service IN (${cfg.suppressedServices.map("'" + _ + "'").mkString(",")})"
+      else s"fs.service IN (${cfg.suppressedServices.map("'" + _ + "'").mkString(",")})"
     val sup = s"(($supLag) OR ($supSvc))"
     val cAvgHard = s"(NOT $sup AND average > hard_max)"
     val cP75Hard = s"(NOT $sup AND per75 > hard_max)"
@@ -169,6 +169,108 @@ object Alerts {
       .toDF("alert_ts_ms", "server", "service", "lag", "causes")
   }
 
+  /** R5 — alert-record assembly (entries.js:202-241): the `al` wire record
+    * nests the full serialized `fs` entry with its pipes escaped to `&`
+    * (entries.js:210). Pure column expressions (codegen'd concat), no UDF.
+    *
+    * Input must carry the full z-scored fs row (zScoreWindowed schema +
+    * `causes`). `alert_ts_ms` is the record's alert timestamp column (the
+    * reference stamps wall-clock receive time, entries.js:203; batch
+    * determinism uses the interval timestamp instead).
+    */
+  private def fsCsvCol: org.apache.spark.sql.Column = {
+    def optS(c: org.apache.spark.sql.Column) =
+      coalesce(c.cast("string"), lit("")) // null -> "" (Codec.optS)
+    def zblock(m: String) = concat_ws(":",
+      optS(col(m)), optS(col(s"${m}_avg")), optS(col(s"${m}_lb")),
+      optS(col(s"${m}_ub")), col(s"${m}_signal").cast("string"))
+    concat_ws("|", lit("fs"), col("ts_ms").cast("string"), col("server"),
+      col("service"), col("lag").cast("string"),
+      format_string("%.2f", col("tpm")), // nf2 (entries.js:65-69)
+      zblock("average"), zblock("per75"), zblock("per95"))
+  }
+
+  /** The full `al` CSV line for a row with `alert_ts_ms` + fs columns. */
+  def alCsvCol: org.apache.spark.sql.Column =
+    concat_ws("|", lit("al"), col("alert_ts_ms").cast("string"),
+      col("ts_ms").cast("string"), col("server"), col("service"),
+      col("causes"), translate(fsCsvCol, "|", "&"))
+
+  /** [[alerts]] + R5 assembly: joins the emitted alerts back to their
+    * triggering fs rows (broadcast — the alert side is tiny by
+    * construction) and appends the serialized `entry` column.
+    */
+  def alertsFull(cand: DataFrame, cfg: AlertCfg = default): DataFrame = {
+    val fired = alerts(cand, cfg)
+    val keys = Seq("server", "service", "lag", "ts_ms")
+    val joined = cand.join(
+      broadcast(fired.withColumnRenamed("causes", "fired_causes")),
+      fired("alert_ts_ms") === cand("ts_ms") &&
+        fired("server") === cand("server") &&
+        fired("service") === cand("service") &&
+        fired("lag") === cand("lag"),
+      "inner")
+      .select(cand("*"), fired("alert_ts_ms"))
+    joined.select(col("alert_ts_ms"), col("server"), col("service"),
+      col("lag"), col("causes"), alCsvCol.as("entry"))
+  }
+
+  /** R5 oracle query (stateless slice): assemble the `al` record for every
+    * bad interval, then parse it all back out through the `&`-escape —
+    * output is the parsed fields, which the oracle computes directly from
+    * the candidate frame (round-trip identity; byte format itself is
+    * pinned by CodecSpec against the entries.js port). Doubles round-trip
+    * exactly (parseDouble∘toString = id); tpm is nf2-quantized on both
+    * sides.
+    */
+  def assemblyRoundtrip(cand: DataFrame): DataFrame = {
+    val bad = cand.filter(col("bad") === 1)
+      .withColumn("alert_ts_ms", col("ts_ms"))
+    val assembled = bad.withColumn("al_csv", alCsvCol)
+    val p = split(col("al_csv"), "\\|")
+    val nested = split(translate(element_at(p, 7), "&", "|"), "\\|")
+    def optD(c: org.apache.spark.sql.Column) =
+      when(c === "", lit(null)).otherwise(c).cast("double")
+    def zback(i: Int, name: String) = {
+      val b = split(element_at(nested, i), ":")
+      Seq(
+        optD(element_at(b, 1)).as(s"${name}_v"),
+        optD(element_at(b, 2)).as(s"${name}_avg_v"),
+        optD(element_at(b, 3)).as(s"${name}_lb_v"),
+        optD(element_at(b, 4)).as(s"${name}_ub_v"),
+        element_at(b, 5).cast("int").as(s"${name}_sig_v"))
+    }
+    assembled.select(
+      Seq(
+        element_at(p, 1).as("tag"),
+        element_at(p, 2).cast("long").as("alert_ts"),
+        element_at(p, 3).cast("long").as("entry_ts"),
+        element_at(p, 4).as("server"),
+        element_at(p, 5).as("service"),
+        element_at(p, 6).as("cause"),
+        element_at(nested, 1).as("nested_tag"),
+        element_at(nested, 5).cast("int").as("lag"),
+        optD(element_at(nested, 6)).as("tpm2")) ++
+      zback(7, "average") ++ zback(8, "per75") ++ zback(9, "per95"): _*)
+  }
+
+  /** DuckDB oracle for [[assemblyRoundtrip]]: the same fields computed
+    * directly from the candidate frame (what a lossless round-trip must
+    * return). tpm quantizes through printf('%.2f') exactly as nf2 does —
+    * safe here because tpm = count/10 has one decimal digit.
+    */
+  def assemblyRoundtripSql(candSql: String): String = {
+    val z = Seq("average", "per75", "per95").map { m =>
+      s"""$m AS ${m}_v, ${m}_avg AS ${m}_avg_v, ${m}_lb AS ${m}_lb_v,
+          ${m}_ub AS ${m}_ub_v, CAST(${m}_signal AS INT) AS ${m}_sig_v"""
+    }.mkString(", ")
+    s"""SELECT 'al' AS tag, ts_ms AS alert_ts, ts_ms AS entry_ts,
+          server, service, causes AS cause, 'fs' AS nested_tag,
+          CAST(lag AS INT) AS lag,
+          CAST(printf('%.2f', tpm) AS DOUBLE) AS tpm2, $z
+        FROM ($candSql) WHERE bad = 1"""
+  }
+
   /** R7 — the alert-digest assembly that feeds the batch emailer
     * (stream_process_alerts.js:153-206,269-333): per flush window, the
     * distinct servers / services / lags of the window's alerting rows
@@ -182,15 +284,19 @@ object Alerts {
       .groupBy("day_ms")
       .agg(
         count(lit(1)).as("n_bad"),
-        sort_array(collect_set(col("server"))).as("servers"),
-        sort_array(collect_set(col("service"))).as("services"),
-        sort_array(collect_set(col("lag"))).as("lags"))
+        // Sorted comma-joined scalars, not ARRAY columns: the external
+        // correctness harness can't canonicalize list-typed cells (its
+        // row-sorter chokes on ndarray values). Sort BEFORE the string
+        // cast so int lags keep numeric order on both engines.
+        array_join(sort_array(collect_set(col("server"))), ",").as("servers"),
+        array_join(sort_array(collect_set(col("service"))), ",").as("services"),
+        array_join(sort_array(collect_set(col("lag"))).cast("array<string>"), ",").as("lags"))
 
   def digestSql(candSql: String): String =
     s"""SELECT day_ms, count(*) AS n_bad,
-          list_sort(list(DISTINCT server)) AS servers,
-          list_sort(list(DISTINCT service)) AS services,
-          list_sort(list(DISTINCT lag)) AS lags
+          array_to_string(list_sort(list(DISTINCT server)), ',') AS servers,
+          array_to_string(list_sort(list(DISTINCT service)), ',') AS services,
+          array_to_string(list_sort(list(DISTINCT lag)), ',') AS lags
         FROM (SELECT *, (ts_ms // 86400000) * 86400000 AS day_ms
               FROM ($candSql) WHERE bad = 1)
         GROUP BY day_ms"""

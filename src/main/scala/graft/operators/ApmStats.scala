@@ -41,16 +41,25 @@ object ApmStats {
     s"""SELECT *, end_ms // $intervalMs AS bucket
         FROM (${Tables.txBaseSql})"""
 
-  /** A1/A2 — tumbling-bucket aggregation (10 s, the reference interval). */
+  /** A1/A2 — tumbling-bucket aggregation (10 s, the reference interval).
+    * The per-bucket sum is an ordered fold over the SORTED values on both
+    * engines (raw bits, no round()): an unordered engine-native SUM
+    * accumulates in engine-specific order, and rounding it was a latent
+    * .5-boundary hash mismatch per the float-parity policy.
+    */
   def bucketize(spark: SparkSession, sfDir: String): DataFrame =
     bucketed(spark, sfDir, 10000L)
       .groupBy("server", "service", "bucket")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("elapsed")), 6).as("sum_elapsed"))
+        sort_array(collect_list(col("elapsed"))).as("vals"))
+      // vals is an attribute here (Aggregate is a projection barrier), so
+      // the fold lambda indexes a materialized array
+      .select(col("server"), col("service"), col("bucket"), col("n"),
+        aggregate(col("vals"), lit(0.0), (a, v) => a + v).as("sum_elapsed"))
 
   val bucketizeSql: String =
     s"""SELECT server, service, bucket, count(*) AS n,
-        round(sum(elapsed), 6) AS sum_elapsed
+        ${RefStats.foldSumSql("list_sort(list(elapsed))")} AS sum_elapsed
         FROM (${bucketedSql(10000L)}) GROUP BY server, service, bucket"""
 
   /** Dense per-bucket pre-aggregation: one row per (key, bucket) over the

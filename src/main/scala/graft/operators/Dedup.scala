@@ -88,16 +88,30 @@ object Dedup {
     * per-pair array-distinct of the naive form (which benched 32 s at
     * sf0.1 and would never finish at scale).
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
+  /** Document-frequency cap: shingles appearing in more than `dfCap` docs
+    * (boilerplate — "terms of service ...") are dropped from the inverted
+    * index BEFORE the self-join. Without it, one hot shingle shared by 10^6
+    * docs yields 10^12 candidate pairs from a single key at corpus scale.
+    * Trade-off (documented, standard stop-shingle practice): pairs whose
+    * only common shingles are hot lose recall, and `inter` undercounts
+    * capped pairs; with dfCap well above the corpus's max DF (6 here) the
+    * output is byte-identical while the plan carries the scale guard.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.4,
+      dfCap: Int = 1000): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"),
         shingles(split(normText, " ")).as("sh"))
       .withColumn("n", size(col("sh")))
     val tok = d.select(col("source"), col("doc_id"), col("n"),
       explode(col("sh")).as("s"))
-    val a = tok.select(col("source"), col("doc_id").as("id_a"),
+    // hot-shingle set is small by construction -> broadcast anti join
+    val hot = tok.groupBy("source", "s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("source", "s")
+    val kept = tok.join(broadcast(hot), Seq("source", "s"), "left_anti")
+    val a = kept.select(col("source"), col("doc_id").as("id_a"),
       col("n").as("n_a"), col("s"))
-    val b = tok.select(col("source"), col("doc_id").as("id_b"),
+    val b = kept.select(col("source"), col("doc_id").as("id_b"),
       col("n").as("n_b"), col("s"))
     a.join(b, Seq("source", "s")).filter(col("id_a") < col("id_b"))
       .groupBy("source", "id_a", "id_b", "n_a", "n_b")
@@ -108,10 +122,14 @@ object Dedup {
       .select(col("source"), col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  def ngramJaccardSql(threshold: Double = 0.4): String = {
+  def ngramJaccardSql(threshold: Double = 0.4, dfCap: Int = 1000): String = {
     val sh = shinglesSql("string_split(" + normTextSql + ", ' ')")
     s"""WITH d AS (SELECT doc_id, source, $sh AS sh FROM documents),
-        tok AS (SELECT source, doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+        tok0 AS (SELECT source, doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+        hot AS (SELECT source, s FROM (
+                  SELECT source, s, count(*) AS df FROM tok0 GROUP BY 1, 2)
+                WHERE df > $dfCap),
+        tok AS (SELECT tok0.* FROM tok0 ANTI JOIN hot USING (source, s)),
         pairs AS (
           SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
             a.n AS n_a, b.n AS n_b, count(*) AS inter
@@ -261,5 +279,54 @@ object Dedup {
     s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM (
           SELECT doc_id, list_transform($sh, s -> ${polySql("s")}) AS hs
           FROM documents)"""
+  }
+
+  /** SimHash near-dup PAIRING: band the 32-bit signature into 4 bytes and
+    * bucket-join on (band, byte), then verify candidates by Hamming
+    * distance (popcount of XOR). By pigeonhole, any pair within
+    * `maxHamming` <= 3 bit flips shares at least one intact band, so the
+    * bucket join is lossless for the verify threshold — the same
+    * capture argument as MinHash-LSH, in Hamming space. One shuffle on the
+    * band key; candidates dedup on ids before the verify.
+    */
+  val SimhashBands = 4
+  def simhashPairs(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(spark, sfDir)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until SimhashBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 8 * b).bitwiseAND(255).as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bkey"))
+    val a = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("id_a"), col("simhash").as("sig_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  def simhashPairsSql(maxHamming: Int = 3): String = {
+    val bandStructs = (0 until SimhashBands).map { b =>
+      s"{'band': $b, 'bkey': (simhash // ${1L << (8 * b)}) % 256}"
+    }.mkString("[", ", ", "]")
+    s"""WITH sig AS ($simhashSql),
+        banded AS (
+          SELECT doc_id, simhash, bb.band AS band, bb.bkey AS bkey
+          FROM (SELECT doc_id, simhash, unnest($bandStructs) AS bb FROM sig)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            a.simhash AS sig_a, b.simhash AS sig_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+          CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sig_a, sig_b)) <= $maxHamming"""
   }
 }

@@ -35,6 +35,22 @@ object Similarity {
       col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
 
+  /** The SRP hyperplane tables are generated for a fixed dimension, so the
+    * LSH operators validate it: a vector of any other size fails loudly
+    * (instead of silently degrading bucketing via out-of-bounds nulls).
+    * The check is fused into the projected column so the optimizer can't
+    * prune it.
+    */
+  val SrpDim = 64
+  private def vecsDoubleChecked(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "embeddings").select(
+      col("vec_id"), col("label"),
+      when(size(col("embedding")) === SrpDim,
+        transform(col("embedding"), x => x.cast("double")))
+        .otherwise(raise_error(concat(
+          lit(s"SRP-LSH requires embedding dim $SrpDim, got "),
+          size(col("embedding")).cast("string")))).as("v"))
+
   private val vecsDoubleSql =
     """SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"""
 
@@ -88,8 +104,8 @@ object Similarity {
   /** SRP-LSH bucketing + within-bucket exact cosine top-k. */
   def knnLsh(spark: SparkSession, sfDir: String,
       k: Int = 5, nQueries: Int = 20): DataFrame = {
-    val vecs = vecsDouble(spark, sfDir)
-    val dim = 64
+    val vecs = vecsDoubleChecked(spark, sfDir)
+    val dim = SrpDim
     val bucket = (0 until LshBits).map { bit =>
       val proj = (0 until dim).map(d =>
         element_at(col("v"), d + 1) * lit(planeCoef(bit, d))).reduce(_ + _)
@@ -114,8 +130,8 @@ object Similarity {
     */
   def embedNearDup(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3): DataFrame = {
-    val vecs = vecsDouble(spark, sfDir)
-    val dim = 64
+    val vecs = vecsDoubleChecked(spark, sfDir)
+    val dim = SrpDim
     val bucket = (0 until LshBits).map { bit =>
       val proj = (0 until dim).map(d =>
         element_at(col("v"), d + 1) * lit(planeCoef(bit, d))).reduce(_ + _)
@@ -148,37 +164,74 @@ object Similarity {
         SELECT id_a, id_b, cos FROM sims WHERE cos >= $threshold"""
   }
 
-  /** IVF-Flat ANN: a coarse quantizer of `nCells` centroids (taken
-    * deterministically as the first `nCells` corpus vectors — a k-means
-    * iteration would refine them, but the *search* structure is the
-    * point), every vector assigned to its nearest centroid by cosine,
-    * queries probing only their own cell (nprobe=1). At scale the
-    * centroid assignment is a broadcast map-side pass and the search
-    * shuffle is keyed by cell — O(Q*N/nCells) comparisons.
+  /** IVF-Flat ANN, centroids as DATA (not literals): seed centroids are
+    * the first `nCells` corpus vectors (deterministic), refined by one
+    * k-means iteration, and every assignment is a broadcast cross join
+    * scored with the native VecDot expression + a map-side-combinable
+    * argmax (max over a (sim, -cent_id) struct — no window sort). Queries
+    * probe their own cell only (nprobe=1).
+    *
+    * Scale shape: the centroid table stays broadcast-sized at real cell
+    * counts (4096 x dim doubles ~ 2 MB), the plan is O(1) wide regardless
+    * of nCells (the previous literal-expression-tree formulation blew the
+    * 64 KB codegen method limit and shipped MB-size task binaries), and
+    * the search shuffle is keyed by cell — O(Q*N/nCells) comparisons.
     */
   val IvfCells = 8
 
-  private def cellAssign(vecs: DataFrame, cents: Seq[(Long, Seq[Double])]): Column = {
-    // argmin over centroids of negative cosine == argmax cosine;
-    // left-to-right strict-greater fold matches the SQL CASE chain.
-    val scored = cents.map { case (cid, cv) =>
-      val cvCol = array(cv.map(lit): _*)
-      (cid, dot(col("v"), cvCol) / (norm(col("v")) * norm(cvCol)))
-    }
-    scored.foldLeft((lit(-1L), lit(Double.MinValue))) {
-      case ((bc, bs), (cid, sc)) =>
-        (when(sc > bs, lit(cid)).otherwise(bc), when(sc > bs, sc).otherwise(bs))
-    }._1
+  /** Nearest-centroid assignment: broadcast cross join + struct-max
+    * argmax (ties -> lowest cent_id, deterministic on both engines).
+    */
+  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))))
+      .groupBy("vec_id", "v")
+      .agg(max(struct(col("csim").as("s"), (-col("cent_id")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("v"), (-col("best.nc")).cast("long").as("cell"))
+
+  private def assignCellsSql(vecsRel: String, centsRel: String): String =
+    s"""SELECT vec_id, v,
+          CAST(-struct_extract(max({'s': csim, 'nc': -cent_id}), 'nc') AS BIGINT) AS cell
+        FROM (
+          SELECT vec_id, v, cent_id,
+            ${dotSql("v", "cv")} / (${normSql("v")} * ${normSql("cv")}) AS csim
+          FROM ($vecsRel) CROSS JOIN ($centsRel))
+        GROUP BY vec_id, v"""
+
+  /** One k-means refinement step: per-cell, per-position mean of member
+    * vectors as an ordered fold (members sorted by vec_id — bit-identical
+    * across engines, unlike an unordered AVG).
+    */
+  private def refineCents(assigned: DataFrame): DataFrame = {
+    val grouped = assigned.groupBy("cell")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("mv"))
+    // mv is an attribute here (Aggregate is a CollapseProject barrier), so
+    // the fold lambdas index a materialized array — no re-evaluation trap.
+    grouped.select(
+      col("cell").as("cent_id"),
+      transform(
+        sequence(lit(1), size(element_at(col("mv"), 1).getField("v"))),
+        p => aggregate(col("mv"), lit(0.0),
+          (acc, m) => acc + element_at(m.getField("v"), p)) /
+          size(col("mv")).cast("double")).as("cv"))
   }
+
+  private def refineCentsSql(assignedRel: String): String =
+    s"""SELECT cell AS cent_id,
+          list_transform(range(1, len(mv[1])+1),
+            p -> list_reduce(list_prepend(0.0, list_transform(mv, m -> m[p])),
+                   (acc, x) -> acc + x) / CAST(len(mv) AS DOUBLE)) AS cv
+        FROM (SELECT cell, list(v ORDER BY vec_id) AS mv
+              FROM ($assignedRel) GROUP BY cell)"""
 
   def knnIvf(spark: SparkSession, sfDir: String,
       k: Int = 5, nQueries: Int = 20): DataFrame = {
     val vecs = vecsDouble(spark, sfDir)
-    val cents = vecs.filter(col("vec_id") < IvfCells)
-      .select("vec_id", "v").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-      .sortBy(_._1).toSeq
-    val assigned = vecs.withColumn("cell", cellAssign(vecs, cents))
+    val cents0 = vecs.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cents1 = refineCents(assignCells(vecs, cents0))
+    val assigned = assignCells(vecs, cents1)
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
     val c = assigned.select(col("vec_id").as("n_id"), col("v").as("nv"), col("cell"))
@@ -191,22 +244,13 @@ object Similarity {
       .select("q_id", "n_id", "cell", "cos", "rank")
   }
 
-  def knnIvfSql(k: Int = 5, nQueries: Int = 20): String = {
-    // centroid cosine per cell, as columns of the same fold shape
-    val centSql = (0 until IvfCells).map { cid =>
-      val cv = s"(SELECT v FROM vecs0 WHERE vec_id = $cid)"
-      (cid, s"${dotSql("v", s"c$cid")} / (${normSql("v")} * ${normSql(s"c$cid")})")
-    }
-    val centCols = (0 until IvfCells)
-      .map(cid => s"(SELECT v FROM vecs0 WHERE vec_id = $cid) AS c$cid").mkString(", ")
-    val (cellExpr, _) = centSql.foldLeft(("CAST(-1 AS BIGINT)", "-1.7976931348623157E308")) {
-      case ((bc, bs), (cid, sc)) =>
-        (s"CASE WHEN ($sc) > ($bs) THEN $cid ELSE ($bc) END",
-         s"CASE WHEN ($sc) > ($bs) THEN ($sc) ELSE ($bs) END")
-    }
+  def knnIvfSql(k: Int = 5, nQueries: Int = 20): String =
     s"""WITH vecs0 AS ($vecsDoubleSql),
-        withc AS (SELECT vec_id, v, $centCols FROM vecs0),
-        assigned AS (SELECT vec_id, v, CAST($cellExpr AS BIGINT) AS cell FROM withc),
+        cents0 AS (SELECT vec_id AS cent_id, v AS cv FROM vecs0
+                   WHERE vec_id < $IvfCells),
+        a0 AS (${assignCellsSql("SELECT vec_id, v FROM vecs0", "SELECT * FROM cents0")}),
+        cents1 AS (${refineCentsSql("SELECT * FROM a0")}),
+        assigned AS (${assignCellsSql("SELECT vec_id, v FROM vecs0", "SELECT * FROM cents1")}),
         q AS (SELECT vec_id AS q_id, v AS qv, cell FROM assigned WHERE vec_id < $nQueries),
         c AS (SELECT vec_id AS n_id, v AS nv, cell FROM assigned),
         sims AS (
@@ -218,7 +262,27 @@ object Similarity {
             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
           FROM sims)
         SELECT q_id, n_id, cell, cos, rank FROM ranked WHERE rank <= $k"""
+
+  /** recall@k of the IVF index vs the exact baseline — emitted as a query
+    * so the accuracy/cost trade of nprobe=1 is measured, not assumed.
+    */
+  def ivfRecall(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 20): DataFrame = {
+    val brute = knnBrute(spark, sfDir, k, nQueries).select("q_id", "n_id")
+    val ivf = knnIvf(spark, sfDir, k, nQueries)
+      .select(col("q_id").as("iq"), col("n_id").as("in_"))
+    brute.join(ivf,
+        col("q_id") === col("iq") && col("n_id") === col("in_"), "left")
+      .groupBy("q_id")
+      .agg((count(col("iq")) / lit(k.toDouble)).as("recall_at_k"))
   }
+
+  def ivfRecallSql(k: Int = 5, nQueries: Int = 20): String =
+    s"""WITH brute AS (SELECT q_id, n_id FROM (${knnBruteSql(k, nQueries)})),
+        ivf AS (SELECT q_id AS iq, n_id AS in_ FROM (${knnIvfSql(k, nQueries)}))
+        SELECT q_id, count(iq) / CAST($k AS DOUBLE) AS recall_at_k
+        FROM brute LEFT JOIN ivf ON q_id = iq AND n_id = in_
+        GROUP BY q_id"""
 
   def knnLshSql(k: Int = 5, nQueries: Int = 20): String = {
     val dim = 64

@@ -48,13 +48,27 @@ object ZScore {
   case class LagCfg(lag: Int, threshold: Double, influence: Double)
   val defaultLags: Seq[LagCfg] = Seq(LagCfg(6, 3.5, 0.5), LagCfg(144, 5.0, 0.0))
 
+  /** Z1 — per-(service, lag) settings override
+    * (stream_calc_z_score.js:106-132, config/apm_config.json:152-172).
+    * The reference resolves these by MUTATING the shared defaults object
+    * (`const settings = ZSCORECONFIG.defaults` aliases, not copies — the
+    * config-leak bug SURVEY §2.5 flags); here the resolution is functional:
+    * a broadcast override table joined on (service, lag), `coalesce`d with
+    * the lag's defaults. None = inherit the default for that field.
+    */
+  case class ZOverride(service: String, lag: Int,
+      threshold: Option[Double] = None, influence: Option[Double] = None)
+
   private val metrics = Seq("average", "per75", "per95")
 
   /** Stateless windowed z-score over a stats frame (columns: server,
     * service, ts_ms, tpm, average, per75, per95). One output row per
     * (input row x lag).
     */
-  def zScoreWindowed(stats: DataFrame, lags: Seq[LagCfg] = defaultLags): DataFrame = {
+  def zScoreWindowed(stats: DataFrame, lags: Seq[LagCfg] = defaultLags,
+      overrides: Seq[ZOverride] = Nil): DataFrame = {
+    val spark = stats.sparkSession
+    import spark.implicits._
     val perLag = lags.map { cfg =>
       val w = Window.partitionBy("server", "service").orderBy("ts_ms")
         .rowsBetween(-cfg.lag, -1)
@@ -87,12 +101,21 @@ object ZScore {
             when(col("cnt") >= cfg.lag,
               sqrt(nullif(mm.getField("msq"), lit(0.0)))).as(s"sdw_$m"))
         }: _*)
+      // Z1: per-service threshold for this lag — broadcast override join
+      // (no-op projection when no override targets this lag)
+      val lagOvr = overrides.filter(o => o.lag == cfg.lag && o.threshold.isDefined)
+        .map(o => (o.service, o.threshold.get))
+      val withThr =
+        if (lagOvr.isEmpty) withAvgSd.withColumn("thr", lit(cfg.threshold))
+        else withAvgSd
+          .join(broadcast(lagOvr.toDF("service", "thr_ovr")), Seq("service"), "left")
+          .withColumn("thr", coalesce(col("thr_ovr"), lit(cfg.threshold)))
       // stage 4: z-score outputs from cheap attribute refs
       val zCols = metrics.flatMap { m =>
         val x = col(m)
         val avgW = col(s"avgw_$m")
         val sdW = col(s"sdw_$m")
-        val t = lit(cfg.threshold)
+        val t = col("thr")
         val signal = when(avgW.isNotNull && sdW.isNotNull && x.isNotNull &&
             abs(x - avgW) > t * sdW,
           when(x > avgW, 1).otherwise(-1)).otherwise(0)
@@ -102,7 +125,7 @@ object ZScore {
           (avgW + t * sdW).as(s"${m}_ub"),
           signal.as(s"${m}_signal"))
       }
-      withAvgSd.select(
+      withThr.select(
         Seq(col("server"), col("service"), col("ts_ms"),
           lit(cfg.lag).as("lag"), col("tpm"),
           col("average"), col("per75"), col("per95")) ++ zCols: _*)
@@ -113,8 +136,10 @@ object ZScore {
   /** DuckDB oracle for [[zScoreWindowed]]: `statsSql` must produce the same
     * stats frame. Same union-per-lag shape, same arithmetic.
     */
-  def zScoreWindowedSql(statsSql: String, lags: Seq[LagCfg] = defaultLags): String = {
+  def zScoreWindowedSql(statsSql: String, lags: Seq[LagCfg] = defaultLags,
+      overrides: Seq[ZOverride] = Nil): String = {
     val perLag = lags.map { cfg =>
+      val lagOvr = overrides.filter(o => o.lag == cfg.lag && o.threshold.isDefined)
       val zCols = metrics.map { m =>
         // Same ordered-fold mean/msq as the Spark side (see
         // zScoreWindowed): bit-identical across engines.
@@ -124,7 +149,9 @@ object ZScore {
               / CAST(len(lst_$m) AS DOUBLE) END"""
         val avgW = s"CASE WHEN cnt >= ${cfg.lag} THEN ($mean) END"
         val sdW  = s"CASE WHEN cnt >= ${cfg.lag} THEN sqrt(nullif($msq, 0.0)) END"
-        val t = cfg.threshold
+        val t =
+          if (lagOvr.isEmpty) cfg.threshold.toString
+          else s"coalesce(thr_ovr, ${cfg.threshold})"
         s"""($avgW) AS ${m}_avg,
            ($avgW) - $t*($sdW) AS ${m}_lb,
            ($avgW) + $t*($sdW) AS ${m}_ub,
@@ -133,7 +160,15 @@ object ZScore {
                 THEN CASE WHEN $m > ($avgW) THEN 1 ELSE -1 END
                 ELSE 0 END AS ${m}_signal"""
       }.mkString(",\n")
-      s"""SELECT server, service, ts_ms, ${cfg.lag} AS lag, tpm,
+      val ovrJoin =
+        if (lagOvr.isEmpty) ""
+        else {
+          val tbl = lagOvr.map(o =>
+            s"SELECT '${o.service}' AS service, CAST(${o.threshold.get} AS DOUBLE) AS thr_ovr")
+            .mkString(" UNION ALL ")
+          s"LEFT JOIN ($tbl) o ON z.service = o.service"
+        }
+      s"""SELECT z.server, z.service, ts_ms, ${cfg.lag} AS lag, tpm,
             average, per75, per95, $zCols
           FROM (
             SELECT server, service, ts_ms, tpm, average, per75, per95,
@@ -143,7 +178,8 @@ object ZScore {
               list_filter(list(per95) OVER w, v -> v IS NOT NULL) AS lst_per95
             FROM ($statsSql)
             WINDOW w AS (PARTITION BY server, service ORDER BY ts_ms
-                         ROWS BETWEEN ${cfg.lag} PRECEDING AND 1 PRECEDING))"""
+                         ROWS BETWEEN ${cfg.lag} PRECEDING AND 1 PRECEDING)) z
+          $ovrJoin"""
     }
     perLag.mkString(" UNION ALL ")
   }
@@ -158,10 +194,16 @@ object ZScore {
     * O(lag) per active key — and the sort runs off-heap. That is the shape
     * that survives a key with years of history at 100 TB.
     */
-  def zScoreFold(stats: DataFrame, lags: Seq[LagCfg] = defaultLags): DataFrame = {
+  def zScoreFold(stats: DataFrame, lags: Seq[LagCfg] = defaultLags,
+      overrides: Seq[ZOverride] = Nil): DataFrame = {
     val spark = stats.sparkSession
     import spark.implicits._
     val lagsB = lags
+    // Z1 functional settings resolution (threshold AND influence) — the
+    // map is tiny config, captured by the closure (no join needed in the
+    // fold variant; the windowed variant uses a broadcast join).
+    val ovrMap: Map[(String, Int), ZOverride] =
+      overrides.map(o => ((o.service, o.lag), o)).toMap
     val out = stats.select("server", "service", "ts_ms", "tpm",
         "average", "per75", "per95")
       .repartition(col("server"), col("service"))
@@ -179,9 +221,12 @@ object ZScore {
           }
           val ms = Array(a, p75, p95)
           lagsB.iterator.zipWithIndex.map { case (cfg, li) =>
+            val o = ovrMap.get((svc, cfg.lag))
+            val thrEff = o.flatMap(_.threshold).getOrElse(cfg.threshold)
+            val inflEff = o.flatMap(_.influence).getOrElse(cfg.influence)
             val zs = (0 until 3).map { i =>
               val (infl, avgV, lb, ub, sig) = RefStats.zScoreStepRef(
-                cfg.lag, cfg.threshold, cfg.influence, ms(i), lists(li)(i).toIndexedSeq)
+                cfg.lag, thrEff, inflEff, ms(i), lists(li)(i).toIndexedSeq)
               if (lists(li)(i).size >= cfg.lag) lists(li)(i).dequeue()
               lists(li)(i).enqueue(infl)
               (avgV, lb, ub, sig)

@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+import graft.operators.{Alerts, Parsing, ZScore}
+import graft.sources.LogFileSource
+
+/** The reference's six-process dataflow as ONE running streaming graph
+  * (SURVEY.md §2.8; the reference topology is
+  * tail -> parse -> stats -> z-score -> alerts, processes connected by
+  * RabbitMQ queues, config/apm_config.json:87-178).
+  *
+  * Spark-native realization: a chain of Structured Streaming queries
+  * connected by append-only parquet directories — the queue analogue
+  * available in this container (each directory is a durable, replayable
+  * topic; `readStream.parquet` is the consumer (S4), the upstream query's
+  * sink the producer (S3); with a Kafka connector jar each handoff becomes
+  * `writeStream.format("kafka")` / `readStream.format("kafka")` with the
+  * same stage code unchanged). Checkpoints give each stage S7
+  * resume-exactly-once; `Trigger.AvailableNow` drains whatever is pending
+  * and stops, which is also the deterministic test harness mode.
+  *
+  * Stages:
+  *  1. tail+route (S1/P1, LogFileSource) -> parse exits (P5) -> TEE (R6):
+  *     the parsed tx stream lands both raw (`tee/`) and into the stats
+  *     window aggregation (A1-A7) -> `stats/`.
+  *  2. `stats/` -> lag fan-out (Z5) -> keyed z-score state (Z1/Z2) ->
+  *     `zscore/`.
+  *  3. `zscore/` -> candidate predicates (R1/R2, stream-static broadcast
+  *     config join) -> leaky-bucket vote fold (R3) -> `fired/`.
+  *  4. `fired/` -> per-service cooldown (R4) -> ordered sink (A7) ->
+  *     `alerts/`.
+  *
+  * (3 and 4 are separate queries because a flatMapGroupsWithState must be
+  * the last stateful operator of its query — exactly the reason the
+  * reference splits these into separate processes, too.)
+  */
+object ApmGraph {
+
+  case class GraphCfg(
+      windowLen: String = "60 seconds",
+      slide: String = "10 seconds",
+      lateness: String = "10 seconds",
+      lag: ZScore.LagCfg = ZScore.LagCfg(3, 1.0, 0.5),
+      alert: Alerts.AlertCfg = Alerts.AlertCfg(
+        hardMaxMs = 150.0, hardMinMs = 0.0, hardMinTpm = 0.0,
+        windowSz = 5, voteThreshold = 2, cooldownMs = 30000L))
+
+  val statsSchema: StructType = Encoders.product[StatsRow].schema
+  case class StatsRow(server: String, service: String, ts_ms: Long,
+      n: Long, tpm: Double, average: Option[Double], per75: Option[Double],
+      per95: Option[Double])
+
+  private val zOutSchema: StructType = Encoders.product[ApmStreaming.ZOut].schema
+  private val voteOutSchema: StructType = Encoders.product[ApmStreaming.VoteOut].schema
+
+  private def await(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination(); ()
+  }
+
+  /** Stage 1: tail logs -> route -> parse -> [tee] + window stats. Runs
+    * both sinks to completion (AvailableNow).
+    */
+  def runStage1(spark: SparkSession, logsGlob: String, workDir: String,
+      cfg: GraphCfg): Unit = {
+    val lines = LogFileSource.stream(spark, logsGlob)
+    val parsed = Parsing.extractStdExit(
+        lines.filter(col("log_type") === "server_log"))
+      .select(col("server"), col("service"),
+        timestamp_millis(col("end_ms")).as("end_ts"), col("elapsed"))
+    // R6 passthrough tee: same stream, second sink (own checkpoint).
+    val tee = parsed.writeStream
+      .format("parquet")
+      .option("path", s"$workDir/tee")
+      .option("checkpointLocation", s"$workDir/ckpt_tee")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val stats = ApmStreaming.slidingStatsStream(
+        parsed, cfg.windowLen, cfg.slide, cfg.lateness)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$workDir/stats")
+      .option("checkpointLocation", s"$workDir/ckpt_stats")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    await(tee); await(stats)
+  }
+
+  /** Stage 2: stats -> lag fan-out -> keyed z-score state. */
+  def runStage2(spark: SparkSession, workDir: String, cfg: GraphCfg): Unit = {
+    val stats = spark.readStream.schema(statsSchema)
+      .parquet(s"$workDir/stats")
+    val z = ApmStreaming.zScoreStream(
+      ApmStreaming.fanOutLags(stats, Seq(cfg.lag)))
+    await(z.writeStream
+      .format("parquet")
+      .option("path", s"$workDir/zscore")
+      .option("checkpointLocation", s"$workDir/ckpt_z")
+      .trigger(Trigger.AvailableNow())
+      .start())
+  }
+
+  /** Stage 3: z-scored frame -> candidate flags -> vote fold. */
+  def runStage3(spark: SparkSession, workDir: String, cfg: GraphCfg): Unit = {
+    import spark.implicits._
+    val z = spark.readStream.schema(zOutSchema).parquet(s"$workDir/zscore")
+    val cand = Alerts.candidates(z, cfg.alert)
+      .select(col("server"), col("service"), col("lag"), col("ts_ms"),
+        col("bad"), col("causes")).as[ApmStreaming.VoteIn]
+    val fired = ApmStreaming.voteStream(cand, cfg.alert)
+    await(fired.writeStream
+      .format("parquet")
+      .option("path", s"$workDir/fired")
+      .option("checkpointLocation", s"$workDir/ckpt_fired")
+      .trigger(Trigger.AvailableNow())
+      .start())
+  }
+
+  /** Stage 4: cooldown dedup -> ordered alert sink (A7). */
+  def runStage4(spark: SparkSession, workDir: String, cfg: GraphCfg): Unit = {
+    import spark.implicits._
+    val fired = spark.readStream.schema(voteOutSchema)
+      .parquet(s"$workDir/fired").as[ApmStreaming.VoteOut]
+    val alerts = ApmStreaming.cooldownStream(fired, cfg.alert)
+    await(ApmStreaming.sinkToParquet(alerts.toDF, s"$workDir/alerts",
+      s"$workDir/ckpt_alerts", orderCol = Some("ts_ms"),
+      availableNow = true))
+  }
+
+  /** Drain the whole graph once, in topological order. */
+  def runAll(spark: SparkSession, logsGlob: String, workDir: String,
+      cfg: GraphCfg): Unit = {
+    runStage1(spark, logsGlob, workDir, cfg)
+    runStage2(spark, workDir, cfg)
+    runStage3(spark, workDir, cfg)
+    runStage4(spark, workDir, cfg)
+  }
+}

@@ -44,7 +44,11 @@ object ApmStreaming {
   def slidingStatsStream(tx: DataFrame,
       windowLen: String = "300 seconds", slide: String = "10 seconds",
       lateness: String = "60 seconds"): DataFrame = {
-    val winMin = 300.0 / 60.0
+    // tpm denominator = the actual window length in minutes (the
+    // reference's fixed-denominator semantics, stream_calc_stats.js:186)
+    val winSec = windowLen.trim.split("\\s+")(0).toDouble *
+      (if (windowLen.contains("minute")) 60.0 else 1.0)
+    val winMin = winSec / 60.0
     tx.withWatermark("end_ts", lateness)
       .groupBy(col("server"), col("service"),
         window(col("end_ts"), windowLen, slide))
@@ -274,12 +278,15 @@ object ApmStreaming {
     * the ordered-emission guarantee without any heap.
     */
   def sinkToParquet(df: DataFrame, outDir: String, checkpoint: String,
-      trigger: String = "5 seconds", orderCol: Option[String] = None)
+      trigger: String = "5 seconds", orderCol: Option[String] = None,
+      availableNow: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(trigger))
+      .trigger(
+        if (availableNow) org.apache.spark.sql.streaming.Trigger.AvailableNow()
+        else org.apache.spark.sql.streaming.Trigger.ProcessingTime(trigger))
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val ordered = orderCol.fold(batch)(c => batch.sortWithinPartitions(c))
         ordered.write.mode("append").parquet(s"$outDir/batch_$batchId")
