@@ -22,7 +22,9 @@ import scala.collection.mutable
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // The driver contract runs the bench at local[32] (32-thread, 128 GiB
+    // box); SPARK_GRAFT_CPUS trims it for constrained local iteration.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -50,7 +52,10 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
         errors(name) = e.getClass.getSimpleName
       }
-      ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
+      val r = ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
+      // progress trace on stderr (driver reads only the stdout JSON)
+      System.err.println(f"[bench] $name wall=${r._1}%.2f cpu=${r._2}%.2f")
+      r
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

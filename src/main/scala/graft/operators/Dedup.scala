@@ -26,6 +26,20 @@ object Dedup {
   private val normTextSql =
     "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  /** Documents scan for the shingle pipelines. Higher-order-function
+    * lambdas (zip_with/transform/aggregate) are interpreted per row, so
+    * their cost is CPU-bound and embarrassingly parallel — but a small
+    * corpus arriving as one parquet file is ONE partition, serializing
+    * all of it on a single core. Spread rows across the cores when the
+    * scan is under-split; at real scale input splits >> cores and this
+    * is a no-op (no extra shuffle).
+    */
+  private[operators] def docs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val p = spark.sparkContext.defaultParallelism
+    if (d.rdd.getNumPartitions < p) d.repartition(p) else d
+  }
+
   /** Exact dedup by content fingerprint: canonical = min doc_id per
     * normalized-text hash; `is_dup` marks losers.
     */
@@ -99,7 +113,7 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.4,
       dfCap: Int = 1000): DataFrame = {
-    val d = Tables.load(spark, sfDir, "documents")
+    val d = docs(spark, sfDir)
       .select(col("doc_id"), col("source"),
         shingles(split(normText, " ")).as("sh"))
       .withColumn("n", size(col("sh")))
@@ -156,7 +170,7 @@ object Dedup {
 
   /** Per-doc MinHash signature (array of k minima). */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.load(spark, sfDir, "documents")
+    val d = docs(spark, sfDir)
       .select(col("doc_id"), col("source"),
         transform(shingles(split(normText, " ")), s => poly_hash(s)).as("hs"))
     val sig = array((0 until MinhashK).map { i =>
@@ -257,7 +271,7 @@ object Dedup {
     * on the signature's upper half.
     */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.load(spark, sfDir, "documents")
+    val d = docs(spark, sfDir)
       .select(col("doc_id"),
         transform(shingles(split(normText, " ")), s => poly_hash(s)).as("hs"))
     val bits: Seq[Column] = (0 until 32).map { bit =>

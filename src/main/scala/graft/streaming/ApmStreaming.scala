@@ -293,4 +293,65 @@ object ApmStreaming {
         ()
       }
       .start()
+
+  /** S6 failed-batch re-queue (stream_insert_db.js:326-353): when the DB
+    * insert throws, the reference unshifts the drained buffer back to the
+    * FRONT of the queue, so failed records retry — in original order —
+    * at the next flush, and nothing is dropped while the sink is down.
+    *
+    * Spark-native mapping: the in-memory buffer becomes a durable park
+    * directory. Each micro-batch (1) retries parked batches in batch-id
+    * order, deleting each on success, then (2) attempts the current
+    * batch, parking it as parquet on failure. Parking with
+    * mode=overwrite keyed on batchId keeps the park step idempotent
+    * under checkpoint replay; the retry path is at-least-once across a
+    * crash between write-success and park-delete — the same contract as
+    * the reference (a re-consumed message after an un-acked insert).
+    */
+  class RequeueWriter(parkDir: String,
+      write: (DataFrame, Long) => Unit) extends Serializable {
+    private def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+      f.delete(); ()
+    }
+    def parkedBatches(): Seq[java.io.File] =
+      Option(new java.io.File(parkDir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("park_"))
+        .sortBy(_.getName).toSeq
+    def apply(batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
+      val spark = batch.sparkSession
+      parkedBatches().foreach { d =>
+        val replay = spark.read.parquet(d.getPath)
+        try { write(replay, batchId); deleteRec(d) }
+        catch { case _: Exception => () } // still down: stays parked
+      }
+      try write(batch.toDF, batchId)
+      catch { case _: Exception =>
+        batch.write.mode("overwrite").parquet(f"$parkDir/park_$batchId%012d")
+      }
+    }
+  }
+
+  /** [[sinkToParquet]] with the re-queue wrapper around an arbitrary
+    * batch writer (parquet append here; JDBC `df.write.jdbc` on a real
+    * deployment — the writer is injected precisely so the flaky-sink
+    * path is testable without a database).
+    */
+  def sinkWithRequeue(df: DataFrame, checkpoint: String, parkDir: String,
+      write: (DataFrame, Long) => Unit,
+      availableNow: Boolean = true, trigger: String = "5 seconds")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = new RequeueWriter(parkDir, write)
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(
+        if (availableNow) org.apache.spark.sql.streaming.Trigger.AvailableNow()
+        else org.apache.spark.sql.streaming.Trigger.ProcessingTime(trigger))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        w(batch, batchId)
+      }
+      .start()
+  }
 }

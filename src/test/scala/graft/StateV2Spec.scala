@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{ApmStateV2, ApmStreaming}
+import graft.operators.{Alerts, ZScore}
+
+/** transformWithState (StatefulProcessor) equivalence: the V2 folds on
+  * the RocksDB state store must agree with the V1 flatMapGroupsWithState
+  * folds and the batch/reference ports on the same data.
+  */
+class StateV2Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** transformWithState requires the RocksDB provider; scope it to this
+    * suite's queries and restore afterwards (other suites' fMGWS queries
+    * run on the default HDFS-backed store).
+    */
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val chg = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, ApmStateV2.RocksDbProvider)
+    spark.conf.set(chg, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key); spark.conf.unset(chg)
+    }
+  }
+
+  test("z-score V2 == batch fold on same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val rnd = new scala.util.Random(17)
+      val cfg = ZScore.LagCfg(4, 2.0, 0.5)
+      val data = for {
+        srv <- Seq("s0", "s1"); i <- 0 until 30
+      } yield ApmStreaming.ZIn(srv, "svc", cfg.lag, cfg.threshold, cfg.influence,
+        i * 1000L, 1.0, rnd.nextDouble() * 100,
+        rnd.nextDouble() * 100, rnd.nextDouble() * 100)
+      val in = MemoryStream[ApmStreaming.ZIn]
+      val out = ApmStateV2.zScoreStreamV2(in.toDS())
+      val q = out.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("z2_out").start()
+      try {
+        val (c1, c2) = data.partition(_.ts_ms < 15000L)
+        in.addData(c1); q.processAllAvailable()
+        in.addData(c2); q.processAllAvailable()
+        val got = spark.table("z2_out").as[ApmStreaming.ZOut].collect()
+          .map(o => (o.server, o.ts_ms) -> ((o.average_avg, o.average_signal))).toMap
+        val statsDf = data.map(z => (z.server, z.service, z.ts_ms, Some(z.tpm),
+            Some(z.average), Some(z.per75), Some(z.per95)))
+          .toDF("server", "service", "ts_ms", "tpm", "average", "per75", "per95")
+        val exp = ZScore.zScoreFold(statsDf, Seq(cfg))
+          .select("server", "ts_ms", "average_avg", "average_signal")
+          .collect().map(r => (r.getString(0), r.getLong(1)) ->
+            ((Option(r.get(2)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN), r.getInt(3)))).toMap
+        assert(got.size == exp.size)
+        exp.foreach { case (k, (eAvg, eSig)) =>
+          val (gAvg, gSig) = got(k)
+          assert((gAvg.isNaN && eAvg.isNaN) || gAvg == eAvg, s"$k avg")
+          assert(gSig == eSig, s"$k sig")
+        }
+      } finally q.stop()
+    }
+  }
+
+  test("vote + cooldown V2 == reference fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val cfg = Alerts.AlertCfg(windowSz = 5, voteThreshold = 3, cooldownMs = 8000L)
+      val rnd = new scala.util.Random(23)
+      val rows = (0 until 200).map { i =>
+        val bad = rnd.nextDouble() < 0.6
+        ApmStreaming.VoteIn(s"srv${rnd.nextInt(2)}", s"svc${rnd.nextInt(2)}",
+          6, i * 1000L, if (bad) 1 else 0, if (bad) "cause" else "")
+      }
+      val in = MemoryStream[ApmStreaming.VoteIn]
+      val alerts = ApmStateV2.cooldownStreamV2(
+        ApmStateV2.voteStreamV2(in.toDS(), cfg), cfg)
+      val q = alerts.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("alerts2_out").start()
+      try {
+        in.addData(rows)
+        q.processAllAvailable()
+        val got = spark.table("alerts2_out").as[ApmStreaming.VoteOut].collect()
+          .map(o => (o.ts_ms, o.server, o.service, o.lag)).sorted.toList
+        val exp = Alerts.alertsRef(
+          rows.map(r => (r.server, r.service, r.lag, r.ts_ms, r.bad == 1, r.causes)), cfg)
+          .map(a => (a._1, a._2, a._3, a._4)).sorted.toList
+        assert(got == exp)
+      } finally q.stop()
+    }
+  }
+
+  test("J2 enrich V2: park, late-acct flush, timer-expiry '' emission") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val in = MemoryStream[ApmStreaming.EnrichIn]
+      val out = ApmStateV2.enrichStreamV2(in.toDS(), ttlMs = 5000L)
+      val q = out.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("enrich2_out").start()
+      try {
+        in.addData(
+          ApmStreaming.EnrichIn(1L, "tx", "svcA", 1000L, 10.0, ""),
+          ApmStreaming.EnrichIn(2L, "tx", "svcB", 1000L, 20.0, ""),
+          ApmStreaming.EnrichIn(3L, "acct", "", 500L, 0.0, "777"))
+        q.processAllAvailable()
+        in.addData(
+          ApmStreaming.EnrichIn(1L, "acct", "", 2000L, 0.0, "555"),
+          ApmStreaming.EnrichIn(3L, "tx", "svcC", 2500L, 30.0, ""))
+        q.processAllAvailable()
+        // advance watermark far past log 2's timer (1000+5000)
+        in.addData(ApmStreaming.EnrichIn(99L, "acct", "", 100000L, 0.0, "9"))
+        q.processAllAvailable()
+        in.addData(ApmStreaming.EnrichIn(98L, "acct", "", 200000L, 0.0, "9"))
+        q.processAllAvailable()
+        val rows = spark.table("enrich2_out").as[ApmStreaming.EnrichOut].collect()
+          .map(o => (o.log_id, o.service, o.acct, o.matched)).toSet
+        assert(rows.contains((1L, "svcA", "555", true)), s"flush missing: $rows")
+        assert(rows.contains((3L, "svcC", "777", true)), s"pre-acct missing: $rows")
+        assert(rows.contains((2L, "svcB", "", false)), s"expiry missing: $rows")
+      } finally q.stop()
+    }
+  }
+}
