@@ -33,4 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (benched 14x swings on the dedup queries at 8g); the bench box has
   // 128 GiB, so default high and let SPARK_DRIVER_MEM override.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Whole-stage codegen emits many Janino classes per query; a long
+  // bench run overflows the default 240m JIT code cache, after which
+  // hot codegen'd loops run INTERPRETED (observed: identical passes
+  // swinging 3s -> 220s with cpu~wall). Size it so the full suite's
+  // compiled code fits, and let the sweeper reclaim cold methods.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )
