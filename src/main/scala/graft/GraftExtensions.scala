@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayStats, PolyHash, VecDot}
+import graft.functions.{ArrayStats, PolyHash, ShingleHashes, VecDot}
 
 /** SparkSessionExtensions entry point: registers this library's native
   * expressions as SQL functions, so `spark.sql("SELECT poly_hash(text)
@@ -31,7 +31,12 @@ object GraftExtensions {
     ("vec_dot", "vec_dot(a, b) - sequential dot product of double arrays",
       (args: Seq[Expression]) => VecDot(args(0), args(1))),
     ("array_stats", "array_stats(a) - struct(mean, msq) two-pass fold",
-      (args: Seq[Expression]) => ArrayStats(args.head)))
+      (args: Seq[Expression]) => ArrayStats(args.head)),
+    ("shingle_hashes",
+      "shingle_hashes(str, k) - distinct poly_hash of word k-grams (k literal)",
+      (args: Seq[Expression]) =>
+        ShingleHashes(args.head,
+          args(1).eval().asInstanceOf[Number].intValue())))
 
   /** Register on an already-built session (temp functions) — for
     * sessions not created via `withExtensions` (e.g. notebooks, tests).

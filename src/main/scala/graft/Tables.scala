@@ -18,6 +18,27 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Load + spread an under-split scan across the cores. The test tables
+    * are single-file/single-row-group parquet, so a plain scan is ONE
+    * input partition — and any query whose cost is per-row compute above
+    * that scan (regex parse, JSON decode, shingle hashing) runs on one
+    * core of 32 no matter how declarative the plan is (this, not host
+    * stalls, explained most of round 1's bench outliers). The repartition
+    * is conditional: at production scale input splits >> cores and this
+    * is a no-op with zero added exchanges. Row-group-level splitting
+    * can't substitute (`maxPartitionBytes` only splits across row-group
+    * boundaries, and these files have one).
+    *
+    * Use for scans feeding heavy per-row expressions; plain [[load]] is
+    * right for scans feeding joins/aggregations (their exchanges already
+    * redistribute) and for operators whose plan contract is shuffle-free.
+    */
+  def loadSpread(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = load(spark, sfDir, name)
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** The APM transaction stream, mapped per FIXTURES.md §A onto `events`:
     * endTs→ts, service→event_type, elapsed→value, server→srv(user_id%3),
     * logId→event_id. Reference schema: /root/reference/entries.js:1-43.
@@ -43,8 +64,13 @@ object Tables {
       case _ => unix_millis(col(name))
     }
 
-  def txBase(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = load(spark, sfDir, "events")
+  /** `spread = true` for consumers whose cost is per-row compute on this
+    * frame itself (codecs, parsers); leave false when the consumer's own
+    * exchanges (joins, groupBys, keyed folds) already redistribute.
+    */
+  def txBase(spark: SparkSession, sfDir: String, spread: Boolean = false): DataFrame = {
+    val ev = if (spread) loadSpread(spark, sfDir, "events")
+             else load(spark, sfDir, "events")
     ev.select(
       col("event_id").as("log_id"),
       concat(lit("srv"), pmod(col("user_id"), lit(3))).as("server"),

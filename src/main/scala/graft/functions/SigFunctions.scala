@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** One-pass native signature folds over a shingle-hash array
+  * (`array<long>`, non-null elements — the output shape of
+  * [[ShingleHashes]]). Each replaces a per-family/per-bit interpreted
+  * HOF sweep with a single loop carrying all accumulators:
+  *
+  *  - [[MinHashSig]]: k universal-hash minima `min_i (h*a_i + b_i) mod p`
+  *    — was `transform` + `array_min` per family (k passes, every lambda
+  *    call interpreted); now one pass with k running minima.
+  *  - [[SimHashSig]]: the SimHash bit-vote — for each of `bits` bit
+  *    positions, sign of `sum_h (+-1 by bit)` — was an `aggregate` fold
+  *    per bit (bits passes); now one pass with `bits` vote counters.
+  *
+  * Both are order-insensitive (min / integer sums), so they commute with
+  * [[ShingleHashes]]'s first-occurrence ordering, and both mirror the
+  * oracle SQL arithmetic exactly (integer ops only — no float parity
+  * concerns). `doGenCode` emits a static call, keeping the parent plan
+  * inside WholeStageCodegen.
+  */
+case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
+    extends UnaryExpression {
+  require(as.nonEmpty && as.length == bs.length, "need matched a/b families")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
+  @transient private lazy val aArr = as.toArray
+  @transient private lazy val bArr = bs.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], aArr, bArr, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSig.compute($c, $aRef, $bRef, ${p}L);")
+  }
+}
+
+object MinHashSig {
+  def min_hash_sig(c: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), as, bs, p))
+
+  def compute(hs: ArrayData, as: Array[Long], bs: Array[Long], p: Long): ArrayData = {
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var f = 0
+      while (f < k) {
+        val v = (h * as(f) + bs(f)) % p
+        if (v < mins(f)) mins(f) = v
+        f += 1
+      }
+      i += 1
+    }
+    // empty input -> all-null minima upstream never occurs (ShingleHashes
+    // emits >= 1 element), but stay total: empty array -> Long.MaxValue.
+    new GenericArrayData(mins)
+  }
+}
+
+case class SimHashSig(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 63, s"bits must be in [1,63], got $bits")
+  override def dataType: DataType = LongType
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      SimHashSig.compute(input.asInstanceOf[ArrayData], bits))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashSig.compute($c, $bits);")
+}
+
+object SimHashSig {
+  def sim_hash_sig(c: Column, bits: Int): Column =
+    ColumnBridge.column(SimHashSig(ColumnBridge.expression(c), bits))
+
+  def compute(hs: ArrayData, bits: Int): Long = {
+    val votes = new Array[Int](bits)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < bits) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}

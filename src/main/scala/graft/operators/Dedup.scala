@@ -4,6 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.PolyHash.{poly_hash, sql => polySql}
+import graft.functions.MinHashSig.min_hash_sig
+import graft.functions.ShingleHashes.shingle_hashes
+import graft.functions.SimHashSig.sim_hash_sig
 
 /** Deduplication operators for the training-data pipeline: exact
   * (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard. All built on
@@ -34,11 +37,8 @@ object Dedup {
     * scan is under-split; at real scale input splits >> cores and this
     * is a no-op (no extra shuffle).
     */
-  private[operators] def docs(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.load(spark, sfDir, "documents")
-    val p = spark.sparkContext.defaultParallelism
-    if (d.rdd.getNumPartitions < p) d.repartition(p) else d
-  }
+  private[operators] def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.loadSpread(spark, sfDir, "documents")
 
   /** Exact dedup by content fingerprint: canonical = min doc_id per
     * normalized-text hash; `is_dup` marks losers.
@@ -61,33 +61,26 @@ object Dedup {
 
   // ---------------------------------------------------------------- shingles
 
-  /** Word 3-gram shingles of the normalized text (distinct).
-    *
-    * Built with slice + zip_with rather than
-    * `transform(sequence(...), i -> element_at(words, i+k))`: higher-order
-    * functions are interpreted (no codegen, no common-subexpression
-    * elimination), so an element_at lambda re-evaluates the whole
-    * split+normalize chain per element — benched 9 s for 260k shingles at
-    * sf0.1 vs ~1 s for this shape, which evaluates each slice once per
-    * row and only zips per element.
+  /** Distinct PolyHash values of the word 3-gram shingles, via the fused
+    * native [[graft.functions.ShingleHashes]] expression (one codegen'd
+    * pass, zero per-gram allocation). History of this hot path: the naive
+    * `transform(sequence(...), element_at)` HOF benched 9 s at sf0.1; a
+    * slice+zip_with reformulation got it to ~1 s of shingle construction
+    * but still materialized every shingle string, ran the lambdas
+    * interpreted, and shuffled string keys; the fused expression removes
+    * all three (the downstream identity of a shingle is its hash anyway).
     */
-  private def shingles(words: Column): Column = {
-    val n = size(words)
-    val len = greatest(n - 2, lit(0))
-    val tri = zip_with(
-      slice(words, lit(1), len),
-      zip_with(slice(words, lit(2), len), slice(words, lit(3), len),
-        (y, z) => concat(y, lit(" "), z)),
-      (x, yz) => concat(x, lit(" "), yz))
-    array_distinct(
-      when(n >= 3, tri).otherwise(array(concat_ws(" ", words))))
-  }
+  private def shingleHashes: Column = shingle_hashes(normText, 3)
 
-  private def shinglesSql(w: String): String =
+  /** Matching DuckDB fragment over a words-list expression: build the
+    * gram strings, hash each, THEN distinct — hash-distinct exactly like
+    * the native expression (the hash is the shingle identity).
+    */
+  private def shingleHashesSql(w: String): String =
     s"""list_distinct(CASE WHEN len($w) >= 3
         THEN list_transform(range(1, len($w)-1),
-          i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])
-        ELSE [array_to_string($w, ' ')] END)"""
+          i -> ${polySql(s"$w[i] || ' ' || $w[i+1] || ' ' || $w[i+2]")})
+        ELSE [${polySql(s"array_to_string($w, ' ')")}] END)"""
 
   /** N-gram Jaccard near-dup: candidate pairs limited to same-`source`
     * docs (a cheap blocking key), exact Jaccard over distinct shingle
@@ -113,9 +106,11 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.4,
       dfCap: Int = 1000): DataFrame = {
+    // the inverted index is keyed by shingle HASH (long), not the shingle
+    // string: 8-byte shuffle keys instead of ~20-char strings, and the
+    // join is a long equi-join — same pairs (the hash is the identity)
     val d = docs(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        shingles(split(normText, " ")).as("sh"))
+      .select(col("doc_id"), col("source"), shingleHashes.as("sh"))
       .withColumn("n", size(col("sh")))
     val tok = d.select(col("source"), col("doc_id"), col("n"),
       explode(col("sh")).as("s"))
@@ -137,7 +132,7 @@ object Dedup {
   }
 
   def ngramJaccardSql(threshold: Double = 0.4, dfCap: Int = 1000): String = {
-    val sh = shinglesSql("string_split(" + normTextSql + ", ' ')")
+    val sh = shingleHashesSql("string_split(" + normTextSql + ", ' ')")
     s"""WITH d AS (SELECT doc_id, source, $sh AS sh FROM documents),
         tok0 AS (SELECT source, doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
         hot AS (SELECT source, s FROM (
@@ -168,25 +163,25 @@ object Dedup {
   private def aConst(i: Int): Long = 2 * i + 3
   private def bConst(i: Int): Long = 7 * i + 1
 
-  /** Per-doc MinHash signature (array of k minima). */
-  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
+  /** Per-doc MinHash signature (array of k minima), via the one-pass
+    * native [[graft.functions.MinHashSig]] fold (was k interpreted
+    * `transform`+`array_min` sweeps over the hash array).
+    */
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), shingleHashes.as("hs"))
       .select(col("doc_id"), col("source"),
-        transform(shingles(split(normText, " ")), s => poly_hash(s)).as("hs"))
-    val sig = array((0 until MinhashK).map { i =>
-      array_min(transform(col("hs"), h => (h * aConst(i) + bConst(i)) % P))
-    }: _*)
-    d.select(col("doc_id"), col("source"), sig.as("sig"))
-  }
+        min_hash_sig(col("hs"),
+          (0 until MinhashK).map(aConst),
+          (0 until MinhashK).map(bConst), P).as("sig"))
 
   def minhashSignaturesSql: String = {
-    val sh = shinglesSql("string_split(" + normTextSql + ", ' ')")
+    val sh = shingleHashesSql("string_split(" + normTextSql + ", ' ')")
     val sigs = (0 until MinhashK).map { i =>
       s"list_min(list_transform(hs, h -> (h*${aConst(i)} + ${bConst(i)}) % $P))"
     }.mkString("[", ", ", "]")
     s"""SELECT doc_id, source, $sigs AS sig FROM (
-          SELECT doc_id, source,
-            list_transform($sh, s -> ${polySql("s")}) AS hs
+          SELECT doc_id, source, $sh AS hs
           FROM documents)"""
   }
 
@@ -270,28 +265,20 @@ object Dedup {
     * shingle hashes weighted by that hash's bit; near-dups share buckets
     * on the signature's upper half.
     */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
-      .select(col("doc_id"),
-        transform(shingles(split(normText, " ")), s => poly_hash(s)).as("hs"))
-    val bits: Seq[Column] = (0 until 32).map { bit =>
-      val vote = aggregate(col("hs"), lit(0L), (acc, h) =>
-        acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << bit)).otherwise(lit(0L))
-    }
-    d.select(col("doc_id"),
-      bits.reduce(_ + _).as("simhash"))
-  }
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), shingleHashes.as("hs"))
+      .select(col("doc_id"), sim_hash_sig(col("hs"), 32).as("simhash"))
 
   val simhashSql: String = {
-    val sh = shinglesSql("string_split(" + normTextSql + ", ' ')")
+    val sh = shingleHashesSql("string_split(" + normTextSql + ", ' ')")
     val bits = (0 until 32).map { bit =>
       s"""CASE WHEN list_sum(list_transform(hs,
             h -> CASE WHEN (h // ${1L << bit}) % 2 = 1 THEN 1 ELSE -1 END)) > 0
           THEN ${1L << bit} ELSE 0 END"""
     }.mkString(" + ")
     s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM (
-          SELECT doc_id, list_transform($sh, s -> ${polySql("s")}) AS hs
+          SELECT doc_id, $sh AS hs
           FROM documents)"""
   }
 

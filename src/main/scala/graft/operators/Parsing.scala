@@ -37,7 +37,7 @@ object Parsing {
     * finalize the record (P1+P5+P6+P8+P9+P10+F5/F6 in one pass).
     */
   def parseRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.load(spark, sfDir, "events")
+    val ev = Tables.loadSpread(spark, sfDir, "events")
     val base = ev.select(
       col("event_id").cast("string").as("log_id"),
       col("event_type").as("service0"),
@@ -130,7 +130,7 @@ object Parsing {
     *   when the entry is missing (:276-279).
     */
   def ejbRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.load(spark, sfDir, "events")
+    val ev = Tables.loadSpread(spark, sfDir, "events")
     val base = ev.select(
       col("event_id"),
       // every 7th exit has an empty logId → exercises the emit-immediately
@@ -298,7 +298,7 @@ object Parsing {
     * formatting is engine-specific so the codec demo keeps the int core).
     */
   def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val b = Tables.txBase(spark, sfDir)
+    val b = Tables.txBase(spark, sfDir, spread = true)
       .withColumn("elapsed_int", ceil(col("elapsed")).cast("long"))
       .withColumn("start_ms", col("end_ms") - col("elapsed_int"))
       .withColumn("top_level", when(col("service").rlike("^S"), "Y").otherwise("N"))
@@ -339,7 +339,7 @@ object Parsing {
     * (pull_jvm_stats.js:15-84, entries.js:246-332).
     */
   def jsonFlatten(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.load(spark, sfDir, "events")
+    val ev = Tables.loadSpread(spark, sfDir, "events")
     val doc = concat(
       lit("""{"heap":{"used":"""), col("user_id") * 1000,
       lit(""","max":"""), col("user_id") * 2000,
@@ -370,7 +370,7 @@ object Parsing {
     */
   def jmxCliNormalize(spark: SparkSession, sfDir: String): DataFrame = {
     val statNames = Seq("ds", "heap", "threads") // statCmdMap keys (config)
-    val ev = Tables.load(spark, sfDir, "events")
+    val ev = Tables.loadSpread(spark, sfDir, "events")
     // --- synthesize reference-shaped CLI output (warning + 3 blocks)
     val raw = concat(
       lit("WFLYPROMPT: picked up client options\n"),

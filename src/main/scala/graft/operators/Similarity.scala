@@ -165,17 +165,22 @@ object Similarity {
   }
 
   /** IVF-Flat ANN, centroids as DATA (not literals): seed centroids are
-    * the first `nCells` corpus vectors (deterministic), refined by one
-    * k-means iteration, and every assignment is a broadcast cross join
-    * scored with the native VecDot expression + a map-side-combinable
-    * argmax (max over a (sim, -cent_id) struct — no window sort). Queries
-    * probe their own cell only (nprobe=1).
+    * the first `nCells` corpus vectors (deterministic), refined by
+    * `kmeansIters` k-means iterations, and every assignment is a broadcast
+    * cross join scored with the native VecDot expression + a
+    * map-side-combinable argmax (max over a (sim, -cent_id) struct — no
+    * window sort). Queries probe their `nprobe` nearest cells (classic
+    * IVF recall/cost dial; the probe ranking is a window over Q×cells
+    * rows only, never the corpus).
     *
     * Scale shape: the centroid table stays broadcast-sized at real cell
     * counts (4096 x dim doubles ~ 2 MB), the plan is O(1) wide regardless
     * of nCells (the previous literal-expression-tree formulation blew the
     * 64 KB codegen method limit and shipped MB-size task binaries), and
-    * the search shuffle is keyed by cell — O(Q*N/nCells) comparisons.
+    * the search shuffle is keyed by cell — O(Q*N*nprobe/nCells)
+    * comparisons. Each (query, neighbor) pair meets at most once (a
+    * neighbor lives in exactly one home cell), so multi-probe needs no
+    * candidate dedup.
     */
   val IvfCells = 8
 
@@ -198,6 +203,31 @@ object Similarity {
             ${dotSql("v", "cv")} / (${normSql("v")} * ${normSql("cv")}) AS csim
           FROM ($vecsRel) CROSS JOIN ($centsRel))
         GROUP BY vec_id, v"""
+
+  /** Per-vector `nprobe` nearest centroids. Unlike [[assignCells]] this
+    * ranks with a window — acceptable because it only ever runs on the
+    * query set (Q×cells rows), never the corpus.
+    */
+  private def probeCells(qs: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val scored = qs.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))))
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)
+    scored.withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+  }
+
+  private def probeCellsSql(qsRel: String, centsRel: String, nprobe: Int): String =
+    s"""SELECT vec_id, v, cell FROM (
+          SELECT vec_id, v, cent_id AS cell,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY csim DESC, cent_id ASC) AS pr
+          FROM (
+            SELECT vec_id, v, cent_id,
+              ${dotSql("v", "cv")} / (${normSql("v")} * ${normSql("cv")}) AS csim
+            FROM ($qsRel) CROSS JOIN ($centsRel)))
+        WHERE pr <= $nprobe"""
 
   /** One k-means refinement step: per-cell, per-position mean of member
     * vectors as an ordered fold (members sorted by vec_id — bit-identical
@@ -226,13 +256,16 @@ object Similarity {
               FROM ($assignedRel) GROUP BY cell)"""
 
   def knnIvf(spark: SparkSession, sfDir: String,
-      k: Int = 5, nQueries: Int = 20): DataFrame = {
+      k: Int = 5, nQueries: Int = 20, nprobe: Int = 2,
+      kmeansIters: Int = 2): DataFrame = {
     val vecs = vecsDouble(spark, sfDir)
-    val cents0 = vecs.filter(col("vec_id") < IvfCells)
+    var cents = vecs.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val cents1 = refineCents(assignCells(vecs, cents0))
-    val assigned = assignCells(vecs, cents1)
-    val q = assigned.filter(col("vec_id") < nQueries)
+    for (_ <- 0 until kmeansIters)
+      cents = refineCents(assignCells(vecs, cents))
+    val assigned = assignCells(vecs, cents)
+    val q = probeCells(vecs.filter(col("vec_id") < nQueries)
+        .select("vec_id", "v"), cents, nprobe)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
     val c = assigned.select(col("vec_id").as("n_id"), col("v").as("nv"), col("cell"))
     val sims = q.join(c, Seq("cell")).filter(col("q_id") =!= col("n_id"))
@@ -244,14 +277,22 @@ object Similarity {
       .select("q_id", "n_id", "cell", "cos", "rank")
   }
 
-  def knnIvfSql(k: Int = 5, nQueries: Int = 20): String =
+  def knnIvfSql(k: Int = 5, nQueries: Int = 20, nprobe: Int = 2,
+      kmeansIters: Int = 2): String = {
+    val iterCtes = (0 until kmeansIters).map { i =>
+      val prev = if (i == 0) "cents0" else s"cents$i"
+      s"""a$i AS (${assignCellsSql("SELECT vec_id, v FROM vecs0", s"SELECT * FROM $prev")}),
+          cents${i + 1} AS (${refineCentsSql(s"SELECT * FROM a$i")})"""
+    }.mkString(",\n        ")
+    val last = s"cents$kmeansIters"
     s"""WITH vecs0 AS ($vecsDoubleSql),
         cents0 AS (SELECT vec_id AS cent_id, v AS cv FROM vecs0
                    WHERE vec_id < $IvfCells),
-        a0 AS (${assignCellsSql("SELECT vec_id, v FROM vecs0", "SELECT * FROM cents0")}),
-        cents1 AS (${refineCentsSql("SELECT * FROM a0")}),
-        assigned AS (${assignCellsSql("SELECT vec_id, v FROM vecs0", "SELECT * FROM cents1")}),
-        q AS (SELECT vec_id AS q_id, v AS qv, cell FROM assigned WHERE vec_id < $nQueries),
+        $iterCtes,
+        assigned AS (${assignCellsSql("SELECT vec_id, v FROM vecs0", s"SELECT * FROM $last")}),
+        q AS (SELECT vec_id AS q_id, v AS qv, cell FROM (
+          ${probeCellsSql(s"SELECT vec_id, v FROM vecs0 WHERE vec_id < $nQueries",
+            s"SELECT * FROM $last", nprobe)})),
         c AS (SELECT vec_id AS n_id, v AS nv, cell FROM assigned),
         sims AS (
           SELECT q_id, n_id, q.cell AS cell,
@@ -262,6 +303,7 @@ object Similarity {
             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
           FROM sims)
         SELECT q_id, n_id, cell, cos, rank FROM ranked WHERE rank <= $k"""
+  }
 
   /** recall@k of the IVF index vs the exact baseline — emitted as a query
     * so the accuracy/cost trade of nprobe=1 is measured, not assumed.

@@ -59,7 +59,7 @@ object SoapExtract {
     */
   def extractPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ev = Tables.load(spark, sfDir, "events")
+    val ev = Tables.loadSpread(spark, sfDir, "events")
     val base = ev.select(
       concat(lit("/net/srv"), pmod(col("user_id"), lit(3)),
         lit("/log/soap_io.log")).as("file"),

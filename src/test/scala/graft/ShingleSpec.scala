@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+import graft.functions.MinHashSig.min_hash_sig
+import graft.functions.ShingleHashes.shingle_hashes
+import graft.functions.SimHashSig.sim_hash_sig
+
+/** The fused ShingleHashes expression vs an independent re-derivation of
+  * its contract (split -> k-gram join -> PolyHash fold -> hash-distinct),
+  * including the edge shapes: fewer than k words, single word, empty
+  * string, and non-BMP codepoints (the hash folds CODEPOINTS — emoji and
+  * CJK-extension chars must hash like DuckDB's per-char ascii()).
+  */
+class ShingleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def polyRef(s: String): Long = {
+    var h = 0L
+    s.codePoints().forEach(cp => h = (h * 31L + cp) % 1000000007L)
+    h
+  }
+
+  private def shinglesRef(s: String, k: Int): Seq[Long] = {
+    val words = s.split(" ", -1).toSeq
+    val grams =
+      if (words.length < k) Seq(words.mkString(" "))
+      else words.sliding(k).map(_.mkString(" ")).toSeq
+    grams.map(polyRef).distinct
+  }
+
+  test("shingle_hashes == split/sliding/polyhash/distinct reference") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "emoji😀",
+      "漢字", "z9", "longword" * 3)
+    val texts = (1 to 300).map { i =>
+      (i.toLong, Vector.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    } :+ (9001L, "") :+ (9002L, "solo") :+ (9003L, "two words")
+    val got = texts.toDF("id", "t")
+      .select(col("id"), shingle_hashes(col("t"), 3).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == shinglesRef(t, 3), s"id=$id text='$t'")
+    }
+  }
+
+  test("min_hash_sig == per-family min of (h*a+b) mod p") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val p = 2147483647L
+    val as = (0 until 12).map(i => 2L * i + 3)
+    val bs = (0 until 12).map(i => 7L * i + 1)
+    val rows = (1 to 100).map(i =>
+      (i.toLong, Vector.fill(1 + rnd.nextInt(40))(rnd.nextLong(1000000007L))))
+    val got = rows.toDF("id", "hs")
+      .select(col("id"), min_hash_sig(col("hs"), as, bs, p).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { case (id, hs) =>
+      val want = as.zip(bs).map { case (a, b) => hs.map(h => (h * a + b) % p).min }
+      assert(got(id) == want, s"id=$id")
+    }
+  }
+
+  test("sim_hash_sig == per-bit vote sign") {
+    import spark.implicits._
+    val rnd = new Random(13)
+    val rows = (1 to 100).map(i =>
+      (i.toLong, Vector.fill(1 + rnd.nextInt(40))(rnd.nextLong(1000000007L))))
+    val got = rows.toDF("id", "hs")
+      .select(col("id"), sim_hash_sig(col("hs"), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, hs) =>
+      val want = (0 until 32).map { bit =>
+        val vote = hs.map(h => if (((h >> bit) & 1L) == 1L) 1 else -1).sum
+        if (vote > 0) 1L << bit else 0L
+      }.sum
+      assert(got(id) == want, s"id=$id")
+    }
+  }
+
+  test("k=1 and k=2 contracts hold") {
+    import spark.implicits._
+    val texts = Seq((1L, "a b c d"), (2L, "a"), (3L, "a b a b"))
+    for (k <- Seq(1, 2)) {
+      val got = texts.toDF("id", "t")
+        .select(col("id"), shingle_hashes(col("t"), k).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      texts.foreach { case (id, t) =>
+        assert(got(id) == shinglesRef(t, k), s"k=$k id=$id")
+      }
+    }
+  }
+}
