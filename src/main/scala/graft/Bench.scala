@@ -31,6 +31,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Static conf, default 100: a 39-query suite of wide plans evicts
+      // generated classes between passes, so every pass re-runs Janino +
+      // JIT (r2_candidates benched 18.3/18.0/7.8 s across its passes with
+      // the default; isolated-and-warm the same plan is 2.3 s). Keeping
+      // classes cached makes the median measure the QUERY, not compilation.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
