@@ -50,6 +50,10 @@ object SparkEntry {
       Alerts.assemblyRoundtrip(Alerts.candidates(zWin(s, dir), alertCfg))),
     "r7_digest"        -> ((s, dir) =>
       Alerts.digest(Alerts.candidates(zWin(s, dir), alertCfg))),
+    "s8_email_rows"    -> ((s, dir) =>
+      Alerts.emailRows(Alerts.candidates(zWin(s, dir), alertCfg))),
+    "s8_email_digest"  -> ((s, dir) =>
+      Alerts.emailDigest(Alerts.candidates(zWin(s, dir), alertCfg), alertCfg)),
     "d6_dedup_embed"   -> ((s, dir) => Similarity.embedNearDup(s, dir)),
     "c1_corpus_curation" -> ((s, dir) => Curation.curate(s, dir)),
     "j1_pairing"       -> ((s, dir) => Correlation.pairing(s, dir)),
@@ -109,6 +113,9 @@ object SparkEntry {
     "r5_assembly"      -> Alerts.assemblyRoundtripSql(
       Alerts.candidatesSql(zWinSql, alertCfg)),
     "r7_digest"        -> Alerts.digestSql(Alerts.candidatesSql(zWinSql, alertCfg)),
+    "s8_email_rows"    -> Alerts.emailRowsSql(Alerts.candidatesSql(zWinSql, alertCfg)),
+    "s8_email_digest"  -> Alerts.emailDigestSql(
+      Alerts.candidatesSql(zWinSql, alertCfg), alertCfg),
     "d6_dedup_embed"   -> Similarity.embedNearDupSql(),
     "c1_corpus_curation" -> Curation.curateSql,
     // z2_zscore_fold / r3_alerts: sequential recurrences (influence
@@ -161,7 +168,10 @@ object SparkEntry {
           AND epoch_ms(o_orderdate) < 883612800000
           AND epoch_ms(l_shipdate) >= 883612800000
         GROUP BY l_orderkey, epoch_ms(o_orderdate)""",
-  ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
+    // Collapse line breaks + indentation only — NOT intra-line runs: a
+    // blanket \s+ collapse rewrites whitespace inside SQL string
+    // LITERALS (the email CSS carries a reference-faithful double space).
+  ).map { case (k, v) => k -> v.replaceAll("\\s*\\n\\s*", " ").trim }
 
   /** TPC-H Q1-style pricing summary — the relational-aggregation smoke
     * query (predicate/column pruning reach the parquet scan).

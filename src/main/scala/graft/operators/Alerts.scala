@@ -301,6 +301,189 @@ object Alerts {
               FROM ($candSql) WHERE bad = 1)
         GROUP BY day_ms"""
 
+  // ------------------------------------------------------------------ S8
+  // The batch emailer's PRESENTATION layer (stream_process_alerts.js:
+  // formatAlertsHTML :208-266, generateGrafanaURLParams :155-192,
+  // generateGrafanaURL :195-206, email body :269-333) as pure column
+  // expressions — the SMTP/HTTP transport itself is peripheral config
+  // (sendEmail :359-…, apm_manager.js sendAnnotation :223-244); what the
+  // engine owes is the exact bytes those transports carry.
+
+  /** JS `Number.prototype.toFixed(1)` for the non-negative metric columns,
+    * decimal-parity-safe: `floor(x*10 + 0.5)` is IEEE multiply/add/floor —
+    * bit-identical on both engines — followed by integer digit split (no
+    * engine `round()`/`printf`, whose tie handling differs cross-engine).
+    * Matches toFixed on the exact binary value (0.25 -> "0.3";
+    * 0.35 = 0.3499… -> "0.3"). Null (e.g. UB on an incomplete window)
+    * renders as a JS template would print it: "null".
+    */
+  private def fx1(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = floor(c * 10 + lit(0.5)).cast("long")
+    coalesce(
+      concat((s / 10).cast("long").cast("string"), lit("."), (s % 10).cast("string")),
+      lit("null"))
+  }
+  private def fx1Sql(x: String): String = {
+    val s = s"CAST(floor(($x)*10 + 0.5) AS BIGINT)"
+    s"coalesce(CAST($s // 10 AS VARCHAR) || '.' || CAST($s % 10 AS VARCHAR), 'null')"
+  }
+
+  private val RowCss = Seq(
+    """<style type="text/css" media="all"> table { border-collapse: collapse; }""",
+    """ td { font-family: "Calibri"; font-size: 11pt; white-space: nowrap; }""",
+    """ td, th { padding: 7px; } td.bb, th.bb { border-bottom: 2px solid black }""",
+    """ td.center { text-align: center; } td.right { text-align: right; }""",
+    """ td.bbcenter { border-bottom: 2px solid black; text-align: center; }  </style>""").mkString
+  private val TableHeader =
+    """<table><tr bgcolor="#1ab2ff"><th>Server</th><th>Service</th><th>Timestamp</th><th>Lag</th><th>Cause</th></tr>""" +
+    """<tr bgcolor="#94DBFF"><th class="bb">TPM</th><th class="bb">Avg</th><th class="bb">Avg UB</th><th class="bb">75%</th><th class="bb">75% UB</th></tr>"""
+
+  /** One alert's two-row HTML fragment (formatAlertsHTML :246-263:
+    * identity row, then the metric row formatted `.toFixed(1)`; timestamp
+    * via F5 convertDateToLogDate). Stateless slice over bad intervals —
+    * the byte format is the deliverable, the buffer membership is R3/R4's.
+    */
+  def emailRowCol: org.apache.spark.sql.Column = concat(
+    lit("""<tr bgcolor="white"><td>"""), col("server"),
+    lit("</td><td>"), col("service"),
+    lit("</td><td>"),
+    date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd HH:mm:ss"),
+    lit("""</td><td class="center">"""), col("lag").cast("string"),
+    lit("</td><td>"), col("causes"),
+    lit("""</td></tr><tr bgcolor="#e5f8ff"><td class="bbcenter">"""),
+    fx1(col("tpm")),
+    lit("""</td><td class="bbcenter">"""), fx1(col("average")),
+    lit("""</td><td class="bbcenter">"""), fx1(col("average_ub")),
+    lit("""</td><td class="bbcenter">"""), fx1(col("per75")),
+    lit("""</td><td class="bbcenter">"""), fx1(col("per75_ub")),
+    lit("</td></tr>"))
+
+  def emailRows(cand: DataFrame): DataFrame =
+    cand.filter(col("bad") === 1)
+      .select(col("ts_ms"), col("server"), col("service"), col("lag"),
+        emailRowCol.as("row_html"))
+
+  def emailRowsSql(candSql: String): String = {
+    s"""SELECT ts_ms, server, service, lag,
+          '<tr bgcolor="white"><td>' || server || '</td><td>' || service ||
+          '</td><td>' || strftime(make_timestamp(ts_ms*1000), '%Y-%m-%d %H:%M:%S') ||
+          '</td><td class="center">' || CAST(lag AS VARCHAR) ||
+          '</td><td>' || causes ||
+          '</td></tr><tr bgcolor="#e5f8ff"><td class="bbcenter">' || ${fx1Sql("tpm")} ||
+          '</td><td class="bbcenter">' || ${fx1Sql("average")} ||
+          '</td><td class="bbcenter">' || ${fx1Sql("average_ub")} ||
+          '</td><td class="bbcenter">' || ${fx1Sql("per75")} ||
+          '</td><td class="bbcenter">' || ${fx1Sql("per75_ub")} ||
+          '</td></tr>' AS row_html
+        FROM ($candSql) WHERE bad = 1"""
+  }
+
+  /** Per-flush-window email body + Grafana URLs (the reference flushes
+    * per collection interval; daily windows keep the digest dense on the
+    * test horizon — same aggregation shape). Deterministic deviations
+    * from the reference, documented: `to` skips the now-90s clamp
+    * (:178-181 — wall-clock), and the `var-*` params append in sorted
+    * order (:184-186 appends in buffer-appearance order, which is
+    * arrival-dependent).
+    *
+    *  - params: `from=<min ts - 5 min>&to=<max ts + 5 min>` + var-server/
+    *    var-service/var-lag per distinct value (:171-186)
+    *  - heightFactor = |servers|*|services|*|lags| + |services| (:189-191)
+    *  - URL / renderURL (:195-206): base + relative + params; the render
+    *    variant adds width/height (100px header + multiple*heightFactor)
+    *  - body (:269-311): css + table + rows (ts order) + footer + the
+    *    `<pre>` link/cooldown block
+    */
+  def emailDigest(cand: DataFrame, cfg: AlertCfg = default,
+      grafanaUrl: String = "https://grafana.example:3000",
+      inspectorPath: String = "/d/alert-inspector",
+      renderWidth: Int = 1000, renderHeightMultiple: Int = 400): DataFrame = {
+    val rows = emailRows(cand)
+    val byDay = rows
+      .withColumn("day_ms", expr("ts_ms div 86400000") * 86400000L)
+      .groupBy("day_ms")
+      .agg(
+        count(lit(1)).as("n_alerts"),
+        min("ts_ms").as("first_ts"), max("ts_ms").as("last_ts"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("ts_ms"), col("server"),
+            col("lag"), col("service"), col("row_html")))),
+          r => r.getField("row_html")), "").as("rows_html"),
+        sort_array(collect_set(col("server"))).as("servers"),
+        sort_array(collect_set(col("service"))).as("services"),
+        sort_array(collect_set(col("lag"))).as("lags"))
+    val params = concat(
+      lit("from="), (col("first_ts") - 300000L).cast("string"),
+      lit("&to="), (col("last_ts") + 300000L).cast("string"),
+      array_join(transform(col("servers"), s => concat(lit("&var-server="), s)), ""),
+      array_join(transform(col("services"), s => concat(lit("&var-service="), s)), ""),
+      array_join(transform(col("lags"),
+        l => concat(lit("&var-lag="), l.cast("string"))), ""))
+    val heightFactor =
+      (size(col("servers")) * size(col("services")) * size(col("lags")) +
+        size(col("services"))).cast("long")
+    val url = concat(lit(s"$grafanaUrl$inspectorPath?"), col("params"))
+    val renderUrl = concat(
+      lit(s"$grafanaUrl/render$inspectorPath?"), col("params"),
+      lit(s"&width=$renderWidth&height="),
+      (lit(100L) + lit(renderHeightMultiple.toLong) * col("height_factor")).cast("string"))
+    val cooldownMin = (cfg.cooldownMs / 60000L).toString
+    val body = concat(
+      lit(RowCss + TableHeader), col("rows_html"), lit("</table>"),
+      lit("<pre>\n\n<a href=\""), col("url"),
+      lit(s"\">View Alert Graphs</a>\n\nCooldown until further alerts are sent out: $cooldownMin minutes\n\n</pre>"))
+    byDay
+      .withColumn("params", params)
+      .withColumn("height_factor", heightFactor)
+      .withColumn("url", url)
+      .withColumn("render_url", renderUrl)
+      .withColumn("email_html", body)
+      .select("day_ms", "n_alerts", "height_factor", "params", "url",
+        "render_url", "email_html")
+  }
+
+  def emailDigestSql(candSql: String, cfg: AlertCfg = default,
+      grafanaUrl: String = "https://grafana.example:3000",
+      inspectorPath: String = "/d/alert-inspector",
+      renderWidth: Int = 1000, renderHeightMultiple: Int = 400): String = {
+    val cooldownMin = (cfg.cooldownMs / 60000L).toString
+    val css = RowCss.replace("'", "''")
+    val hdr = TableHeader.replace("'", "''")
+    s"""WITH r AS (${emailRowsSql(candSql)}),
+        byday AS (
+          SELECT (ts_ms // 86400000) * 86400000 AS day_ms,
+            count(*) AS n_alerts,
+            min(ts_ms) AS first_ts, max(ts_ms) AS last_ts,
+            string_agg(row_html, '' ORDER BY ts_ms, server, lag, service) AS rows_html,
+            list_sort(list(DISTINCT server)) AS servers,
+            list_sort(list(DISTINCT service)) AS services,
+            list_sort(list(DISTINCT lag)) AS lags
+          FROM r GROUP BY 1),
+        p AS (
+          SELECT *,
+            'from=' || CAST(first_ts - 300000 AS VARCHAR) ||
+            '&to=' || CAST(last_ts + 300000 AS VARCHAR) ||
+            array_to_string(list_transform(servers, s -> '&var-server=' || s), '') ||
+            array_to_string(list_transform(services, s -> '&var-service=' || s), '') ||
+            array_to_string(list_transform(lags, l -> '&var-lag=' || CAST(l AS VARCHAR)), '')
+              AS params,
+            CAST(len(servers) * len(services) * len(lags) + len(services) AS BIGINT)
+              AS height_factor
+          FROM byday)
+        SELECT day_ms, n_alerts, height_factor, params,
+          '$grafanaUrl$inspectorPath?' || params AS url,
+          '$grafanaUrl/render$inspectorPath?' || params ||
+            '&width=$renderWidth&height=' ||
+            CAST(100 + $renderHeightMultiple * height_factor AS VARCHAR) AS render_url,
+          '$css$hdr' || rows_html || '</table>' ||
+            '<pre>' || chr(10) || chr(10) || '<a href="' ||
+            '$grafanaUrl$inspectorPath?' || params ||
+            '">View Alert Graphs</a>' || chr(10) || chr(10) ||
+            'Cooldown until further alerts are sent out: $cooldownMin minutes' ||
+            chr(10) || chr(10) || '</pre>' AS email_html
+        FROM p"""
+  }
+
   /** Pure-Scala reference fold for tests (mirrors reference processFSEntry
     * control flow directly — one pass, interleaved counter + cooldown).
     */
