@@ -84,6 +84,7 @@ object SparkEntry {
     "m2_media_decode"  -> ((s, dir) => Multimodal.decodeAll(s, dir).toDF),
     "q1_agg"           -> ((s, dir) => tpchQ1(s, dir)),
     "q3_join"          -> ((s, dir) => tpchQ3(s, dir)),
+    "q6_scan"          -> ((s, dir) => tpchQ6(s, dir)),
   )
 
   /** Alert config used by registered queries: thresholds tuned so the test
@@ -168,10 +169,43 @@ object SparkEntry {
           AND epoch_ms(o_orderdate) < 883612800000
           AND epoch_ms(l_shipdate) >= 883612800000
         GROUP BY l_orderkey, epoch_ms(o_orderdate)""",
+    "q6_scan"          -> """SELECT
+        sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) *
+            CAST(floor(l_discount*100 + 0.5) AS BIGINT)) / 10000.0 AS revenue,
+        count(*) AS n_lines
+        FROM lineitem
+        WHERE epoch_ms(l_shipdate) >= 820454400000
+          AND epoch_ms(l_shipdate) < 852076800000
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""",
     // Collapse line breaks + indentation only — NOT intra-line runs: a
     // blanket \s+ collapse rewrites whitespace inside SQL string
     // LITERALS (the email CSS carries a reference-faithful double space).
   ).map { case (k, v) => k -> v.replaceAll("\\s*\\n\\s*", " ").trim }
+
+  /** TPC-H Q6-style forecasting-revenue scan: pure filter + global
+    * aggregate — the predicate-pushdown showcase (every predicate reaches
+    * the parquet scan; no shuffle but the final 1-row combine).
+    *
+    * Float parity: a whole-table float sum's accumulation order differs
+    * between engines, and at 60k+ terms the drift can exceed round(4)'s
+    * tie tolerance. Instead, 2-dp price x 2-dp discount is lifted to
+    * EXACT integer 1e-4 grains (floor(x*100+0.5) — pure IEEE ops), summed
+    * as integers (order-free), and divided once at the end: bit-identical
+    * on both engines at any scale.
+    */
+  private def tpchQ6(s: SparkSession, dir: String): DataFrame = {
+    // [1996-01-01, 1997-01-01) epoch ms
+    val lo = 820454400000L; val hi = 852076800000L
+    val li0 = Tables.load(s, dir, "lineitem")
+    val grains = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+      floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+    li0
+      .filter(Tables.tsRange(li0, "l_shipdate", Some(lo), Some(hi)) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg((sum(grains) / lit(10000.0)).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
 
   /** TPC-H Q1-style pricing summary — the relational-aggregation smoke
     * query (predicate/column pruning reach the parquet scan).
@@ -197,15 +231,13 @@ object SparkEntry {
       .select("c_custkey")
     val ord0 = Tables.load(s, dir, "orders")
     val ord = ord0
+      .filter(Tables.tsRange(ord0, "o_orderdate", None, Some(cutoffMs)))
       .select(col("o_orderkey"), col("o_custkey"),
         Tables.colMillis(ord0, "o_orderdate").as("o_orderdate_ms"))
-      .filter(col("o_orderdate_ms") < cutoffMs)
     val li0 = Tables.load(s, dir, "lineitem")
     val li = li0
-      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
-        Tables.colMillis(li0, "l_shipdate").as("l_shipdate_ms"))
-      .filter(col("l_shipdate_ms") >= cutoffMs)
-      .drop("l_shipdate_ms")
+      .filter(Tables.tsRange(li0, "l_shipdate", Some(cutoffMs), None))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate_ms")

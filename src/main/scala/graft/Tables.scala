@@ -68,6 +68,32 @@ object Tables {
     * frame itself (codecs, parsers); leave false when the consumer's own
     * exchanges (joins, groupBys, keyed folds) already redistribute.
     */
+  /** Pushdown-friendly event-time range predicate (ms bounds, half-open):
+    * compares the RAW timestamp column against literals of its own type.
+    * `unix_millis(col) >= lo` never reaches the parquet scan (the
+    * conversion wraps the column); `col >= <literal of column type>`
+    * shows up in PushedFilters — at scale this is the fact-table date
+    * pruning that decides whether a query reads 1% or 100% of the data.
+    */
+  def tsRange(df: DataFrame, name: String,
+      loMs: Option[Long], hiMs: Option[Long]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    def ntzLit(ms: Long) = lit(java.time.LocalDateTime.ofEpochSecond(
+      math.floorDiv(ms, 1000), (math.floorMod(ms, 1000) * 1000000).toInt,
+      java.time.ZoneOffset.UTC))
+    val (loC, hiC) = df.schema(name).dataType match {
+      case LongType => // nanos under nanosAsLong
+        (loMs.map(m => col(name) >= m * 1000000L),
+          hiMs.map(m => col(name) < m * 1000000L))
+      case TimestampNTZType =>
+        (loMs.map(m => col(name) >= ntzLit(m)), hiMs.map(m => col(name) < ntzLit(m)))
+      case _ =>
+        (loMs.map(m => col(name) >= timestamp_millis(lit(m))),
+          hiMs.map(m => col(name) < timestamp_millis(lit(m))))
+    }
+    (loC.toSeq ++ hiC.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+  }
+
   def txBase(spark: SparkSession, sfDir: String, spread: Boolean = false): DataFrame = {
     val ev = if (spread) loadSpread(spark, sfDir, "events")
              else load(spark, sfDir, "events")
