@@ -80,6 +80,8 @@ object SparkEntry {
     "s2_knn_lsh"       -> ((s, dir) => Similarity.knnLsh(s, dir)),
     "s3_knn_ivf"       -> ((s, dir) => Similarity.knnIvf(s, dir)),
     "s4_ivf_recall"    -> ((s, dir) => Similarity.ivfRecall(s, dir)),
+    "e1_embed_quantize" -> ((s, dir) => Similarity.embedQuantize(s, dir)),
+    "t5_seq_pack"      -> ((s, dir) => TextAnalysis.seqPack(s, dir)),
     "m1_media_meta"    -> ((s, dir) => Multimodal.meta(s, dir)),
     "m2_media_decode"  -> ((s, dir) => Multimodal.decodeAll(s, dir).toDF),
     "q1_agg"           -> ((s, dir) => tpchQ1(s, dir)),
@@ -146,6 +148,8 @@ object SparkEntry {
     "s2_knn_lsh"       -> Similarity.knnLshSql(),
     "s3_knn_ivf"       -> Similarity.knnIvfSql(),
     "s4_ivf_recall"    -> Similarity.ivfRecallSql(),
+    "e1_embed_quantize" -> Similarity.embedQuantizeSql,
+    "t5_seq_pack"      -> TextAnalysis.seqPackSql(),
     "m1_media_meta"    -> Multimodal.metaSql,
     // m2_media_decode: mapPartitions decode pipeline with stubbed codec —
     // rows-only check (the declarative m1_media_meta covers the checksum

@@ -326,6 +326,55 @@ object Similarity {
         FROM brute LEFT JOIN ivf ON q_id = iq AND n_id = in_
         GROUP BY q_id"""
 
+  /** Symmetric int8 embedding quantization (the standard storage/ANN
+    * compression for trained-embedding corpora — 4x smaller than f32,
+    * recall measured, scale carried per vector):
+    * `scale = amax/127`, `q_i = floor(x_i/scale + 0.5)` (round-half-up —
+    * pure IEEE divide/add/floor, bit-identical cross-engine; zero vectors
+    * quantize to all-zero via the nullif guard). Emits the quantized
+    * vector as a comma-joined string (the external harness can't
+    * canonicalize list cells) plus the per-vector reconstruction MSE as
+    * an ordered fold — the accuracy side of the compression trade,
+    * measured not assumed.
+    *
+    * Scale shape: scan-only, no shuffle; at 100 TB this is a pure map
+    * stage writing 1/4 the bytes.
+    */
+  def embedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = vecsDouble(spark, sfDir)
+    val amax = array_max(transform(col("v"), x => abs(x)))
+    val scale = amax / lit(127.0)
+    val q = transform(col("v"), x =>
+      coalesce(floor(x / nullif(col("scale"), lit(0.0)) + lit(0.5)).cast("int"),
+        lit(0)))
+    val recon = zip_with(col("v"), col("q"),
+      (x, qi) => (x - qi.cast("double") * col("scale")) *
+        (x - qi.cast("double") * col("scale")))
+    vecs
+      .withColumn("scale", scale)
+      .withColumn("q", q)
+      .select(col("vec_id"), col("scale"),
+        array_join(col("q").cast("array<string>"), ",").as("qvec"),
+        (aggregate(recon, lit(0.0), (acc, e) => acc + e) /
+          size(col("v")).cast("double")).as("mse"))
+  }
+
+  val embedQuantizeSql: String =
+    s"""WITH vecs AS ($vecsDoubleSql),
+        s AS (SELECT vec_id, v,
+                list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+              FROM vecs),
+        q AS (SELECT vec_id, v, scale,
+                list_transform(v, x ->
+                  coalesce(CAST(floor(x / nullif(scale, 0.0) + 0.5) AS INT), 0)) AS qv
+              FROM s)
+        SELECT vec_id, scale,
+          array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',') AS qvec,
+          list_reduce(list_prepend(0.0, list_transform(range(1, len(v)+1),
+            i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale))),
+            (acc, e) -> acc + e) / CAST(len(v) AS DOUBLE) AS mse
+        FROM q"""
+
   def knnLshSql(k: Int = 5, nQueries: Int = 20): String = {
     val dim = 64
     val bucket = (0 until LshBits).map { bit =>

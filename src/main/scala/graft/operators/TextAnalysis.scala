@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.PolyHash.{poly_hash, sql => polySql}
@@ -34,6 +35,45 @@ object TextAnalysis {
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
          length(text) AS n_chars_computed, n_chars
        FROM documents"""
+
+  /** Sequence-packing plan (context-window packing for LLM training):
+    * docs are packed greedily in a fixed deterministic order (doc_id)
+    * within each `source` shard; a doc's pack is
+    * `floor(tokens_before / capacity)` and its offset is the running
+    * token count before it, i.e. the streaming-order packing plan a
+    * sequential packer would produce when documents may span pack
+    * boundaries (GPT-style concat-then-chunk packing, not bin packing —
+    * deterministic and shuffle-minimal: ONE window over the source
+    * shard's doc order, no global sort).
+    *
+    * Scale shape: partitioned by `source` (shards are the natural
+    * pack-group at corpus scale), cumulative sum is a single window
+    * over each shard; integer arithmetic end-to-end (exact parity).
+    */
+  def seqPack(spark: SparkSession, sfDir: String, capacity: Int = 512): DataFrame = {
+    val nTok = size(split(trim(col("text")), wsSplit)).cast("long")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), nTok.as("n_tokens"))
+      .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("tok_before") / capacity).cast("long").as("pack_id"),
+        (col("tok_before") % capacity).as("pack_offset"))
+  }
+
+  def seqPackSql(capacity: Int = 512): String =
+    s"""SELECT doc_id, source, n_tokens,
+          tok_before // $capacity AS pack_id,
+          tok_before % $capacity AS pack_offset
+        FROM (
+          SELECT doc_id, source, n_tokens,
+            coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+          FROM (
+            SELECT doc_id, source,
+              CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+            FROM documents))"""
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
