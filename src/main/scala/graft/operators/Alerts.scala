@@ -130,8 +130,13 @@ object Alerts {
     // Phase 1 (R3): per (server,service,lag) ordered fold of the counter.
     // Repartition + Tungsten sort + one streaming pass (O(1) state per
     // key, no per-group buffering — the scale-safe fold shape).
+    // Explicit partition count: a keyed repartition WITHOUT one is
+    // AQE-coalescible, and these shuffles are small-bytes/heavy-CPU —
+    // AQE's size heuristic merges them into one partition and serializes
+    // the fold on a single core (observed 20-100x wall blowups).
+    val nPart = spark.sparkContext.defaultParallelism
     val voted = cand.select("server", "service", "lag", "ts_ms", "bad", "causes")
-      .repartition(col("server"), col("service"), col("lag"))
+      .repartition(nPart, col("server"), col("service"), col("lag"))
       .sortWithinPartitions("server", "service", "lag", "ts_ms")
       .as[(String, String, Int, Long, Int, String)]
       .mapPartitions { it =>
@@ -153,7 +158,7 @@ object Alerts {
     // service alone (stream_process_alerts.js:449-467), rows in
     // (ts, server, lag) order.
     voted
-      .repartition(col("_2"))
+      .repartition(nPart, col("_2"))
       .sortWithinPartitions("_2", "_4", "_1", "_3")
       .mapPartitions { it =>
         var curSvc: String = null
@@ -359,7 +364,12 @@ object Alerts {
     lit("</td></tr>"))
 
   def emailRows(cand: DataFrame): DataFrame =
+    // pinned repartition before the wide per-row formatting: the window
+    // stage upstream is AQE-coalescible (small bytes), and without this
+    // the 130k-row HTML assembly ran on one core (150 s observed; <2 s
+    // parallel). Explicit N disables AQE's size-based coalescing here.
     cand.filter(col("bad") === 1)
+      .repartition(cand.sparkSession.sparkContext.defaultParallelism)
       .select(col("ts_ms"), col("server"), col("service"), col("lag"),
         emailRowCol.as("row_html"))
 

@@ -89,7 +89,7 @@ object AuditTrail {
     // file) — never buffers a whole file, same scale-safe fold shape as
     // the other sequential recurrences.
     lines.as[(String, Long, String)]
-      .repartition(col("file"))
+      .repartition(spark.sparkContext.defaultParallelism, col("file"))
       .sortWithinPartitions("file", "line_no")
       .mapPartitions { it =>
         val b = it.buffered

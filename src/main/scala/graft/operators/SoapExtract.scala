@@ -81,7 +81,7 @@ object SoapExtract {
     // Same streaming per-file fold shape as AuditTrail: repartition by
     // file, Tungsten sort, one lazy pass (state = pending logId only).
     lines.as[(String, Long, String)]
-      .repartition(col("file"))
+      .repartition(spark.sparkContext.defaultParallelism, col("file"))
       .sortWithinPartitions("file", "line_no")
       .mapPartitions { it =>
         val b = it.buffered

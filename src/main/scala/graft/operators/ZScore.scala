@@ -184,6 +184,83 @@ object ZScore {
     perLag.mkString(" UNION ALL ")
   }
 
+  /** Primitive ring buffer over one metric's influenced-value window —
+    * semantically identical to `RefStats.zScoreStepRef` over a
+    * `Queue[Option[Double]]` (same queue order, same left-to-right
+    * mean/variance folds, same "variance 0 => sd undefined" quirk,
+    * same influence feedback off the most recent element), but with
+    * zero per-step allocation. The previous formulation copied the
+    * queue (`toIndexedSeq`) and re-materialized `flatten`/`map` lists
+    * per (row x lag x metric) — O(lag) boxed ALLOCATION per step, which
+    * at lag=144 over 130k rows is ~10^8 transient objects and made the
+    * fold GC-bound. Equality with zScoreStepRef is pinned by
+    * SparkOpsSpec ("zScoreFold == per-key loop over zScoreStepRef").
+    */
+  private[operators] final class MetricWindow(lagCap: Int) {
+    private val cap = math.max(lagCap, 1)
+    private val vals = new Array[Double](cap)
+    private val defd = new Array[Boolean](cap)
+    private var start = 0
+    private var used = 0
+
+    /** zScoreStepRef + dequeue-at-lag + enqueue(influenced) in one call.
+      * Returns (avg, lb, ub, signal) for the CURRENT window state (i.e.
+      * before this value is pushed), like the reference step.
+      */
+    def stepAndPush(lag: Int, threshold: Double, influence: Double,
+        nv: Option[Double]): (Option[Double], Option[Double], Option[Double], Int) = {
+      var inflDef = nv.isDefined
+      var inflV = if (inflDef) nv.get else 0.0
+      var avg: Option[Double] = None
+      var lb: Option[Double] = None
+      var ub: Option[Double] = None
+      var signal = 0
+      if (used >= lag) {
+        var sum = 0.0
+        var n = 0
+        var i = 0
+        while (i < used) {
+          val j = (start + i) % cap
+          if (defd(j)) { sum += vals(j); n += 1 }
+          i += 1
+        }
+        if (n > 0) {
+          val m = sum / n
+          avg = Some(m)
+          var sq = 0.0
+          i = 0
+          while (i < used) {
+            val j = (start + i) % cap
+            if (defd(j)) { val d = vals(j) - m; sq += d * d }
+            i += 1
+          }
+          val msq = sq / n
+          if (msq != 0.0) { // 0 => sd undefined quirk
+            val s = math.sqrt(msq)
+            lb = Some(m - threshold * s)
+            ub = Some(m + threshold * s)
+            if (nv.isDefined && math.abs(nv.get - m) > threshold * s)
+              signal = if (nv.get > m) 1 else -1
+            if (signal != 0) {
+              val lastJ = (start + used - 1) % cap
+              if (defd(lastJ)) {
+                inflV = influence * nv.get + (1 - influence) * vals(lastJ)
+                inflDef = true
+              }
+            }
+          }
+        }
+        start = (start + 1) % cap // dequeue (window at capacity)
+        used -= 1
+      }
+      val j = (start + used) % cap
+      vals(j) = inflV
+      defd(j) = inflDef
+      used += 1
+      (avg, lb, ub, signal)
+    }
+  }
+
   /** Faithful reference z-score with influence feedback — ordered fold per
     * (server, service) x lag. Output schema matches [[zScoreWindowed]].
     *
@@ -204,20 +281,28 @@ object ZScore {
     // fold variant; the windowed variant uses a broadcast join).
     val ovrMap: Map[(String, Int), ZOverride] =
       overrides.map(o => ((o.service, o.lag), o)).toMap
+    // Explicit partition count: without one, this keyed repartition is
+    // AQE-coalescible, and the shuffle is small-bytes/heavy-CPU — AQE's
+    // size heuristic merged all keys into ONE partition and ran the fold
+    // on a single core (observed 20-100x wall blowups at sf0.1).
     val out = stats.select("server", "service", "ts_ms", "tpm",
         "average", "per75", "per95")
-      .repartition(col("server"), col("service"))
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("server"), col("service"))
       .sortWithinPartitions("server", "service", "ts_ms")
       .as[(String, String, Long, Option[Double], Option[Double], Option[Double], Option[Double])]
       .mapPartitions { it =>
         var curKey: (String, String) = null
-        // per lag-config: one bounded queue of *influenced* values per
-        // metric — exactly the reference's avgList/per75List/per95List.
-        var lists: Array[Array[mutable.Queue[Option[Double]]]] = null
+        // per lag-config: one bounded primitive window of *influenced*
+        // values per metric — the reference's avgList/per75List/per95List
+        // (see [[MetricWindow]]: same queue order, same fold order as
+        // zScoreStepRef, zero per-step allocation).
+        var wins: Array[Array[MetricWindow]] = null
         it.flatMap { case (srv, svc, ts, tpm, a, p75, p95) =>
           if (curKey == null || curKey != ((srv, svc))) {
             curKey = (srv, svc)
-            lists = Array.fill(lagsB.size)(Array.fill(3)(mutable.Queue.empty[Option[Double]]))
+            wins = lagsB.toArray.map(cfg =>
+              Array.fill(3)(new MetricWindow(cfg.lag)))
           }
           val ms = Array(a, p75, p95)
           lagsB.iterator.zipWithIndex.map { case (cfg, li) =>
@@ -225,11 +310,7 @@ object ZScore {
             val thrEff = o.flatMap(_.threshold).getOrElse(cfg.threshold)
             val inflEff = o.flatMap(_.influence).getOrElse(cfg.influence)
             val zs = (0 until 3).map { i =>
-              val (infl, avgV, lb, ub, sig) = RefStats.zScoreStepRef(
-                cfg.lag, thrEff, inflEff, ms(i), lists(li)(i).toIndexedSeq)
-              if (lists(li)(i).size >= cfg.lag) lists(li)(i).dequeue()
-              lists(li)(i).enqueue(infl)
-              (avgV, lb, ub, sig)
+              wins(li)(i).stepAndPush(cfg.lag, thrEff, inflEff, ms(i))
             }
             (srv, svc, ts, cfg.lag, tpm, a, p75, p95,
               zs(0)._1, zs(0)._2, zs(0)._3, zs(0)._4,
