@@ -83,6 +83,13 @@ object Bench {
         val ws = passes.map(_._1)
         ws.max / math.max(ws.min, 1e-9) > 5.0
       }) { passes += timeOnce(name, fn); extra += 1 }
+      // Explicit GC between queries, OUTSIDE the timed sections: dozens
+      // of queries x passes accumulate broadcast/shuffle driver state
+      // that the ContextCleaner only reclaims on a driver GC; without
+      // this the heap fills mid-suite and a G1 storm taxes whole query
+      // families 5-30x (observed: one pass burning 250 cpu-sec on all
+      // cores, then every query in the window 10x slow until reclaim).
+      System.gc()
       (name, median(passes.map(_._1).toSeq), median(passes.map(_._2).toSeq))
     }
     def jnum(v: Double): String = f"$v%.3f"

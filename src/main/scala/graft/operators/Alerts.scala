@@ -130,11 +130,12 @@ object Alerts {
     // Phase 1 (R3): per (server,service,lag) ordered fold of the counter.
     // Repartition + Tungsten sort + one streaming pass (O(1) state per
     // key, no per-group buffering — the scale-safe fold shape).
-    // Explicit partition count: a keyed repartition WITHOUT one is
-    // AQE-coalescible, and these shuffles are small-bytes/heavy-CPU —
-    // AQE's size heuristic merges them into one partition and serializes
-    // the fold on a single core (observed 20-100x wall blowups).
-    val nPart = spark.sparkContext.defaultParallelism
+    // Explicit partition count, deliberately != shuffle.partitions so
+    // EnsureRequirements can't elide it as satisfied-by-upstream (see
+    // ZScore.zScoreFold): elision leaves only an AQE-coalescible
+    // exchange, and AQE serialized these small-bytes/heavy-CPU folds
+    // onto one core (20-100x wall blowups).
+    val nPart = spark.sparkContext.defaultParallelism * 2
     val voted = cand.select("server", "service", "lag", "ts_ms", "bad", "causes")
       .repartition(nPart, col("server"), col("service"), col("lag"))
       .sortWithinPartitions("server", "service", "lag", "ts_ms")

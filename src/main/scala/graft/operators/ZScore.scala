@@ -281,13 +281,18 @@ object ZScore {
     // fold variant; the windowed variant uses a broadcast join).
     val ovrMap: Map[(String, Int), ZOverride] =
       overrides.map(o => ((o.service, o.lag), o)).toMap
-    // Explicit partition count: without one, this keyed repartition is
-    // AQE-coalescible, and the shuffle is small-bytes/heavy-CPU — AQE's
-    // size heuristic merged all keys into ONE partition and ran the fold
-    // on a single core (observed 20-100x wall blowups at sf0.1).
+    // Explicit partition count, deliberately != spark.sql.shuffle
+    // .partitions: EnsureRequirements elides a user repartition whose
+    // child already hash-partitions on a satisfying key set with the
+    // SAME partition count (the upstream window's exchange does), and
+    // the surviving ENSURE_REQUIREMENTS exchange is AQE-coalescible —
+    // for this small-bytes/heavy-CPU shuffle AQE merged every key into
+    // ONE partition and ran the fold single-core (20-100x wall blowups
+    // at sf0.1). A distinct count keeps the REPARTITION_BY_NUM shuffle
+    // in the plan, which AQE never coalesces.
     val out = stats.select("server", "service", "ts_ms", "tpm",
         "average", "per75", "per95")
-      .repartition(spark.sparkContext.defaultParallelism,
+      .repartition(spark.sparkContext.defaultParallelism * 2,
         col("server"), col("service"))
       .sortWithinPartitions("server", "service", "ts_ms")
       .as[(String, String, Long, Option[Double], Option[Double], Option[Double], Option[Double])]

@@ -58,4 +58,24 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("a1_bucketize")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
+
+  test("q6 scan: every predicate incl. the date range reaches the scan") {
+    // formatted mode: plan toString elides long PushedFilters lists
+    val p = SparkEntry.queries("q6_scan")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,"), p)
+    assert(p.contains("LessThan(l_shipdate,"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), p)
+  }
+
+  test("keyed folds keep explicit parallelism (AQE must not coalesce to 1)") {
+    // regression pin for the AQE small-shuffle coalescing trap: a keyed
+    // repartition without an explicit N was merged into ONE partition,
+    // serializing the CPU-heavy sequential folds (20-100x wall blowups).
+    import graft.operators.{ApmStats, ZScore}
+    val fold = ZScore.zScoreFold(ApmStats.slidingStats(spark, sf))
+    val n = fold.rdd.getNumPartitions
+    assert(n >= spark.sparkContext.defaultParallelism, s"fold partitions=$n")
+  }
 }
