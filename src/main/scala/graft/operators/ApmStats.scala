@@ -105,6 +105,15 @@ object ApmStats {
     val w = Window.partitionBy("server", "service").orderBy("bucket")
       .rowsBetween(-(windowN - 1), 0)
     denseBuckets(spark, sfDir, intervalMs)
+      // Pinned REPARTITION_BY_NUM shuffle feeding the window (count
+      // deliberately != shuffle.partitions — see ZScore.zScoreFold):
+      // otherwise the window's own ENSURE_REQUIREMENTS exchange is
+      // AQE-coalescible and the whole downstream stats->zscore->alerts
+      // chain (8 registered queries) runs at 1-2 effective cores. The
+      // window's parallelism is key-bound either way; this keeps every
+      // key-partition schedulable concurrently.
+      .repartition(spark.sparkContext.defaultParallelism * 2,
+        col("server"), col("service"))
       .withColumn("n", sum(col("cnt")).over(w))
       .withColumn("sorted", sort_array(flatten(collect_list(col("vals")).over(w))))
       // Raw doubles, no round(): every value is an ordered fold / identical
