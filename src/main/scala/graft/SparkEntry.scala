@@ -84,6 +84,7 @@ object SparkEntry {
     "t5_seq_pack"      -> ((s, dir) => TextAnalysis.seqPack(s, dir)),
     "m1_media_meta"    -> ((s, dir) => Multimodal.meta(s, dir)),
     "m2_media_decode"  -> ((s, dir) => Multimodal.decodeAll(s, dir).toDF),
+    "m3_frame_sample"  -> ((s, dir) => Multimodal.frameSample(s, dir)),
     "q1_agg"           -> ((s, dir) => tpchQ1(s, dir)),
     "q3_join"          -> ((s, dir) => tpchQ3(s, dir)),
     "q6_scan"          -> ((s, dir) => tpchQ6(s, dir)),
@@ -149,6 +150,7 @@ object SparkEntry {
     "s3_knn_ivf"       -> Similarity.knnIvfSql(),
     "s4_ivf_recall"    -> Similarity.ivfRecallSql(),
     "e1_embed_quantize" -> Similarity.embedQuantizeSql,
+    "m3_frame_sample"  -> Multimodal.frameSampleSql(),
     "t5_seq_pack"      -> TextAnalysis.seqPackSql(),
     "m1_media_meta"    -> Multimodal.metaSql,
     // m2_media_decode: mapPartitions decode pipeline with stubbed codec —

@@ -104,4 +104,56 @@ object Multimodal {
           CAST(${polySql("text")} % 480 + 1 AS INT) AS height
         FROM documents"""
   }
+
+  /** Frame sampling — the video-pipeline primitive (probe every k-th
+    * frame, fingerprint it for frame-level dedup / shot detection): the
+    * payload is treated as a dense sequence of fixed-size frames; the
+    * operator emits one row per SAMPLED frame with its index, offset and
+    * content fingerprint. Pure column expressions (sequence + explode +
+    * substring + PolyHash) — a narrow map over the scan with a ×(frames/
+    * stride) fan-out and no shuffle; at 100 TB the payload bytes never
+    * leave their input split. (A real codec would replace the fixed-size
+    * slicing with keyframe offsets from the container index — the
+    * sampling/fingerprint plumbing is identical.)
+    */
+  def frameSample(spark: SparkSession, sfDir: String,
+      frameLen: Int = 64, sampleEvery: Int = 4): DataFrame = {
+    import graft.functions.PolyHash.poly_hash
+    val body = decode(encode(col("text"), "UTF-8"), "UTF-8") // payload round-trip
+    val nFrames = ceil(length(body).cast("double") / frameLen).cast("long")
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        body.as("body"), nFrames.as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("kind"), col("n_frames"), col("body"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(sampleEvery.toLong)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("kind"), col("n_frames"), col("frame_idx"),
+        (col("frame_idx") * frameLen + 1).as("offset"),
+        poly_hash(expr(s"substring(body, CAST(frame_idx * $frameLen + 1 AS INT), $frameLen)"))
+          .as("frame_fp"))
+  }
+
+  def frameSampleSql(frameLen: Int = 64, sampleEvery: Int = 4): String = {
+    import graft.functions.PolyHash.{sql => polySql}
+    s"""WITH d AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN 'image'
+                 WHEN doc_id % 3 = 1 THEN 'audio'
+                 ELSE 'video' END AS kind,
+            text AS body,
+            CAST(ceil(length(text) / $frameLen.0) AS BIGINT) AS n_frames
+          FROM documents),
+        f AS (
+          SELECT doc_id, kind, n_frames,
+            unnest(range(0, n_frames, $sampleEvery)) AS frame_idx, body
+          FROM d WHERE n_frames > 0)
+        SELECT doc_id, kind, n_frames, frame_idx,
+          frame_idx * $frameLen + 1 AS offset,
+          ${polySql(s"substring(body, CAST(frame_idx * $frameLen + 1 AS INT), $frameLen)")} AS frame_fp
+        FROM f"""
+  }
 }
