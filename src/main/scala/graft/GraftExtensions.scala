@@ -3,11 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayStats, PolyHash, ShingleHashes, VecDot}
+import graft.functions.{ArrayStats, JaccardSim, PolyHash, ShingleHashes, VecDot}
+import graft.plans.JaccardJoinRewrite
 
 /** SparkSessionExtensions entry point: registers this library's native
   * expressions as SQL functions, so `spark.sql("SELECT poly_hash(text)
-  * ...")` works alongside the Column API.
+  * ...")` works alongside the Column API, and injects the optimizer
+  * rules ([[JaccardJoinRewrite]]: similarity theta-join →
+  * inverted-index equi-join).
   *
   * Usage:
   *   SparkSession.builder().withExtensions(new GraftExtensions) ...
@@ -15,10 +18,12 @@ import graft.functions.{ArrayStats, PolyHash, ShingleHashes, VecDot}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, usage, builder) =>
       e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
+    e.injectOptimizerRule(_ => JaccardJoinRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -36,7 +41,10 @@ object GraftExtensions {
       "shingle_hashes(str, k) - distinct poly_hash of word k-grams (k literal)",
       (args: Seq[Expression]) =>
         ShingleHashes(args.head,
-          args(1).eval().asInstanceOf[Number].intValue())))
+          args(1).eval().asInstanceOf[Number].intValue())),
+    ("jaccard_sim",
+      "jaccard_sim(a, b) - exact Jaccard of two distinct-element long arrays",
+      (args: Seq[Expression]) => JaccardSim(args(0), args(1))))
 
   /** Register on an already-built session (temp functions) — for
     * sessions not created via `withExtensions` (e.g. notebooks, tests).

@@ -151,6 +151,48 @@ object Dedup {
         WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= $threshold"""
   }
 
+  // ------------------------------------------------------- declarative jaccard
+
+  /** The same n-gram Jaccard dedup written the way a USER would write it:
+    * a self-join whose condition bounds `jaccard_sim` — an all-pairs
+    * theta-join as declared. [[graft.plans.JaccardJoinRewrite]] (injected
+    * below; library sessions get it via `GraftExtensions`) rewrites the
+    * plan into the inverted-index equi-join of [[ngramJaccard]]
+    * automatically, so the declarative form executes at the blocked
+    * shape's cost. PlanSpec pins the absence of a nested-loop join;
+    * the DuckDB oracle runs the naive form — output must be identical.
+    */
+  def jaccardJoin(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4): DataFrame = {
+    import graft.functions.JaccardSim.jaccard_sim
+    if (!spark.experimental.extraOptimizations.contains(
+        graft.plans.JaccardJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.JaccardJoinRewrite
+    val d = docs(spark, sfDir).select(col("doc_id"), shingleHashes.as("sh"))
+    val a = d.as("a")
+    val b = d.as("b")
+    a.join(b, col("a.doc_id") < col("b.doc_id") &&
+        jaccard_sim(col("a.sh"), col("b.sh")) >= threshold)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        jaccard_sim(col("a.sh"), col("b.sh")).as("jaccard"))
+  }
+
+  /** Oracle: the naive all-pairs join verbatim (DuckDB is fine with it at
+    * oracle scale). Both engines compute |∩| and |∪| as integers and do
+    * one IEEE division — bit-identical.
+    */
+  def jaccardJoinSql(threshold: Double = 0.4): String = {
+    val sh = shingleHashesSql("string_split(" + normTextSql + ", ' ')")
+    s"""WITH d AS (SELECT doc_id, $sh AS sh FROM documents),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+          FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= $threshold"""
+  }
+
   // ---------------------------------------------------------------- minhash
 
   /** k hash families h_i(x) = (a_i*x + b_i) mod p over the shingle

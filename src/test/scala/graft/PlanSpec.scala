@@ -78,4 +78,13 @@ class PlanSpec extends AnyFunSuite {
     val n = fold.rdd.getNumPartitions
     assert(n >= spark.sparkContext.defaultParallelism, s"fold partitions=$n")
   }
+
+  test("d7 jaccard theta-join is rewritten to an inverted-index equi-join") {
+    val p = plan("d7_jaccard_join")
+    // the declared plan is an all-pairs theta-join; the optimizer rule
+    // must turn it into explode + hash/merge equi-join on the shingle key
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
 }

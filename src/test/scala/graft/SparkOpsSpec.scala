@@ -140,4 +140,43 @@ class SparkOpsSpec extends AnyFunSuite {
     }
     assert(got.toSeq == exp)
   }
+
+  test("JaccardJoinRewrite preserves the naive join's exact multiset") {
+    import spark.implicits._
+    import graft.functions.JaccardSim.jaccard_sim
+    if (!spark.experimental.extraOptimizations.contains(
+        graft.plans.JaccardJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.JaccardJoinRewrite
+    val rnd = new Random(11)
+    // distinct-element long arrays with engineered overlap, plus a fully
+    // DUPLICATED row (id 3): multiplicity must survive the rewrite
+    val base = (1L to 30L).map { id =>
+      val pool = (0L until 40L).map(x => x * 7L + (id % 5))
+      (id, rnd.shuffle(pool).take(20 + rnd.nextInt(15)).toArray)
+    }
+    val rows = base :+ base(2)
+    val df = rows.toDF("id", "sh")
+    val t = 0.25
+    val joined = df.as("a").join(df.as("b"),
+        col("a.id") < col("b.id") &&
+          jaccard_sim(col("a.sh"), col("b.sh")) >= t)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // the rewrite must actually be exercised
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("Generate explode") && !p.contains("NestedLoop"), p)
+    def jac(a: Array[Long], b: Array[Long]): Double = {
+      val inter = a.toSet.intersect(b.toSet).size
+      inter.toDouble / (a.length + b.length - inter)
+    }
+    val expected = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && jac(sa, sb) >= t
+    } yield (ia, ib)).sorted
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == expected,
+      s"got ${got.size} pairs, expected ${expected.size}")
+    assert(expected.nonEmpty && expected.size > expected.distinct.size,
+      "fixture must exercise duplicate-row multiplicity")
+  }
 }
