@@ -73,6 +73,7 @@ object SparkEntry {
     "d1_dedup_exact"   -> ((s, dir) => Dedup.exact(s, dir)),
     "d2_dedup_ngram"   -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "d7_jaccard_join"  -> ((s, dir) => Dedup.jaccardJoin(s, dir)),
+    "c2_dup_clusters"  -> ((s, dir) => Dedup.dupClusters(s, dir)),
     "d3_dedup_minhash" -> ((s, dir) => Dedup.minhash(s, dir)),
     "d4_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "d5_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
@@ -143,6 +144,7 @@ object SparkEntry {
     "d1_dedup_exact"   -> Dedup.exactSql,
     "d2_dedup_ngram"   -> Dedup.ngramJaccardSql(),
     "d7_jaccard_join"  -> Dedup.jaccardJoinSql(),
+    "c2_dup_clusters"  -> Dedup.dupClustersSql(),
     "d3_dedup_minhash" -> Dedup.minhashSql,
     "d4_dedup_minhash_lsh" -> Dedup.minhashLshSql(),
     "d5_dedup_simhash" -> Dedup.simhashSql,

@@ -301,6 +301,92 @@ object Dedup {
             p -> p[1] = p[2])) AS DOUBLE) / $MinhashK >= $threshold"""
   }
 
+  // ------------------------------------------------------------- clustering
+
+  /** Connected components by min-label propagation with pointer jumping.
+    *
+    * `nodes`: one column `doc_id`; `pairs`: undirected edges as
+    * (`id_a`, `id_b`). Returns (doc_id, label) where label is the
+    * component's minimum doc_id — a fixpoint, so the result is
+    * independent of how many rounds convergence took.
+    *
+    * Scale shape: each round is a neighbor-min shuffle plus a
+    * label-of-label ("pointer jump") join over the LABEL table only —
+    * the corpus text never enters the loop. Pointer jumping halves path
+    * lengths each round, so convergence is O(log diameter) rounds (the
+    * large-star/small-star family). The loop is driver-coordinated with
+    * an empty-diff convergence check, the standard shape for iterative
+    * graph algorithms on Spark; each round's result is
+    * `localCheckpoint`ed so lineage (and replanning cost) stays O(1)
+    * per round instead of compounding.
+    */
+  private[graft] def connectedComponents(nodes: DataFrame,
+      pairs: DataFrame, maxRounds: Int = 32): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val viaEdges = edges
+        .join(labels.select(col("doc_id").as("src"), col("label")), "src")
+        .select(col("dst").as("doc_id"), col("label"))
+      // toDF mints fresh attribute ids per branch: both branches carry
+      // `label` aliased from the same source attr, and Union constraint
+      // propagation chokes on the shared id otherwise
+      val stepped = labels.toDF("doc_id", "label")
+        .union(viaEdges.toDF("doc_id", "label"))
+        .groupBy("doc_id").agg(min("label").as("label"))
+      // pointer jump: label := label(label). Every label IS a doc_id
+      // (min over doc ids), so the self-join is total.
+      val jumped = stepped.as("s")
+        .join(stepped.select(col("doc_id").as("p_id"), col("label").as("p_label")),
+          col("s.label") === col("p_id"))
+        .select(col("s.doc_id").as("doc_id"), col("p_label").as("label"))
+        .localCheckpoint()
+      converged = jumped
+        .join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = jumped
+      round += 1
+    }
+    labels
+  }
+
+  /** Near-dup CLUSTERING: connected components over the MinHash-LSH
+    * candidate pair graph — the step that turns pairwise near-dup hits
+    * into dedup decisions, as in large-corpus curation pipelines: each
+    * cluster keeps exactly one canonical doc (its minimum doc_id).
+    * Singletons are their own cluster. The DuckDB oracle computes the
+    * same fixpoint by transitive closure (recursive CTE), so agreement
+    * is exact regardless of round counts.
+    */
+  def dupClusters(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir, threshold).select("id_a", "id_b")
+    val nodes = Tables.load(spark, sfDir, "documents").select("doc_id")
+    connectedComponents(nodes, pairs)
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).cast("int").as("is_canonical"))
+  }
+
+  def dupClustersSql(threshold: Double = 0.4): String =
+    s"""WITH RECURSIVE
+        pairs AS (SELECT id_a, id_b FROM (${minhashLshSql(threshold)})),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach AS (
+          SELECT doc_id, doc_id AS r FROM documents
+          UNION
+          SELECT reach.doc_id, e.dst AS r
+          FROM reach JOIN edges e ON reach.r = e.src)
+        SELECT doc_id, min(r) AS cluster_id,
+          CAST(doc_id = min(r) AS INT) AS is_canonical
+        FROM reach GROUP BY doc_id"""
+
   // ---------------------------------------------------------------- simhash
 
   /** SimHash: 32-bit signature — for each bit, sum +-1 over the doc's

@@ -179,4 +179,26 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(expected.nonEmpty && expected.size > expected.distinct.size,
       "fixture must exercise duplicate-row multiplicity")
   }
+
+  test("connectedComponents: chains, stars, singletons, merge order") {
+    import spark.implicits._
+    // component A: a long chain (tests multi-round convergence /
+    // pointer jumping), B: a star centred high with low leaf, C: two
+    // chains merged by one cross edge, plus singletons 100, 101
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), // chain
+      (50L, 51L), (50L, 52L), (50L, 10L),                         // star
+      (20L, 21L), (22L, 23L), (21L, 22L)                          // merged
+    )
+    val nodes = (edges.flatMap(e => Seq(e._1, e._2)) ++ Seq(100L, 101L))
+      .distinct.toDF("doc_id")
+    val got = Dedup.connectedComponents(nodes, edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L,
+      50L -> 10L, 51L -> 10L, 52L -> 10L, 10L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L,
+      100L -> 100L, 101L -> 101L)
+    assert(got == expected, got.toSeq.sorted.mkString(", "))
+  }
 }
