@@ -74,6 +74,9 @@ object SparkEntry {
     "d2_dedup_ngram"   -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "d7_jaccard_join"  -> ((s, dir) => Dedup.jaccardJoin(s, dir)),
     "c2_dup_clusters"  -> ((s, dir) => Dedup.dupClusters(s, dir)),
+    "c3_decontaminate" -> ((s, dir) => Curation.decontaminate(s, dir)),
+    "c4_mix_weights"   -> ((s, dir) => Curation.mixWeights(s, dir)),
+    "c5_strat_sample"  -> ((s, dir) => Curation.stratSample(s, dir)),
     "d3_dedup_minhash" -> ((s, dir) => Dedup.minhash(s, dir)),
     "d4_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "d5_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
@@ -145,6 +148,9 @@ object SparkEntry {
     "d2_dedup_ngram"   -> Dedup.ngramJaccardSql(),
     "d7_jaccard_join"  -> Dedup.jaccardJoinSql(),
     "c2_dup_clusters"  -> Dedup.dupClustersSql(),
+    "c3_decontaminate" -> Curation.decontaminateSql(),
+    "c4_mix_weights"   -> Curation.mixWeightsSql,
+    "c5_strat_sample"  -> Curation.stratSampleSql,
     "d3_dedup_minhash" -> Dedup.minhashSql,
     "d4_dedup_minhash_lsh" -> Dedup.minhashLshSql(),
     "d5_dedup_simhash" -> Dedup.simhashSql,

@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.PolyHash.{poly_hash, sql => polySql}
 
 /** The end-to-end training-data curation pipeline — the composition the
   * individual operators exist for: quality-gate the corpus, drop
@@ -50,4 +53,115 @@ object Curation {
         FROM qualified JOIN canon
           ON qualified.fingerprint = canon.fingerprint
          AND qualified.doc_id = canon.doc_id"""
+
+  /** Benchmark DECONTAMINATION — flag training docs whose n-gram overlap
+    * with an evaluation set is high (test-set leakage removal). The
+    * "benchmark" here is the deterministic pseudo-eval subset
+    * `doc_id % benchMod = 0`; in production it is the actual eval
+    * corpora. Shape: the benchmark's distinct shingle-hash set is
+    * broadcast (eval sets are tiny relative to the corpus), each corpus
+    * doc's shingles probe it map-side, one count aggregation per doc —
+    * the corpus is scanned once and never self-joined. Shingle arrays
+    * are distinct by construction ([[Dedup.shingleHashes]]), so the hit
+    * count is the distinct-overlap count.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String,
+      benchMod: Long = 47, minOverlap: Double = 0.2): DataFrame = {
+    val d = Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"), Dedup.shingleHashes.as("sh"))
+    val bench = d.filter(col("doc_id") % benchMod === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+    val corpus = d.filter(col("doc_id") % benchMod =!= 0)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+        col("sh"))
+    val hits = corpus.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(bench), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    val nHit = coalesce(col("n_hit"), lit(0L))
+    corpus.select("doc_id", "n_sh")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"), nHit.as("n_hit"),
+        (nHit.cast("double") / col("n_sh")).as("overlap"),
+        (nHit.cast("double") / col("n_sh") >= minOverlap)
+          .cast("int").as("is_contaminated"))
+  }
+
+  def decontaminateSql(benchMod: Long = 47, minOverlap: Double = 0.2): String = {
+    val sh = Dedup.shingleHashesSql(
+      "string_split(" + Dedup.normTextSql + ", ' ')")
+    s"""WITH d AS (SELECT doc_id, $sh AS sh FROM documents),
+        bench AS (SELECT DISTINCT unnest(sh) AS s FROM d
+                  WHERE doc_id % $benchMod = 0),
+        corpus AS (SELECT doc_id, len(sh) AS n_sh, sh FROM d
+                   WHERE doc_id % $benchMod <> 0),
+        tok AS (SELECT doc_id, unnest(sh) AS s FROM corpus),
+        hits AS (SELECT doc_id, count(*) AS n_hit
+                 FROM tok JOIN bench USING (s) GROUP BY doc_id)
+        SELECT c.doc_id, c.n_sh, coalesce(h.n_hit, 0) AS n_hit,
+          CAST(coalesce(h.n_hit, 0) AS DOUBLE) / c.n_sh AS overlap,
+          CAST(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / c.n_sh >= $minOverlap
+            AS INT) AS is_contaminated
+        FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id"""
+  }
+
+  /** Data-mixture weights — per-source token budgeting: each source's
+    * token share of the corpus, and the resampling weight that would
+    * equalize sources (`uniform_weight` > 1 ⇒ upsample). One groupBy on
+    * source; the share/weight window runs over the handful of
+    * post-aggregate rows (one per source), not the corpus.
+    */
+  def mixWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSrc = Tables.load(spark, sfDir, "documents")
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("src_tokens"))
+    val all = Window.partitionBy(lit(1))
+    perSrc
+      .withColumn("total_tokens", sum("src_tokens").over(all))
+      .withColumn("n_sources", count(lit(1)).over(all))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        (col("src_tokens").cast("double") / col("total_tokens")).as("share"),
+        (col("total_tokens").cast("double") /
+          (col("n_sources") * col("src_tokens"))).as("uniform_weight"))
+  }
+
+  val mixWeightsSql: String =
+    """WITH per AS (
+         SELECT source, count(*) AS n_docs,
+           sum(len(string_split_regex(trim(text), '\s+'))) AS src_tokens
+         FROM documents GROUP BY source)
+       SELECT source, n_docs, src_tokens,
+         CAST(src_tokens AS DOUBLE) / sum(src_tokens) OVER () AS share,
+         CAST(sum(src_tokens) OVER () AS DOUBLE)
+           / (count(*) OVER () * src_tokens) AS uniform_weight
+       FROM per"""
+
+  /** Deterministic stratified sampling — reproducible hash-mod sampling
+    * with a per-stratum (source) rate, the data-mixing primitive: a doc
+    * is kept iff `poly_hash(doc_id:source) mod 1000` falls under its
+    * stratum's rate. No RNG state, no seed coordination across
+    * executors, rerun-stable, and pure map-side (no shuffle at all);
+    * rates here are derived from the source name hash to exercise
+    * several strata deterministically (production passes a rate table,
+    * broadcast like any config lookup).
+    */
+  def stratSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val rate = poly_hash(col("source")) % 200 + 50
+    val keep = poly_hash(concat(col("doc_id").cast("string"), lit(":"),
+      col("source"))) % 1000 < rate
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"))
+      .filter(keep)
+      .select(col("doc_id"), col("source"),
+        rate.cast("long").as("rate_permille"))
+  }
+
+  val stratSampleSql: String = {
+    val rate = s"${polySql("source")} % 200 + 50"
+    val key = polySql("CAST(doc_id AS VARCHAR) || ':' || source")
+    s"""SELECT doc_id, source, $rate AS rate_permille
+        FROM documents
+        WHERE $key % 1000 < $rate"""
+  }
 }

@@ -26,7 +26,7 @@ object Dedup {
 
   private def normText: Column =
     regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-  private val normTextSql =
+  private[operators] val normTextSql =
     "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   /** Documents scan for the shingle pipelines. Higher-order-function
@@ -70,13 +70,13 @@ object Dedup {
     * interpreted, and shuffled string keys; the fused expression removes
     * all three (the downstream identity of a shingle is its hash anyway).
     */
-  private def shingleHashes: Column = shingle_hashes(normText, 3)
+  private[operators] def shingleHashes: Column = shingle_hashes(normText, 3)
 
   /** Matching DuckDB fragment over a words-list expression: build the
     * gram strings, hash each, THEN distinct — hash-distinct exactly like
     * the native expression (the hash is the shingle identity).
     */
-  private def shingleHashesSql(w: String): String =
+  private[operators] def shingleHashesSql(w: String): String =
     s"""list_distinct(CASE WHEN len($w) >= 3
         THEN list_transform(range(1, len($w)-1),
           i -> ${polySql(s"$w[i] || ' ' || $w[i+1] || ' ' || $w[i+2]")})
