@@ -77,6 +77,8 @@ object SparkEntry {
     "c3_decontaminate" -> ((s, dir) => Curation.decontaminate(s, dir)),
     "c4_mix_weights"   -> ((s, dir) => Curation.mixWeights(s, dir)),
     "c5_strat_sample"  -> ((s, dir) => Curation.stratSample(s, dir)),
+    "c6_pii_scrub"     -> ((s, dir) => Curation.piiScrub(s, dir)),
+    "t6_repetition"    -> ((s, dir) => TextAnalysis.repetition(s, dir)),
     "d3_dedup_minhash" -> ((s, dir) => Dedup.minhash(s, dir)),
     "d4_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "d5_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
@@ -93,6 +95,13 @@ object SparkEntry {
     "q1_agg"           -> ((s, dir) => tpchQ1(s, dir)),
     "q3_join"          -> ((s, dir) => tpchQ3(s, dir)),
     "q6_scan"          -> ((s, dir) => tpchQ6(s, dir)),
+    "q4_semi"          -> ((s, dir) => Relational.q4Semi(s, dir)),
+    "q5_region_rev"    -> ((s, dir) => Relational.q5RegionRev(s, dir)),
+    "q10_returns"      -> ((s, dir) => Relational.q10Returns(s, dir)),
+    "q13_outer_dist"   -> ((s, dir) => Relational.q13OuterDist(s, dir)),
+    "q17_avg_sub"      -> ((s, dir) => Relational.q17AvgSub(s, dir)),
+    "q18_having"       -> ((s, dir) => Relational.q18Having(s, dir)),
+    "q22_anti"         -> ((s, dir) => Relational.q22Anti(s, dir)),
   )
 
   /** Alert config used by registered queries: thresholds tuned so the test
@@ -151,6 +160,8 @@ object SparkEntry {
     "c3_decontaminate" -> Curation.decontaminateSql(),
     "c4_mix_weights"   -> Curation.mixWeightsSql,
     "c5_strat_sample"  -> Curation.stratSampleSql,
+    "c6_pii_scrub"     -> Curation.piiScrubSql,
+    "t6_repetition"    -> TextAnalysis.repetitionSql(),
     "d3_dedup_minhash" -> Dedup.minhashSql,
     "d4_dedup_minhash_lsh" -> Dedup.minhashLshSql(),
     "d5_dedup_simhash" -> Dedup.simhashSql,
@@ -194,6 +205,13 @@ object SparkEntry {
           AND epoch_ms(l_shipdate) < 852076800000
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24""",
+    "q4_semi"          -> Relational.q4SemiSql,
+    "q5_region_rev"    -> Relational.q5RegionRevSql(),
+    "q10_returns"      -> Relational.q10ReturnsSql,
+    "q13_outer_dist"   -> Relational.q13OuterDistSql,
+    "q17_avg_sub"      -> Relational.q17AvgSubSql,
+    "q18_having"       -> Relational.q18HavingSql(),
+    "q22_anti"         -> Relational.q22AntiSql,
     // Collapse line breaks + indentation only — NOT intra-line runs: a
     // blanket \s+ collapse rewrites whitespace inside SQL string
     // LITERALS (the email CSS carries a reference-faithful double space).

@@ -137,6 +137,81 @@ object Curation {
            / (count(*) OVER () * src_tokens) AS uniform_weight
        FROM per"""
 
+  /** PII detection + redaction — the scrubbing pass of a training-data
+    * pipeline: count and redact email / phone / SSN-shaped spans via
+    * regex, emitting per-doc PII counts, the redacted text, and a
+    * has_pii flag. Pure map-side column expressions (no shuffle; scales
+    * with input splits). The synthetic corpus contains no PII, so the
+    * input is synthesized deterministically from `customer` (same
+    * precedent as the parse-family queries): every engine sees the same
+    * lines, and the mod-gates make each PII kind present in only some
+    * rows so zero and non-zero counts are both exercised.
+    */
+  private val emailRe = "[a-z0-9.]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+  private val ssnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = col("c_custkey")
+    val text = concat(
+      lit("Reach "), col("c_name"), lit(" at "),
+      lower(regexp_replace(col("c_name"), lit("#"), lit("."))),
+      lit("@example.com"),
+      when(k % 3 =!= 0,
+        concat(lit(" or +1-555-"), lpad((k % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(k % 5 === 0,
+        concat(lit("; ssn "), lpad((k % 900 + 100).cast("string"), 3, "0"),
+          lit("-"), lpad((k % 90 + 10).cast("string"), 2, "0"),
+          lit("-"), lpad((k % 9000 + 1000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      lit(" segment "), col("c_mktsegment"))
+    val nEmail = size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+    val nPhone = size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
+    val nSsn = size(regexp_extract_all(col("text"), lit(ssnRe), lit(0)))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), lit(phoneRe), lit("<PHONE>")),
+        lit(ssnRe), lit("<SSN>")),
+      lit(emailRe), lit("<EMAIL>"))
+    Tables.loadSpread(spark, sfDir, "customer")
+      .select(k.as("doc_id"), text.as("text"))
+      .select(col("doc_id"),
+        nEmail.cast("long").as("n_emails"),
+        nPhone.cast("long").as("n_phones"),
+        nSsn.cast("long").as("n_ssns"),
+        redacted.as("redacted"),
+        (nEmail + nPhone + nSsn > 0).cast("int").as("has_pii"))
+  }
+
+  val piiScrubSql: String =
+    s"""WITH synth AS (
+          SELECT c_custkey AS doc_id,
+            'Reach ' || c_name || ' at '
+            || lower(replace(c_name, '#', '.')) || '@example.com'
+            || CASE WHEN c_custkey % 3 <> 0
+                 THEN ' or +1-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+            || CASE WHEN c_custkey % 5 = 0
+                 THEN '; ssn ' || lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST(c_custkey % 90 + 10 AS VARCHAR), 2, '0')
+                   || '-' || lpad(CAST(c_custkey % 9000 + 1000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+            || ' segment ' || c_mktsegment AS text
+          FROM customer)
+        SELECT doc_id,
+          len(regexp_extract_all(text, '$emailRe')) AS n_emails,
+          len(regexp_extract_all(text, '$phoneRe')) AS n_phones,
+          len(regexp_extract_all(text, '$ssnRe')) AS n_ssns,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '$phoneRe', '<PHONE>', 'g'),
+            '$ssnRe', '<SSN>', 'g'),
+            '$emailRe', '<EMAIL>', 'g') AS redacted,
+          CAST(len(regexp_extract_all(text, '$emailRe'))
+            + len(regexp_extract_all(text, '$phoneRe'))
+            + len(regexp_extract_all(text, '$ssnRe')) > 0 AS INT) AS has_pii
+        FROM synth"""
+
   /** Deterministic stratified sampling — reproducible hash-mod sampling
     * with a per-stratum (source) rate, the data-mixing primitive: a doc
     * is kept iff `poly_hash(doc_id:source) mod 1000` falls under its

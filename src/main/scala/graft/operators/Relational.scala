@@ -1,0 +1,283 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** TPC-H-style relational queries exercising the join shapes the APM
+  * suite doesn't: left-semi (existential), left-anti (absence + scalar
+  * subquery), left-outer with residual predicate, correlated per-group
+  * average (as a window), and group-HAVING semi join. The star schema
+  * lacks partsupp and comment/date columns, so each query is the
+  * nearest expressible variant of its TPC-H namesake.
+  *
+  * Float-parity policy (ARCHITECTURE.md): money arithmetic is lifted to
+  * exact integer grains — `floor(x*100 + 0.5)` — summed order-free as
+  * integers and divided back to a double exactly once at the end, so
+  * results are bit-identical across engines at any scale and need no
+  * rounding tolerance. `l_quantity`/`c_acctbal` sums stay exact because
+  * the values are integral / 2-dp grains.
+  */
+object Relational {
+
+  /** revenue grain: 2-dp price x 2-dp (1-discount) as exact 1e-4 units */
+  private def revGrain: Column =
+    (floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+      floor((lit(1) - col("l_discount")) * 100 + lit(0.5)).cast("long"))
+
+  private val revGrainSql =
+    "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * CAST(floor((1-l_discount)*100 + 0.5) AS BIGINT)"
+
+  private val day90Ms = 90L * 86400000L
+
+  /** Q4-style order-priority check: orders with at least one line shipped
+    * more than 90 days after the order date (the schema has no
+    * commit/receipt dates), counted per priority. The EXISTS is a
+    * LEFT-SEMI join — equi on the order key with the lateness predicate
+    * as a residual, so each order is emitted at most once without a
+    * post-join distinct.
+    */
+  def q4Semi(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord0 = Tables.load(spark, sfDir, "orders")
+    val ord = ord0.select(col("o_orderkey"), col("o_orderpriority"),
+      Tables.colMillis(ord0, "o_orderdate").as("o_date_ms"))
+    val li0 = Tables.load(spark, sfDir, "lineitem")
+    val li = li0.select(col("l_orderkey"),
+      Tables.colMillis(li0, "l_shipdate").as("l_ship_ms"))
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_ship_ms") > col("o_date_ms") + day90Ms,
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q4SemiSql: String =
+    s"""SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND epoch_ms(l.l_shipdate) > epoch_ms(o.o_orderdate) + $day90Ms)
+        GROUP BY o_orderpriority"""
+
+  /** Q5-style local-supplier revenue: one region's nations, revenue from
+    * lineitems where the supplier sits in the customer's own nation.
+    * Dimension chain (region -> nation -> broadcast) prunes the customer
+    * scan; the only shuffles are the two fact joins; supplier broadcasts
+    * with the co-nation equality as part of the join condition.
+    */
+  def q5RegionRev(spark: SparkSession, sfDir: String,
+      region: String = "ASIA"): DataFrame = {
+    val nat = Tables.load(spark, sfDir, "nation")
+      .join(broadcast(Tables.load(spark, sfDir, "region")
+        .filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.load(spark, sfDir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val ord = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val sup = Tables.load(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), revGrain.as("grain"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg((sum(col("grain")) / lit(10000.0)).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  def q5RegionRevSql(region: String = "ASIA"): String =
+    s"""SELECT n_name,
+        sum($revGrainSql) / 10000.0 AS revenue,
+        count(*) AS n_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = '$region'
+        GROUP BY n_name"""
+
+  /** Q10-style returned-item report: per-customer revenue lost to
+    * returns in a half-year window. Date range pushes into the orders
+    * scan; customer/nation broadcast.
+    */
+  def q10Returns(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = 820454400000L // 1996-01-01
+    val hi = 836179200000L // 1996-07-01
+    val ord0 = Tables.load(spark, sfDir, "orders")
+    val ord = ord0
+      .filter(Tables.tsRange(ord0, "o_orderdate", Some(lo), Some(hi)))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val nat = Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revGrain.as("grain"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg((sum(col("grain")) / lit(10000.0)).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q10ReturnsSql: String =
+    s"""SELECT c_custkey, c_name, n_name,
+        sum($revGrainSql) / 10000.0 AS revenue,
+        count(*) AS n_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND epoch_ms(o_orderdate) >= 820454400000
+          AND epoch_ms(o_orderdate) < 836179200000
+        GROUP BY c_custkey, c_name, n_name"""
+
+  /** Q13-style customer order-count distribution: LEFT OUTER join with
+    * the priority exclusion on the build side (equivalent to the ON-
+    * clause residual), count(o_orderkey) skipping the null-extended
+    * rows, then the distribution over counts. Two shuffles (custkey,
+    * then c_count) — both on aggregated rows.
+    */
+  def q13OuterDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer").select("c_custkey")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q13OuterDistSql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+                   WHERE o_orderpriority <> '1-URGENT') o
+          ON c_custkey = o_custkey
+        GROUP BY c_custkey) GROUP BY c_count"""
+
+  /** Q17-style small-quantity revenue per brand: the correlated
+    * per-part average-quantity subquery is a WINDOW over the part key —
+    * one shuffle on l_partkey instead of TPC-H's aggregate-then-
+    * self-join (which would scan lineitem twice). Exact parity:
+    * quantities are integral, so the windowed avg is sum/count of
+    * exact doubles — identical in both engines.
+    */
+  def q17AvgSub(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("l_partkey")
+    val part = Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("pgrain"))
+      .withColumn("qavg", avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("qavg"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      // sum(price)/7.0 in 1e-2 grains: divide once by 700
+      .agg((sum(col("pgrain")) / lit(700.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q17AvgSubSql: String =
+    """SELECT p_brand,
+        sum(pgrain) / 700.0 AS avg_yearly,
+        count(*) AS n_lines
+        FROM (
+          SELECT l_partkey, l_quantity,
+            CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS pgrain,
+            avg(l_quantity) OVER (PARTITION BY l_partkey) AS qavg
+          FROM lineitem)
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_quantity < 0.2 * qavg
+        GROUP BY p_brand"""
+
+  /** Q18-style large-volume orders: group-HAVING on the fact table
+    * produces a tiny key set that then drives broadcast semi joins back
+    * through orders and customer — the aggregate result, not the fact
+    * table, crosses the wire.
+    */
+  def q18Having(spark: SparkSession, sfDir: String,
+      minQty: Double = 300.0): DataFrame = {
+    val big = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    val ord0 = Tables.load(spark, sfDir, "orders")
+    val ord = ord0.select(col("o_orderkey"), col("o_custkey"),
+      Tables.colMillis(ord0, "o_orderdate").as("o_orderdate_ms"),
+      col("o_totalprice"))
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    ord.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("c_name", "c_custkey", "o_orderkey", "o_orderdate_ms",
+        "o_totalprice", "sum_qty")
+  }
+
+  def q18HavingSql(minQty: Double = 300.0): String =
+    s"""SELECT c_name, c_custkey, o_orderkey,
+        epoch_ms(o_orderdate) AS o_orderdate_ms, o_totalprice, sum_qty
+        FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+              GROUP BY l_orderkey HAVING sum(l_quantity) > $minQty) big
+        JOIN orders ON o_orderkey = big.l_orderkey
+        JOIN customer ON c_custkey = o_custkey"""
+
+  /** Q22-style dormant-value customers: above-average balance and no
+    * urgent orders, per nation. The global average is a 1-row broadcast
+    * cross join (scalar subquery); absence is a LEFT-ANTI join against
+    * the urgent-order keys. Balances compare and sum as exact 1e-2
+    * grains.
+    */
+  def q22Anti(spark: SparkSession, sfDir: String): DataFrame = {
+    val grain = floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), grain.as("bal_grain"))
+    val avgDf = cust.filter(col("bal_grain") > 0)
+      .agg((sum(col("bal_grain")) / count(lit(1))).as("avg_grain"))
+    val urgent = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val nat = Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    cust.crossJoin(broadcast(avgDf))
+      .filter(col("bal_grain") > col("avg_grain"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"),
+        (sum(col("bal_grain")) / lit(100.0)).as("totacctbal"))
+  }
+
+  val q22AntiSql: String =
+    """SELECT n_name, count(*) AS numcust,
+        sum(bal_grain) / 100.0 AS totacctbal
+        FROM (SELECT c_custkey, c_nationkey,
+                CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_grain
+              FROM customer) c
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE bal_grain > (SELECT sum(bal_grain * 1.0) / count(*)
+                           FROM (SELECT CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)
+                                 AS bal_grain FROM customer) x
+                           WHERE bal_grain > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY n_name"""
+}

@@ -159,6 +159,67 @@ object TextAnalysis {
           FROM documents)"""
   }
 
+  /** Repetition filters (Gopher-style, word-level): fraction of words
+    * belonging to a repeated word, most-common-word fraction, and
+    * most-common-bigram fraction, plus the composite repetitive flag.
+    * Two doc_id-keyed aggregations (unigram and bigram counts) joined on
+    * doc_id — at scale both shuffles are on the same key and AQE
+    * co-partitions them; the bigram list is built in place from the
+    * split array (no second scan of the text).
+    */
+  def repetition(spark: SparkSession, sfDir: String,
+      dupThresh: Double = 0.4, bigramThresh: Double = 0.18): DataFrame = {
+    val docs = Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), wsSplit).as("ws"))
+    val uni = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum(col("cnt")).as("n_words"),
+        (sum(when(col("cnt") >= 2, col("cnt")).otherwise(lit(0L))) /
+          sum(col("cnt"))).as("dup_word_frac"),
+        (max(col("cnt")) / sum(col("cnt"))).as("top_word_frac"))
+    // guarded: sequence(1, 0) would yield [1, 0] (descending), not empty
+    val bigrams = when(size(col("ws")) > 1,
+      transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bg = docs.select(col("doc_id"), explode(bigrams).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg((max(col("cnt")) / sum(col("cnt"))).as("tbf"))
+    uni.join(bg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+        col("top_word_frac"),
+        coalesce(col("tbf"), lit(0.0)).as("top_bigram_frac"),
+        (col("dup_word_frac") > dupThresh ||
+          coalesce(col("tbf"), lit(0.0)) > bigramThresh)
+          .cast("int").as("repetitive"))
+  }
+
+  def repetitionSql(dupThresh: Double = 0.4, bigramThresh: Double = 0.18): String =
+    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM documents),
+        uni AS (
+          SELECT doc_id, sum(cnt) AS n_words,
+            sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) / sum(cnt) AS dup_word_frac,
+            max(cnt) / sum(cnt) AS top_word_frac
+          FROM (SELECT doc_id, w, count(*) AS cnt
+                FROM (SELECT doc_id, unnest(ws) AS w FROM d)
+                GROUP BY doc_id, w)
+          GROUP BY doc_id),
+        bg AS (
+          SELECT doc_id, max(cnt) / sum(cnt) AS tbf
+          FROM (SELECT doc_id, g, count(*) AS cnt
+                FROM (SELECT doc_id,
+                        unnest(list_transform(range(1, len(ws)),
+                          i -> ws[i] || ' ' || ws[i+1])) AS g FROM d)
+                GROUP BY doc_id, g)
+          GROUP BY doc_id)
+        SELECT uni.doc_id, n_words, dup_word_frac, top_word_frac,
+          coalesce(tbf, 0.0) AS top_bigram_frac,
+          CAST(dup_word_frac > $dupThresh OR coalesce(tbf, 0.0) > $bigramThresh
+            AS INT) AS repetitive
+        FROM uni LEFT JOIN bg ON uni.doc_id = bg.doc_id"""
+
   /** Document fingerprinting — rolling polynomial hash of the normalized
     * text (lowercase, collapsed whitespace), via the codegen'd
     * [[graft.functions.PolyHash]] expression.
