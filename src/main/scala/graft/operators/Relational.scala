@@ -251,9 +251,12 @@ object Relational {
       .select(col("c_custkey"), col("c_nationkey"), grain.as("bal_grain"))
     val avgDf = cust.filter(col("bal_grain") > 0)
       .agg((sum(col("bal_grain")) / count(lit(1))).as("avg_grain"))
+    // distinct before the anti join: identical semantics (NOT EXISTS),
+    // but the build side shrinks from urgent-order rows to distinct
+    // custkeys (map-side combinable) before it crosses the wire
     val urgent = Tables.load(spark, sfDir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_custkey"))
+      .select(col("o_custkey")).distinct()
     val nat = Tables.load(spark, sfDir, "nation")
       .select(col("n_nationkey"), col("n_name"))
     cust.crossJoin(broadcast(avgDf))

@@ -79,6 +79,38 @@ class PlanSpec extends AnyFunSuite {
     assert(n >= spark.sparkContext.defaultParallelism, s"fold partitions=$n")
   }
 
+  test("q4 EXISTS runs as a left-semi join (no post-join distinct)") {
+    val p = plan("q4_semi")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("q22 absence check runs as a left-anti join") {
+    val p = plan("q22_anti")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q17 correlated avg is ONE window shuffle, not a self-join") {
+    val p = plan("q17_avg_sub")
+    assert(p.contains("Window"), p)
+    // one lineitem scan only: the agg-then-self-join formulation would
+    // scan the fact table twice
+    assert("Scan parquet".r.findAllIn(p).count(_ => true) == 2, p) // lineitem + part
+  }
+
+  test("q10 date range and returnflag push to the parquet scans") {
+    val p = SparkEntry.queries("q10_returns")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,"), p)
+  }
+
+  test("c6 pii scrub is shuffle-free above its scan") {
+    val p = plan("c6_pii_scrub")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
   test("d7 jaccard theta-join is rewritten to an inverted-index equi-join") {
     val p = plan("d7_jaccard_join")
     // the declared plan is an all-pairs theta-join; the optimizer rule
