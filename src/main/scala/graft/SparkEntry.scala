@@ -79,6 +79,8 @@ object SparkEntry {
     "c5_strat_sample"  -> ((s, dir) => Curation.stratSample(s, dir)),
     "c6_pii_scrub"     -> ((s, dir) => Curation.piiScrub(s, dir)),
     "t6_repetition"    -> ((s, dir) => TextAnalysis.repetition(s, dir)),
+    "t8_vocab"         -> ((s, dir) => TextAnalysis.vocab(s, dir)),
+    "w1_sessionize"    -> ((s, dir) => Sessionize.sessions(s, dir)),
     "d3_dedup_minhash" -> ((s, dir) => Dedup.minhash(s, dir)),
     "d4_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "d5_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
@@ -162,6 +164,8 @@ object SparkEntry {
     "c5_strat_sample"  -> Curation.stratSampleSql,
     "c6_pii_scrub"     -> Curation.piiScrubSql,
     "t6_repetition"    -> TextAnalysis.repetitionSql(),
+    "t8_vocab"         -> TextAnalysis.vocabSql(),
+    "w1_sessionize"    -> Sessionize.sessionsSql(),
     "d3_dedup_minhash" -> Dedup.minhashSql,
     "d4_dedup_minhash_lsh" -> Dedup.minhashLshSql(),
     "d5_dedup_simhash" -> Dedup.simhashSql,

@@ -33,9 +33,15 @@ import graft.functions.RefStats
   */
 object ApmStats {
 
+  /** Frame-parameterized variants: any tx frame with
+    * (server, service, end_ms, elapsed) — the library surface; the
+    * (spark, sfDir) forms below bind them to the driver test layout.
+    */
+  def bucketedFrom(tx: DataFrame, intervalMs: Long): DataFrame =
+    tx.withColumn("bucket", expr(s"end_ms div $intervalMs"))
+
   def bucketed(spark: SparkSession, sfDir: String, intervalMs: Long): DataFrame =
-    Tables.txBase(spark, sfDir)
-      .withColumn("bucket", expr(s"end_ms div $intervalMs"))
+    bucketedFrom(Tables.txBase(spark, sfDir), intervalMs)
 
   def bucketedSql(intervalMs: Long): String =
     s"""SELECT *, end_ms // $intervalMs AS bucket
@@ -65,8 +71,11 @@ object ApmStats {
   /** Dense per-bucket pre-aggregation: one row per (key, bucket) over the
     * global bucket range, with the bucket's sorted elapsed values.
     */
-  def denseBuckets(spark: SparkSession, sfDir: String, intervalMs: Long): DataFrame = {
-    val b = bucketed(spark, sfDir, intervalMs)
+  def denseBuckets(spark: SparkSession, sfDir: String, intervalMs: Long): DataFrame =
+    denseBucketsFrom(Tables.txBase(spark, sfDir), intervalMs)
+
+  def denseBucketsFrom(tx: DataFrame, intervalMs: Long): DataFrame = {
+    val b = bucketedFrom(tx, intervalMs)
     val perBucket = b.groupBy("server", "service", "bucket")
       .agg(count(lit(1)).as("cnt"),
         sort_array(collect_list(col("elapsed"))).as("vals"))
@@ -100,11 +109,16 @@ object ApmStats {
     * by the full window length in minutes even during warm-up.
     */
   def slidingStats(spark: SparkSession, sfDir: String,
+      intervalMs: Long = 600000L, windowN: Int = 30): DataFrame =
+    slidingStatsFrom(Tables.txBase(spark, sfDir), intervalMs, windowN)
+
+  def slidingStatsFrom(tx: DataFrame,
       intervalMs: Long = 600000L, windowN: Int = 30): DataFrame = {
+    val spark = tx.sparkSession
     val tpmDen = windowN * (intervalMs / 1000.0) / 60.0
     val w = Window.partitionBy("server", "service").orderBy("bucket")
       .rowsBetween(-(windowN - 1), 0)
-    denseBuckets(spark, sfDir, intervalMs)
+    denseBucketsFrom(tx, intervalMs)
       // Pinned REPARTITION_BY_NUM shuffle feeding the window (count
       // deliberately != shuffle.partitions — see ZScore.zScoreFold):
       // otherwise the window's own ENSURE_REQUIREMENTS exchange is

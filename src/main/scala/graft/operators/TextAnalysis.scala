@@ -220,6 +220,53 @@ object TextAnalysis {
             AS INT) AS repetitive
         FROM uni LEFT JOIN bg ON uni.doc_id = bg.doc_id"""
 
+  /** Corpus vocabulary build — the tokenizer-training precursor: global
+    * word counts, frequency rank (deterministic tie-break on the word),
+    * cumulative coverage fraction in rank order, and the keep flag for a
+    * coverage-targeted vocabulary. One count aggregation over the corpus
+    * (map-side combinable — the shuffle carries |vocab| partial counts,
+    * not corpus tokens); the rank/coverage window then runs over |vocab|
+    * rows only. The global window is single-partition by nature, but its
+    * input is the aggregated vocabulary (bounded: ~1e6-1e7 types at
+    * 100 TB), never the corpus.
+    */
+  def vocab(spark: SparkSession, sfDir: String,
+      coverage: Double = 0.95): DataFrame = {
+    val counts = Tables.loadSpread(spark, sfDir, "documents")
+      .select(explode(split(trim(lower(col("text"))), wsSplit)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val byFreq = Window.orderBy(col("cnt").desc, col("word").asc)
+    val all = Window.partitionBy(lit(1))
+    counts
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .withColumn("cum_frac",
+        sum(col("cnt")).over(byFreq.rowsBetween(Window.unboundedPreceding, 0)) /
+          sum(col("cnt")).over(all))
+      .withColumn("in_vocab",
+        // keep words up to and including the one that crosses the target
+        (coalesce(lag(col("cum_frac"), 1).over(byFreq), lit(0.0)) < coverage)
+          .cast("int"))
+      .select("word", "cnt", "rank", "cum_frac", "in_vocab")
+  }
+
+  def vocabSql(coverage: Double = 0.95): String =
+    s"""WITH counts AS (
+          SELECT w AS word, count(*) AS cnt
+          FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+                FROM documents)
+          GROUP BY w),
+        ranked AS (
+          SELECT word, cnt,
+            row_number() OVER rnk AS rank,
+            sum(cnt) OVER (rnk ROWS UNBOUNDED PRECEDING)
+              / sum(cnt) OVER () AS cum_frac
+          FROM counts
+          WINDOW rnk AS (ORDER BY cnt DESC, word ASC))
+        SELECT word, cnt, rank, cum_frac,
+          CAST(coalesce(lag(cum_frac) OVER (ORDER BY rank), 0.0) < $coverage
+            AS INT) AS in_vocab
+        FROM ranked"""
+
   /** Document fingerprinting — rolling polynomial hash of the normalized
     * text (lowercase, collapsed whitespace), via the codegen'd
     * [[graft.functions.PolyHash]] expression.

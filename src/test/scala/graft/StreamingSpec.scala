@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
 import graft.streaming.ApmStreaming
-import graft.operators.{Alerts, ZScore}
+import graft.operators.{Alerts, ApmStats, ZScore}
 import graft.functions.RefStats
 
 /** Structured Streaming semantics tests with MemoryStream: watermarked
@@ -181,5 +181,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.contains((1L, "Y")), s"matched pair missing: $rows")
       assert(rows.contains((2L, "N")), s"salvage row missing: $rows")
     } finally q.stop()
+  }
+
+  test("A5 alignment: floor-bucket batch == epoch-aligned window() shifted one interval") {
+    // The documented batch/streaming labeling difference is exactly one
+    // relabel: the batch window ending at bucket b covers
+    // [(b-N+1)*I, (b+1)*I) — the same span as the epoch-aligned
+    // window() whose end is (b+1)*I. So batch ts_ms + I must reproduce
+    // the streaming expression's ts_ms bit-for-bit (stats included),
+    // restricted to non-empty windows (streaming emits no empty ones)
+    // with ends inside the batch's dense bucket range.
+    import spark.implicits._
+    val I = 10000L
+    val winN = 6
+    val tx = spark.range(600).select(
+      concat(lit("srv"), pmod(col("id"), lit(3))).as("server"),
+      concat(lit("svc"), pmod(col("id"), lit(2))).as("service"),
+      (lit(1600000000000L) + (col("id") * 7919L) % 1000000L).as("end_ms"),
+      ((col("id") * 13L) % 500L + 1L).cast("double").as("elapsed"))
+    val batch = ApmStats.slidingStatsFrom(tx, I, winN)
+      .filter(col("n") > 0)
+      .select(col("server"), col("service"),
+        (col("ts_ms") + I).as("ts_ms"), col("n"), col("tpm"),
+        col("average"), col("per75"), col("per95"))
+    val mx = tx.agg(max(expr(s"end_ms div $I"))).as[Long].head()
+    val streamExpr = ApmStreaming.slidingStatsStream(
+        tx.select(col("server"), col("service"),
+          timestamp_millis(col("end_ms")).as("end_ts"), col("elapsed")),
+        windowLen = s"${winN * 10} seconds", slide = "10 seconds")
+      .filter(col("ts_ms") <= (mx + 1) * I)
+    val b = batch.collect().map(_.toSeq).toSet
+    val s = streamExpr.select(batch.columns.map(col): _*)
+      .collect().map(_.toSeq).toSet
+    assert(s == b,
+      s"onlyStream=${(s -- b).take(3)} onlyBatch=${(b -- s).take(3)}")
   }
 }
