@@ -59,6 +59,7 @@ object SparkEntry {
     "j1_pairing"       -> ((s, dir) => Correlation.pairing(s, dir)),
     "j2_enrichment"    -> ((s, dir) => Correlation.enrichment(s, dir)),
     "j3_dim_lookup"    -> ((s, dir) => Correlation.dimLookup(s, dir)),
+    "j5_asof_join"     -> ((s, dir) => Correlation.asofJoin(s, dir)),
     "p3_ejb_roundtrip" -> ((s, dir) => Parsing.ejbRoundtrip(s, dir)),
     "p5_parse_roundtrip" -> ((s, dir) => Parsing.parseRoundtrip(s, dir)),
     "p7_audit_trail"   -> ((s, dir) => AuditTrail.parseAuditTrails(s, dir)),
@@ -144,6 +145,7 @@ object SparkEntry {
     "j1_pairing"       -> Correlation.pairingSql,
     "j2_enrichment"    -> Correlation.enrichmentSql,
     "j3_dim_lookup"    -> Correlation.dimLookupSql,
+    "j5_asof_join"     -> Correlation.asofJoinSql,
     "p3_ejb_roundtrip" -> Parsing.ejbRoundtripSql,
     "p5_parse_roundtrip" -> Parsing.parseRoundtripSql,
     "p7_audit_trail"   -> AuditTrail.parseAuditTrailsSql,

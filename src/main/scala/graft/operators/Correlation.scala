@@ -118,4 +118,62 @@ object Correlation {
        JOIN nation ON c_nationkey = n_nationkey
        JOIN region ON n_regionkey = r_regionkey
        GROUP BY r_name"""
+
+  /** AS-OF join — enrich each event with the key's most recent order at
+    * or before the event time (the canonical point-in-time lookup Spark
+    * has no native operator for; DuckDB's native ASOF JOIN is the
+    * oracle).
+    *
+    * Spark-first formulation: tag and UNION both sides, then one window
+    * per key ordered by (ms, side) carrying the last non-null right
+    * attributes forward — right rows sort before left rows at equal ms,
+    * giving ASOF's inclusive `l.ms >= r.ms` semantics. ONE shuffle on
+    * the key, linear in |L|+|R|; the naive alternative (range theta-join
+    * + per-left max) re-meets every left row with every earlier right
+    * row of its key — quadratic per hot key. Right side is deduplicated
+    * to one row per (key, ms) first (greatest orderkey wins) so the
+    * match is deterministic on both engines.
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, sfDir, "events")
+    val left = ev.select(col("user_id").as("k"),
+      Tables.tsMillis(ev).as("ms"), col("event_id"),
+      lit(1).as("is_l"),
+      lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("double").as("o_totalprice"))
+    val ord0 = Tables.load(spark, sfDir, "orders")
+    val dedupW = Window.partitionBy("k", "ms").orderBy(col("o_orderkey").desc)
+    val right = ord0.select((col("o_custkey") % 150).as("k"),
+        Tables.colMillis(ord0, "o_orderdate").as("ms"),
+        col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(dedupW))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("ms"),
+        lit(null).cast("long").as("event_id"), lit(0).as("is_l"),
+        col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy("k").orderBy(col("ms"), col("is_l"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    left.unionByName(right)
+      .withColumn("asof_orderkey",
+        last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_totalprice",
+        last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("is_l") === 1)
+      .select(col("event_id"), col("k").as("user_id"), col("ms"),
+        col("asof_orderkey"), col("asof_totalprice"))
+  }
+
+  val asofJoinSql: String =
+    """WITH l AS (SELECT user_id AS k, epoch_ms(ts) AS ms, event_id
+          FROM events),
+        r AS (SELECT k, ms, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey % 150 AS k, epoch_ms(o_orderdate) AS ms,
+              o_orderkey, o_totalprice,
+              row_number() OVER (PARTITION BY o_custkey % 150,
+                epoch_ms(o_orderdate) ORDER BY o_orderkey DESC) AS rn
+            FROM orders) WHERE rn = 1)
+        SELECT l.event_id, l.k AS user_id, l.ms,
+          r.o_orderkey AS asof_orderkey, r.o_totalprice AS asof_totalprice
+        FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ms >= r.ms"""
 }

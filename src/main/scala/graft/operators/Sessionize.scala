@@ -27,8 +27,16 @@ object Sessionize {
   def sessions(spark: SparkSession, sfDir: String,
       gapMs: Long = 86400000L): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
-    ev.select(col("user_id"),
-        timestamp_millis(Tables.tsMillis(ev)).as("ts"),
+    sessionsFrom(ev.select(col("user_id"),
+      timestamp_millis(Tables.tsMillis(ev)).as("ts"), col("value")), gapMs)
+  }
+
+  /** Frame form: (user_id, ts: timestamp, value) — works unchanged on a
+    * streaming frame (add `withWatermark` upstream; session state evicts
+    * once the watermark passes a session's close).
+    */
+  def sessionsFrom(ev: DataFrame, gapMs: Long = 86400000L): DataFrame =
+    ev.select(col("user_id"), col("ts"),
         floor(col("value") * 100 + lit(0.5)).cast("long").as("vgrain"))
       .groupBy(col("user_id"),
         session_window(col("ts"), s"$gapMs milliseconds").as("w"))
@@ -38,7 +46,6 @@ object Sessionize {
         unix_millis(col("w.start")).as("session_start_ms"),
         unix_millis(col("w.end")).as("session_end_ms"),
         col("n_events"), col("sum_value"))
-  }
 
   def sessionsSql(gapMs: Long = 86400000L): String =
     s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms,

@@ -255,6 +255,40 @@ object Similarity {
         FROM (SELECT cell, list(v ORDER BY vec_id) AS mv
               FROM ($assignedRel) GROUP BY cell)"""
 
+  /** K-means to convergence — driver-side loop over distributed steps:
+    * assign + refine until the largest per-coordinate centroid movement
+    * hits zero (an exact fixpoint: identical centroids ⇒ identical next
+    * assignment) or `maxIters`. Per iteration the driver touches only a
+    * 1-row movement scalar and the `localCheckpoint` truncates lineage so
+    * plan depth stays O(1) across iterations (each step re-reads the
+    * corpus once — the standard distributed k-means cost). The registered
+    * oracle query keeps a fixed iteration count (the oracle SQL is
+    * generated statically and cannot loop data-dependently); this is the
+    * production path, exercised by a fixpoint test.
+    *
+    * Returns (centroids, iterations run, final max movement).
+    */
+  def kmeansConverged(vecs: DataFrame, nCells: Int = IvfCells,
+      maxIters: Int = 25, eps: Double = 0.0): (DataFrame, Int, Double) = {
+    var cents = vecs.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      .localCheckpoint()
+    var iters = 0
+    var moved = Double.MaxValue
+    while (iters < maxIters && moved > eps) {
+      val next = refineCents(assignCells(vecs, cents)).localCheckpoint()
+      moved = next.alias("n")
+        .join(cents.alias("o"), col("n.cent_id") === col("o.cent_id"))
+        .agg(max(aggregate(
+          zip_with(col("n.cv"), col("o.cv"), (a, b) => abs(a - b)),
+          lit(0.0), (acc, x) => greatest(acc, x))))
+        .head.getDouble(0)
+      cents = next
+      iters += 1
+    }
+    (cents, iters, moved)
+  }
+
   def knnIvf(spark: SparkSession, sfDir: String,
       k: Int = 5, nQueries: Int = 20, nprobe: Int = 2,
       kmeansIters: Int = 2): DataFrame = {

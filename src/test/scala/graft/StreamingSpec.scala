@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
 import graft.streaming.ApmStreaming
-import graft.operators.{Alerts, ApmStats, ZScore}
+import graft.operators.{Alerts, ApmStats, Sessionize, ZScore}
 import graft.functions.RefStats
 
 /** Structured Streaming semantics tests with MemoryStream: watermarked
@@ -215,5 +215,34 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(s == b,
       s"onlyStream=${(s -- b).take(3)} onlyBatch=${(b -- s).take(3)}")
+  }
+
+  test("sessionize: streaming session_window == batch on same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val ev = in.toDF.toDF("user_id", "ts", "value")
+      .withWatermark("ts", "10 seconds")
+    val q = Sessionize.sessionsFrom(ev, gapMs = 30000L)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_out").start()
+    // user 1: two sessions (gap 40 s > 30 s); user 2: one 2-event session
+    val data = Seq(
+      (1L, ts(100), 1.5), (1L, ts(110), 2.25), (1L, ts(150), 4.0),
+      (2L, ts(105), 3.0), (2L, ts(120), 0.5))
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      in.addData((99L, ts(10000), 0.0)) // watermark sentinel closes all
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .filter(col("user_id") =!= 99L)
+        .collect().map(_.toSeq).toSet
+      val batch = Sessionize.sessionsFrom(
+        data.toDF("user_id", "ts", "value"), gapMs = 30000L)
+        .collect().map(_.toSeq).toSet
+      assert(got == batch, s"stream=$got batch=$batch")
+      assert(got.size == 3, s"expected 3 sessions: $got")
+    } finally q.stop()
   }
 }
