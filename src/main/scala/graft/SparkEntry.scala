@@ -105,6 +105,9 @@ object SparkEntry {
     "q17_avg_sub"      -> ((s, dir) => Relational.q17AvgSub(s, dir)),
     "q18_having"       -> ((s, dir) => Relational.q18Having(s, dir)),
     "q22_anti"         -> ((s, dir) => Relational.q22Anti(s, dir)),
+    "q20_range_join"   -> ((s, dir) => Relational.q20RangeJoin(s, dir)),
+    "q21_rollup"       -> ((s, dir) => Relational.qRollup(s, dir)),
+    "c7_dedup_apply"   -> ((s, dir) => Dedup.dedupApply(s, dir)),
   )
 
   /** Alert config used by registered queries: thresholds tuned so the test
@@ -218,6 +221,9 @@ object SparkEntry {
     "q17_avg_sub"      -> Relational.q17AvgSubSql,
     "q18_having"       -> Relational.q18HavingSql(),
     "q22_anti"         -> Relational.q22AntiSql,
+    "q20_range_join"   -> Relational.q20RangeJoinSql(),
+    "q21_rollup"       -> Relational.qRollupSql,
+    "c7_dedup_apply"   -> Dedup.dedupApplySql(),
     // Collapse line breaks + indentation only — NOT intra-line runs: a
     // blanket \s+ collapse rewrites whitespace inside SQL string
     // LITERALS (the email CSS carries a reference-faithful double space).

@@ -387,6 +387,36 @@ object Dedup {
           CAST(doc_id = min(r) AS INT) AS is_canonical
         FROM reach GROUP BY doc_id"""
 
+  /** Near-dup removal APPLIED — the curated corpus after dropping every
+    * non-canonical cluster member (the step the pair/cluster operators
+    * exist for). Canonical survivors carry their cluster size so
+    * downstream mixing can weight by collapsed duplicates. Shape: the
+    * cluster frame is doc-keyed; one groupBy on cluster_id for sizes,
+    * then doc-keyed joins — no new corpus-scale shuffle beyond
+    * [[dupClusters]] itself.
+    */
+  def dedupApply(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val clusters = dupClusters(spark, sfDir, threshold)
+    val sizes = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.filter(col("is_canonical") === 1)
+      .join(sizes, Seq("cluster_id"))
+      .join(Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "source", "n_chars"), Seq("doc_id"))
+      .select("doc_id", "cluster_size", "source", "n_chars")
+  }
+
+  def dedupApplySql(threshold: Double = 0.4): String =
+    s"""WITH clustered AS (${dupClustersSql(threshold)}),
+        sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                  FROM clustered GROUP BY cluster_id)
+        SELECT c.doc_id, s.cluster_size, d.source, d.n_chars
+        FROM clustered c
+        JOIN sizes s ON c.cluster_id = s.cluster_id
+        JOIN documents d ON c.doc_id = d.doc_id
+        WHERE c.is_canonical = 1"""
+
   // ---------------------------------------------------------------- simhash
 
   /** SimHash: 32-bit signature — for each bit, sum +-1 over the doc's

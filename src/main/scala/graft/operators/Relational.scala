@@ -268,6 +268,67 @@ object Relational {
         (sum(col("bal_grain")) / lit(100.0)).as("totacctbal"))
   }
 
+  /** Keyless RANGE join via interval block-bucketing — "how many
+    * lineitems shipped inside each promotion window" where the windows
+    * share no equi key with the fact table. The naive form is a pure
+    * interval theta-join (a nested-loop/cartesian at scale); the scale
+    * shape blocks time into `blockMs` buckets, explodes each interval to
+    * the blocks it covers (bounded: interval/block + 1 rows), and
+    * equi-joins on the block with the range as a residual — a hash join
+    * whose fan-out is |intervals| x blocks-per-interval, independent of
+    * fact-table size. A fact row's single block meets each window at
+    * most once, so no post-join dedup is needed. The DuckDB oracle keeps
+    * the naive theta form — same result, proving the rewrite.
+    */
+  def q20RangeJoin(spark: SparkSession, sfDir: String,
+      nWins: Int = 20, winMs: Long = 30L * 86400000L,
+      blockMs: Long = 86400000L): DataFrame = {
+    val ord0 = Tables.load(spark, sfDir, "orders")
+    val wins = ord0.filter(col("o_orderkey") < nWins)
+      .select(col("o_orderkey").as("win_id"),
+        Tables.colMillis(ord0, "o_orderdate").as("lo"))
+      .withColumn("hi", col("lo") + winMs)
+    val winBlocks = wins.withColumn("block",
+      explode(sequence(expr(s"lo div $blockMs"), expr(s"(hi - 1) div $blockMs"))))
+    val li0 = Tables.load(spark, sfDir, "lineitem")
+    val li = li0.select(Tables.colMillis(li0, "l_shipdate").as("ms"),
+        col("l_quantity"))
+      .withColumn("block", expr(s"ms div $blockMs"))
+    li.join(broadcast(winBlocks), Seq("block"))
+      .filter(col("ms") >= col("lo") && col("ms") < col("hi"))
+      .groupBy("win_id", "lo", "hi")
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+  }
+
+  def q20RangeJoinSql(nWins: Int = 20, winMs: Long = 30L * 86400000L): String =
+    s"""WITH wins AS (
+          SELECT o_orderkey AS win_id, epoch_ms(o_orderdate) AS lo,
+            epoch_ms(o_orderdate) + $winMs AS hi
+          FROM orders WHERE o_orderkey < $nWins)
+        SELECT win_id, lo, hi, count(*) AS n_items,
+          sum(l_quantity) AS sum_qty
+        FROM lineitem JOIN wins
+          ON epoch_ms(l_shipdate) >= lo AND epoch_ms(l_shipdate) < hi
+        GROUP BY win_id, lo, hi"""
+
+  /** ROLLUP aggregation — the multi-level grouping-sets shape (per
+    * (flag, status), per flag, grand total in ONE pass: Catalyst expands
+    * the grouping sets before the exchange, so partial aggregation still
+    * applies). Quantities are integral => sums exact on both engines.
+    */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"),
+        grouping_id().cast("long").as("gid"))
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+        count(*) AS n_lines, sum(l_quantity) AS sum_qty,
+        CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
   val q22AntiSql: String =
     """SELECT n_name, count(*) AS numcust,
         sum(bal_grain) / 100.0 AS totacctbal

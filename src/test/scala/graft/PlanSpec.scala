@@ -111,6 +111,18 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
   }
 
+  test("q20 range join runs as a block equi-join, never a nested loop") {
+    val p = plan("q20_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q21 rollup expands grouping sets before one partial-agg exchange") {
+    val p = plan("q21_rollup")
+    assert(p.contains("Expand"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("d7 jaccard theta-join is rewritten to an inverted-index equi-join") {
     val p = plan("d7_jaccard_join")
     // the declared plan is an all-pairs theta-join; the optimizer rule
