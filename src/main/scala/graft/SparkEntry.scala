@@ -81,6 +81,7 @@ object SparkEntry {
     "c6_pii_scrub"     -> ((s, dir) => Curation.piiScrub(s, dir)),
     "t6_repetition"    -> ((s, dir) => TextAnalysis.repetition(s, dir)),
     "t8_vocab"         -> ((s, dir) => TextAnalysis.vocab(s, dir)),
+    "t9_lm_score"      -> ((s, dir) => TextAnalysis.lmScore(s, dir)),
     "w1_sessionize"    -> ((s, dir) => Sessionize.sessions(s, dir)),
     "d3_dedup_minhash" -> ((s, dir) => Dedup.minhash(s, dir)),
     "d4_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
@@ -170,6 +171,7 @@ object SparkEntry {
     "c6_pii_scrub"     -> Curation.piiScrubSql,
     "t6_repetition"    -> TextAnalysis.repetitionSql(),
     "t8_vocab"         -> TextAnalysis.vocabSql(),
+    "t9_lm_score"      -> TextAnalysis.lmScoreSql(),
     "w1_sessionize"    -> Sessionize.sessionsSql(),
     "d3_dedup_minhash" -> Dedup.minhashSql,
     "d4_dedup_minhash_lsh" -> Dedup.minhashLshSql(),

@@ -148,7 +148,7 @@ object Similarity {
   }
 
   def embedNearDupSql(threshold: Double = 0.3): String = {
-    val dim = 64
+    val dim = SrpDim
     val bucket = (0 until LshBits).map { bit =>
       val proj = (0 until dim).map(d => s"v[${d + 1}] * ${planeCoef(bit, d)}")
         .mkString(" + ")
@@ -410,7 +410,7 @@ object Similarity {
         FROM q"""
 
   def knnLshSql(k: Int = 5, nQueries: Int = 20): String = {
-    val dim = 64
+    val dim = SrpDim
     val bucket = (0 until LshBits).map { bit =>
       val proj = (0 until dim).map(d => s"v[${d + 1}] * ${planeCoef(bit, d)}")
         .mkString(" + ")

@@ -267,6 +267,74 @@ object TextAnalysis {
             AS INT) AS in_vocab
         FROM ranked"""
 
+  /** Corpus bigram-LM scoring — the perplexity-filtering quality signal
+    * (CCNet-style: score each doc under a language model trained on the
+    * corpus itself): a Laplace-smoothed bigram model
+    * `P(w2|w1) = (c12+1)/(c1+V)` is built in two keyed aggregations,
+    * then each doc scores as the mean bigram probability. Deliberately
+    * ratio-space, not log-space: `ln` is not bit-identical across libm
+    * implementations, while these are exact-integer ratios divided once
+    * — the cross-engine float-parity policy. Per-doc means fold over the
+    * SORTED probability list (order-dependent double sums).
+    *
+    * Scale shape: model build = two map-side-combinable aggregations
+    * (bigram key, then first-word key); scoring = one join keyed on the
+    * bigram (model size is corpus bigram-type count, partitioned like
+    * any fact-fact join) + one doc-keyed aggregation. V is a 1-row
+    * broadcast.
+    */
+  def lmScore(spark: SparkSession, sfDir: String,
+      minAvgProb: Double = 0.005): DataFrame = {
+    val docs = Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"), split(trim(lower(col("text"))), wsSplit).as("ws"))
+    val bigramArr = when(size(col("ws")) > 1,
+      transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val docBigrams = docs.select(col("doc_id"), explode(bigramArr).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val c12 = docBigrams.groupBy("w1", "g").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val v = docs.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("vocab"))
+    val model = c12.join(c1, Seq("w1")).crossJoin(broadcast(v))
+      .select(col("g"),
+        ((col("c12") + 1) / (col("c1") + col("vocab"))).as("prob"))
+    docBigrams.join(model, Seq("g"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("prob"))).as("ps"))
+      .select(col("doc_id"), size(col("ps")).cast("long").as("n_bigrams"),
+        (aggregate(col("ps"), lit(0.0), (a, x) => a + x) /
+          size(col("ps"))).as("avg_bigram_prob"))
+      .withColumn("lm_ok",
+        (col("avg_bigram_prob") >= minAvgProb).cast("int"))
+  }
+
+  def lmScoreSql(minAvgProb: Double = 0.005): String =
+    s"""WITH d AS (SELECT doc_id,
+          string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents),
+        db AS (
+          SELECT doc_id, g, split_part(g, ' ', 1) AS w1
+          FROM (SELECT doc_id,
+                  unnest(list_transform(range(1, len(ws)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS g FROM d)),
+        c12 AS (SELECT w1, g, count(*) AS c12 FROM db GROUP BY w1, g),
+        c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+        v AS (SELECT count(DISTINCT w) AS vocab
+              FROM (SELECT unnest(ws) AS w FROM d)),
+        model AS (
+          SELECT g, (c12 + 1) / (c1 + vocab) AS prob
+          FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+        scored AS (
+          SELECT doc_id, list_sort(list(prob)) AS ps
+          FROM db JOIN model USING (g) GROUP BY doc_id)
+        SELECT doc_id, len(ps) AS n_bigrams,
+          list_reduce(list_prepend(0.0, ps), (a, x) -> a + x) / len(ps)
+            AS avg_bigram_prob,
+          CAST(list_reduce(list_prepend(0.0, ps), (a, x) -> a + x) / len(ps)
+            >= $minAvgProb AS INT) AS lm_ok
+        FROM scored"""
+
   /** Document fingerprinting — rolling polynomial hash of the normalized
     * text (lowercase, collapsed whitespace), via the codegen'd
     * [[graft.functions.PolyHash]] expression.
