@@ -92,6 +92,7 @@ object SparkEntry {
     "s3_knn_ivf"       -> ((s, dir) => Similarity.knnIvf(s, dir)),
     "s4_ivf_recall"    -> ((s, dir) => Similarity.ivfRecall(s, dir)),
     "e1_embed_quantize" -> ((s, dir) => Similarity.embedQuantize(s, dir)),
+    "e2_pq_codes"      -> ((s, dir) => Similarity.pqCodes(s, dir)),
     "t5_seq_pack"      -> ((s, dir) => TextAnalysis.seqPack(s, dir)),
     "m1_media_meta"    -> ((s, dir) => Multimodal.meta(s, dir)),
     "m2_media_decode"  -> ((s, dir) => Multimodal.decodeAll(s, dir).toDF),
@@ -182,6 +183,7 @@ object SparkEntry {
     "s3_knn_ivf"       -> Similarity.knnIvfSql(),
     "s4_ivf_recall"    -> Similarity.ivfRecallSql(),
     "e1_embed_quantize" -> Similarity.embedQuantizeSql,
+    "e2_pq_codes"      -> Similarity.pqCodesSql(),
     "m3_frame_sample"  -> Multimodal.frameSampleSql(),
     "t5_seq_pack"      -> TextAnalysis.seqPackSql(),
     "m1_media_meta"    -> Multimodal.metaSql,

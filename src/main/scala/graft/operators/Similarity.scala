@@ -409,6 +409,103 @@ object Similarity {
             (acc, e) -> acc + e) / CAST(len(v) AS DOUBLE) AS mse
         FROM q"""
 
+  /** Product quantization (PQ) — the ANN compression that beats scalar
+    * int8 at equal bytes: the vector splits into `PqSubspaces`
+    * subvectors, each encoded as the id of its nearest codeword from a
+    * per-subspace k-means codebook (seeded from the first `PqK` vectors,
+    * one refinement pass — fixed so the oracle can mirror it).
+    * 64 dims -> 4 bytes/vector here; per-vector squared error is carried
+    * so the accuracy cost is measured, not assumed.
+    *
+    * Relational formulation: the subspace index is DATA — one explode
+    * turns (vec, sub) into rows, so a single assign/refine pipeline
+    * trains all codebooks at once (no per-subspace loop; the codebook
+    * table stays broadcast-sized: subspaces x K x subDim). Assignment is
+    * the same broadcast-join + struct-max argmin as IVF; refinement is
+    * the ordered per-position mean fold. Codes emit as scalar columns
+    * (the external harness cannot canonicalize list cells).
+    */
+  val PqSubspaces = 4
+  val PqK = 16
+
+  def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val subDim = SrpDim / PqSubspaces
+    val vecs = vecsDoubleChecked(spark, sfDir)
+    val subs = vecs.select(col("vec_id"), explode(array(
+        (0 until PqSubspaces).map(s => struct(lit(s).as("sub"),
+          slice(col("v"), s * subDim + 1, subDim).as("sv"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+    val seed = subs.filter(col("vec_id") < PqK)
+      .select(col("sub"), col("vec_id").cast("int").as("code"),
+        col("sv").as("cv"))
+    def assign(cb: DataFrame): DataFrame =
+      subs.join(broadcast(cb), Seq("sub"))
+        .withColumn("d2", aggregate(
+          zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, e) => acc + e))
+        .groupBy("vec_id", "sub", "sv")
+        .agg(max(struct((-col("d2")).as("nd"), (-col("code")).as("nc"))).as("b"))
+        .select(col("vec_id"), col("sub"), col("sv"),
+          (-col("b.nc")).cast("int").as("code"), (-col("b.nd")).as("d2"))
+    // one k-means pass over the seeds (fold order: members by vec_id)
+    val refined = assign(seed)
+      .groupBy("sub", "code")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("sv")))).as("mv"))
+      .select(col("sub"), col("code"),
+        transform(sequence(lit(1), lit(subDim)),
+          p => aggregate(col("mv"), lit(0.0),
+            (acc, m) => acc + element_at(m.getField("sv"), p)) /
+            size(col("mv")).cast("double")).as("cv"))
+    val asg = assign(refined)
+    def codeAt(s: Int) = max(when(col("sub") === s, col("code"))).as(s"code$s")
+    def d2At(s: Int) = max(when(col("sub") === s, col("d2")))
+    asg.groupBy("vec_id")
+      .agg(codeAt(0), codeAt(1), codeAt(2), codeAt(3),
+        // explicit left-to-right sum of the four subspace errors
+        ((d2At(0) + d2At(1) + d2At(2) + d2At(3)) / SrpDim).as("mse"))
+  }
+
+  def pqCodesSql(): String = {
+    val subDim = SrpDim / PqSubspaces
+    def assignSql(cbRel: String): String =
+      s"""SELECT vec_id, sub, sv,
+            CAST(-struct_extract(max({'nd': -d2, 'nc': -code}), 'nc') AS INT) AS code,
+            -struct_extract(max({'nd': -d2, 'nc': -code}), 'nd') AS d2
+          FROM (
+            SELECT vec_id, s.sub AS sub, sv, code,
+              list_reduce(list_prepend(0.0, list_transform(range(1, $subDim + 1),
+                i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))),
+                (acc, e) -> acc + e) AS d2
+            FROM subs s JOIN ($cbRel) cb ON s.sub = cb.sub)
+          GROUP BY vec_id, sub, sv"""
+    s"""WITH vecs AS ($vecsDoubleSql),
+        subs AS (
+          SELECT vec_id, sub,
+            list_transform(range(1, $subDim + 1), i -> v[sub*$subDim + i]) AS sv
+          FROM vecs CROSS JOIN (SELECT unnest(range(0, $PqSubspaces)) AS sub)),
+        seed AS (SELECT sub, CAST(vec_id AS INT) AS code, sv AS cv
+                 FROM subs WHERE vec_id < $PqK),
+        a0 AS (${assignSql("SELECT * FROM seed")}),
+        refined AS (
+          SELECT sub, code,
+            list_transform(range(1, $subDim + 1),
+              p -> list_reduce(list_prepend(0.0, list_transform(mv, m -> m[p])),
+                     (acc, x) -> acc + x) / CAST(len(mv) AS DOUBLE)) AS cv
+          FROM (SELECT sub, code, list(sv ORDER BY vec_id) AS mv
+                FROM a0 GROUP BY sub, code)),
+        a1 AS (${assignSql("SELECT * FROM refined")})
+        SELECT vec_id,
+          max(CASE WHEN sub = 0 THEN code END) AS code0,
+          max(CASE WHEN sub = 1 THEN code END) AS code1,
+          max(CASE WHEN sub = 2 THEN code END) AS code2,
+          max(CASE WHEN sub = 3 THEN code END) AS code3,
+          (max(CASE WHEN sub = 0 THEN d2 END)
+            + max(CASE WHEN sub = 1 THEN d2 END)
+            + max(CASE WHEN sub = 2 THEN d2 END)
+            + max(CASE WHEN sub = 3 THEN d2 END)) / $SrpDim AS mse
+        FROM a1 GROUP BY vec_id"""
+  }
+
   def knnLshSql(k: Int = 5, nQueries: Int = 20): String = {
     val dim = SrpDim
     val bucket = (0 until LshBits).map { bit =>
