@@ -93,6 +93,8 @@ object SparkEntry {
     "s4_ivf_recall"    -> ((s, dir) => Similarity.ivfRecall(s, dir)),
     "e1_embed_quantize" -> ((s, dir) => Similarity.embedQuantize(s, dir)),
     "e2_pq_codes"      -> ((s, dir) => Similarity.pqCodes(s, dir)),
+    "s5_pq_adc"        -> ((s, dir) => Similarity.pqAdc(s, dir)),
+    "s6_pq_recall"     -> ((s, dir) => Similarity.pqRecall(s, dir)),
     "t5_seq_pack"      -> ((s, dir) => TextAnalysis.seqPack(s, dir)),
     "m1_media_meta"    -> ((s, dir) => Multimodal.meta(s, dir)),
     "m2_media_decode"  -> ((s, dir) => Multimodal.decodeAll(s, dir).toDF),
@@ -184,6 +186,8 @@ object SparkEntry {
     "s4_ivf_recall"    -> Similarity.ivfRecallSql(),
     "e1_embed_quantize" -> Similarity.embedQuantizeSql,
     "e2_pq_codes"      -> Similarity.pqCodesSql(),
+    "s5_pq_adc"        -> Similarity.pqAdcSql(),
+    "s6_pq_recall"     -> Similarity.pqRecallSql(),
     "m3_frame_sample"  -> Multimodal.frameSampleSql(),
     "t5_seq_pack"      -> TextAnalysis.seqPackSql(),
     "m1_media_meta"    -> Multimodal.metaSql,

@@ -428,27 +428,36 @@ object Similarity {
   val PqSubspaces = 4
   val PqK = 16
 
-  def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-subspace rows (vec_id, sub, sv) for the PQ family. */
+  private def pqSubs(spark: SparkSession, sfDir: String): DataFrame = {
     val subDim = SrpDim / PqSubspaces
-    val vecs = vecsDoubleChecked(spark, sfDir)
-    val subs = vecs.select(col("vec_id"), explode(array(
+    vecsDoubleChecked(spark, sfDir).select(col("vec_id"), explode(array(
         (0 until PqSubspaces).map(s => struct(lit(s).as("sub"),
           slice(col("v"), s * subDim + 1, subDim).as("sv"))): _*)).as("x"))
       .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+  }
+
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", aggregate(
+        zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, e) => acc + e))
+      .groupBy("vec_id", "sub", "sv")
+      .agg(max(struct((-col("d2")).as("nd"), (-col("code")).as("nc"))).as("b"))
+      .select(col("vec_id"), col("sub"), col("sv"),
+        (-col("b.nc")).cast("int").as("code"), (-col("b.nd")).as("d2"))
+
+  /** Trained codebook + final corpus assignment (shared by
+    * [[pqCodes]]/[[pqAdc]]).
+    */
+  private def pqTrained(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val subDim = SrpDim / PqSubspaces
+    val subs = pqSubs(spark, sfDir)
     val seed = subs.filter(col("vec_id") < PqK)
       .select(col("sub"), col("vec_id").cast("int").as("code"),
         col("sv").as("cv"))
-    def assign(cb: DataFrame): DataFrame =
-      subs.join(broadcast(cb), Seq("sub"))
-        .withColumn("d2", aggregate(
-          zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, e) => acc + e))
-        .groupBy("vec_id", "sub", "sv")
-        .agg(max(struct((-col("d2")).as("nd"), (-col("code")).as("nc"))).as("b"))
-        .select(col("vec_id"), col("sub"), col("sv"),
-          (-col("b.nc")).cast("int").as("code"), (-col("b.nd")).as("d2"))
     // one k-means pass over the seeds (fold order: members by vec_id)
-    val refined = assign(seed)
+    val refined = pqAssign(subs, seed)
       .groupBy("sub", "code")
       .agg(sort_array(collect_list(struct(col("vec_id"), col("sv")))).as("mv"))
       .select(col("sub"), col("code"),
@@ -456,7 +465,11 @@ object Similarity {
           p => aggregate(col("mv"), lit(0.0),
             (acc, m) => acc + element_at(m.getField("sv"), p)) /
             size(col("mv")).cast("double")).as("cv"))
-    val asg = assign(refined)
+    (pqAssign(subs, refined), refined)
+  }
+
+  def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val (asg, _) = pqTrained(spark, sfDir)
     def codeAt(s: Int) = max(when(col("sub") === s, col("code"))).as(s"code$s")
     def d2At(s: Int) = max(when(col("sub") === s, col("d2")))
     asg.groupBy("vec_id")
@@ -465,7 +478,16 @@ object Similarity {
         ((d2At(0) + d2At(1) + d2At(2) + d2At(3)) / SrpDim).as("mse"))
   }
 
-  def pqCodesSql(): String = {
+  private def pqD2Sql(a: String, b: String): String = {
+    val subDim = SrpDim / PqSubspaces
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, $subDim + 1),
+        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, e) -> acc + e)"""
+  }
+
+  /** Shared CTE chain: subspace rows, seed codebook, one k-means pass,
+    * final corpus assignment `a1`.
+    */
+  private def pqCtesSql: String = {
     val subDim = SrpDim / PqSubspaces
     def assignSql(cbRel: String): String =
       s"""SELECT vec_id, sub, sv,
@@ -473,12 +495,10 @@ object Similarity {
             -struct_extract(max({'nd': -d2, 'nc': -code}), 'nd') AS d2
           FROM (
             SELECT vec_id, s.sub AS sub, sv, code,
-              list_reduce(list_prepend(0.0, list_transform(range(1, $subDim + 1),
-                i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))),
-                (acc, e) -> acc + e) AS d2
+              ${pqD2Sql("sv", "cv")} AS d2
             FROM subs s JOIN ($cbRel) cb ON s.sub = cb.sub)
           GROUP BY vec_id, sub, sv"""
-    s"""WITH vecs AS ($vecsDoubleSql),
+    s"""vecs AS ($vecsDoubleSql),
         subs AS (
           SELECT vec_id, sub,
             list_transform(range(1, $subDim + 1), i -> v[sub*$subDim + i]) AS sv
@@ -493,7 +513,11 @@ object Similarity {
                      (acc, x) -> acc + x) / CAST(len(mv) AS DOUBLE)) AS cv
           FROM (SELECT sub, code, list(sv ORDER BY vec_id) AS mv
                 FROM a0 GROUP BY sub, code)),
-        a1 AS (${assignSql("SELECT * FROM refined")})
+        a1 AS (${assignSql("SELECT * FROM refined")})"""
+  }
+
+  def pqCodesSql(): String =
+    s"""WITH $pqCtesSql
         SELECT vec_id,
           max(CASE WHEN sub = 0 THEN code END) AS code0,
           max(CASE WHEN sub = 1 THEN code END) AS code1,
@@ -504,7 +528,106 @@ object Similarity {
             + max(CASE WHEN sub = 2 THEN d2 END)
             + max(CASE WHEN sub = 3 THEN d2 END)) / $SrpDim AS mse
         FROM a1 GROUP BY vec_id"""
+
+  /** PQ search by asymmetric distance computation (ADC): the query stays
+    * exact while the corpus is its 4-byte codes. Per query a distance
+    * LOOKUP TABLE to every codeword (Q x subspaces x K rows — broadcast-
+    * sized) is joined to the corpus codes on (sub, code), so scoring a
+    * corpus vector is four table lookups + an explicit 4-term sum —
+    * never a touch of the original corpus floats. This is the standard
+    * memory-bound ANN serving shape (corpus compressed 64x; at 100 TB
+    * the codes fit where the floats could not).
+    */
+  def pqAdc(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 20): DataFrame = {
+    val (asg, cb) = pqTrained(spark, sfDir)
+    val qlut = pqSubs(spark, sfDir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("sub"), col("sv"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("code"),
+        aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, e) => acc + e).as("dq"))
+    def dAt(s: Int) = max(when(col("sub") === s, col("dq")))
+    val scored = asg.select(col("vec_id").as("n_id"), col("sub"), col("code"))
+      .join(broadcast(qlut), Seq("sub", "code"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy("q_id", "n_id")
+      .agg((dAt(0) + dAt(1) + dAt(2) + dAt(3)).as("adc_d2"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_d2").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "adc_d2", "rank")
   }
+
+  def pqAdcSql(k: Int = 5, nQueries: Int = 20): String =
+    s"""WITH $pqCtesSql,
+        qlut AS (
+          SELECT s.vec_id AS q_id, s.sub AS sub, cb.code AS code,
+            ${pqD2Sql("sv", "cv")} AS dq
+          FROM subs s JOIN refined cb ON s.sub = cb.sub
+          WHERE s.vec_id < $nQueries),
+        scored AS (
+          SELECT q_id, a1.vec_id AS n_id,
+            max(CASE WHEN a1.sub = 0 THEN dq END)
+              + max(CASE WHEN a1.sub = 1 THEN dq END)
+              + max(CASE WHEN a1.sub = 2 THEN dq END)
+              + max(CASE WHEN a1.sub = 3 THEN dq END) AS adc_d2
+          FROM a1 JOIN qlut ON a1.sub = qlut.sub AND a1.code = qlut.code
+          WHERE q_id <> a1.vec_id
+          GROUP BY q_id, a1.vec_id),
+        ranked AS (
+          SELECT q_id, n_id, adc_d2,
+            row_number() OVER (PARTITION BY q_id
+                               ORDER BY adc_d2 ASC, n_id ASC) AS rank
+          FROM scored)
+        SELECT q_id, n_id, adc_d2, rank FROM ranked WHERE rank <= $k"""
+
+  /** recall@k of PQ-ADC against the exact L2 top-k — the measured
+    * accuracy cost of the 64x compression (same philosophy as
+    * [[ivfRecall]]: the approximation ships with its recall number).
+    */
+  def pqRecall(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 20): DataFrame = {
+    val vecs = vecsDouble(spark, sfDir)
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = vecs.select(col("vec_id").as("n_id"), col("v").as("nv"))
+    val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id").asc)
+    val exact = q.join(c, col("q_id") =!= col("n_id"))
+      .withColumn("d2", aggregate(
+        zip_with(col("qv"), col("nv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, e) => acc + e))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id")
+    val adc = pqAdc(spark, sfDir, k, nQueries)
+      .select(col("q_id").as("aq"), col("n_id").as("an"))
+    exact.join(adc, col("q_id") === col("aq") && col("n_id") === col("an"),
+        "left")
+      .groupBy("q_id")
+      .agg((count(col("aq")) / lit(k.toDouble)).as("recall_at_k"))
+  }
+
+  def pqRecallSql(k: Int = 5, nQueries: Int = 20): String =
+    s"""WITH vecs AS ($vecsDoubleSql),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id < $nQueries),
+        c AS (SELECT vec_id AS n_id, v AS nv FROM vecs),
+        exact AS (
+          SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+              row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC)
+                AS rank
+            FROM (SELECT q_id, n_id,
+                    list_reduce(list_prepend(0.0,
+                      list_transform(range(1, len(qv)+1),
+                        i -> (qv[i] - nv[i]) * (qv[i] - nv[i]))),
+                      (acc, e) -> acc + e) AS d2
+                  FROM q JOIN c ON q_id <> n_id))
+          WHERE rank <= $k),
+        adc AS (SELECT q_id AS aq, n_id AS an FROM (${pqAdcSql(k, nQueries)}))
+        SELECT q_id, count(aq) / CAST($k AS DOUBLE) AS recall_at_k
+        FROM exact LEFT JOIN adc ON q_id = aq AND n_id = an
+        GROUP BY q_id"""
 
   def knnLshSql(k: Int = 5, nQueries: Int = 20): String = {
     val dim = SrpDim
