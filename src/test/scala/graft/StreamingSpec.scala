@@ -245,4 +245,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.size == 3, s"expected 3 sessions: $got")
     } finally q.stop()
   }
+
+  test("streaming exact dedup: dropDuplicatesWithinWatermark on fingerprint") {
+    // the streaming counterpart of d1_dedup_exact: content fingerprint +
+    // watermark-bounded dedup state (state for a fingerprint is evicted
+    // once the watermark passes, so state size is bounded by the
+    // dedup horizon, not the corpus)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.PolyHash.poly_hash
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val deduped = in.toDF.toDF("doc_id", "ts", "text")
+      .withColumn("fp", poly_hash(lower(trim(col("text")))))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("fp")
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_out").start()
+    try {
+      in.addData((1L, ts(100), "alpha beta"), (2L, ts(101), "alpha beta"),
+        (3L, ts(102), "gamma"))
+      q.processAllAvailable()
+      // duplicate arriving in a LATER micro-batch, inside the horizon
+      in.addData((4L, ts(103), "alpha beta"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got.intersect(Set(1L, 2L)).size == 1,
+        s"exactly one copy of the in-batch dup should survive: $got")
+      assert(got.contains(3L), s"unique doc dropped: $got")
+      assert(!got.contains(4L), s"cross-batch dup not deduped: $got")
+    } finally q.stop()
+  }
 }
