@@ -112,6 +112,7 @@ object SparkEntry {
     "q20_range_join"   -> ((s, dir) => Relational.q20RangeJoin(s, dir)),
     "q21_rollup"       -> ((s, dir) => Relational.qRollup(s, dir)),
     "c7_dedup_apply"   -> ((s, dir) => Dedup.dedupApply(s, dir)),
+    "q23_pivot"        -> ((s, dir) => Relational.qPivot(s, dir)),
   )
 
   /** Alert config used by registered queries: thresholds tuned so the test
@@ -232,6 +233,7 @@ object SparkEntry {
     "q20_range_join"   -> Relational.q20RangeJoinSql(),
     "q21_rollup"       -> Relational.qRollupSql,
     "c7_dedup_apply"   -> Dedup.dedupApplySql(),
+    "q23_pivot"        -> Relational.qPivotSql,
     // Collapse line breaks + indentation only — NOT intra-line runs: a
     // blanket \s+ collapse rewrites whitespace inside SQL string
     // LITERALS (the email CSS carries a reference-faithful double space).

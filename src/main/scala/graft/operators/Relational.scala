@@ -329,6 +329,30 @@ object Relational {
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
 
+  /** PIVOT — long-to-wide reshape (per-service event counts by server).
+    * Spark's `pivot` with an explicit value list keeps the schema static
+    * (no extra distinct-values job) and compiles to a single groupBy
+    * with conditional aggregates — which is exactly the oracle's
+    * CASE-sum formulation. Absent combinations coalesce to 0.
+    */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val servers = Seq("srv0", "srv1", "srv2")
+    graft.Tables.txBase(spark, sfDir)
+      .groupBy("service")
+      .pivot("server", servers)
+      .agg(count(lit(1)))
+      .select(col("service") +: servers.map(s =>
+        coalesce(col(s), lit(0L)).as(s)): _*)
+  }
+
+  val qPivotSql: String =
+    s"""SELECT service,
+        sum(CASE WHEN server = 'srv0' THEN 1 ELSE 0 END) AS srv0,
+        sum(CASE WHEN server = 'srv1' THEN 1 ELSE 0 END) AS srv1,
+        sum(CASE WHEN server = 'srv2' THEN 1 ELSE 0 END) AS srv2
+        FROM (${graft.Tables.txBaseSql})
+        GROUP BY service"""
+
   val q22AntiSql: String =
     """SELECT n_name, count(*) AS numcust,
         sum(bal_grain) / 100.0 AS totacctbal

@@ -276,4 +276,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(!got.contains(4L), s"cross-batch dup not deduped: $got")
     } finally q.stop()
   }
+
+  test("A7: orderCol sink emits event-time-ordered batch files") {
+    // the reference pops its min-heap in endTs order before the DB queue
+    // (binary_heap.js); the Spark sink's per-file ordering contract is
+    // asserted here: every parquet file a batch writes is internally
+    // sorted on the order column even when input arrives out of order
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val dir = java.nio.file.Files.createTempDirectory("a7").toString
+    val q = ApmStreaming.sinkToParquet(
+      in.toDF.toDF("log_id", "end_ts", "elapsed"),
+      s"$dir/out", s"$dir/cp", orderCol = Some("end_ts"))
+    try {
+      in.addData((1L, ts(500), 1.0), (2L, ts(100), 2.0), (3L, ts(300), 3.0),
+        (4L, ts(200), 4.0), (5L, ts(400), 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byFile = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/out")
+      .select(input_file_name().as("f"), unix_millis(col("end_ts")).as("ms"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    assert(byFile.nonEmpty)
+    byFile.foreach { case (f, ms) =>
+      assert(ms == ms.sorted, s"file $f not event-time ordered: $ms")
+    }
+  }
 }
