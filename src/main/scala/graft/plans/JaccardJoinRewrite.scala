@@ -113,6 +113,9 @@ object JaccardJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val candidates =
       Join(genL, genR, Inner, Some(EqualTo(hl, hr)), JoinHint.NONE)
     val canonicalWitness = EqualTo(hl, ArrayMin(ArrayIntersect(ls, rs)))
-    Project(j.output, Filter(And(canonicalWitness, cond), candidates))
+    // cond first: the native jaccard_sim bound is far cheaper than the
+    // generic ArrayIntersect witness and rejects most candidate copies,
+    // so And short-circuits the intersect on non-qualifying rows
+    Project(j.output, Filter(And(cond, canonicalWitness), candidates))
   }
 }
