@@ -95,6 +95,7 @@ object SparkEntry {
     "e2_pq_codes"      -> ((s, dir) => Similarity.pqCodes(s, dir)),
     "s5_pq_adc"        -> ((s, dir) => Similarity.pqAdc(s, dir)),
     "s6_pq_recall"     -> ((s, dir) => Similarity.pqRecall(s, dir)),
+    "s7_ivfpq"         -> ((s, dir) => Similarity.ivfPq(s, dir)),
     "t5_seq_pack"      -> ((s, dir) => TextAnalysis.seqPack(s, dir)),
     "m1_media_meta"    -> ((s, dir) => Multimodal.meta(s, dir)),
     "m2_media_decode"  -> ((s, dir) => Multimodal.decodeAll(s, dir).toDF),
@@ -189,6 +190,7 @@ object SparkEntry {
     "e2_pq_codes"      -> Similarity.pqCodesSql(),
     "s5_pq_adc"        -> Similarity.pqAdcSql(),
     "s6_pq_recall"     -> Similarity.pqRecallSql(),
+    "s7_ivfpq"         -> Similarity.ivfPqSql(),
     "m3_frame_sample"  -> Multimodal.frameSampleSql(),
     "t5_seq_pack"      -> TextAnalysis.seqPackSql(),
     "m1_media_meta"    -> Multimodal.metaSql,

@@ -293,10 +293,7 @@ object Similarity {
       k: Int = 5, nQueries: Int = 20, nprobe: Int = 2,
       kmeansIters: Int = 2): DataFrame = {
     val vecs = vecsDouble(spark, sfDir)
-    var cents = vecs.filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    for (_ <- 0 until kmeansIters)
-      cents = refineCents(assignCells(vecs, cents))
+    val cents = ivfCentroids(vecs, kmeansIters)
     val assigned = assignCells(vecs, cents)
     val q = probeCells(vecs.filter(col("vec_id") < nQueries)
         .select("vec_id", "v"), cents, nprobe)
@@ -311,19 +308,39 @@ object Similarity {
       .select("q_id", "n_id", "cell", "cos", "rank")
   }
 
-  def knnIvfSql(k: Int = 5, nQueries: Int = 20, nprobe: Int = 2,
-      kmeansIters: Int = 2): String = {
+  /** Fixed-iteration k-means centroids from the corpus seeds (the
+    * statically-unrollable twin of [[kmeansConverged]]).
+    */
+  def ivfCentroids(vecs: DataFrame, kmeansIters: Int = 2): DataFrame = {
+    var cents = vecs.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    for (_ <- 0 until kmeansIters)
+      cents = refineCents(assignCells(vecs, cents))
+    cents
+  }
+
+  /** CTE chain: `vecs0` corpus, k-means iterations, `assigned`
+    * (vec_id, v, cell). Returns (ctes, lastCentsName).
+    */
+  private def ivfCtesSql(kmeansIters: Int): (String, String) = {
     val iterCtes = (0 until kmeansIters).map { i =>
       val prev = if (i == 0) "cents0" else s"cents$i"
       s"""a$i AS (${assignCellsSql("SELECT vec_id, v FROM vecs0", s"SELECT * FROM $prev")}),
           cents${i + 1} AS (${refineCentsSql(s"SELECT * FROM a$i")})"""
     }.mkString(",\n        ")
     val last = s"cents$kmeansIters"
-    s"""WITH vecs0 AS ($vecsDoubleSql),
+    (s"""vecs0 AS ($vecsDoubleSql),
         cents0 AS (SELECT vec_id AS cent_id, v AS cv FROM vecs0
                    WHERE vec_id < $IvfCells),
         $iterCtes,
-        assigned AS (${assignCellsSql("SELECT vec_id, v FROM vecs0", s"SELECT * FROM $last")}),
+        assigned AS (${assignCellsSql("SELECT vec_id, v FROM vecs0", s"SELECT * FROM $last")})""",
+      last)
+  }
+
+  def knnIvfSql(k: Int = 5, nQueries: Int = 20, nprobe: Int = 2,
+      kmeansIters: Int = 2): String = {
+    val (ctes, last) = ivfCtesSql(kmeansIters)
+    s"""WITH $ctes,
         q AS (SELECT vec_id AS q_id, v AS qv, cell FROM (
           ${probeCellsSql(s"SELECT vec_id, v FROM vecs0 WHERE vec_id < $nQueries",
             s"SELECT * FROM $last", nprobe)})),
@@ -428,14 +445,17 @@ object Similarity {
   val PqSubspaces = 4
   val PqK = 16
 
-  /** Per-subspace rows (vec_id, sub, sv) for the PQ family. */
-  private def pqSubs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-subspace rows (vec_id, sub, sv) from any (vec_id, v) frame. */
+  private def pqSubsFrom(vecs: DataFrame): DataFrame = {
     val subDim = SrpDim / PqSubspaces
-    vecsDoubleChecked(spark, sfDir).select(col("vec_id"), explode(array(
+    vecs.select(col("vec_id"), explode(array(
         (0 until PqSubspaces).map(s => struct(lit(s).as("sub"),
           slice(col("v"), s * subDim + 1, subDim).as("sv"))): _*)).as("x"))
       .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
   }
+
+  private def pqSubs(spark: SparkSession, sfDir: String): DataFrame =
+    pqSubsFrom(vecsDoubleChecked(spark, sfDir).select("vec_id", "v"))
 
   private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
     subs.join(broadcast(cb), Seq("sub"))
@@ -447,12 +467,10 @@ object Similarity {
       .select(col("vec_id"), col("sub"), col("sv"),
         (-col("b.nc")).cast("int").as("code"), (-col("b.nd")).as("d2"))
 
-  /** Trained codebook + final corpus assignment (shared by
-    * [[pqCodes]]/[[pqAdc]]).
-    */
-  private def pqTrained(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+  /** Trained codebook + final assignment over any (vec_id, v) frame. */
+  private def pqTrainedFrom(vecs: DataFrame): (DataFrame, DataFrame) = {
     val subDim = SrpDim / PqSubspaces
-    val subs = pqSubs(spark, sfDir)
+    val subs = pqSubsFrom(vecs)
     val seed = subs.filter(col("vec_id") < PqK)
       .select(col("sub"), col("vec_id").cast("int").as("code"),
         col("sv").as("cv"))
@@ -467,6 +485,9 @@ object Similarity {
             size(col("mv")).cast("double")).as("cv"))
     (pqAssign(subs, refined), refined)
   }
+
+  private def pqTrained(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    pqTrainedFrom(vecsDoubleChecked(spark, sfDir).select("vec_id", "v"))
 
   def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
     val (asg, _) = pqTrained(spark, sfDir)
@@ -484,10 +505,12 @@ object Similarity {
         i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, e) -> acc + e)"""
   }
 
-  /** Shared CTE chain: subspace rows, seed codebook, one k-means pass,
-    * final corpus assignment `a1`.
+  /** Shared CTE chain over any (vec_id, v) relation: subspace rows, seed
+    * codebook, one k-means pass, final assignment `${p}a1`. `p` prefixes
+    * every CTE name so the chain composes with other CTE families.
     */
-  private def pqCtesSql: String = {
+  private def pqCtesSql(vecsRel: String = vecsDoubleSql,
+      p: String = ""): String = {
     val subDim = SrpDim / PqSubspaces
     def assignSql(cbRel: String): String =
       s"""SELECT vec_id, sub, sv,
@@ -496,28 +519,28 @@ object Similarity {
           FROM (
             SELECT vec_id, s.sub AS sub, sv, code,
               ${pqD2Sql("sv", "cv")} AS d2
-            FROM subs s JOIN ($cbRel) cb ON s.sub = cb.sub)
+            FROM ${p}subs s JOIN ($cbRel) cb ON s.sub = cb.sub)
           GROUP BY vec_id, sub, sv"""
-    s"""vecs AS ($vecsDoubleSql),
-        subs AS (
+    s"""${p}vecs AS ($vecsRel),
+        ${p}subs AS (
           SELECT vec_id, sub,
             list_transform(range(1, $subDim + 1), i -> v[sub*$subDim + i]) AS sv
-          FROM vecs CROSS JOIN (SELECT unnest(range(0, $PqSubspaces)) AS sub)),
-        seed AS (SELECT sub, CAST(vec_id AS INT) AS code, sv AS cv
-                 FROM subs WHERE vec_id < $PqK),
-        a0 AS (${assignSql("SELECT * FROM seed")}),
-        refined AS (
+          FROM ${p}vecs CROSS JOIN (SELECT unnest(range(0, $PqSubspaces)) AS sub)),
+        ${p}seed AS (SELECT sub, CAST(vec_id AS INT) AS code, sv AS cv
+                 FROM ${p}subs WHERE vec_id < $PqK),
+        ${p}a0 AS (${assignSql(s"SELECT * FROM ${p}seed")}),
+        ${p}refined AS (
           SELECT sub, code,
             list_transform(range(1, $subDim + 1),
               p -> list_reduce(list_prepend(0.0, list_transform(mv, m -> m[p])),
                      (acc, x) -> acc + x) / CAST(len(mv) AS DOUBLE)) AS cv
           FROM (SELECT sub, code, list(sv ORDER BY vec_id) AS mv
-                FROM a0 GROUP BY sub, code)),
-        a1 AS (${assignSql("SELECT * FROM refined")})"""
+                FROM ${p}a0 GROUP BY sub, code)),
+        ${p}a1 AS (${assignSql(s"SELECT * FROM ${p}refined")})"""
   }
 
   def pqCodesSql(): String =
-    s"""WITH $pqCtesSql
+    s"""WITH ${pqCtesSql()}
         SELECT vec_id,
           max(CASE WHEN sub = 0 THEN code END) AS code0,
           max(CASE WHEN sub = 1 THEN code END) AS code1,
@@ -560,7 +583,7 @@ object Similarity {
   }
 
   def pqAdcSql(k: Int = 5, nQueries: Int = 20): String =
-    s"""WITH $pqCtesSql,
+    s"""WITH ${pqCtesSql()},
         qlut AS (
           SELECT s.vec_id AS q_id, s.sub AS sub, cb.code AS code,
             ${pqD2Sql("sv", "cv")} AS dq
@@ -628,6 +651,98 @@ object Similarity {
         SELECT q_id, count(aq) / CAST($k AS DOUBLE) AS recall_at_k
         FROM exact LEFT JOIN adc ON q_id = aq AND n_id = an
         GROUP BY q_id"""
+
+  /** IVF-PQ — the composed production ANN layout (FAISS-style): coarse
+    * IVF cells partition the corpus, and each vector stores only the PQ
+    * codes of its RESIDUAL (v − cell centroid) under one shared
+    * codebook. Search probes `nprobe` cells, builds a per-(query, cell)
+    * residual distance LUT, and scores candidates by four code lookups —
+    * the index is cells + 4-byte codes; the corpus floats are never
+    * touched at query time. Residual quantization is what makes the
+    * shared codebook tight: residuals of all cells live near the origin,
+    * so codewords spend their resolution on local structure.
+    */
+  def ivfPq(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 20, nprobe: Int = 2): DataFrame = {
+    val subDim = SrpDim / PqSubspaces
+    val vecs = vecsDouble(spark, sfDir).select("vec_id", "v")
+    val cents = ivfCentroids(vecs, 2)
+    val cellCv = cents.select(col("cent_id").as("cell"), col("cv"))
+    val assigned = assignCells(vecs, cents)
+    val rcorpus = assigned.join(broadcast(cellCv), Seq("cell"))
+      .select(col("vec_id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"), col("cell"))
+    val (asgR, cbR) = pqTrainedFrom(rcorpus.select("vec_id", "v"))
+    val corpusCodes = asgR.select(col("vec_id").as("n_id"), col("sub"), col("code"))
+      .join(rcorpus.select(col("vec_id").as("n_id"), col("cell")), Seq("n_id"))
+    val qres = probeCells(vecs.filter(col("vec_id") < nQueries), cents, nprobe)
+      .join(broadcast(cellCv), Seq("cell"))
+      .select(col("vec_id").as("q_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
+    val qsubs = qres.select(col("q_id"), col("cell"), explode(array(
+        (0 until PqSubspaces).map(s => struct(lit(s).as("sub"),
+          slice(col("rv"), s * subDim + 1, subDim).as("sv"))): _*)).as("x"))
+      .select(col("q_id"), col("cell"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+    val qlut = qsubs.join(broadcast(cbR), Seq("sub"))
+      .select(col("q_id"), col("cell"), col("sub"), col("code"),
+        aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, e) => acc + e).as("dq"))
+    def dAt(s: Int) = max(when(col("sub") === s, col("dq")))
+    val scored = corpusCodes.join(broadcast(qlut), Seq("cell", "sub", "code"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy("q_id", "n_id")
+      .agg((dAt(0) + dAt(1) + dAt(2) + dAt(3)).as("adc_d2"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_d2").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "adc_d2", "rank")
+  }
+
+  def ivfPqSql(k: Int = 5, nQueries: Int = 20, nprobe: Int = 2): String = {
+    val subDim = SrpDim / PqSubspaces
+    val (ctes, last) = ivfCtesSql(2)
+    s"""WITH $ctes,
+        rcorp AS (
+          SELECT a.vec_id AS vec_id,
+            list_transform(range(1, $SrpDim + 1), i -> a.v[i] - c.cv[i]) AS v,
+            a.cell AS cell
+          FROM assigned a JOIN $last c ON a.cell = c.cent_id),
+        ${pqCtesSql("SELECT vec_id, v FROM rcorp", "rq_")},
+        ccodes AS (
+          SELECT r.vec_id AS n_id, r.sub AS sub, r.code AS code, rc.cell AS cell
+          FROM rq_a1 r JOIN rcorp rc ON r.vec_id = rc.vec_id),
+        qprobe AS (SELECT vec_id AS q_id, v, cell FROM (
+          ${probeCellsSql(s"SELECT vec_id, v FROM vecs0 WHERE vec_id < $nQueries",
+            s"SELECT * FROM $last", nprobe)})),
+        qres AS (
+          SELECT q_id, cell,
+            list_transform(range(1, $SrpDim + 1), i -> v[i] - cv[i]) AS rv
+          FROM qprobe JOIN $last ON cell = cent_id),
+        qsubs AS (
+          SELECT q_id, cell, sub,
+            list_transform(range(1, $subDim + 1), i -> rv[sub*$subDim + i]) AS sv
+          FROM qres CROSS JOIN (SELECT unnest(range(0, $PqSubspaces)) AS sub)),
+        qlut AS (
+          SELECT q_id, s.cell AS cell, s.sub AS sub, cb.code AS code,
+            ${pqD2Sql("sv", "cv")} AS dq
+          FROM qsubs s JOIN rq_refined cb ON s.sub = cb.sub),
+        scored AS (
+          SELECT q_id, n_id,
+            max(CASE WHEN c.sub = 0 THEN dq END)
+              + max(CASE WHEN c.sub = 1 THEN dq END)
+              + max(CASE WHEN c.sub = 2 THEN dq END)
+              + max(CASE WHEN c.sub = 3 THEN dq END) AS adc_d2
+          FROM ccodes c JOIN qlut
+            ON c.cell = qlut.cell AND c.sub = qlut.sub AND c.code = qlut.code
+          WHERE q_id <> n_id
+          GROUP BY q_id, n_id),
+        ranked AS (
+          SELECT q_id, n_id, adc_d2,
+            row_number() OVER (PARTITION BY q_id
+                               ORDER BY adc_d2 ASC, n_id ASC) AS rank
+          FROM scored)
+        SELECT q_id, n_id, adc_d2, rank FROM ranked WHERE rank <= $k"""
+  }
 
   def knnLshSql(k: Int = 5, nQueries: Int = 20): String = {
     val dim = SrpDim
