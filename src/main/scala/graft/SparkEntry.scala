@@ -96,6 +96,7 @@ object SparkEntry {
     "s5_pq_adc"        -> ((s, dir) => Similarity.pqAdc(s, dir)),
     "s6_pq_recall"     -> ((s, dir) => Similarity.pqRecall(s, dir)),
     "s7_ivfpq"         -> ((s, dir) => Similarity.ivfPq(s, dir)),
+    "s8_ivfpq_recall"  -> ((s, dir) => Similarity.ivfPqRecall(s, dir)),
     "t5_seq_pack"      -> ((s, dir) => TextAnalysis.seqPack(s, dir)),
     "m1_media_meta"    -> ((s, dir) => Multimodal.meta(s, dir)),
     "m2_media_decode"  -> ((s, dir) => Multimodal.decodeAll(s, dir).toDF),
@@ -191,6 +192,7 @@ object SparkEntry {
     "s5_pq_adc"        -> Similarity.pqAdcSql(),
     "s6_pq_recall"     -> Similarity.pqRecallSql(),
     "s7_ivfpq"         -> Similarity.ivfPqSql(),
+    "s8_ivfpq_recall"  -> Similarity.ivfPqRecallSql(),
     "m3_frame_sample"  -> Multimodal.frameSampleSql(),
     "t5_seq_pack"      -> TextAnalysis.seqPackSql(),
     "m1_media_meta"    -> Multimodal.metaSql,

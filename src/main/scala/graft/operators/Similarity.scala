@@ -744,6 +744,54 @@ object Similarity {
         SELECT q_id, n_id, adc_d2, rank FROM ranked WHERE rank <= $k"""
   }
 
+  /** recall@k of IVF-PQ vs exact L2 — probing loss (nprobe cells) and
+    * quantization loss (residual codes) measured together.
+    */
+  def ivfPqRecall(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 20): DataFrame = {
+    val vecs = vecsDouble(spark, sfDir)
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = vecs.select(col("vec_id").as("n_id"), col("v").as("nv"))
+    val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id").asc)
+    val exact = q.join(c, col("q_id") =!= col("n_id"))
+      .withColumn("d2", aggregate(
+        zip_with(col("qv"), col("nv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, e) => acc + e))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id")
+    val approx = ivfPq(spark, sfDir, k, nQueries)
+      .select(col("q_id").as("aq"), col("n_id").as("an"))
+    exact.join(approx, col("q_id") === col("aq") && col("n_id") === col("an"),
+        "left")
+      .groupBy("q_id")
+      .agg((count(col("aq")) / lit(k.toDouble)).as("recall_at_k"))
+  }
+
+  def ivfPqRecallSql(k: Int = 5, nQueries: Int = 20): String =
+    s"""WITH vecs_e AS ($vecsDoubleSql),
+        q_e AS (SELECT vec_id AS q_id, v AS qv FROM vecs_e
+                WHERE vec_id < $nQueries),
+        c_e AS (SELECT vec_id AS n_id, v AS nv FROM vecs_e),
+        exact AS (
+          SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+              row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC)
+                AS rank
+            FROM (SELECT q_id, n_id,
+                    list_reduce(list_prepend(0.0,
+                      list_transform(range(1, len(qv)+1),
+                        i -> (qv[i] - nv[i]) * (qv[i] - nv[i]))),
+                      (acc, e) -> acc + e) AS d2
+                  FROM q_e JOIN c_e ON q_id <> n_id))
+          WHERE rank <= $k),
+        approx AS (SELECT q_id AS aq, n_id AS an
+                   FROM (${ivfPqSql(k, nQueries)}))
+        SELECT q_id, count(aq) / CAST($k AS DOUBLE) AS recall_at_k
+        FROM exact LEFT JOIN approx ON q_id = aq AND n_id = an
+        GROUP BY q_id"""
+
   def knnLshSql(k: Int = 5, nQueries: Int = 20): String = {
     val dim = SrpDim
     val bucket = (0 until LshBits).map { bit =>
