@@ -114,6 +114,7 @@ object SparkEntry {
     "q20_range_join"   -> ((s, dir) => Relational.q20RangeJoin(s, dir)),
     "q21_rollup"       -> ((s, dir) => Relational.qRollup(s, dir)),
     "c7_dedup_apply"   -> ((s, dir) => Dedup.dedupApply(s, dir)),
+    "c8_snapshot_diff" -> ((s, dir) => Curation.snapshotDiff(s, dir)),
     "q23_pivot"        -> ((s, dir) => Relational.qPivot(s, dir)),
   )
 
@@ -237,6 +238,7 @@ object SparkEntry {
     "q20_range_join"   -> Relational.q20RangeJoinSql(),
     "q21_rollup"       -> Relational.qRollupSql,
     "c7_dedup_apply"   -> Dedup.dedupApplySql(),
+    "c8_snapshot_diff" -> Curation.snapshotDiffSql,
     "q23_pivot"        -> Relational.qPivotSql,
     // Collapse line breaks + indentation only — NOT intra-line runs: a
     // blanket \s+ collapse rewrites whitespace inside SQL string

@@ -212,6 +212,56 @@ object Curation {
             + len(regexp_extract_all(text, '$ssnRe')) > 0 AS INT) AS has_pii
         FROM synth"""
 
+  /** Corpus snapshot diff — the incremental-update primitive: compare
+    * two dataset versions by content fingerprint and classify every doc
+    * as added / removed / changed / unchanged (what an incremental
+    * training-data refresh feeds downstream instead of reprocessing the
+    * corpus). FULL OUTER join on the doc key — one co-partitioned
+    * shuffle at scale; fingerprints compare 8-byte hashes, never text.
+    * The second snapshot is synthesized deterministically from the
+    * first: every 17th doc deleted, every 10th doc's text edited, and a
+    * shifted-id slice added — all four statuses exercised.
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    def fp(c: org.apache.spark.sql.Column) =
+      poly_hash(regexp_replace(lower(trim(c)), "\\s+", " "))
+    val docs = Tables.loadSpread(spark, sfDir, "documents")
+    val v1 = docs.select(col("doc_id"), fp(col("text")).as("fp1"))
+    val v2 = docs.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        fp(when(col("doc_id") % 10 === 0,
+          concat(lit("edited "), col("text"))).otherwise(col("text"))).as("fp2"))
+      .unionByName(docs.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          fp(col("text")).as("fp2")))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp1").isNull, "added")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") === col("fp2"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  val snapshotDiffSql: String = {
+    val fp = (c: String) =>
+      polySql(s"regexp_replace(lower(trim($c)), '\\s+', ' ', 'g')")
+    s"""WITH v1 AS (SELECT doc_id, ${fp("text")} AS fp1 FROM documents),
+        v2 AS (
+          SELECT doc_id,
+            ${fp("CASE WHEN doc_id % 10 = 0 THEN 'edited ' || text ELSE text END")}
+              AS fp2
+          FROM documents WHERE doc_id % 17 <> 3
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, ${fp("text")} AS fp2
+          FROM documents WHERE doc_id % 23 = 0)
+        SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+          CASE WHEN fp1 IS NULL THEN 'added'
+               WHEN fp2 IS NULL THEN 'removed'
+               WHEN fp1 = fp2 THEN 'unchanged'
+               ELSE 'changed' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id"""
+  }
+
   /** Deterministic stratified sampling — reproducible hash-mod sampling
     * with a per-stratum (source) rate, the data-mixing primitive: a doc
     * is kept iff `poly_hash(doc_id:source) mod 1000` falls under its
