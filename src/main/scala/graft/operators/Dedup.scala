@@ -122,7 +122,14 @@ object Dedup {
       col("n").as("n_a"), col("s"))
     val b = kept.select(col("source"), col("doc_id").as("id_b"),
       col("n").as("n_b"), col("s"))
-    a.join(b, Seq("source", "s")).filter(col("id_a") < col("id_b"))
+    // size filter (PPJoin-style): jaccard >= t forces
+    // t*n_a <= n_b <= n_a/t, so size-incompatible candidates drop
+    // BEFORE the pair-count aggregation — at corpus scale this is the
+    // difference between aggregating every co-occurrence and only the
+    // plausibly-similar ones (output provably unchanged)
+    a.join(b, Seq("source", "s")).filter(col("id_a") < col("id_b") &&
+        col("n_b") >= lit(threshold) * col("n_a") &&
+        col("n_a") >= lit(threshold) * col("n_b"))
       .groupBy("source", "id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
@@ -144,6 +151,7 @@ object Dedup {
             a.n AS n_a, b.n AS n_b, count(*) AS inter
           FROM tok a JOIN tok b
             ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+            AND b.n >= $threshold * a.n AND a.n >= $threshold * b.n
           GROUP BY 1, 2, 3, 4, 5)
         SELECT source, id_a, id_b,
           CAST(inter AS DOUBLE) / (n_a + n_b - inter) AS jaccard
