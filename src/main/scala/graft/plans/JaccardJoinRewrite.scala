@@ -61,8 +61,8 @@ object JaccardJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case j @ Join(left, right, Inner, Some(cond), _)
         if j.resolved && !bearsGeneratedCols(left) && !bearsGeneratedCols(right) =>
       anchor(cond, left, right) match {
-        case Some((ls, rs)) => rewrite(j, left, right, cond, ls, rs)
-        case None           => j
+        case Some((ls, rs, t)) => rewrite(j, left, right, cond, ls, rs, t)
+        case None              => j
       }
   }
 
@@ -74,34 +74,34 @@ object JaccardJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * Returns (leftSideArray, rightSideArray).
     */
   private def anchor(cond: Expression, left: LogicalPlan,
-      right: LogicalPlan): Option[(Expression, Expression)] = {
-    def bound(e: Expression): Option[(Expression, Expression)] = e match {
+      right: LogicalPlan): Option[(Expression, Expression, Double)] = {
+    def bound(e: Expression): Option[(Expression, Expression, Double)] = e match {
       case GreaterThanOrEqual(JaccardSim(a, b), Literal(t: Double, _)) if t > 0 =>
-        Some((a, b))
+        Some((a, b, t))
       case GreaterThan(JaccardSim(a, b), Literal(t: Double, _)) if t >= 0 =>
-        Some((a, b))
+        Some((a, b, t))
       case LessThanOrEqual(Literal(t: Double, _), JaccardSim(a, b)) if t > 0 =>
-        Some((a, b))
+        Some((a, b, t))
       case LessThan(Literal(t: Double, _), JaccardSim(a, b)) if t >= 0 =>
-        Some((a, b))
+        Some((a, b, t))
       case _ => None
     }
     splitConjunctivePredicates(cond).iterator.flatMap(bound).collectFirst {
-      case (a, b)
+      case (a, b, t)
           if a.dataType.isInstanceOf[ArrayType] &&
             a.references.subsetOf(left.outputSet) &&
             b.references.subsetOf(right.outputSet) =>
-        (a, b)
-      case (a, b)
+        (a, b, t)
+      case (a, b, t)
           if b.dataType.isInstanceOf[ArrayType] &&
             b.references.subsetOf(left.outputSet) &&
             a.references.subsetOf(right.outputSet) =>
-        (b, a)
+        (b, a, t)
     }
   }
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
-      cond: Expression, ls: Expression, rs: Expression): LogicalPlan = {
+      cond: Expression, ls: Expression, rs: Expression, t: Double): LogicalPlan = {
     val ArrayType(let, lcn) = ls.dataType: @unchecked
     val ArrayType(ret, rcn) = rs.dataType: @unchecked
     val hl = AttributeReference(GenPrefix + "l", let, nullable = lcn)()
@@ -113,9 +113,18 @@ object JaccardJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val candidates =
       Join(genL, genR, Inner, Some(EqualTo(hl, hr)), JoinHint.NONE)
     val canonicalWitness = EqualTo(hl, ArrayMin(ArrayIntersect(ls, rs)))
-    // cond first: the native jaccard_sim bound is far cheaper than the
-    // generic ArrayIntersect witness and rejects most candidate copies,
-    // so And short-circuits the intersect on non-qualifying rows
-    Project(j.output, Filter(And(cond, canonicalWitness), candidates))
+    // derived size bound (PPJoin length filter): jaccard >= t implies
+    // t*|ls| <= |rs| <= |ls|/t — two O(1) comparisons that reject
+    // size-incompatible candidates before anything touches the arrays
+    def dbl(e: Expression) = Cast(e, org.apache.spark.sql.types.DoubleType)
+    val tl = Literal(t)
+    val sizeBound = And(
+      GreaterThanOrEqual(dbl(Size(rs)), Multiply(tl, dbl(Size(ls)))),
+      GreaterThanOrEqual(dbl(Size(ls)), Multiply(tl, dbl(Size(rs)))))
+    // evaluation order cheap -> expensive: O(1) size bound, then the
+    // native jaccard_sim predicate, then the generic ArrayIntersect
+    // witness only on rows that actually qualify
+    Project(j.output, Filter(And(sizeBound, And(cond, canonicalWitness)),
+      candidates))
   }
 }
