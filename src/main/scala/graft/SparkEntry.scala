@@ -74,6 +74,7 @@ object SparkEntry {
     "d1_dedup_exact"   -> ((s, dir) => Dedup.exact(s, dir)),
     "d2_dedup_ngram"   -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "d7_jaccard_join"  -> ((s, dir) => Dedup.jaccardJoin(s, dir)),
+    "d8_span_dedup"    -> ((s, dir) => Dedup.spanDedup(s, dir)),
     "c2_dup_clusters"  -> ((s, dir) => Dedup.dupClusters(s, dir)),
     "c3_decontaminate" -> ((s, dir) => Curation.decontaminate(s, dir)),
     "c4_mix_weights"   -> ((s, dir) => Curation.mixWeights(s, dir)),
@@ -171,6 +172,7 @@ object SparkEntry {
     "d1_dedup_exact"   -> Dedup.exactSql,
     "d2_dedup_ngram"   -> Dedup.ngramJaccardSql(),
     "d7_jaccard_join"  -> Dedup.jaccardJoinSql(),
+    "d8_span_dedup"    -> Dedup.spanDedupSql(),
     "c2_dup_clusters"  -> Dedup.dupClustersSql(),
     "c3_decontaminate" -> Curation.decontaminateSql(),
     "c4_mix_weights"   -> Curation.mixWeightsSql,

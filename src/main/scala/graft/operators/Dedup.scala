@@ -395,6 +395,66 @@ object Dedup {
           CAST(doc_id = min(r) AS INT) AS is_canonical
         FROM reach GROUP BY doc_id"""
 
+  /** Generalized k-word shingle oracle fragment (the k=3 helper above
+    * special-cases the Jaccard family's gram size).
+    */
+  private def shingleHashesSqlK(w: String, k: Int): String = {
+    val gram = (0 until k).map(j => s"$w[i+$j]").mkString(" || ' ' || ")
+    s"""list_distinct(CASE WHEN len($w) >= $k
+        THEN list_transform(range(1, len($w)-${k - 2}),
+          i -> ${polySql(gram)})
+        ELSE [${polySql(s"array_to_string($w, ' ')")}] END)"""
+  }
+
+  /** Exact repeated-SPAN detection — the exact-substring dedup signal
+    * (cf. "Deduplicating Training Data Makes Language Models Better":
+    * verbatim spans repeated across documents are memorization fuel even
+    * when whole docs aren't near-dups). Each doc emits its distinct
+    * `spanWords`-word rolling spans as 8-byte hashes (the fused
+    * [[graft.functions.ShingleHashes]] expression with k=spanWords); a
+    * span's document frequency comes from one map-side-combinable count,
+    * and each doc reports how much of it is cross-document boilerplate.
+    * Shuffles: span-hash count, span-hash join-back, doc_id aggregation
+    * — all keyed, no pair explosion (this is per-span df, not pairwise
+    * similarity).
+    */
+  def spanDedup(spark: SparkSession, sfDir: String,
+      spanWords: Int = 16, maxFrac: Double = 0.2): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), shingle_hashes(normText, spanWords).as("sp"))
+      .withColumn("n_spans", size(col("sp")).cast("long"))
+    val spans = d.select(col("doc_id"), col("n_spans"), explode(col("sp")).as("h"))
+    val repeated = spans.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1).select("h")
+    val repCnt = spans.join(repeated, Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_repeated"))
+    d.select("doc_id", "n_spans")
+      .join(repCnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        (coalesce(col("n_repeated"), lit(0L)) / col("n_spans"))
+          .as("repeated_frac"))
+      .withColumn("span_contaminated",
+        (col("repeated_frac") > maxFrac).cast("int"))
+  }
+
+  def spanDedupSql(spanWords: Int = 16, maxFrac: Double = 0.2): String = {
+    val sp = shingleHashesSqlK("string_split(" + normTextSql + ", ' ')", spanWords)
+    s"""WITH d AS (SELECT doc_id, $sp AS sp FROM documents),
+        ds AS (SELECT doc_id, CAST(len(sp) AS BIGINT) AS n_spans, sp FROM d),
+        spans AS (SELECT doc_id, n_spans, unnest(sp) AS h FROM ds),
+        repeated AS (SELECT h FROM (SELECT h, count(*) AS df FROM spans
+                     GROUP BY h) WHERE df > 1),
+        repcnt AS (SELECT doc_id, count(*) AS n_repeated
+                   FROM spans JOIN repeated USING (h) GROUP BY doc_id)
+        SELECT ds.doc_id, ds.n_spans,
+          coalesce(repcnt.n_repeated, 0) AS n_repeated,
+          coalesce(repcnt.n_repeated, 0) / ds.n_spans AS repeated_frac,
+          CAST(coalesce(repcnt.n_repeated, 0) / ds.n_spans > $maxFrac AS INT)
+            AS span_contaminated
+        FROM ds LEFT JOIN repcnt ON ds.doc_id = repcnt.doc_id"""
+  }
+
   /** Near-dup removal APPLIED — the curated corpus after dropping every
     * non-canonical cluster member (the step the pair/cluster operators
     * exist for). Canonical survivors carry their cluster size so
