@@ -316,7 +316,10 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     for (_ <- 0 until kmeansIters)
       cents = refineCents(assignCells(vecs, cents))
-    cents
+    // centroids are a cells x dim table (tiny); truncating their lineage
+    // here keeps every consumer plan O(1)-deep instead of inlining the
+    // whole k-means chain at each of its ~6 reuse sites
+    cents.localCheckpoint()
   }
 
   /** CTE chain: `vecs0` corpus, k-means iterations, `assigned`
@@ -483,7 +486,11 @@ object Similarity {
           p => aggregate(col("mv"), lit(0.0),
             (acc, m) => acc + element_at(m.getField("sv"), p)) /
             size(col("mv")).cast("double")).as("cv"))
-    (pqAssign(subs, refined), refined)
+    // the codebook is subspaces x K x subDim (tiny) — truncate its
+    // lineage so the final assignment and every LUT reuse don't re-inline
+    // the training chain
+    val cb = refined.localCheckpoint()
+    (pqAssign(subs, cb), cb)
   }
 
   private def pqTrained(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
