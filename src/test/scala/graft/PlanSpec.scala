@@ -123,6 +123,26 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("q5 star join: dims broadcast, facts sort-merge, no cartesian") {
+    val p = plan("q5_region_rev")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("c8 snapshot diff runs as one full-outer hash join") {
+    val p = plan("c8_snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("d8 span dedup: keyed aggregations only, no pair join") {
+    val p = plan("d8_span_dedup")
+    // per-span document frequency, never pairwise: no self-join of the
+    // span table on doc pairs — every join is on the span hash or doc_id
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p) // map-side combines
+  }
+
   test("d7 jaccard theta-join is rewritten to an inverted-index equi-join") {
     val p = plan("d7_jaccard_join")
     // the declared plan is an all-pairs theta-join; the optimizer rule
