@@ -83,6 +83,7 @@ object SparkEntry {
     "t6_repetition"    -> ((s, dir) => TextAnalysis.repetition(s, dir)),
     "t8_vocab"         -> ((s, dir) => TextAnalysis.vocab(s, dir)),
     "t9_lm_score"      -> ((s, dir) => TextAnalysis.lmScore(s, dir)),
+    "t10_top_words"    -> ((s, dir) => TextAnalysis.topWords(s, dir)),
     "w1_sessionize"    -> ((s, dir) => Sessionize.sessions(s, dir)),
     "d3_dedup_minhash" -> ((s, dir) => Dedup.minhash(s, dir)),
     "d4_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
@@ -181,6 +182,7 @@ object SparkEntry {
     "t6_repetition"    -> TextAnalysis.repetitionSql(),
     "t8_vocab"         -> TextAnalysis.vocabSql(),
     "t9_lm_score"      -> TextAnalysis.lmScoreSql(),
+    "t10_top_words"    -> TextAnalysis.topWordsSql(),
     "w1_sessionize"    -> Sessionize.sessionsSql(),
     "d3_dedup_minhash" -> Dedup.minhashSql,
     "d4_dedup_minhash_lsh" -> Dedup.minhashLshSql(),

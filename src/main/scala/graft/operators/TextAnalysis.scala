@@ -335,6 +335,37 @@ object TextAnalysis {
             >= $minAvgProb AS INT) AS lm_ok
         FROM scored"""
 
+  /** Per-source heavy hitters — top-k words per stratum (domain
+    * vocabulary drift monitoring: what dominates each source's token
+    * distribution). One map-side-combinable count keyed on
+    * (source, word); the rank window then runs per source over its
+    * aggregated vocabulary — the partitioned top-k never sees corpus
+    * rows. Deterministic tie-break on the word.
+    */
+  def topWords(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("word").asc)
+    Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), wsSplit)).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("source", "word", "cnt", "rank")
+  }
+
+  def topWordsSql(k: Int = 5): String =
+    s"""SELECT source, word, cnt, rank FROM (
+          SELECT source, word, cnt,
+            row_number() OVER (PARTITION BY source
+                               ORDER BY cnt DESC, word ASC) AS rank
+          FROM (SELECT source, w AS word, count(*) AS cnt
+                FROM (SELECT source,
+                        unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+                      FROM documents)
+                GROUP BY source, w))
+        WHERE rank <= $k"""
+
   /** Document fingerprinting — rolling polynomial hash of the normalized
     * text (lowercase, collapsed whitespace), via the codegen'd
     * [[graft.functions.PolyHash]] expression.
