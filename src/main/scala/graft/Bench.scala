@@ -98,11 +98,24 @@ object Bench {
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cpu_sec":$cpu,"errors":$errJson,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("/tmp/bench.json"), json)
+    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cpu_sec":$cpu,"errors":$errJson,"sf":"$sfDir"}"""
+    // Full artifact (per-query wall + cpu maps, ~4 KB) goes to FILES — a
+    // repo-visible copy plus /tmp — because a 4 KB stdout line overflows
+    // the driver's log-tail buffer (rounds 1 and 2 both lost the parsed
+    // bench signal that way).
+    Files.writeString(Paths.get("/tmp/bench.json"), full)
+    try Files.writeString(Paths.get("bench_out.json"), full)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
+    // COMPACT final stdout line: keeps the contract's "queries" map but
+    // wall-only at 2 decimals (~1.8 KB for ~80 queries) — r2's 4.3 KB line
+    // (queries + cpu_sec at 3 decimals) overflowed the driver's tail
+    // buffer and arrived truncated mid-JSON.
+    val qs2 = results.map { case (k, w, _) => f""""$k":$w%.2f""" }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs2,"errors":$errJson,"sf":"$sfDir","detail":"bench_out.json"}"""
     spark.stop()
     // Bare, final stdout line (spark.stop() already happened so nothing
     // logs after it; run/outputStrategy passes it through un-prefixed).
-    println(json)
+    println(compact)
   }
 }

@@ -54,7 +54,10 @@ object SparkEntry {
       Alerts.emailRows(Alerts.candidates(zWin(s, dir), alertCfg))),
     "s8_email_digest"  -> ((s, dir) =>
       Alerts.emailDigest(Alerts.candidates(zWin(s, dir), alertCfg), alertCfg)),
+    "s6_db_stats"      -> ((s, dir) =>
+      Alerts.dbStatsRoundtrip(Alerts.candidates(zWin(s, dir), alertCfg))),
     "d6_dedup_embed"   -> ((s, dir) => Similarity.embedNearDup(s, dir)),
+    "d6_embed_recall"  -> ((s, dir) => Similarity.embedRecall(s, dir)),
     "c1_corpus_curation" -> ((s, dir) => Curation.curate(s, dir)),
     "j1_pairing"       -> ((s, dir) => Correlation.pairing(s, dir)),
     "j2_enrichment"    -> ((s, dir) => Correlation.enrichment(s, dir)),
@@ -150,7 +153,10 @@ object SparkEntry {
     "s8_email_rows"    -> Alerts.emailRowsSql(Alerts.candidatesSql(zWinSql, alertCfg)),
     "s8_email_digest"  -> Alerts.emailDigestSql(
       Alerts.candidatesSql(zWinSql, alertCfg), alertCfg),
+    "s6_db_stats"      -> Alerts.dbStatsRoundtripSql(
+      Alerts.candidatesSql(zWinSql, alertCfg)),
     "d6_dedup_embed"   -> Similarity.embedNearDupSql(),
+    "d6_embed_recall"  -> Similarity.embedRecallSql(),
     "c1_corpus_curation" -> Curation.curateSql,
     // z2_zscore_fold / r3_alerts: sequential recurrences (influence
     // feedback, leaky-bucket counter) — no SQL equivalent; rows-only check
@@ -201,9 +207,10 @@ object SparkEntry {
     "m3_frame_sample"  -> Multimodal.frameSampleSql(),
     "t5_seq_pack"      -> TextAnalysis.seqPackSql(),
     "m1_media_meta"    -> Multimodal.metaSql,
-    // m2_media_decode: mapPartitions decode pipeline with stubbed codec —
-    // rows-only check (the declarative m1_media_meta covers the checksum
-    // parity; ScalaTest covers decode/metadata agreement).
+    // m2_media_decode: a real pure-JVM container parse (BMP/WAV/Y4M);
+    // the oracle computes the expected header fields from the closed-form
+    // synthesis parameters.
+    "m2_media_decode"  -> Multimodal.decodeAllSql,
     // Rounding note: whole-table float sums accumulate order-dependent
     // error ~1e-5 at sf0.01, so compare at 2 decimals (inputs are 2-dp
     // money values -> true sum is a 2-dp value, 0.005 from any boundary).

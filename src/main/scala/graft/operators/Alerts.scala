@@ -277,6 +277,55 @@ object Alerts {
         FROM ($candSql) WHERE bad = 1"""
   }
 
+  /** S6 — the DB sink's row shape (stream_insert_db.js:153: ColumnSet
+    * [timestamp, server, service, tpm, lag, stats] with `stats` jsonb;
+    * entries.js:120-151 `toPostgresObject`): the 15-key stats object is
+    * built with `to_json` over a struct column — the nested jsonb payload
+    * a JDBC writer would ship — then parsed back through `from_json`,
+    * proving the column carries every z-block field losslessly under the
+    * reference's lowercase key names. Output is the round-tripped
+    * VALUES (cross-engine JSON float rendering differs, so the oracle
+    * checks values; the byte shape itself is pinned by a ScalaTest
+    * fixture against a literal JSON string).
+    */
+  private val statsJsonSchema =
+    """average double, averageavg double, averagelb double, averageub double,
+       averagesignal int, per75 double, per75avg double, per75lb double,
+       per75ub double, per75signal int, per95 double, per95avg double,
+       per95lb double, per95ub double, per95signal int""".replaceAll("\\s+", " ")
+
+  def statsJsonCol: org.apache.spark.sql.Column = {
+    def z(m: String) = Seq(
+      col(m).as(m), col(s"${m}_avg").as(s"${m}avg"),
+      col(s"${m}_lb").as(s"${m}lb"), col(s"${m}_ub").as(s"${m}ub"),
+      col(s"${m}_signal").cast("int").as(s"${m}signal"))
+    to_json(struct(z("average") ++ z("per75") ++ z("per95"): _*),
+      Map("ignoreNullFields" -> "false"))
+  }
+
+  def dbStatsRoundtrip(cand: DataFrame): DataFrame = {
+    val parsed = from_json(statsJsonCol, statsJsonSchema,
+      Map.empty[String, String])
+    val back = Seq("average", "per75", "per95").flatMap { m =>
+      Seq(s"$m", s"${m}avg", s"${m}lb", s"${m}ub", s"${m}signal")
+    }.map(k => col("stats").getField(k).as(s"${k}_j"))
+    cand
+      .select(Seq(col("ts_ms"), col("server"), col("service"),
+        col("lag").cast("int").as("lag"), col("tpm"),
+        parsed.as("stats")): _*)
+      .select(Seq(col("ts_ms"), col("server"), col("service"), col("lag"),
+        col("tpm")) ++ back: _*)
+  }
+
+  def dbStatsRoundtripSql(candSql: String): String = {
+    val z = Seq("average", "per75", "per95").map { m =>
+      s"""$m AS ${m}_j, ${m}_avg AS ${m}avg_j, ${m}_lb AS ${m}lb_j,
+          ${m}_ub AS ${m}ub_j, CAST(${m}_signal AS INT) AS ${m}signal_j"""
+    }.mkString(", ")
+    s"""SELECT ts_ms, server, service, CAST(lag AS INT) AS lag, tpm, $z
+        FROM ($candSql)"""
+  }
+
   /** R7 — the alert-digest assembly that feeds the batch emailer
     * (stream_process_alerts.js:153-206,269-333): per flush window, the
     * distinct servers / services / lags of the window's alerting rows

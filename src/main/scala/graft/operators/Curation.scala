@@ -129,7 +129,8 @@ object Curation {
   val mixWeightsSql: String =
     """WITH per AS (
          SELECT source, count(*) AS n_docs,
-           sum(len(string_split_regex(trim(text), '\s+'))) AS src_tokens
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+             AS src_tokens
          FROM documents GROUP BY source)
        SELECT source, n_docs, src_tokens,
          CAST(src_tokens AS DOUBLE) / sum(src_tokens) OVER () AS share,
@@ -220,7 +221,9 @@ object Curation {
     * shuffle at scale; fingerprints compare 8-byte hashes, never text.
     * The second snapshot is synthesized deterministically from the
     * first: every 17th doc deleted, every 10th doc's text edited, and a
-    * shifted-id slice added — all four statuses exercised.
+    * negative-id slice added (a disjoint id namespace, so synthesized
+    * "added" ids can never collide with real doc ids at any scale
+    * factor) — all four statuses exercised.
     */
   def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
     def fp(c: org.apache.spark.sql.Column) =
@@ -232,7 +235,7 @@ object Curation {
         fp(when(col("doc_id") % 10 === 0,
           concat(lit("edited "), col("text"))).otherwise(col("text"))).as("fp2"))
       .unionByName(docs.filter(col("doc_id") % 23 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((-col("doc_id") - 1).as("doc_id"),
           fp(col("text")).as("fp2")))
     v1.join(v2, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
@@ -252,7 +255,7 @@ object Curation {
               AS fp2
           FROM documents WHERE doc_id % 17 <> 3
           UNION ALL
-          SELECT doc_id + 100000 AS doc_id, ${fp("text")} AS fp2
+          SELECT -doc_id - 1 AS doc_id, ${fp("text")} AS fp2
           FROM documents WHERE doc_id % 23 = 0)
         SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
           CASE WHEN fp1 IS NULL THEN 'added'

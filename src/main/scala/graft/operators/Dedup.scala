@@ -6,7 +6,6 @@ import graft.Tables
 import graft.functions.PolyHash.{poly_hash, sql => polySql}
 import graft.functions.MinHashSig.min_hash_sig
 import graft.functions.ShingleHashes.shingle_hashes
-import graft.functions.SimHashSig.sim_hash_sig
 
 /** Deduplication operators for the training-data pipeline: exact
   * (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard. All built on
@@ -114,10 +113,14 @@ object Dedup {
       .withColumn("n", size(col("sh")))
     val tok = d.select(col("source"), col("doc_id"), col("n"),
       explode(col("sh")).as("s"))
-    // hot-shingle set is small by construction -> broadcast anti join
+    // hot-shingle set is usually tiny, but its worst case is bounded by
+    // tokens/dfCap — at 100 TB that can exceed broadcast limits, so no
+    // broadcast hint: AQE picks broadcast when the build side is actually
+    // small and falls back to a shuffled anti-join when it isn't (the
+    // anti-join is correct either way)
     val hot = tok.groupBy("source", "s").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("source", "s")
-    val kept = tok.join(broadcast(hot), Seq("source", "s"), "left_anti")
+    val kept = tok.join(hot, Seq("source", "s"), "left_anti")
     val a = kept.select(col("source"), col("doc_id").as("id_a"),
       col("n").as("n_a"), col("s"))
     val b = kept.select(col("source"), col("doc_id").as("id_b"),
@@ -322,11 +325,13 @@ object Dedup {
     * label-of-label ("pointer jump") join over the LABEL table only —
     * the corpus text never enters the loop. Pointer jumping halves path
     * lengths each round, so convergence is O(log diameter) rounds (the
-    * large-star/small-star family). The loop is driver-coordinated with
-    * an empty-diff convergence check, the standard shape for iterative
-    * graph algorithms on Spark; each round's result is
-    * `localCheckpoint`ed so lineage (and replanning cost) stays O(1)
-    * per round instead of compounding.
+    * large-star/small-star family). The loop is driver-coordinated; each
+    * round's result is `localCheckpoint`ed so lineage (and replanning
+    * cost) stays O(1) per round instead of compounding. The convergence
+    * check is FUSED into the round: the previous label rides through a
+    * co-keyed join in the same checkpointed plan, so the per-round diff
+    * is a cheap scan of the already-materialized blocks instead of a
+    * separate join+isEmpty probe job.
     */
   private[graft] def connectedComponents(nodes: DataFrame,
       pairs: DataFrame, maxRounds: Int = 32): DataFrame = {
@@ -353,11 +358,13 @@ object Dedup {
         .join(stepped.select(col("doc_id").as("p_id"), col("label").as("p_label")),
           col("s.label") === col("p_id"))
         .select(col("s.doc_id").as("doc_id"), col("p_label").as("label"))
+      val marked = jumped
+        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
+        .select(col("doc_id"), col("label"),
+          (col("label") =!= col("old")).cast("long").as("changed"))
         .localCheckpoint()
-      converged = jumped
-        .join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = jumped
+      converged = marked.agg(sum("changed")).first().getLong(0) == 0L
+      labels = marked.select("doc_id", "label")
       round += 1
     }
     labels
@@ -487,73 +494,110 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
-  /** SimHash: 32-bit signature — for each bit, sum +-1 over the doc's
-    * shingle hashes weighted by that hash's bit; near-dups share buckets
-    * on the signature's upper half.
+  /** SimHash: 64-bit signature as two packed 32-bit halves (`sig_lo` =
+    * bands 0-1, `sig_hi` = bands 2-3), each band a 16-bit sub-signature
+    * voted over an independent affine remix of the shingle hashes
+    * ([[graft.functions.SimHashBands]] — the remix is required because
+    * PolyHash values carry < 30 bits, so a direct 64-bit vote would have
+    * constant high bits). Two halves rather than one packed long keep
+    * every value under 2^32 and non-negative, so the DuckDB oracle's
+    * integer `//`/`%` band extraction is exact and nothing approaches
+    * BIGINT overflow on either engine.
     */
+  val SimhashBands = 4
+  val SimhashBandBits = 16
+  // independent affine families (LCG-style odd multipliers, < 2^31;
+  // h < 2^30 keeps h*a + b well inside BIGINT on both engines)
+  private val shA = Seq(1103515245L, 1566083941L, 1812433253L, 1664525L)
+  private val shB = Seq(12345L, 1013904223L, 2531011L, 1566083941L)
+
+  private def sigHalf(hi: Boolean): Column = {
+    val f = if (hi) 2 else 0
+    graft.functions.SimHashBands.sim_hash_bands(col("hs"),
+      shA.slice(f, f + 2), shB.slice(f, f + 2), P, SimhashBandBits)
+  }
+  private def sigHalfSql(hi: Boolean): String = {
+    val f = if (hi) 2 else 0
+    graft.functions.SimHashBands.sql("hs",
+      shA.slice(f, f + 2), shB.slice(f, f + 2), P, SimhashBandBits)
+  }
+
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
       .select(col("doc_id"), shingleHashes.as("hs"))
-      .select(col("doc_id"), sim_hash_sig(col("hs"), 32).as("simhash"))
+      .select(col("doc_id"), sigHalf(hi = false).as("sig_lo"),
+        sigHalf(hi = true).as("sig_hi"))
 
   val simhashSql: String = {
     val sh = shingleHashesSql("string_split(" + normTextSql + ", ' ')")
-    val bits = (0 until 32).map { bit =>
-      s"""CASE WHEN list_sum(list_transform(hs,
-            h -> CASE WHEN (h // ${1L << bit}) % 2 = 1 THEN 1 ELSE -1 END)) > 0
-          THEN ${1L << bit} ELSE 0 END"""
-    }.mkString(" + ")
-    s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM (
-          SELECT doc_id, $sh AS hs
-          FROM documents)"""
+    s"""SELECT doc_id, ${sigHalfSql(hi = false)} AS sig_lo,
+          ${sigHalfSql(hi = true)} AS sig_hi
+        FROM (SELECT doc_id, $sh AS hs FROM documents)"""
   }
 
-  /** SimHash near-dup PAIRING: band the 32-bit signature into 4 bytes and
-    * bucket-join on (band, byte), then verify candidates by Hamming
-    * distance (popcount of XOR). By pigeonhole, any pair within
-    * `maxHamming` <= 3 bit flips shares at least one intact band, so the
-    * bucket join is lossless for the verify threshold — the same
-    * capture argument as MinHash-LSH, in Hamming space. One shuffle on the
-    * band key; candidates dedup on ids before the verify.
+  /** SimHash near-dup PAIRING: band the 64-bit signature into 4 16-bit
+    * band keys (65 536 values per band — at 10^9 docs a uniform band
+    * bucket holds ~N/2^16 docs, vs ~N/2^8 under the former 8-bit bands
+    * whose within-bucket pair generation went quadratic) and bucket-join
+    * on (band, bkey), then verify candidates by 64-bit Hamming distance
+    * (popcount of XOR, summed over the two halves). By pigeonhole, any
+    * pair within `maxHamming` <= 3 bit flips shares at least one intact
+    * 16-bit band, so the bucket join is lossless for the verify
+    * threshold — the same capture argument as MinHash-LSH, in Hamming
+    * space. One shuffle on the band key; candidates dedup on ids before
+    * the verify.
     */
-  val SimhashBands = 4
   def simhashPairs(spark: SparkSession, sfDir: String,
       maxHamming: Int = 3): DataFrame = {
     val sig = simhash(spark, sfDir)
-    val banded = sig.select(col("doc_id"), col("simhash"),
-      explode(array((0 until SimhashBands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), 8 * b).bitwiseAND(255).as("bkey"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bkey"))
-    val a = banded.select(col("band"), col("bkey"),
-      col("doc_id").as("id_a"), col("simhash").as("sig_a"))
-    val b = banded.select(col("band"), col("bkey"),
-      col("doc_id").as("id_b"), col("simhash").as("sig_b"))
+    val mask = (1 << SimhashBandBits) - 1
+    val banded = sig.select(col("doc_id"), col("sig_lo"), col("sig_hi"),
+      explode(array(
+        struct(lit(0).as("band"), col("sig_lo").bitwiseAND(mask).as("bkey")),
+        struct(lit(1).as("band"),
+          shiftright(col("sig_lo"), SimhashBandBits).as("bkey")),
+        struct(lit(2).as("band"), col("sig_hi").bitwiseAND(mask).as("bkey")),
+        struct(lit(3).as("band"),
+          shiftright(col("sig_hi"), SimhashBandBits).as("bkey")))).as("bb"))
+      .select(col("doc_id"), col("sig_lo"), col("sig_hi"),
+        col("bb.band"), col("bb.bkey"))
+    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"),
+      col("sig_lo").as("lo_a"), col("sig_hi").as("hi_a"))
+    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("id_b"),
+      col("sig_lo").as("lo_b"), col("sig_hi").as("hi_b"))
     a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .select(col("id_a"), col("id_b"), col("lo_a"), col("hi_a"),
+        col("lo_b"), col("hi_b")).distinct()
       .withColumn("hamming",
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
 
   def simhashPairsSql(maxHamming: Int = 3): String = {
-    val bandStructs = (0 until SimhashBands).map { b =>
-      s"{'band': $b, 'bkey': (simhash // ${1L << (8 * b)}) % 256}"
-    }.mkString("[", ", ", "]")
+    val m = 1 << SimhashBandBits
+    val bandStructs = Seq(
+      s"{'band': 0, 'bkey': sig_lo % $m}",
+      s"{'band': 1, 'bkey': sig_lo // $m}",
+      s"{'band': 2, 'bkey': sig_hi % $m}",
+      s"{'band': 3, 'bkey': sig_hi // $m}").mkString("[", ", ", "]")
     s"""WITH sig AS ($simhashSql),
         banded AS (
-          SELECT doc_id, simhash, bb.band AS band, bb.bkey AS bkey
-          FROM (SELECT doc_id, simhash, unnest($bandStructs) AS bb FROM sig)),
+          SELECT doc_id, sig_lo, sig_hi, bb.band AS band, bb.bkey AS bkey
+          FROM (SELECT doc_id, sig_lo, sig_hi, unnest($bandStructs) AS bb
+                FROM sig)),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-            a.simhash AS sig_a, b.simhash AS sig_b
+            a.sig_lo AS lo_a, a.sig_hi AS hi_a,
+            b.sig_lo AS lo_b, b.sig_hi AS hi_b
           FROM banded a JOIN banded b
             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
         SELECT id_a, id_b,
-          CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+          CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+            AS INT) AS hamming
         FROM cand
-        WHERE bit_count(xor(sig_a, sig_b)) <= $maxHamming"""
+        WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+          <= $maxHamming"""
   }
 }

@@ -347,9 +347,9 @@ object Relational {
 
   val qPivotSql: String =
     s"""SELECT service,
-        sum(CASE WHEN server = 'srv0' THEN 1 ELSE 0 END) AS srv0,
-        sum(CASE WHEN server = 'srv1' THEN 1 ELSE 0 END) AS srv1,
-        sum(CASE WHEN server = 'srv2' THEN 1 ELSE 0 END) AS srv2
+        CAST(sum(CASE WHEN server = 'srv0' THEN 1 ELSE 0 END) AS BIGINT) AS srv0,
+        CAST(sum(CASE WHEN server = 'srv1' THEN 1 ELSE 0 END) AS BIGINT) AS srv1,
+        CAST(sum(CASE WHEN server = 'srv2' THEN 1 ELSE 0 END) AS BIGINT) AS srv2
         FROM (${graft.Tables.txBaseSql})
         GROUP BY service"""
 

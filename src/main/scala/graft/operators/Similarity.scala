@@ -124,45 +124,148 @@ object Similarity {
       .select("q_id", "n_id", "bucket", "cos", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs: SRP-LSH bucketing, exact
-    * cosine within buckets, pairs >= threshold (the embedding-space
-    * analogue of MinHash dedup; at scale only bucket-mates meet).
+  /** Embedding-cosine near-duplicate pairs: MULTI-BAND SRP-LSH
+    * (OR-construction, like MinHash-LSH's bands) — [[LshBands]]
+    * independent [[LshBandBits]]-hyperplane signatures; a pair is a
+    * candidate iff it agrees on ALL bits of at least one band, then
+    * exact cosine verifies >= threshold.
+    *
+    * Scale shape: the former single 8-bit bucket (2^8 = 256 buckets
+    * total) made within-bucket pair generation O(N^2/256) — quadratic at
+    * corpus scale. Each band now keys on 2^16 values, so a uniform
+    * band bucket holds ~N/65536 vectors, while the OR over 4 bands keeps
+    * recall (measured by `d6_embed_recall`, not assumed). The hyperplanes
+    * are a broadcast TABLE (64 rows x dim doubles) scored with the native
+    * VecDot — not a literal expression tree, which at 64 planes x 64 dims
+    * would blow the codegen method limit (the s3 lesson). Candidate dedup
+    * is canonical-witness: a pair is kept only at its FIRST matching band
+    * (earlier-band keys ride along, 4 longs), so no distinct shuffle over
+    * candidate pairs.
     */
+  val LshBands = 4
+  val LshBandBits = 16
+
+  /** Hyperplane table: one row per bit — (band = bit/16, weight =
+    * 1<<(bit%16), pv = the plane's coefficient vector). Deterministic
+    * closed-form coefficients shared with the oracle.
+    */
+  private def srpPlanes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until LshBands * LshBandBits).map { bit =>
+      (bit / LshBandBits, 1L << (bit % LshBandBits),
+        (0 until SrpDim).map(d => planeCoef(bit, d)))
+    }.toDF("band", "weight", "pv")
+  }
+
   def embedNearDup(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3): DataFrame = {
     val vecs = vecsDoubleChecked(spark, sfDir)
-    val dim = SrpDim
-    val bucket = (0 until LshBits).map { bit =>
-      val proj = (0 until dim).map(d =>
-        element_at(col("v"), d + 1) * lit(planeCoef(bit, d))).reduce(_ + _)
-      when(proj >= 0, lit(1L << bit)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val b = vecs.withColumn("bucket", bucket)
-    val a = b.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
-    val c = b.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket"))
-    a.join(c, Seq("bucket")).filter(col("id_a") < col("id_b"))
+    val bkCols = (0 until LshBands).map { f =>
+      sum(when(col("band") === f && dot(col("v"), col("pv")) >= 0,
+        col("weight")).otherwise(lit(0L))).as(s"bk$f")
+    }
+    val sig = vecs.crossJoin(broadcast(srpPlanes(spark)))
+      .groupBy("vec_id", "v")
+      .agg(bkCols.head, bkCols.tail: _*)
+      .select(col("vec_id"), col("v"),
+        array((0 until LshBands).map(f => col(s"bk$f")): _*).as("bks"))
+    val banded = sig.select(col("vec_id"), col("v"), col("bks"),
+      posexplode(col("bks")).as(Seq("band", "bkey")))
+    val a = banded.select(col("band"), col("bkey"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("bks").as("bks_a"))
+    val b = banded.select(col("band"), col("bkey"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("bks").as("bks_b"))
+    // canonical witness: drop the pair unless no EARLIER band also matched
+    val earlierMatch = size(filter(
+      zip_with(slice(col("bks_a"), lit(1), col("band")),
+        slice(col("bks_b"), lit(1), col("band")), (x, y) => x === y),
+      x => x)) > 0
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b") && !earlierMatch)
       .withColumn("cos", dot(col("va"), col("vb")) /
         (norm(col("va")) * norm(col("vb"))))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
 
+  /** Matching plane coefficients in SQL (same closed-form integer
+    * arithmetic, then one double division — bit-identical to
+    * [[planeCoef]]).
+    */
+  private val planesSql: String =
+    s"""SELECT CAST(bit // $LshBandBits AS INT) AS band,
+          CAST(1 << (bit % $LshBandBits) AS BIGINT) AS weight,
+          list_transform(range(0, $SrpDim),
+            d -> ((bit*73 + d*179 + 11) * 2654435761 % 1000 - 500) / 1000.0)
+            AS pv
+        FROM range(0, ${LshBands * LshBandBits}) t(bit)"""
+
   def embedNearDupSql(threshold: Double = 0.3): String = {
-    val dim = SrpDim
-    val bucket = (0 until LshBits).map { bit =>
-      val proj = (0 until dim).map(d => s"v[${d + 1}] * ${planeCoef(bit, d)}")
-        .mkString(" + ")
-      s"CASE WHEN ($proj) >= 0 THEN ${1L << bit} ELSE 0 END"
-    }.mkString(" + ")
-    s"""WITH vecs AS (SELECT *, CAST($bucket AS BIGINT) AS bucket FROM ($vecsDoubleSql)),
-        a AS (SELECT vec_id AS id_a, v AS va, bucket FROM vecs),
-        c AS (SELECT vec_id AS id_b, v AS vb, bucket FROM vecs),
+    val bk = (f: Int) =>
+      s"""CAST(sum(CASE WHEN band = $f AND ${dotSql("v", "pv")} >= 0
+          THEN weight ELSE 0 END) AS BIGINT)"""
+    val bandStructs = (0 until LshBands).map { f =>
+      s"{'band': $f, 'bkey': bks[${f + 1}]}"
+    }.mkString("[", ", ", "]")
+    s"""WITH vecs AS ($vecsDoubleSql),
+        planes AS ($planesSql),
+        sig AS (
+          SELECT vec_id, v, [${(0 until LshBands).map(bk).mkString(", ")}] AS bks
+          FROM vecs CROSS JOIN planes
+          GROUP BY vec_id, v),
+        banded AS (
+          SELECT vec_id, v, bks, bb.band AS band, bb.bkey AS bkey
+          FROM (SELECT vec_id, v, bks, unnest($bandStructs) AS bb FROM sig)),
+        cand AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+          WHERE len(list_filter(range(1, a.band + 1),
+            i -> a.bks[i] = b.bks[i])) = 0),
         sims AS (
           SELECT id_a, id_b,
             ${dotSql("va", "vb")} / (${normSql("va")} * ${normSql("vb")}) AS cos
-          FROM a JOIN c ON a.bucket = c.bucket AND id_a < id_b)
+          FROM cand)
         SELECT id_a, id_b, cos FROM sims WHERE cos >= $threshold"""
   }
+
+  /** Measured recall of [[embedNearDup]] against the exact all-pairs
+    * ground truth (every LSH-found pair is exact-verified, so found ⊆
+    * true and recall = n_found/n_true). The all-pairs side is the
+    * MEASUREMENT baseline, same role as [[knnBrute]] for the ANN recall
+    * queries — the trade the multi-band construction makes is measured,
+    * not assumed.
+    */
+  def embedRecall(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val vecs = vecsDouble(spark, sfDir)
+    val a = vecs.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = vecs.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    val truePairs = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) /
+        (norm(col("va")) * norm(col("vb"))))
+      .filter(col("cos") >= threshold)
+      .agg(count(lit(1)).as("n_true"))
+    val found = embedNearDup(spark, sfDir, threshold)
+      .agg(count(lit(1)).as("n_found"))
+    truePairs.crossJoin(found)
+      .select(col("n_true"), col("n_found"),
+        (col("n_found").cast("double") / col("n_true")).as("recall"))
+  }
+
+  def embedRecallSql(threshold: Double = 0.3): String =
+    s"""WITH vecs AS ($vecsDoubleSql),
+        truep AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_true
+          FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+          WHERE ${dotSql("a.v", "b.v")} /
+            (${normSql("a.v")} * ${normSql("b.v")}) >= $threshold),
+        found AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_found
+          FROM (${embedNearDupSql(threshold)}))
+        SELECT n_true, n_found,
+          CAST(n_found AS DOUBLE) / n_true AS recall
+        FROM truep CROSS JOIN found"""
 
   /** IVF-Flat ANN, centroids as DATA (not literals): seed centroids are
     * the first `nCells` corpus vectors (deterministic), refined by
@@ -277,11 +380,18 @@ object Similarity {
     var moved = Double.MaxValue
     while (iters < maxIters && moved > eps) {
       val next = refineCents(assignCells(vecs, cents)).localCheckpoint()
+      // FULL OUTER movement join: refineCents drops a centroid whose cell
+      // empties, and an inner join would silently exclude it from the
+      // movement max — declaring convergence on the very iteration the
+      // centroid set shrank, which is not an assignment fixpoint. A
+      // vanished (or new) centroid counts as infinite movement instead.
       moved = next.alias("n")
-        .join(cents.alias("o"), col("n.cent_id") === col("o.cent_id"))
-        .agg(max(aggregate(
+        .join(cents.alias("o"), col("n.cent_id") === col("o.cent_id"),
+          "full_outer")
+        .agg(max(when(col("n.cent_id").isNull || col("o.cent_id").isNull,
+          lit(Double.MaxValue)).otherwise(aggregate(
           zip_with(col("n.cv"), col("o.cv"), (a, b) => abs(a - b)),
-          lit(0.0), (acc, x) => greatest(acc, x))))
+          lit(0.0), (acc, x) => greatest(acc, x)))))
         .head.getDouble(0)
       cents = next
       iters += 1

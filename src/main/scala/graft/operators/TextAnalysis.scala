@@ -68,8 +68,9 @@ object TextAnalysis {
           tok_before % $capacity AS pack_offset
         FROM (
           SELECT doc_id, source, n_tokens,
-            coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+            CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS tok_before
           FROM (
             SELECT doc_id, source,
               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
@@ -199,7 +200,7 @@ object TextAnalysis {
     s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
           FROM documents),
         uni AS (
-          SELECT doc_id, sum(cnt) AS n_words,
+          SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
             sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) / sum(cnt) AS dup_word_frac,
             max(cnt) / sum(cnt) AS top_word_frac
           FROM (SELECT doc_id, w, count(*) AS cnt
@@ -281,7 +282,13 @@ object TextAnalysis {
     * (bigram key, then first-word key); scoring = one join keyed on the
     * bigram (model size is corpus bigram-type count, partitioned like
     * any fact-fact join) + one doc-keyed aggregation. V is a 1-row
-    * broadcast.
+    * broadcast. The model is HASHED (the standard n-gram hashing trick):
+    * each bigram/context string is reduced to its [[PolyHash]] long
+    * right after the explode, so every downstream shuffle, aggregation
+    * and the corpus-scale scoring join carry 8-byte keys instead of
+    * bigram strings — string bytes never leave the map side. Hash
+    * collisions (rare at p = 1e9+7) merge counts exactly as in any
+    * hashed-feature LM; the oracle hashes identically.
     */
   def lmScore(spark: SparkSession, sfDir: String,
       minAvgProb: Double = 0.005): DataFrame = {
@@ -291,16 +298,20 @@ object TextAnalysis {
       transform(sequence(lit(1), size(col("ws")) - 1),
         i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
       .otherwise(array().cast("array<string>"))
+    // strings end here: one codegen'd hash per bigram instance, then
+    // 8-byte (k1, gk) keys everywhere downstream
     val docBigrams = docs.select(col("doc_id"), explode(bigramArr).as("g"))
-      .withColumn("w1", substring_index(col("g"), " ", 1))
-    val c12 = docBigrams.groupBy("w1", "g").agg(count(lit(1)).as("c12"))
-    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+      .select(col("doc_id"),
+        poly_hash(substring_index(col("g"), " ", 1)).as("k1"),
+        poly_hash(col("g")).as("gk"))
+    val c12 = docBigrams.groupBy("k1", "gk").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("k1").agg(sum(col("c12")).as("c1"))
     val v = docs.select(explode(col("ws")).as("w"))
-      .agg(countDistinct(col("w")).as("vocab"))
-    val model = c12.join(c1, Seq("w1")).crossJoin(broadcast(v))
-      .select(col("g"),
+      .agg(countDistinct(poly_hash(col("w"))).as("vocab"))
+    val model = c12.join(c1, Seq("k1")).crossJoin(broadcast(v))
+      .select(col("gk"),
         ((col("c12") + 1) / (col("c1") + col("vocab"))).as("prob"))
-    docBigrams.join(model, Seq("g"))
+    docBigrams.join(model, Seq("gk"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("prob"))).as("ps"))
       .select(col("doc_id"), size(col("ps")).cast("long").as("n_bigrams"),
@@ -314,20 +325,21 @@ object TextAnalysis {
     s"""WITH d AS (SELECT doc_id,
           string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents),
         db AS (
-          SELECT doc_id, g, split_part(g, ' ', 1) AS w1
+          SELECT doc_id, ${polySql("split_part(g, ' ', 1)")} AS k1,
+            ${polySql("g")} AS gk
           FROM (SELECT doc_id,
                   unnest(list_transform(range(1, len(ws)),
                     i -> ws[i] || ' ' || ws[i+1])) AS g FROM d)),
-        c12 AS (SELECT w1, g, count(*) AS c12 FROM db GROUP BY w1, g),
-        c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
-        v AS (SELECT count(DISTINCT w) AS vocab
+        c12 AS (SELECT k1, gk, count(*) AS c12 FROM db GROUP BY k1, gk),
+        c1 AS (SELECT k1, sum(c12) AS c1 FROM c12 GROUP BY k1),
+        v AS (SELECT count(DISTINCT ${polySql("w")}) AS vocab
               FROM (SELECT unnest(ws) AS w FROM d)),
         model AS (
-          SELECT g, (c12 + 1) / (c1 + vocab) AS prob
-          FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+          SELECT gk, (c12 + 1) / (c1 + vocab) AS prob
+          FROM c12 JOIN c1 USING (k1) CROSS JOIN v),
         scored AS (
           SELECT doc_id, list_sort(list(prob)) AS ps
-          FROM db JOIN model USING (g) GROUP BY doc_id)
+          FROM db JOIN model USING (gk) GROUP BY doc_id)
         SELECT doc_id, len(ps) AS n_bigrams,
           list_reduce(list_prepend(0.0, ps), (a, x) -> a + x) / len(ps)
             AS avg_bigram_prob,

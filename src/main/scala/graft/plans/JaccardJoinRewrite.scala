@@ -52,6 +52,18 @@ import graft.functions.JaccardSim
   * side-split children, and the generated columns are tagged by name, so
   * the rule cannot re-fire on its own output (it runs inside fixed-point
   * optimizer batches).
+  *
+  * Distinct-element gate: `jaccard_sim` ASSUMES distinct elements per
+  * array (the ShingleHashes contract) but does not enforce it, and for
+  * duplicate-bearing inputs both the canonical witness (one copy per
+  * shared VALUE, not per duplicate) and the PPJoin size bound (raw
+  * lengths) would change results relative to the un-rewritten
+  * theta-join. The rule therefore fires only when both anchored arrays
+  * are PROVABLY duplicate-free — produced by `ShingleHashes` or wrapped
+  * in `array_distinct`, chased through intervening Project aliases.
+  * Anything else keeps the user's declared plan untouched (correct,
+  * merely unblocked); wrapping the join keys in `array_distinct(...)`
+  * opts such a query into the rewrite.
   */
 object JaccardJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -61,13 +73,39 @@ object JaccardJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case j @ Join(left, right, Inner, Some(cond), _)
         if j.resolved && !bearsGeneratedCols(left) && !bearsGeneratedCols(right) =>
       anchor(cond, left, right) match {
-        case Some((ls, rs, t)) => rewrite(j, left, right, cond, ls, rs, t)
-        case None              => j
+        case Some((ls, rs, t))
+            if distinctByConstruction(ls, left) &&
+              distinctByConstruction(rs, right) =>
+          rewrite(j, left, right, cond, ls, rs, t)
+        case _ => j
       }
   }
 
   private def bearsGeneratedCols(p: LogicalPlan): Boolean =
     p.output.exists(_.name.startsWith(GenPrefix))
+
+  /** True iff the array expression is duplicate-free by construction:
+    * a ShingleHashes (hash-distinct contract) or array_distinct result,
+    * chased through Project/Aggregate aliases in the join side's subtree.
+    */
+  @annotation.tailrec
+  private def distinctByConstruction(e: Expression, side: LogicalPlan): Boolean =
+    e match {
+      case _: graft.functions.ShingleHashes => true
+      case _: ArrayDistinct                 => true
+      case a: AttributeReference =>
+        val defs = side.collect {
+          case p: Project   => p.projectList
+          case g: Aggregate => g.aggregateExpressions
+        }.flatten
+        defs.collectFirst {
+          case al: Alias if al.exprId == a.exprId => al.child
+        } match {
+          case Some(c) => distinctByConstruction(c, side)
+          case None    => false
+        }
+      case _ => false
+    }
 
   /** Find a conjunct bounding JaccardSim(ls, rs) from below by a
     * positive constant, with ls/rs cleanly split across the join sides.

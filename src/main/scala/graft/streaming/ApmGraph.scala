@@ -20,7 +20,11 @@ import graft.sources.LogFileSource
   * `writeStream.format("kafka")` / `readStream.format("kafka")` with the
   * same stage code unchanged). Checkpoints give each stage S7
   * resume-exactly-once; `Trigger.AvailableNow` drains whatever is pending
-  * and stops, which is also the deterministic test harness mode.
+  * and stops, which is also the deterministic test harness mode. The
+  * broker contract the Kafka transport would add (partitioned offsets,
+  * poll batching, committed-offset resume, at-least-once redelivery) is
+  * modeled and test-pinned by [[QueueContract]] so the stage code's
+  * assumptions stay documented even without a connector jar.
   *
   * Stages:
   *  1. tail+route (S1/P1, LogFileSource) -> parse exits (P5) -> TEE (R6):

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+/** Queue-transport contract double (S3/S4).
+  *
+  * The reference's inter-stage fabric is a message broker
+  * (queue.js:206-305; topology config/apm_config.json:87-178). The
+  * Spark-native equivalent is the Kafka connector —
+  * `writeStream.format("kafka")` producing, `readStream.format("kafka")`
+  * consuming — but no connector jar ships in this container, so the
+  * running graph ([[ApmGraph]]) hands off through append-only parquet
+  * topic directories instead. What that substitution does NOT exercise
+  * is the broker contract the stage code would rely on under Kafka.
+  * This class models that contract exactly, so its semantics are pinned
+  * by tests (QueueContractSpec) and the stage code's assumptions are
+  * documented against it:
+  *
+  *  - an append-only PARTITIONED log; a record's partition is chosen by
+  *    key hash (null keys round-robin), and ordering is guaranteed only
+  *    WITHIN a partition — exactly Kafka's guarantee, and why every
+  *    keyed stage must tolerate cross-key reordering;
+  *  - monotonic per-partition OFFSETS, assigned at append;
+  *  - consumers poll BATCHES from their current position (maxPoll maps
+  *    to `maxOffsetsPerTrigger`: the batch bound a micro-batch trigger
+  *    would read);
+  *  - a consumer GROUP holds durable committed offsets; a restarted
+  *    consumer of the same group resumes from the last COMMIT, not the
+  *    last poll — so anything polled but not committed is redelivered:
+  *    AT-LEAST-ONCE, which is why the stages' sinks are idempotent
+  *    (parquet overwrite per batch id / stateful dedup), mirroring how
+  *    Structured Streaming turns Kafka's at-least-once into effective
+  *    exactly-once via checkpointed offsets + idempotent sinks (S7);
+  *  - `endOffsets` is the consumer-lag denominator (monitoring parity
+  *    with the reference's queue-depth flow control, S2).
+  */
+final class InMemoryTopic(val nPartitions: Int) {
+  require(nPartitions >= 1)
+  private val logs =
+    Array.fill(nPartitions)(mutable.ArrayBuffer.empty[(String, String)])
+  private var roundRobin = 0
+
+  /** Append; returns (partition, offset) like a producer ack. */
+  def produce(key: String, value: String): (Int, Long) = synchronized {
+    val p =
+      if (key == null) { roundRobin += 1; (roundRobin - 1) % nPartitions }
+      else math.floorMod(key.hashCode, nPartitions)
+    logs(p) += ((key, value))
+    (p, logs(p).length - 1L)
+  }
+
+  def endOffsets: Map[Int, Long] =
+    synchronized((0 until nPartitions).map(p => p -> logs(p).length.toLong).toMap)
+
+  private[streaming] def read(p: Int, from: Long, max: Int): Seq[QueueRecord] =
+    synchronized {
+      logs(p).iterator.zipWithIndex.drop(from.toInt).take(max).map {
+        case ((k, v), off) => QueueRecord(p, off.toLong, k, v)
+      }.toSeq
+    }
+
+  /** Durable committed offsets per consumer group (survives a consumer
+    * "crash"; a real broker persists these in its offsets topic).
+    */
+  private val groupOffsets =
+    mutable.Map.empty[String, mutable.Map[Int, Long]]
+  private[streaming] def committed(group: String): Map[Int, Long] =
+    synchronized(groupOffsets.getOrElse(group, mutable.Map.empty).toMap)
+  private[streaming] def commit(group: String, offs: Map[Int, Long]): Unit =
+    synchronized {
+      val g = groupOffsets.getOrElseUpdate(group, mutable.Map.empty)
+      offs.foreach { case (p, o) => g(p) = math.max(o, g.getOrElse(p, 0L)) }
+    }
+}
+
+final case class QueueRecord(partition: Int, offset: Long,
+    key: String, value: String)
+
+/** A group consumer: polls forward from its position, commits survived
+  * offsets; a NEW instance of the same group resumes from the commit.
+  */
+final class ContractConsumer(topic: InMemoryTopic, group: String) {
+  // position starts at the group's committed offsets (Kafka's
+  // auto.offset.reset=earliest below the first commit)
+  private val position: mutable.Map[Int, Long] =
+    mutable.Map((0 until topic.nPartitions).map(p =>
+      p -> topic.committed(group).getOrElse(p, 0L)): _*)
+
+  /** One poll: up to maxPoll records per partition from the current
+    * position; advances the POSITION, not the commit.
+    */
+  def poll(maxPoll: Int): Seq[QueueRecord] = {
+    val out = (0 until topic.nPartitions).flatMap { p =>
+      topic.read(p, position(p), maxPoll)
+    }
+    out.groupBy(_.partition).foreach { case (p, rs) =>
+      position(p) = rs.map(_.offset).max + 1
+    }
+    out
+  }
+
+  /** Commit everything polled so far (next restart resumes after it). */
+  def commitSync(): Unit = topic.commit(group, position.toMap)
+
+  def lag: Long =
+    topic.endOffsets.map { case (p, end) => end - position(p) }.sum
+}

@@ -151,4 +151,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), p)
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
+
+  test("d5 simhash pairs: 16-bit bands (65536-value keyspace, not 256)") {
+    import org.apache.spark.sql.functions._
+    // construction pin: 4 bands x 16 bits = 64-bit signature
+    assert(graft.operators.Dedup.SimhashBandBits == 16)
+    assert(graft.operators.Dedup.SimhashBands *
+      graft.operators.Dedup.SimhashBandBits == 64)
+    val sig = graft.operators.Dedup.simhash(spark, sf)
+    val mx = sig.agg(max("sig_lo"), max("sig_hi")).head
+    assert(mx.getLong(0) < (1L << 32) && mx.getLong(1) < (1L << 32))
+    // observed band-key diversity must exceed the former 8-bit ceiling —
+    // with 256-value bands this count could never pass 256
+    val keys = sig.select(explode(array(
+      col("sig_lo") % 65536, shiftright(col("sig_lo"), 16),
+      col("sig_hi") % 65536, shiftright(col("sig_hi"), 16))).as("bk"))
+      .distinct().count()
+    assert(keys > 256, s"distinct 16-bit band keys=$keys")
+    val p = plan("d5_simhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("d6 multi-band LSH: equi-join on band keys, 2^16 per band") {
+    // construction pin: OR over 4 independent 16-plane signatures
+    assert(graft.operators.Similarity.LshBandBits == 16)
+    assert(graft.operators.Similarity.LshBands >= 2)
+    val p = plan("d6_dedup_embed")
+    assert(!p.contains("CartesianProduct"), p)
+    // the candidate join must be a shuffled/broadcast EQUI join keyed on
+    // (band, bkey); the only nested-loop allowed is the 64-row broadcast
+    // hyperplane scaffold (same pattern as the IVF centroid cross join)
+    assert(p.contains("Join [band") || p.contains("Join [bkey") ||
+      "(SortMerge|BroadcastHash|ShuffledHash)Join \\[?band".r.findFirstIn(p).nonEmpty, p)
+    val nestedLoops = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nestedLoops <= 2 && p.contains("LocalTableScan"), p)
+  }
 }

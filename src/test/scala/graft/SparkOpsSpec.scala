@@ -115,18 +115,52 @@ class SparkOpsSpec extends AnyFunSuite {
     a.foreach { case (k, v) => assert(v == b(k), s"$k") }
   }
 
-  test("multimodal: mapPartitions decode agrees with declarative meta") {
+  test("multimodal: parsed container fields invert the synthesis params") {
     val decoded = Multimodal.decodeAll(spark, sf)
       .collect().map(f => f.doc_id -> f).toMap
-    val meta = Multimodal.meta(spark, sf).collect()
-    assert(meta.nonEmpty)
-    meta.foreach { r =>
-      val f = decoded(r.getLong(0))
-      assert(r.getString(1) == f.kind)
-      assert(r.getLong(2) == f.n_bytes.toLong)
-      assert(r.getLong(3) == f.checksum)
-      assert(r.getInt(4) == f.width)
+    assert(decoded.nonEmpty)
+    decoded.values.foreach { f =>
+      f.doc_id % 3 match {
+        case 0 =>
+          assert(f.container == "bmp")
+          assert(f.width == (f.doc_id % 64).toInt + 1)
+          assert(f.height == (f.doc_id % 48).toInt + 1)
+          assert(f.n_frames == 1L && f.sample_rate == 0)
+        case 1 =>
+          assert(f.container == "wav")
+          assert(f.sample_rate == 8000 + (f.doc_id % 8).toInt * 1000)
+          assert(f.n_frames == (f.doc_id % 1000) + 1)
+          assert(f.width == 0 && f.height == 0)
+        case _ =>
+          assert(f.container == "y4m")
+          assert(f.width == 2 * ((f.doc_id % 16).toInt + 1))
+          assert(f.height == 2 * ((f.doc_id % 12).toInt + 1))
+          assert(f.n_frames == (f.doc_id % 24) + 1)
+      }
     }
+  }
+
+  test("s6 stats jsonb column: exact byte shape of toPostgresObject") {
+    // entries.js:120-151 — 15 lowercase keys in declaration order;
+    // nulls explicit (ignoreNullFields=false), doubles shortest-decimal
+    val df = spark.range(1).selectExpr(
+      "cast(100.5 as double) as average", "cast(101.25 as double) as average_avg",
+      "cast(90.0 as double) as average_lb", "cast(null as double) as average_ub",
+      "0 as average_signal",
+      "cast(1.5 as double) as per75", "cast(2.5 as double) as per75_avg",
+      "cast(3.5 as double) as per75_lb", "cast(4.5 as double) as per75_ub",
+      "1 as per75_signal",
+      "cast(5.5 as double) as per95", "cast(6.5 as double) as per95_avg",
+      "cast(7.5 as double) as per95_lb", "cast(8.5 as double) as per95_ub",
+      "0 as per95_signal")
+    val js = df.select(graft.operators.Alerts.statsJsonCol.as("j"))
+      .head.getString(0)
+    assert(js ==
+      """{"average":100.5,"averageavg":101.25,"averagelb":90.0,""" +
+      """"averageub":null,"averagesignal":0,""" +
+      """"per75":1.5,"per75avg":2.5,"per75lb":3.5,"per75ub":4.5,"per75signal":1,""" +
+      """"per95":5.5,"per95avg":6.5,"per95lb":7.5,"per95ub":8.5,"per95signal":0}""",
+      js)
   }
 
   test("poly_hash expression == reference fold, with codegen") {
@@ -158,9 +192,15 @@ class SparkOpsSpec extends AnyFunSuite {
     val rows = base :+ base(2)
     val df = rows.toDF("id", "sh")
     val t = 0.25
+    // inline array_distinct is the documented opt-in for arrays the rule
+    // can't trace to ShingleHashes (a LocalRelation's projections are
+    // constant-folded away before extraOptimizations run, so an aliased
+    // array_distinct would leave no provenance) — a value no-op here
+    // since the fixture arrays are already distinct
     val joined = df.as("a").join(df.as("b"),
         col("a.id") < col("b.id") &&
-          jaccard_sim(col("a.sh"), col("b.sh")) >= t)
+          jaccard_sim(array_distinct(col("a.sh")),
+            array_distinct(col("b.sh"))) >= t)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     // the rewrite must actually be exercised
     val p = joined.queryExecution.executedPlan.toString
@@ -178,6 +218,42 @@ class SparkOpsSpec extends AnyFunSuite {
       s"got ${got.size} pairs, expected ${expected.size}")
     assert(expected.nonEmpty && expected.size > expected.distinct.size,
       "fixture must exercise duplicate-row multiplicity")
+  }
+
+  test("JaccardJoinRewrite leaves duplicate-bearing arrays un-rewritten") {
+    import spark.implicits._
+    import graft.functions.JaccardSim.jaccard_sim
+    if (!spark.experimental.extraOptimizations.contains(
+        graft.plans.JaccardJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.JaccardJoinRewrite
+    // off-contract inputs (duplicate elements): the rule must NOT fire —
+    // the declared theta-join's own semantics are the ground truth
+    val rows = Seq(
+      (1L, Array(5L)), (2L, Array(5L, 5L, 5L)), (3L, Array(5L, 6L)),
+      (4L, Array(6L, 6L, 7L)))
+    val df = rows.toDF("id", "sh")
+    val t = 0.9
+    val joined = df.as("a").join(df.as("b"),
+        col("a.id") < col("b.id") &&
+          jaccard_sim(col("a.sh"), col("b.sh")) >= t)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Generate explode"), p)
+    def jacRaw(a: Array[Long], b: Array[Long]): Double = {
+      val set = a.toSet
+      val inter = b.count(set.contains)
+      if (a.isEmpty || b.isEmpty) 0.0
+      else inter.toDouble / (a.length + b.length - inter)
+    }
+    val expected = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && jacRaw(sa, sb) >= t
+    } yield (ia, ib)).sorted
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == expected, s"got $got expected $expected")
+    // the fixture includes the pair the old size bound silently dropped
+    assert(expected.contains((1L, 2L)))
   }
 
   test("connectedComponents: chains, stars, singletons, merge order") {
