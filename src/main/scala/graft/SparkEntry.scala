@@ -58,6 +58,8 @@ object SparkEntry {
       Alerts.dbStatsRoundtrip(Alerts.candidates(zWin(s, dir), alertCfg))),
     "d6_dedup_embed"   -> ((s, dir) => Similarity.embedNearDup(s, dir)),
     "d6_embed_recall"  -> ((s, dir) => Similarity.embedRecall(s, dir)),
+    "c9_semdedup"      -> ((s, dir) => Similarity.semDedup(s, dir)),
+    "t11_kmv_distinct" -> ((s, dir) => TextAnalysis.kmvDistinct(s, dir)),
     "c1_corpus_curation" -> ((s, dir) => Curation.curate(s, dir)),
     "j1_pairing"       -> ((s, dir) => Correlation.pairing(s, dir)),
     "j2_enrichment"    -> ((s, dir) => Correlation.enrichment(s, dir)),
@@ -157,6 +159,8 @@ object SparkEntry {
       Alerts.candidatesSql(zWinSql, alertCfg)),
     "d6_dedup_embed"   -> Similarity.embedNearDupSql(),
     "d6_embed_recall"  -> Similarity.embedRecallSql(),
+    "c9_semdedup"      -> Similarity.semDedupSql(),
+    "t11_kmv_distinct" -> TextAnalysis.kmvDistinctSql(),
     "c1_corpus_curation" -> Curation.curateSql,
     // z2_zscore_fold / r3_alerts: sequential recurrences (influence
     // feedback, leaky-bucket counter) — no SQL equivalent; rows-only check

@@ -539,6 +539,54 @@ object Similarity {
             (acc, e) -> acc + e) / CAST(len(v) AS DOUBLE) AS mse
         FROM q"""
 
+  /** SemDeDup — SEMANTIC deduplication over the embedding space (cf.
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", Abbas et al. 2023, arXiv:2303.09540): k-means
+    * clusters the corpus embeddings, then only WITHIN-CLUSTER pairs are
+    * cosine-compared; a vector is marked a semantic duplicate iff a
+    * lower-id cluster-mate sits at or above the similarity threshold —
+    * one deterministic representative survives per semantic group.
+    *
+    * Scale shape: the cluster id is the BLOCKING key (the paper's core
+    * trick) — pair generation is O(Σ|cell|²) instead of O(N²), the
+    * centroid table is broadcast ([[assignCells]]' IVF machinery reused
+    * verbatim), and the dup flags join back id-keyed. Fixed-iteration
+    * k-means keeps the oracle statically expressible.
+    */
+  def semDedup(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3, kmeansIters: Int = 2): DataFrame = {
+    val vecs = vecsDouble(spark, sfDir)
+    val assigned = assignCells(vecs, ivfCentroids(vecs, kmeansIters))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"))
+    val dups = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) /
+        (norm(col("va")) * norm(col("vb"))))
+      .filter(col("cos") >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.select("vec_id", "cell")
+      .join(dups.withColumn("is_semdup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("is_semdup"), lit(0)).as("is_semdup"))
+  }
+
+  def semDedupSql(threshold: Double = 0.3, kmeansIters: Int = 2): String = {
+    val (ctes, _) = ivfCtesSql(kmeansIters)
+    s"""WITH $ctes,
+        a AS (SELECT cell, vec_id AS id_a, v AS va FROM assigned),
+        b AS (SELECT cell, vec_id AS id_b, v AS vb FROM assigned),
+        dups AS (
+          SELECT DISTINCT id_b AS vec_id
+          FROM a JOIN b ON a.cell = b.cell AND a.id_a < b.id_b
+          WHERE ${dotSql("va", "vb")} / (${normSql("va")} * ${normSql("vb")})
+            >= $threshold)
+        SELECT assigned.vec_id, cell,
+          CASE WHEN dups.vec_id IS NULL THEN 0 ELSE 1 END AS is_semdup
+        FROM assigned LEFT JOIN dups ON assigned.vec_id = dups.vec_id"""
+  }
+
   /** Product quantization (PQ) — the ANN compression that beats scalar
     * int8 at equal bytes: the vector splits into `PqSubspaces`
     * subvectors, each encoded as the id of its nearest codeword from a

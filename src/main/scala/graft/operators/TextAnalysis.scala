@@ -378,6 +378,56 @@ object TextAnalysis {
                 GROUP BY source, w))
         WHERE rank <= $k"""
 
+  /** KMV (k-minimum-values) cardinality sketch over the corpus's word
+    * hashes, against the exact count — the DETERMINISTIC distinct-count
+    * sketch (Bar-Yossef et al. 2002's "distinct elements" k-min scheme):
+    * keep the k smallest distinct hash values; with hashes uniform on
+    * [0, M), |D| ≈ (k-1)·M / h_k. Unlike HLL the sketch state is a pure
+    * function of the input set — order-free, mergeable by k-min union,
+    * bit-identical cross-engine, so the ESTIMATE itself is
+    * oracle-checkable and the error is measured against the exact count
+    * in the same row.
+    *
+    * Scale shape: one map-combinable distinct on the 8-byte hash, then
+    * a global k-smallest — Spark executes orderBy+limit as TakeOrdered
+    * (per-partition top-k, never a full sort), so the driver sees k
+    * values regardless of corpus size. The exact count shares the same
+    * distinct frame.
+    */
+  def kmvDistinct(spark: SparkSession, sfDir: String,
+      k: Int = 256): DataFrame = {
+    val hashes = Tables.loadSpread(spark, sfDir, "documents")
+      .select(explode(split(trim(lower(col("text"))), wsSplit)).as("w"))
+      .select(poly_hash(col("w")).as("h")).distinct()
+    val exact = hashes.agg(count(lit(1)).as("exact_distinct"))
+    val sketch = hashes.orderBy(col("h")).limit(k)
+      .agg(count(lit(1)).as("k_actual"), max(col("h")).as("h_k"))
+    sketch.crossJoin(exact)
+      .select(col("k_actual"), col("h_k"),
+        ((col("k_actual") - 1) * lit(1000000007.0) / col("h_k"))
+          .as("estimate"),
+        col("exact_distinct"),
+        (abs((col("k_actual") - 1) * lit(1000000007.0) / col("h_k") -
+          col("exact_distinct")) / col("exact_distinct")).as("rel_err"))
+  }
+
+  def kmvDistinctSql(k: Int = 256): String =
+    s"""WITH hashes AS (
+          SELECT DISTINCT ${polySql("w")} AS h
+          FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+                FROM documents)),
+        sketch AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_actual, max(h) AS h_k
+          FROM (SELECT h FROM hashes ORDER BY h LIMIT $k)),
+        exact AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct
+                  FROM hashes)
+        SELECT k_actual, h_k,
+          (k_actual - 1) * 1000000007.0 / h_k AS estimate,
+          exact_distinct,
+          abs((k_actual - 1) * 1000000007.0 / h_k - exact_distinct)
+            / exact_distinct AS rel_err
+        FROM sketch CROSS JOIN exact"""
+
   /** Document fingerprinting — rolling polynomial hash of the normalized
     * text (lowercase, collapsed whitespace), via the codegen'd
     * [[graft.functions.PolyHash]] expression.
