@@ -265,6 +265,65 @@ object Multimodal {
         FROM documents"""
   }
 
+  /** Decoded audio features over the WAV payloads — the decode→feature
+    * step of a real audio pipeline (what an ffmpeg binding would feed a
+    * filter bank): per file, the PCM samples are read back out of the
+    * container bytes (16-bit little-endian signed, offsets from the
+    * parsed header) and reduced to peak amplitude, exact sum of squares
+    * and RMS. Integer arithmetic end-to-end until one division + sqrt
+    * (both IEEE-exact, so the oracle matches bit-for-bit). Narrow map
+    * over the scan — payload bytes never shuffle.
+    */
+  case class AudioFeatures(doc_id: Long, n_samples: Long, peak: Long,
+      sumsq: Long, rms: Double)
+
+  def audioFeatures(spark: SparkSession, sfDir: String): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    mediaContainers(spark, sfDir)
+      .filter(col("kind") === "audio").as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val d = MediaCodec.decode(r.doc_id, r.payload)
+        require(d.container == "wav", s"expected wav, got ${d.container}")
+        val n = d.n_frames.toInt
+        var peak = 0L
+        var sumsq = 0L
+        var i = 0
+        while (i < n) {
+          val u = MediaCodec.rdU16(r.payload, 44 + 2 * i)
+          val v = if (u < 32768) u.toLong else u.toLong - 65536L
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          sumsq += v * v
+          i += 1
+        }
+        AudioFeatures(r.doc_id, n.toLong, peak, sumsq,
+          math.sqrt(sumsq.toDouble / n))
+      })
+  }
+
+  /** Oracle: the same samples from the synthesis closed form
+    * (`(doc_id + i*37) mod 2^16`, reinterpreted signed), reduced with
+    * exact integer ops then one division + sqrt.
+    */
+  val audioFeaturesSql: String =
+    """WITH w AS (SELECT doc_id, doc_id % 1000 + 1 AS n
+          FROM documents WHERE doc_id % 3 = 1),
+        s AS (SELECT doc_id, n,
+          list_transform(range(0, n), i ->
+            CASE WHEN (doc_id + i*37) % 65536 < 32768
+                 THEN (doc_id + i*37) % 65536
+                 ELSE (doc_id + i*37) % 65536 - 65536 END) AS vs
+          FROM w)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+          CAST(list_max(list_transform(vs, v -> abs(v))) AS BIGINT) AS peak,
+          CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(vs, v -> v*v)), (a, x) -> a + x) AS BIGINT)
+            AS sumsq,
+          sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(vs, v -> v*v)), (a, x) -> a + x) AS DOUBLE) / n)
+            AS rms
+        FROM s"""
+
   /** Frame sampling — the video-pipeline primitive (probe every k-th
     * frame, fingerprint it for frame-level dedup / shot detection): the
     * payload is treated as a dense sequence of fixed-size frames; the

@@ -292,18 +292,20 @@ object TextAnalysis {
     */
   def lmScore(spark: SparkSession, sfDir: String,
       minAvgProb: Double = 0.005): DataFrame = {
+    import graft.functions.BigramHashes.{bigram_hashes, Pack}
     val docs = Tables.loadSpread(spark, sfDir, "documents")
       .select(col("doc_id"), split(trim(lower(col("text"))), wsSplit).as("ws"))
-    val bigramArr = when(size(col("ws")) > 1,
-      transform(sequence(lit(1), size(col("ws")) - 1),
-        i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
-      .otherwise(array().cast("array<string>"))
-    // strings end here: one codegen'd hash per bigram instance, then
-    // 8-byte (k1, gk) keys everywhere downstream
-    val docBigrams = docs.select(col("doc_id"), explode(bigramArr).as("g"))
+    // strings end at the scan: the fused BigramHashes expression walks
+    // the normalized text once per doc and emits one PACKED long per
+    // bigram instance (k1*2^31 + gk — context hash and bigram hash);
+    // everything downstream (explode, aggs, the scoring join) carries
+    // 8-byte keys and zero per-gram allocations
+    val normed = regexp_replace(lower(trim(col("text"))), wsSplit, " ")
+    val docBigrams = Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(bigram_hashes(normed)).as("h"))
       .select(col("doc_id"),
-        poly_hash(substring_index(col("g"), " ", 1)).as("k1"),
-        poly_hash(col("g")).as("gk"))
+        shiftright(col("h"), 31).as("k1"),
+        col("h").bitwiseAND(lit(Pack - 1)).as("gk"))
     val c12 = docBigrams.groupBy("k1", "gk").agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy("k1").agg(sum(col("c12")).as("c1"))
     val v = docs.select(explode(col("ws")).as("w"))

@@ -56,6 +56,30 @@ class ShingleSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram_hashes == packed per-instance polyhash pairs") {
+    import spark.implicits._
+    import graft.functions.BigramHashes.{bigram_hashes, Pack}
+    val rnd = new Random(13)
+    val vocab = Vector("the", "cat", "sat", "on", "emoji😀", "漢字", "a")
+    val texts = (1 to 200).map { i =>
+      (i.toLong, Vector.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    } :+ (9001L, "") :+ (9002L, "solo") :+ (9003L, "two words") :+
+      (9004L, "dup dup dup")
+    def ref(t: String): Seq[Long] = {
+      val ws = t.split(" ", -1).toSeq
+      if (t.isEmpty || ws.length < 2) Seq.empty
+      else ws.sliding(2).map(p =>
+        polyRef(p(0)) * Pack + polyRef(p(0) + " " + p(1))).toSeq
+    }
+    val got = texts.toDF("id", "t")
+      .select(col("id"), bigram_hashes(col("t")).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == ref(t), s"id=$id text='$t'")
+    }
+  }
+
   test("min_hash_sig == per-family min of (h*a+b) mod p") {
     import spark.implicits._
     val rnd = new Random(7)
