@@ -57,33 +57,56 @@ object ShingleHashes {
   def shingle_hashes(c: Column, k: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), k))
 
-  /** PolyHash fold over the codepoints of `s[from, until)`. */
-  private def hashRange(s: String, from: Int, until: Int): Long = {
-    var h = 0L
-    var i = from
-    while (i < until) {
-      val cp = s.codePointAt(i)
-      h = (h * 31L + cp) % Mod
-      i += Character.charCount(cp)
-    }
-    h
-  }
-
-  /** Static entry shared by eval and generated code. */
+  /** Static entry shared by eval and generated code.
+    *
+    * Complexity note: each gram hash comes from PREFIX decomposition —
+    * `hash(s[a..b)) = (P[b] - P[a]·31^(b-a)) mod M` over prefix hashes
+    * `P` and powers precomputed in one pass — so the whole call is
+    * O(chars + grams), not the O(chars·k) of re-folding every gram's
+    * span (at k=16 spans that re-fold dominated the dedup family's
+    * CPU). The decomposition is an algebraic identity of the same
+    * modular fold, so emitted values are bit-identical to the direct
+    * per-gram fold (ShingleSpec pins this against an independent
+    * re-derivation, including non-BMP codepoints).
+    */
   def compute(u: UTF8String, k: Int): ArrayData = {
     val s = u.toString
+    // decode codepoints once (prefix arrays index codepoint space)
+    val nCp = s.codePointCount(0, s.length)
+    val cps = new Array[Int](nCp)
+    var ci = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(ci) = cp; ci += 1
+      i += Character.charCount(cp)
+    }
+    // prefix hashes P and powers of 31 (mod M): P(0)=0, P(j+1)=P(j)*31+cp
+    val pre = new Array[Long](nCp + 1)
+    val pow = new Array[Long](nCp + 1)
+    pow(0) = 1L
+    var j = 0
+    while (j < nCp) {
+      pre(j + 1) = (pre(j) * 31L + cps(j)) % Mod
+      pow(j + 1) = pow(j) * 31L % Mod
+      j += 1
+    }
+    def rangeHash(a: Int, b: Int): Long = {
+      val x = (pre(b) - pre(a) * pow(b - a)) % Mod
+      if (x < 0) x + Mod else x
+    }
     // Word start offsets: 0 and every position after a space. Input is
     // normalized (single spaces, no leading/trailing), so this is exact.
     var nWords = 1
-    var i = 0
-    while (i < s.length) { if (s.charAt(i) == ' ') nWords += 1; i += 1 }
-    if (nWords < k) return new GenericArrayData(Array(hashRange(s, 0, s.length)))
+    j = 0
+    while (j < nCp) { if (cps(j) == ' ') nWords += 1; j += 1 }
+    if (nWords < k) return new GenericArrayData(Array(rangeHash(0, nCp)))
     val starts = new Array[Int](nWords)
     var w = 1
-    i = 0
-    while (i < s.length) {
-      if (s.charAt(i) == ' ') { starts(w) = i + 1; w += 1 }
-      i += 1
+    j = 0
+    while (j < nCp) {
+      if (cps(j) == ' ') { starts(w) = j + 1; w += 1 }
+      j += 1
     }
     val nGrams = nWords - k + 1
     val seen = new java.util.HashSet[java.lang.Long](nGrams * 2)
@@ -91,10 +114,11 @@ object ShingleHashes {
     var n = 0
     var g = 0
     while (g < nGrams) {
-      // gram g spans words [g, g+k-1] == chars [starts(g), end) where end
-      // is the char before the next word's separator (or EOS).
-      val end = if (g + k < nWords) starts(g + k) - 1 else s.length
-      val h = hashRange(s, starts(g), end)
+      // gram g spans words [g, g+k-1] == codepoints [starts(g), end)
+      // where end is the codepoint before the next word's separator
+      // (or EOS).
+      val end = if (g + k < nWords) starts(g + k) - 1 else nCp
+      val h = rangeHash(starts(g), end)
       if (seen.add(h)) { out(n) = h; n += 1 }
       g += 1
     }
