@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayStats, JaccardSim, PolyHash, ShingleHashes, VecDot}
+import graft.functions.{ArrayStats, BigramHashes, JaccardSim, PolyHash, ShingleHashes, VecDot}
 import graft.plans.JaccardJoinRewrite
 
 /** SparkSessionExtensions entry point: registers this library's native
@@ -44,7 +44,10 @@ object GraftExtensions {
           args(1).eval().asInstanceOf[Number].intValue())),
     ("jaccard_sim",
       "jaccard_sim(a, b) - exact Jaccard of two distinct-element long arrays",
-      (args: Seq[Expression]) => JaccardSim(args(0), args(1))))
+      (args: Seq[Expression]) => JaccardSim(args(0), args(1))),
+    ("bigram_hashes",
+      "bigram_hashes(str) - packed (poly_hash(w1)*2^31 + poly_hash(bigram)) per word bigram",
+      (args: Seq[Expression]) => BigramHashes(args.head)))
 
   /** Register on an already-built session (temp functions) — for
     * sessions not created via `withExtensions` (e.g. notebooks, tests).

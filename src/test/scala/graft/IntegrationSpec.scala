@@ -49,6 +49,11 @@ class IntegrationSpec extends AnyFunSuite {
     assert(r.getLong(0) == expH)
     assert(r.getDouble(1) == 14.0)
     assert(r.getDouble(2) == 2.0)
+    def ph(s: String) = { var h = 0L; s.foreach(c => h = (h * 31 + c) % 1000000007L); h }
+    val bg = spark.sql("SELECT bigram_hashes('a b c') AS bh")
+      .collect().head.getSeq[Long](0)
+    assert(bg == Seq(ph("a") * (1L << 31) + ph("a b"),
+      ph("b") * (1L << 31) + ph("b c")))
   }
 
   test("full pipeline composes: streaming stats -> parquet -> batch z-score -> alert candidates") {
