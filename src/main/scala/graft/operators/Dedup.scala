@@ -216,17 +216,36 @@ object Dedup {
   private def aConst(i: Int): Long = 2 * i + 3
   private def bConst(i: Int): Long = 7 * i + 1
 
+  /** Column-level MinHash signature over an arbitrary text column —
+    * shared by the batch table queries and the streaming
+    * dedup-at-ingest pipeline ([[graft.streaming.DedupStreaming]]).
+    */
+  def minhashSigCol(text: Column): Column =
+    min_hash_sig(
+      shingle_hashes(regexp_replace(lower(trim(text)), "\\s+", " "), 3),
+      (0 until MinhashK).map(aConst), (0 until MinhashK).map(bConst), P)
+
+  /** Column-level LSH band keys for a signature column: array of
+    * (band, bkey) structs, bkey = the band's `rows` minima joined with
+    * ':' (same shape as the batch banding and the oracle).
+    */
+  def bandStructsCol(sig: Column): Column = {
+    val rows = MinhashK / MinhashBands
+    array((0 until MinhashBands).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+        concat_ws(":", (0 until rows).map(r =>
+          element_at(sig, bIdx * rows + r + 1)): _*).as("bkey"))
+    }: _*)
+  }
+
   /** Per-doc MinHash signature (array of k minima), via the one-pass
     * native [[graft.functions.MinHashSig]] fold (was k interpreted
     * `transform`+`array_min` sweeps over the hash array).
     */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
-      .select(col("doc_id"), col("source"), shingleHashes.as("hs"))
       .select(col("doc_id"), col("source"),
-        min_hash_sig(col("hs"),
-          (0 until MinhashK).map(aConst),
-          (0 until MinhashK).map(bConst), P).as("sig"))
+        minhashSigCol(col("text")).as("sig"))
 
   def minhashSignaturesSql: String = {
     val sh = shingleHashesSql("string_split(" + normTextSql + ", ' ')")
@@ -257,14 +276,9 @@ object Dedup {
     * signature-estimated Jaccard, keep pairs >= threshold.
     */
   def minhashLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
-    val rows = MinhashK / MinhashBands
     val sigs = minhashSignatures(spark, sfDir)
     val banded = sigs.select(col("doc_id"),
-      explode(array((0 until MinhashBands).map { bIdx =>
-        struct(lit(bIdx).as("band"),
-          concat_ws(":", (0 until rows).map(r =>
-            element_at(col("sig"), bIdx * rows + r + 1)): _*).as("bkey"))
-      }: _*)).as("b"))
+      explode(bandStructsCol(col("sig"))).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bkey"))
     // dedupe candidates on ids only (cheap), then re-attach signatures —
     // distinct over array columns benched 10x slower and ships the

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.Dedup
+
+/** Streaming near-duplicate DEDUP-AT-INGEST — the streaming twin of the
+  * batch MinHash-LSH pass ([[Dedup.minhashLsh]]): as documents arrive,
+  * each is checked against everything ALREADY ingested and flagged if a
+  * prior near-duplicate exists. This is the shape a training-data
+  * ingestion pipeline needs (drop near-dups before they ever land in
+  * the corpus) rather than the batch shape (find all pairs after the
+  * fact).
+  *
+  * Mechanics: same signature and banding columns as the batch pass
+  * ([[Dedup.minhashSigCol]]/[[Dedup.bandStructsCol]] — shared code, so
+  * stream and batch agree by construction), then keyed state per LSH
+  * band BUCKET via `flatMapGroupsWithState`: the state is the bucket's
+  * seen (doc_id, signature) list, each arriving doc compares against
+  * the bucket's priors with the signature-estimated Jaccard, and every
+  * match emits (doc_id, canonical_id, est). A doc's final verdict (is
+  * it a dup, and of whom) is the min canonical over its emitted matches
+  * — an ordinary downstream aggregation, kept out of this query because
+  * a stateful operator must be last in its plan (the same reason
+  * [[ApmGraph]] stages its queries).
+  *
+  * Scale/retention: state is sharded by (band, bkey) — the same key the
+  * batch shuffle uses — and holds signatures only (k longs per doc),
+  * never text. Buckets are ~N/keyspace docs; production ingest bounds
+  * retention with an event-time timeout per bucket (drop state for
+  * buckets idle past the dedup horizon) exactly like the enrichment
+  * state's `EventTimeTimeout` — kept timeout-free here because the
+  * contract under test is the cross-batch dedup decision itself.
+  */
+object DedupStreaming {
+
+  case class BandDoc(band: Int, bkey: String, doc_id: Long, sig: Seq[Long])
+  case class DupMatch(doc_id: Long, canonical_id: Long, est_jaccard: Double)
+  case class BucketState(docs: List[(Long, Seq[Long])])
+
+  /** docs: streaming frame with (doc_id: long, text: string). */
+  def nearDupStream(docs: DataFrame,
+      threshold: Double = 0.4): Dataset[DupMatch] = {
+    import docs.sparkSession.implicits._
+    val banded = docs
+      .select(col("doc_id"), Dedup.minhashSigCol(col("text")).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(Dedup.bandStructsCol(col("sig"))).as("b"))
+      .select(col("b.band").as("band"), col("b.bkey").as("bkey"),
+        col("doc_id"), col("sig"))
+      .as[BandDoc]
+    banded.groupByKey(d => (d.band, d.bkey))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, String), rows: Iterator[BandDoc],
+            state: GroupState[BucketState]) => {
+          var seen = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = List.newBuilder[DupMatch]
+          // deterministic within-batch order: ingest order == doc_id
+          // order (micro-batch iterator order is not guaranteed)
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            seen.foreach { case (cid, csig) =>
+              if (cid < d.doc_id) {
+                var eq = 0
+                var i = 0
+                while (i < Dedup.MinhashK) {
+                  if (csig(i) == d.sig(i)) eq += 1
+                  i += 1
+                }
+                val est = eq.toDouble / Dedup.MinhashK
+                if (est >= threshold) out += DupMatch(d.doc_id, cid, est)
+              }
+            }
+            seen = (d.doc_id, d.sig) :: seen
+          }
+          state.update(BucketState(seen))
+          out.result().iterator
+        })
+  }
+}
