@@ -225,18 +225,31 @@ object Curation {
     * "added" ids can never collide with real doc ids at any scale
     * factor) — all four statuses exercised.
     */
-  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
-    def fp(c: org.apache.spark.sql.Column) =
-      poly_hash(regexp_replace(lower(trim(c)), "\\s+", " "))
+  private def fpCol(c: org.apache.spark.sql.Column) =
+    poly_hash(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** Snapshot v1: the documents table as-is, fingerprinted. */
+  private def v1Fps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"), fpCol(col("text")).as("fp1"))
+
+  /** Snapshot v2, synthesized deterministically from v1 (deletes,
+    * edits, negative-id additions — see [[snapshotDiff]]).
+    */
+  private def v2Fps(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.loadSpread(spark, sfDir, "documents")
-    val v1 = docs.select(col("doc_id"), fp(col("text")).as("fp1"))
-    val v2 = docs.filter(col("doc_id") % 17 =!= 3)
+    docs.filter(col("doc_id") % 17 =!= 3)
       .select(col("doc_id"),
-        fp(when(col("doc_id") % 10 === 0,
+        fpCol(when(col("doc_id") % 10 === 0,
           concat(lit("edited "), col("text"))).otherwise(col("text"))).as("fp2"))
       .unionByName(docs.filter(col("doc_id") % 23 === 0)
         .select((-col("doc_id") - 1).as("doc_id"),
-          fp(col("text")).as("fp2")))
+          fpCol(col("text")).as("fp2")))
+  }
+
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val v1 = v1Fps(spark, sfDir)
+    val v2 = v2Fps(spark, sfDir)
     v1.join(v2, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("fp1").isNull, "added")
@@ -263,6 +276,38 @@ object Curation {
                WHEN fp1 = fp2 THEN 'unchanged'
                ELSE 'changed' END AS status
         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id"""
+  }
+
+  /** Incremental corpus update — the "process only the delta" primitive
+    * of a production refresh: emit the new snapshot's docs whose CONTENT
+    * fingerprint is absent from the existing corpus (edits count as new
+    * content; moved/re-idd docs with unchanged text do not). One
+    * anti-join on the 8-byte fingerprint — text never crosses the
+    * shuffle, and at 100 TB the existing-corpus side is a fingerprint
+    * index, not the corpus. [[snapshotDiff]] classifies the diff by doc
+    * id; this emits the content-level WORK LIST the downstream operators
+    * (quality, dedup, annotation) actually need to process.
+    */
+  def incrementalNew(spark: SparkSession, sfDir: String): DataFrame =
+    v2Fps(spark, sfDir)
+      .join(v1Fps(spark, sfDir).select(col("fp1").as("fp2")),
+        Seq("fp2"), "left_anti")
+      .select(col("doc_id"), col("fp2").as("fp"))
+
+  val incrementalNewSql: String = {
+    val fp = (c: String) =>
+      polySql(s"regexp_replace(lower(trim($c)), '\\s+', ' ', 'g')")
+    s"""WITH v1 AS (SELECT doc_id, ${fp("text")} AS fp1 FROM documents),
+        v2 AS (
+          SELECT doc_id,
+            ${fp("CASE WHEN doc_id % 10 = 0 THEN 'edited ' || text ELSE text END")}
+              AS fp2
+          FROM documents WHERE doc_id % 17 <> 3
+          UNION ALL
+          SELECT -doc_id - 1 AS doc_id, ${fp("text")} AS fp2
+          FROM documents WHERE doc_id % 23 = 0)
+        SELECT doc_id, fp2 AS fp
+        FROM v2 ANTI JOIN v1 ON v2.fp2 = v1.fp1"""
   }
 
   /** Deterministic stratified sampling — reproducible hash-mod sampling

@@ -80,6 +80,33 @@ class ShingleSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_hash_bands == per-band remixed vote signs, packed") {
+    import spark.implicits._
+    import graft.functions.SimHashBands.sim_hash_bands
+    val rnd = new Random(17)
+    val p = 2147483647L
+    val as = Seq(1103515245L, 1566083941L)
+    val bs = Seq(12345L, 1013904223L)
+    val bitsPerBand = 16
+    val rows = (1 to 100).map(i =>
+      (i.toLong, Vector.fill(1 + rnd.nextInt(40))(rnd.nextLong(1000000007L))))
+    val got = rows.toDF("id", "hs")
+      .select(col("id"), sim_hash_bands(col("hs"), as, bs, p, bitsPerBand).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, hs) =>
+      var want = 0L
+      as.zip(bs).zipWithIndex.foreach { case ((a, b), f) =>
+        (0 until bitsPerBand).foreach { j =>
+          val votes = hs.map { h =>
+            if ((((h * a + b) % p) >>> j & 1L) == 1L) 1 else -1
+          }.sum
+          if (votes > 0) want |= 1L << (f * bitsPerBand + j)
+        }
+      }
+      assert(got(id) == want, s"id=$id")
+    }
+  }
+
   test("min_hash_sig == per-family min of (h*a+b) mod p") {
     import spark.implicits._
     val rnd = new Random(7)
