@@ -123,6 +123,7 @@ object SparkEntry {
     "q21_rollup"       -> ((s, dir) => Relational.qRollup(s, dir)),
     "c7_dedup_apply"   -> ((s, dir) => Dedup.dedupApply(s, dir)),
     "c8_snapshot_diff" -> ((s, dir) => Curation.snapshotDiff(s, dir)),
+    "c10_data_card"    -> ((s, dir) => Curation.dataCard(s, dir)),
     "c11_incremental"  -> ((s, dir) => Curation.incrementalNew(s, dir)),
     "q23_pivot"        -> ((s, dir) => Relational.qPivot(s, dir)),
   )
@@ -257,6 +258,7 @@ object SparkEntry {
     "q21_rollup"       -> Relational.qRollupSql,
     "c7_dedup_apply"   -> Dedup.dedupApplySql(),
     "c8_snapshot_diff" -> Curation.snapshotDiffSql,
+    "c10_data_card"    -> Curation.dataCardSql,
     "c11_incremental"  -> Curation.incrementalNewSql,
     "q23_pivot"        -> Relational.qPivotSql,
     // Collapse line breaks + indentation only — NOT intra-line runs: a

@@ -310,6 +310,69 @@ object Curation {
         FROM v2 ANTI JOIN v1 ON v2.fp2 = v1.fp1"""
   }
 
+  /** Per-source corpus DATA CARD — the governance artifact a
+    * training-data pipeline publishes per ingestion source: document and
+    * token counts, quality-pass rate, exact-duplicate rate, and the
+    * dominant predicted language, in one row per source. Pure
+    * composition of already-verified operators (quality, langid, exact
+    * dedup) joined doc-keyed — at scale the per-doc joins co-partition
+    * on doc_id and the report aggregation is one groupBy(source) with
+    * map-side combine; the language argmax runs over |sources|×|langs|
+    * aggregated rows, never corpus rows (struct-max, no window sort).
+    */
+  def dataCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = TextAnalysis.quality(spark, sfDir)
+      .select("doc_id", "n_words", "quality_ok")
+    val l = TextAnalysis.langId(spark, sfDir).select("doc_id", "lang_pred")
+    val d = Dedup.exact(spark, sfDir).select("doc_id", "is_dup")
+    val per = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source")
+      .join(q, Seq("doc_id")).join(l, Seq("doc_id")).join(d, Seq("doc_id"))
+    val topLang = per.groupBy("source", "lang_pred")
+      .agg(count(lit(1)).as("lcnt"))
+      .groupBy("source")
+      .agg(max(struct(col("lcnt"), col("lang_pred"))).as("t"))
+      .select(col("source"), col("t.lang_pred").as("top_lang"))
+    per.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_tokens"),
+        sum("quality_ok").as("n_quality_ok"),
+        (sum("quality_ok") / count(lit(1))).as("quality_rate"),
+        sum("is_dup").as("n_dups"),
+        (sum("is_dup") / count(lit(1))).as("dup_rate"))
+      .join(topLang, Seq("source"))
+  }
+
+  val dataCardSql: String =
+    s"""WITH q AS (SELECT doc_id, n_words, quality_ok
+          FROM (${TextAnalysis.qualitySql})),
+        l AS (SELECT doc_id, lang_pred FROM (${TextAnalysis.langIdSql})),
+        dd AS (SELECT doc_id, is_dup FROM (${Dedup.exactSql})),
+        per AS (
+          SELECT d.doc_id, d.source, q.n_words, q.quality_ok, l.lang_pred,
+            dd.is_dup
+          FROM documents d
+          JOIN q ON d.doc_id = q.doc_id
+          JOIN l ON d.doc_id = l.doc_id
+          JOIN dd ON d.doc_id = dd.doc_id),
+        toplang AS (
+          SELECT source,
+            struct_extract(max({'lcnt': lcnt, 'lang_pred': lang_pred}),
+              'lang_pred') AS top_lang
+          FROM (SELECT source, lang_pred, CAST(count(*) AS BIGINT) AS lcnt
+                FROM per GROUP BY source, lang_pred)
+          GROUP BY source),
+        card AS (
+          SELECT source, count(*) AS n_docs,
+            CAST(sum(n_words) AS BIGINT) AS n_tokens,
+            CAST(sum(quality_ok) AS BIGINT) AS n_quality_ok,
+            CAST(sum(quality_ok) AS DOUBLE) / count(*) AS quality_rate,
+            CAST(sum(is_dup) AS BIGINT) AS n_dups,
+            CAST(sum(is_dup) AS DOUBLE) / count(*) AS dup_rate
+          FROM per GROUP BY source)
+        SELECT card.*, toplang.top_lang
+        FROM card JOIN toplang ON card.source = toplang.source"""
+
   /** Deterministic stratified sampling — reproducible hash-mod sampling
     * with a per-stratum (source) rate, the data-mixing primitive: a doc
     * is kept iff `poly_hash(doc_id:source) mod 1000` falls under its
