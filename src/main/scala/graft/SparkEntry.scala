@@ -106,9 +106,9 @@ object SparkEntry {
     "s8_ivfpq_recall"  -> ((s, dir) => Similarity.ivfPqRecall(s, dir)),
     "t5_seq_pack"      -> ((s, dir) => TextAnalysis.seqPack(s, dir)),
     "m1_media_meta"    -> ((s, dir) => Multimodal.meta(s, dir)),
-    "m2_media_decode"  -> ((s, dir) => Multimodal.decodeAll(s, dir).toDF),
+    "m2_media_decode"  -> ((s, dir) => Multimodal.decodeAll(s, dir).toDF()),
     "m3_frame_sample"  -> ((s, dir) => Multimodal.frameSample(s, dir)),
-    "m4_audio_features" -> ((s, dir) => Multimodal.audioFeatures(s, dir).toDF),
+    "m4_audio_features" -> ((s, dir) => Multimodal.audioFeatures(s, dir).toDF()),
     "q1_agg"           -> ((s, dir) => tpchQ1(s, dir)),
     "q3_join"          -> ((s, dir) => tpchQ3(s, dir)),
     "q6_scan"          -> ((s, dir) => tpchQ6(s, dir)),

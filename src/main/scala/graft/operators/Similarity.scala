@@ -392,7 +392,7 @@ object Similarity {
           lit(Double.MaxValue)).otherwise(aggregate(
           zip_with(col("n.cv"), col("o.cv"), (a, b) => abs(a - b)),
           lit(0.0), (acc, x) => greatest(acc, x)))))
-        .head.getDouble(0)
+        .head().getDouble(0)
       cents = next
       iters += 1
     }

@@ -128,7 +128,7 @@ object ApmGraph {
     val fired = spark.readStream.schema(voteOutSchema)
       .parquet(s"$workDir/fired").as[ApmStreaming.VoteOut]
     val alerts = ApmStreaming.cooldownStream(fired, cfg.alert)
-    await(ApmStreaming.sinkToParquet(alerts.toDF, s"$workDir/alerts",
+    await(ApmStreaming.sinkToParquet(alerts.toDF(), s"$workDir/alerts",
       s"$workDir/ckpt_alerts", orderCol = Some("ts_ms"),
       availableNow = true))
   }

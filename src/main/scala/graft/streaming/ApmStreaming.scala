@@ -326,7 +326,7 @@ object ApmStreaming {
         try { write(replay, batchId); deleteRec(d) }
         catch { case _: Exception => () } // still down: stays parked
       }
-      try write(batch.toDF, batchId)
+      try write(batch.toDF(), batchId)
       catch { case _: Exception =>
         batch.write.mode("overwrite").parquet(f"$parkDir/park_$batchId%012d")
       }

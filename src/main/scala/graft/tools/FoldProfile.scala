@@ -35,7 +35,7 @@ object FoldProfile {
       .sortWithinPartitions("server", "service", "ts_ms")
       .as[(String, String, Long, Option[Double], Option[Double], Option[Double], Option[Double])]
       .mapPartitions(it => it.map(identity))
-    t("repart+sort+serde")(deser.toDF)
+    t("repart+sort+serde")(deser.toDF())
     val fold = ZScore.zScoreFold(stats, ZScore.defaultLags, Nil)
     t("zScoreFold")(fold)
     t("zScoreFold again")(fold)

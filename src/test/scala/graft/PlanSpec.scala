@@ -152,6 +152,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("c11 incremental delta runs as a left-anti fingerprint join") {
+    val p = plan("c11_incremental")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("c10 data card: doc-keyed joins, no cartesian, combined aggs") {
+    val p = plan("c10_data_card")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // map-side partials around the source aggregation exchanges
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+  }
+
   test("d5 simhash pairs: 16-bit bands (65536-value keyspace, not 256)") {
     import org.apache.spark.sql.functions._
     // construction pin: 4 bands x 16 bits = 64-bit signature
