@@ -324,6 +324,65 @@ object Multimodal {
             AS rms
         FROM s"""
 
+  /** Container-aware frame EXTRACTION over the real Y4M payloads — the
+    * codec-backed upgrade of [[frameSample]]'s fixed-size slicing: frame
+    * offsets come from the PARSED container (ASCII header length + per-
+    * frame `FRAME\n` marker + 4:2:0 frame size from the header's W/H
+    * tokens), and each sampled frame's fingerprint folds over the actual
+    * payload bytes at that offset. Narrow typed map (mapPartitions) —
+    * payload bytes never shuffle; one output row per sampled frame.
+    * The oracle recomputes offsets and byte folds from the synthesis
+    * closed form, so a wrong header length, frame stride or slice
+    * boundary mismatches immediately.
+    */
+  case class FrameRow(doc_id: Long, frame_idx: Long, offset: Long,
+      frame_fp: Long)
+
+  def frameExtract(spark: SparkSession, sfDir: String,
+      sampleEvery: Int = 4): Dataset[FrameRow] = {
+    import spark.implicits._
+    mediaContainers(spark, sfDir)
+      .filter(col("kind") === "video").as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        val d = MediaCodec.decode(r.doc_id, r.payload)
+        require(d.container == "y4m", s"expected y4m, got ${d.container}")
+        val hdr = r.payload.indexOf('\n'.toByte) + 1
+        val frameBytes = d.width * d.height * 3 / 2
+        (0L until d.n_frames by sampleEvery.toLong).map { f =>
+          val off = hdr + f * (6 + frameBytes) + 6
+          var h = 0L
+          var j = 0
+          while (j < frameBytes) {
+            h = (h * 31L + (r.payload((off + j).toInt) & 0xff)) % 1000000007L
+            j += 1
+          }
+          FrameRow(r.doc_id, f, off, h)
+        }
+      })
+  }
+
+  def frameExtractSql(sampleEvery: Int = 4): String =
+    s"""WITH v AS (
+          SELECT doc_id, 2 * (doc_id % 16 + 1) AS w,
+            2 * (doc_id % 12 + 1) AS h, doc_id % 24 + 1 AS nf
+          FROM documents WHERE doc_id % 3 = 2),
+        p AS (
+          SELECT doc_id, nf,
+            length('YUV4MPEG2 W' || CAST(w AS VARCHAR) || ' H'
+              || CAST(h AS VARCHAR) || ' F25:1') + 1 AS hdr,
+            w * h * 3 // 2 AS fb
+          FROM v),
+        f AS (SELECT doc_id, hdr, fb,
+                unnest(range(0, nf, $sampleEvery)) AS frame_idx
+              FROM p)
+        SELECT doc_id, frame_idx,
+          CAST(hdr + frame_idx * (6 + fb) + 6 AS BIGINT) AS offset,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(0, fb),
+              j -> (doc_id + frame_idx * 17 + j) % 251)),
+            (a, b) -> (a * 31 + b) % 1000000007) AS frame_fp
+        FROM f"""
+
   /** Frame sampling — the video-pipeline primitive (probe every k-th
     * frame, fingerprint it for frame-level dedup / shot detection): the
     * payload is treated as a dense sequence of fixed-size frames; the
