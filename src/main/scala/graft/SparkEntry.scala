@@ -120,6 +120,9 @@ object SparkEntry {
     "q17_avg_sub"      -> ((s, dir) => Relational.q17AvgSub(s, dir)),
     "q18_having"       -> ((s, dir) => Relational.q18Having(s, dir)),
     "q22_anti"         -> ((s, dir) => Relational.q22Anti(s, dir)),
+    "q14_promo"        -> ((s, dir) => Relational.q14Promo(s, dir)),
+    "q15_top_supplier" -> ((s, dir) => Relational.q15TopSupplier(s, dir)),
+    "q19_disjunct"     -> ((s, dir) => Relational.q19Disjunct(s, dir)),
     "q20_range_join"   -> ((s, dir) => Relational.q20RangeJoin(s, dir)),
     "q21_rollup"       -> ((s, dir) => Relational.qRollup(s, dir)),
     "c7_dedup_apply"   -> ((s, dir) => Dedup.dedupApply(s, dir)),
@@ -256,6 +259,9 @@ object SparkEntry {
     "q17_avg_sub"      -> Relational.q17AvgSubSql,
     "q18_having"       -> Relational.q18HavingSql(),
     "q22_anti"         -> Relational.q22AntiSql,
+    "q14_promo"        -> Relational.q14PromoSql,
+    "q15_top_supplier" -> Relational.q15TopSupplierSql,
+    "q19_disjunct"     -> Relational.q19DisjunctSql,
     "q20_range_join"   -> Relational.q20RangeJoinSql(),
     "q21_rollup"       -> Relational.qRollupSql,
     "c7_dedup_apply"   -> Dedup.dedupApplySql(),

@@ -106,6 +106,115 @@ object Relational {
         WHERE r_name = '$region'
         GROUP BY n_name"""
 
+  /** Q14-style promotion revenue share: the fraction of one month's
+    * revenue from PROMO-type parts. Part dimension broadcasts; the date
+    * range pushes to the lineitem scan; both sums are exact revenue
+    * grains, so the percentage is two exact integers through one double
+    * multiply/divide — bit-identical cross-engine.
+    */
+  def q14Promo(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = 820454400000L // 1996-01-01
+    val hi = 823132800000L // 1996-02-01
+    val li0 = Tables.load(spark, sfDir, "lineitem")
+    val part = Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_type"))
+    li0.filter(Tables.tsRange(li0, "l_shipdate", Some(lo), Some(hi)))
+      .select(col("l_partkey"), revGrain.as("grain"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("grain")).otherwise(0L))
+          .as("promo_grain"),
+        sum(col("grain")).as("total_grain"),
+        count(lit(1)).as("n_lines"))
+      .select(
+        (lit(100.0) * col("promo_grain") / col("total_grain"))
+          .as("promo_share_pct"),
+        (col("total_grain") / lit(10000.0)).as("total_revenue"),
+        col("n_lines"))
+  }
+
+  val q14PromoSql: String =
+    s"""SELECT 100.0 * promo_grain / total_grain AS promo_share_pct,
+          total_grain / 10000.0 AS total_revenue, n_lines
+        FROM (
+          SELECT
+            CAST(sum(CASE WHEN p_type = 'PROMO' THEN $revGrainSql
+                     ELSE 0 END) AS BIGINT) AS promo_grain,
+            CAST(sum($revGrainSql) AS BIGINT) AS total_grain,
+            count(*) AS n_lines
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE epoch_ms(l_shipdate) >= 820454400000
+            AND epoch_ms(l_shipdate) < 823132800000)"""
+
+  /** Q15-style top supplier(s): per-supplier revenue over a quarter,
+    * keep every supplier achieving the maximum (ties kept, like the
+    * view+subquery formulation). The max runs as a window over the
+    * |suppliers| aggregated rows — never corpus rows — and revenue
+    * compares as exact integer grains, so the equality predicate is
+    * exact.
+    */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = 820454400000L // 1996-01-01
+    val hi = 828316800000L // 1996-04-01
+    val li0 = Tables.load(spark, sfDir, "lineitem")
+    val perSup = li0
+      .filter(Tables.tsRange(li0, "l_shipdate", Some(lo), Some(hi)))
+      .select(col("l_suppkey"), revGrain.as("grain"))
+      .groupBy("l_suppkey").agg(sum(col("grain")).as("rev_grain"))
+    val withMax = perSup.withColumn("max_grain",
+      max(col("rev_grain")).over(Window.partitionBy(lit(1))))
+    withMax.filter(col("rev_grain") === col("max_grain"))
+      .join(broadcast(Tables.load(spark, sfDir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_grain") / lit(10000.0)).as("total_rev"))
+  }
+
+  val q15TopSupplierSql: String =
+    s"""WITH per AS (
+          SELECT l_suppkey, CAST(sum($revGrainSql) AS BIGINT) AS rev_grain
+          FROM lineitem
+          WHERE epoch_ms(l_shipdate) >= 820454400000
+            AND epoch_ms(l_shipdate) < 828316800000
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, rev_grain / 10000.0 AS total_rev
+        FROM per JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev_grain = (SELECT max(rev_grain) FROM per)"""
+
+  /** Q19-style disjunctive predicate revenue: an OR of brand/size/
+    * quantity conjunct groups (the classic disjunctive-pushdown shape —
+    * the part-side disjuncts reach the part scan via CNF conversion,
+    * the mixed quantity conjuncts stay residual on the equi-join).
+    */
+  def q19Disjunct(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), revGrain.as("grain"))
+    val part = Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val cond =
+      (col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 15)) ||
+      (col("p_brand") === "Brand#20" && col("p_size").between(10, 25) &&
+        col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#9" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 40))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg((sum(col("grain")) / lit(10000.0)).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q19DisjunctSql: String =
+    s"""SELECT sum($revGrainSql) / 10000.0 AS revenue, count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 15)
+           OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 25
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#9' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 40)"""
+
   /** Q10-style returned-item report: per-customer revenue lost to
     * returns in a half-year window. Date range pushes into the orders
     * scan; customer/nation broadcast.
