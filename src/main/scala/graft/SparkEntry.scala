@@ -120,6 +120,7 @@ object SparkEntry {
     "q17_avg_sub"      -> ((s, dir) => Relational.q17AvgSub(s, dir)),
     "q18_having"       -> ((s, dir) => Relational.q18Having(s, dir)),
     "q22_anti"         -> ((s, dir) => Relational.q22Anti(s, dir)),
+    "q7_volume"        -> ((s, dir) => Relational.q7Volume(s, dir)),
     "q14_promo"        -> ((s, dir) => Relational.q14Promo(s, dir)),
     "q15_top_supplier" -> ((s, dir) => Relational.q15TopSupplier(s, dir)),
     "q19_disjunct"     -> ((s, dir) => Relational.q19Disjunct(s, dir)),
@@ -259,6 +260,7 @@ object SparkEntry {
     "q17_avg_sub"      -> Relational.q17AvgSubSql,
     "q18_having"       -> Relational.q18HavingSql(),
     "q22_anti"         -> Relational.q22AntiSql,
+    "q7_volume"        -> Relational.q7VolumeSql(),
     "q14_promo"        -> Relational.q14PromoSql,
     "q15_top_supplier" -> Relational.q15TopSupplierSql,
     "q19_disjunct"     -> Relational.q19DisjunctSql,

@@ -106,6 +106,55 @@ object Relational {
         WHERE r_name = '$region'
         GROUP BY n_name"""
 
+  /** Q7-style volume shipping: revenue flowing between two nations by
+    * ship year, with the nation dimension playing TWO roles (supplier's
+    * nation and customer's nation) — the dual-role dimension join. Both
+    * dimension chains broadcast; the only shuffles are the two fact
+    * joins; the year comes from calendar extraction under the UTC
+    * session (identical integers cross-engine).
+    */
+  def q7Volume(spark: SparkSession, sfDir: String,
+      n1: String = "NATION_1", n2: String = "NATION_2"): DataFrame = {
+    val li0 = Tables.load(spark, sfDir, "lineitem")
+    val li = li0.select(col("l_orderkey"), col("l_suppkey"),
+      revGrain.as("grain"),
+      year(timestamp_millis(Tables.colMillis(li0, "l_shipdate")))
+        .cast("long").as("l_year"))
+    val nat = Tables.load(spark, sfDir, "nation")
+      .filter(col("n_name").isin(n1, n2))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.load(spark, sfDir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.load(spark, sfDir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+        (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg((sum(col("grain")) / lit(10000.0)).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  def q7VolumeSql(n1: String = "NATION_1", n2: String = "NATION_2"): String =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+          CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          sum($revGrainSql) / 10000.0 AS revenue, count(*) AS n_lines
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE (sn.n_name = '$n1' AND cn.n_name = '$n2')
+           OR (sn.n_name = '$n2' AND cn.n_name = '$n1')
+        GROUP BY sn.n_name, cn.n_name, year(l_shipdate)"""
+
   /** Q14-style promotion revenue share: the fraction of one month's
     * revenue from PROMO-type parts. Part dimension broadcasts; the date
     * range pushes to the lineitem scan; both sums are exact revenue
