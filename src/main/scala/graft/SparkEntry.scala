@@ -60,6 +60,7 @@ object SparkEntry {
     "d6_embed_recall"  -> ((s, dir) => Similarity.embedRecall(s, dir)),
     "c9_semdedup"      -> ((s, dir) => Similarity.semDedup(s, dir)),
     "t11_kmv_distinct" -> ((s, dir) => TextAnalysis.kmvDistinct(s, dir)),
+    "t12_len_quantile" -> ((s, dir) => TextAnalysis.lenQuantile(s, dir)),
     "c1_corpus_curation" -> ((s, dir) => Curation.curate(s, dir)),
     "j1_pairing"       -> ((s, dir) => Correlation.pairing(s, dir)),
     "j2_enrichment"    -> ((s, dir) => Correlation.enrichment(s, dir)),
@@ -121,6 +122,8 @@ object SparkEntry {
     "q18_having"       -> ((s, dir) => Relational.q18Having(s, dir)),
     "q22_anti"         -> ((s, dir) => Relational.q22Anti(s, dir)),
     "q7_volume"        -> ((s, dir) => Relational.q7Volume(s, dir)),
+    "q8_mkt_share"     -> ((s, dir) => Relational.q8MktShare(s, dir)),
+    "q12_priority"     -> ((s, dir) => Relational.q12Priority(s, dir)),
     "q14_promo"        -> ((s, dir) => Relational.q14Promo(s, dir)),
     "q15_top_supplier" -> ((s, dir) => Relational.q15TopSupplier(s, dir)),
     "q19_disjunct"     -> ((s, dir) => Relational.q19Disjunct(s, dir)),
@@ -169,6 +172,7 @@ object SparkEntry {
     "d6_embed_recall"  -> Similarity.embedRecallSql(),
     "c9_semdedup"      -> Similarity.semDedupSql(),
     "t11_kmv_distinct" -> TextAnalysis.kmvDistinctSql(),
+    "t12_len_quantile" -> TextAnalysis.lenQuantileSql(),
     "c1_corpus_curation" -> Curation.curateSql,
     // z2_zscore_fold / r3_alerts: sequential recurrences (influence
     // feedback, leaky-bucket counter) — no SQL equivalent; rows-only check
@@ -261,6 +265,8 @@ object SparkEntry {
     "q18_having"       -> Relational.q18HavingSql(),
     "q22_anti"         -> Relational.q22AntiSql,
     "q7_volume"        -> Relational.q7VolumeSql(),
+    "q8_mkt_share"     -> Relational.q8MktShareSql(),
+    "q12_priority"     -> Relational.q12PrioritySql,
     "q14_promo"        -> Relational.q14PromoSql,
     "q15_top_supplier" -> Relational.q15TopSupplierSql,
     "q19_disjunct"     -> Relational.q19DisjunctSql,

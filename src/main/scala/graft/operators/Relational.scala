@@ -155,6 +155,114 @@ object Relational {
            OR (sn.n_name = '$n2' AND cn.n_name = '$n1')
         GROUP BY sn.n_name, cn.n_name, year(l_shipdate)"""
 
+  /** Q8-style market share: one nation's fraction of a region's
+    * revenue in one part type, by order year — the conditional-sum
+    * ratio over a pruned star. Part-type filter, region membership
+    * (left-semi on customers), and the supplier→nation name lookup all
+    * broadcast; the only shuffles are the two fact joins. The share is
+    * one double division of two exact long grain sums, so the ratio is
+    * bit-identical cross-engine.
+    */
+  def q8MktShare(spark: SparkSession, sfDir: String,
+      region: String = "ASIA", nation: String = "NATION_9",
+      ptype: String = "PROMO"): DataFrame = {
+    val part = Tables.load(spark, sfDir, "part")
+      .filter(col("p_type") === ptype).select(col("p_partkey"))
+    val regionCust = Tables.load(spark, sfDir, "customer")
+      .join(broadcast(Tables.load(spark, sfDir, "nation")
+        .join(broadcast(Tables.load(spark, sfDir, "region")
+          .filter(col("r_name") === region)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("c_custkey"))
+    val ord0 = Tables.load(spark, sfDir, "orders")
+    val ord = ord0
+      .join(regionCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"),
+        year(timestamp_millis(Tables.colMillis(ord0, "o_orderdate")))
+          .cast("long").as("o_year"))
+    val supNat = Tables.load(spark, sfDir, "supplier")
+      .join(broadcast(Tables.load(spark, sfDir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        revGrain.as("grain"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("supp_nation") === nation, col("grain")).otherwise(0L))
+          .as("nation_grain"),
+        sum(col("grain")).as("total_grain"),
+        count(lit(1)).as("n_lines"))
+      .select(col("o_year"),
+        (col("nation_grain") / col("total_grain")).as("mkt_share"),
+        (col("total_grain") / lit(10000.0)).as("total_revenue"),
+        col("n_lines"))
+  }
+
+  def q8MktShareSql(region: String = "ASIA", nation: String = "NATION_9",
+      ptype: String = "PROMO"): String =
+    s"""SELECT o_year, nation_grain * 1.0 / total_grain AS mkt_share,
+          total_grain / 10000.0 AS total_revenue, n_lines
+        FROM (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+            CAST(sum(CASE WHEN n_name = '$nation' THEN $revGrainSql
+                     ELSE 0 END) AS BIGINT) AS nation_grain,
+            CAST(sum($revGrainSql) AS BIGINT) AS total_grain,
+            count(*) AS n_lines
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_type = '$ptype'
+            AND o_custkey IN (
+              SELECT c_custkey FROM customer
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN region ON cn.n_regionkey = r_regionkey
+              WHERE r_name = '$region')
+          GROUP BY year(o_orderdate))"""
+
+  /** Q12-style late-shipment priority mix: among lines shipped more
+    * than 90 days after their order date, how many belong to
+    * critical-priority orders vs the rest, per return flag — the
+    * conditional-count-after-fact-join shape. Both sides are facts, so
+    * the equi-join shuffles on the order key with the lateness
+    * predicate as a residual; the priority CASE folds into the partial
+    * aggregation (map-side combine before the final 3-row result).
+    */
+  def q12Priority(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord0 = Tables.load(spark, sfDir, "orders")
+    val ord = ord0.select(col("o_orderkey"), col("o_orderpriority"),
+      Tables.colMillis(ord0, "o_orderdate").as("o_date_ms"))
+    val li0 = Tables.load(spark, sfDir, "lineitem")
+    val li = li0.select(col("l_orderkey"), col("l_returnflag"),
+      Tables.colMillis(li0, "l_shipdate").as("l_ship_ms"))
+    val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(ord,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_ship_ms") > col("o_date_ms") + day90Ms)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  val q12PrioritySql: String =
+    s"""SELECT l_returnflag,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE epoch_ms(l_shipdate) > epoch_ms(o_orderdate) + $day90Ms
+        GROUP BY l_returnflag"""
+
   /** Q14-style promotion revenue share: the fraction of one month's
     * revenue from PROMO-type parts. Part dimension broadcasts; the date
     * range pushes to the lineitem scan; both sums are exact revenue

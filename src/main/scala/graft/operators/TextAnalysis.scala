@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -429,6 +429,70 @@ object TextAnalysis {
           abs((k_actual - 1) * 1000000007.0 / h_k - exact_distinct)
             / exact_distinct AS rel_err
         FROM sketch CROSS JOIN exact"""
+
+  /** Deterministic sample quantiles of the document length
+    * distribution — the length-filter calibration step of a corpus
+    * pipeline (pick truncation / floor cutoffs from p50/p90/p99, not
+    * from a full sort). The sample is the k documents with the
+    * smallest id-hash: a pure function of the id set (order-free,
+    * mergeable by k-min union, bit-identical cross-engine), so the
+    * ESTIMATE itself is oracle-checkable and the error is measured in
+    * the same row against the exact ranks, mirroring the recall
+    * queries' measured-not-assumed contract.
+    *
+    * Scale shape: the sample side is a per-partition top-k
+    * (TakeOrdered — k rows reach the driver regardless of corpus
+    * size) and IS the 100 TB path; the exact side sorts the full
+    * length list through one aggregate row and exists as the
+    * measurement baseline, by design, like s1_knn_brute. Lengths are
+    * integers and quantiles are rank selections (no interpolation),
+    * so every output column is exact on both engines.
+    */
+  def lenQuantile(spark: SparkSession, sfDir: String,
+      k: Int = 256): DataFrame = {
+    def pick(a: Column, p: Double): Column =
+      element_at(a, greatest(lit(1), ceil(lit(p) * size(a))).cast("int"))
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        poly_hash(col("doc_id").cast("string")).as("h"))
+    val samp = d.orderBy(col("h"), col("doc_id")).limit(k)
+      .agg(sort_array(collect_list(col("n_chars"))).as("sv"))
+    val exact = d
+      .agg(sort_array(collect_list(col("n_chars"))).as("xv"),
+        count(lit(1)).as("n_docs"))
+    samp.crossJoin(exact).select(
+      col("n_docs"), size(col("sv")).cast("long").as("k_actual"),
+      pick(col("sv"), 0.5).as("p50_est"), pick(col("xv"), 0.5).as("p50_exact"),
+      pick(col("sv"), 0.9).as("p90_est"), pick(col("xv"), 0.9).as("p90_exact"),
+      pick(col("sv"), 0.99).as("p99_est"), pick(col("xv"), 0.99).as("p99_exact"),
+      abs(pick(col("sv"), 0.5) - pick(col("xv"), 0.5)).as("p50_abs_err"),
+      abs(pick(col("sv"), 0.9) - pick(col("xv"), 0.9)).as("p90_abs_err"),
+      abs(pick(col("sv"), 0.99) - pick(col("xv"), 0.99)).as("p99_abs_err"))
+  }
+
+  def lenQuantileSql(k: Int = 256): String = {
+    def pick(l: String, p: String): String =
+      s"list_extract($l, greatest(1, CAST(ceil($p * len($l)) AS INT)))"
+    s"""WITH d AS (
+          SELECT doc_id, n_chars,
+            ${polySql("CAST(doc_id AS VARCHAR)")} AS h
+          FROM documents),
+        samp AS (
+          SELECT list_sort(list(n_chars)) AS sv
+          FROM (SELECT n_chars FROM d ORDER BY h, doc_id LIMIT $k)),
+        exact AS (
+          SELECT list_sort(list(n_chars)) AS xv,
+            CAST(count(*) AS BIGINT) AS n_docs
+          FROM d)
+        SELECT n_docs, CAST(len(sv) AS BIGINT) AS k_actual,
+          ${pick("sv", "0.5")} AS p50_est, ${pick("xv", "0.5")} AS p50_exact,
+          ${pick("sv", "0.9")} AS p90_est, ${pick("xv", "0.9")} AS p90_exact,
+          ${pick("sv", "0.99")} AS p99_est, ${pick("xv", "0.99")} AS p99_exact,
+          abs(${pick("sv", "0.5")} - ${pick("xv", "0.5")}) AS p50_abs_err,
+          abs(${pick("sv", "0.9")} - ${pick("xv", "0.9")}) AS p90_abs_err,
+          abs(${pick("sv", "0.99")} - ${pick("xv", "0.99")}) AS p99_abs_err
+        FROM samp CROSS JOIN exact"""
+  }
 
   /** Document fingerprinting — rolling polynomial hash of the normalized
     * text (lowercase, collapsed whitespace), via the codegen'd
