@@ -91,6 +91,8 @@ object SparkEntry {
     "t9_lm_score"      -> ((s, dir) => TextAnalysis.lmScore(s, dir)),
     "t10_top_words"    -> ((s, dir) => TextAnalysis.topWords(s, dir)),
     "w1_sessionize"    -> ((s, dir) => Sessionize.sessions(s, dir)),
+    "w2_funnel"        -> ((s, dir) => Sessionize.funnel(s, dir)),
+    "w3_retention"     -> ((s, dir) => Sessionize.retention(s, dir)),
     "d3_dedup_minhash" -> ((s, dir) => Dedup.minhash(s, dir)),
     "d4_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "d5_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
@@ -206,6 +208,8 @@ object SparkEntry {
     "t9_lm_score"      -> TextAnalysis.lmScoreSql(),
     "t10_top_words"    -> TextAnalysis.topWordsSql(),
     "w1_sessionize"    -> Sessionize.sessionsSql(),
+    "w2_funnel"        -> Sessionize.funnelSql(),
+    "w3_retention"     -> Sessionize.retentionSql,
     "d3_dedup_minhash" -> Dedup.minhashSql,
     "d4_dedup_minhash_lsh" -> Dedup.minhashLshSql(),
     "d5_dedup_simhash" -> Dedup.simhashSql,

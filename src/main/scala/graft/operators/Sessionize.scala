@@ -59,4 +59,100 @@ object Sessionize {
           max(ms) + $gapMs AS session_end_ms,
           count(*) AS n_events, sum(vgrain) / 100.0 AS sum_value
         FROM s GROUP BY user_id, sid"""
+
+  /** Three-step first-touch funnel (step1 → step2 → step3 within a
+    * conversion window of the first step): each stage is "first
+    * qualifying event strictly after the previous stage's time",
+    * computed as chained per-user min-aggregations — the classic
+    * relational funnel. All three stages key on `user_id`, so the plan
+    * re-shuffles on ONE key and AQE/exchange-reuse keeps each stage's
+    * per-user frame tiny (rows ≈ users, never raw events, past stage
+    * 1). Counts are exact longs; conversion rates are one double
+    * division each.
+    */
+  def funnel(spark: SparkSession, sfDir: String,
+      s1: String = "view", s2: String = "click", s3: String = "purchase",
+      windowMs: Long = 7L * 86400000L): DataFrame = {
+    val ev0 = Tables.load(spark, sfDir, "events")
+    val ev = ev0.select(col("user_id"), col("event_type"),
+      Tables.tsMillis(ev0).as("ms"))
+    val u1 = ev.filter(col("event_type") === s1)
+      .groupBy("user_id").agg(min(col("ms")).as("t1"))
+    val u2 = ev.filter(col("event_type") === s2)
+      .join(u1, "user_id")
+      .filter(col("ms") > col("t1") && col("ms") <= col("t1") + windowMs)
+      .groupBy("user_id")
+      .agg(min(col("ms")).as("t2"), max(col("t1")).as("t1w"))
+    val u3 = ev.filter(col("event_type") === s3)
+      .join(u2, "user_id")
+      .filter(col("ms") > col("t2") && col("ms") <= col("t1w") + windowMs)
+      .groupBy("user_id").agg(min(col("ms")).as("t3"))
+    u1.agg(count(lit(1)).as("step1_users"))
+      .crossJoin(u2.agg(count(lit(1)).as("step2_users")))
+      .crossJoin(u3.agg(count(lit(1)).as("step3_users")))
+      .select(col("step1_users"), col("step2_users"), col("step3_users"),
+        (col("step2_users") / col("step1_users")).as("conv_1_2"),
+        (col("step3_users") / col("step2_users")).as("conv_2_3"))
+  }
+
+  def funnelSql(s1: String = "view", s2: String = "click",
+      s3: String = "purchase", windowMs: Long = 7L * 86400000L): String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
+          FROM events),
+        u1 AS (SELECT user_id, min(ms) AS t1 FROM e
+               WHERE event_type = '$s1' GROUP BY user_id),
+        u2 AS (SELECT e.user_id, min(ms) AS t2, max(t1) AS t1w
+               FROM e JOIN u1 ON e.user_id = u1.user_id
+               WHERE event_type = '$s2' AND ms > t1
+                 AND ms <= t1 + $windowMs
+               GROUP BY e.user_id),
+        u3 AS (SELECT e.user_id, min(ms) AS t3
+               FROM e JOIN u2 ON e.user_id = u2.user_id
+               WHERE event_type = '$s3' AND ms > t2
+                 AND ms <= t1w + $windowMs
+               GROUP BY e.user_id)
+        SELECT step1_users, step2_users, step3_users,
+          step2_users * 1.0 / step1_users AS conv_1_2,
+          step3_users * 1.0 / step2_users AS conv_2_3
+        FROM (SELECT CAST(count(*) AS BIGINT) AS step1_users FROM u1)
+        CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS step2_users FROM u2)
+        CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS step3_users FROM u3)"""
+
+  /** Cohort retention triangle: users bucketed by first-active day;
+    * for each (cohort, day-offset) cell, how many of that cohort's
+    * users were active — plus the rate against the cohort size. The
+    * pipeline collapses raw events to distinct (user, day) FIRST, so
+    * every downstream shuffle moves user-day rows, never events;
+    * cohort sizes are a per-cohort scalar table joined back broadcast.
+    */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev0 = Tables.load(spark, sfDir, "events")
+    val days = ev0.select(col("user_id"), Tables.tsMillis(ev0).as("ms"))
+      .selectExpr("user_id", "ms div 86400000 AS day")
+      .distinct()
+    val firsts = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val sizes = firsts.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    days.join(firsts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_users"),
+        col("cohort_size"),
+        (col("n_users") / col("cohort_size")).as("retention"))
+  }
+
+  val retentionSql: String =
+    """WITH days AS (SELECT DISTINCT user_id,
+          epoch_ms(ts) // 86400000 AS day FROM events),
+        firsts AS (SELECT user_id, min(day) AS cohort_day
+                   FROM days GROUP BY user_id),
+        sizes AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+                  FROM firsts GROUP BY cohort_day)
+        SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+          CAST(count(*) AS BIGINT) AS n_users, cohort_size,
+          count(*) * 1.0 / cohort_size AS retention
+        FROM days d JOIN firsts f ON d.user_id = f.user_id
+        JOIN sizes s ON f.cohort_day = s.cohort_day
+        GROUP BY f.cohort_day, d.day - f.cohort_day, cohort_size"""
 }
