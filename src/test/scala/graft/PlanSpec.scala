@@ -199,4 +199,25 @@ class PlanSpec extends AnyFunSuite {
     val nestedLoops = "BroadcastNestedLoopJoin".r.findAllIn(p).length
     assert(nestedLoops <= 2 && p.contains("LocalTableScan"), p)
   }
+
+  test("t12 sample quantile: k-min side is TakeOrdered, never a full sort") {
+    val p = plan("t12_len_quantile")
+    assert(p.contains("TakeOrderedAndProject(limit=256"), p)
+    // documents scan prunes to the two needed columns
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"), p)
+  }
+
+  test("q8 market share: part-type filter pushes to scan, semis broadcast") {
+    val p = plan("q8_mkt_share")
+    assert(p.contains("PushedFilters: [IsNotNull(p_type), EqualTo(p_type,PROMO)"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("w3 retention: shuffles move user-day rows, events scan prunes") {
+    val p = plan("w3_retention")
+    // raw events collapse to distinct (user, day) before any join
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
 }
