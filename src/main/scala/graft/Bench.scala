@@ -92,13 +92,84 @@ object Bench {
       System.gc()
       (name, median(passes.map(_._1).toSeq), median(passes.map(_._2).toSeq))
     }
+    // ---- Streaming throughput: the reference's only published number is
+    // sustained derived-stats rows/s through its six-process chain
+    // (stream_insert_db.js:3-4, ~76 fs-rows/s). Measure the SAME unit by
+    // draining the four-stage file->parse->stats->zscore->alert graph
+    // (ApmGraph, AvailableNow triggers, real checkpoints + parquet
+    // handoffs) over a synthesized log corpus, end to end. One pass —
+    // the run is long enough (~10^5 input lines) to dominate startup.
+    // Skipped under the dev-only SPARK_GRAFT_ONLY filter.
+    val streamJson: String = if (only.nonEmpty) "" else {
+      try {
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss,SSS")
+          .withZone(java.time.ZoneOffset.UTC)
+        val t0 = 1578391200000L
+        val base = Files.createTempDirectory("graft_stream_bench")
+        val logs = base.resolve("logs").toString
+        val work = base.resolve("work").toString
+        val services = Seq("S:checkout", "S:search", "S:cart", "S:login")
+        var nLines = 0L
+        (0 until 8).foreach { s =>
+          val sb = new StringBuilder
+          var id = 0
+          (0 until 1200).foreach { i =>   // 1200 x 10 s intervals
+            services.foreach { svc =>
+              (0 until 3).foreach { j =>
+                val ms = t0 + i * 10000L + j * 3000L
+                // elapsed drifts into the 150 ms hard-max band late in
+                // the range so the vote/cooldown stages do real work
+                val elapsed = 100L + (if (i > 900 && j == 0) 200L else (i + j) % 40)
+                sb.append(s"[$id] ${fmt.format(java.time.Instant.ofEpochMilli(ms))} " +
+                  s"[a:b:42] INFO CommonTiming::Stop $svc handled in time $elapsed\n")
+                id += 1; nLines += 1
+              }
+            }
+          }
+          val p = Paths.get(logs, "net", s"host$s", "server.log")
+          Files.createDirectories(p.getParent)
+          Files.writeString(p, sb.toString)
+        }
+        val cfg = graft.streaming.ApmGraph.GraphCfg()
+        val glob = s"$logs/net/*/*"
+        val s0 = System.nanoTime()
+        // Drain 1 ingests the corpus; the far-future sentinel then
+        // advances the watermark so every real window closes in drain 2
+        // (same recipe GraphSpec pins for stream==batch equality).
+        graft.streaming.ApmGraph.runStage1(spark, glob, work, cfg)
+        val sentinel = Paths.get(logs, "net", "zz", "server.log")
+        Files.createDirectories(sentinel.getParent)
+        Files.writeString(sentinel, s"[999999] ${fmt.format(
+          java.time.Instant.ofEpochMilli(t0 + 100000000L))} " +
+          "[a:b:42] INFO CommonTiming::Stop S:checkout handled in time 1\n")
+        graft.streaming.ApmGraph.runStage1(spark, glob, work, cfg)
+        graft.streaming.ApmGraph.runStage2(spark, work, cfg)
+        graft.streaming.ApmGraph.runStage3(spark, work, cfg)
+        graft.streaming.ApmGraph.runStage4(spark, work, cfg)
+        val streamSec = (System.nanoTime() - s0) / 1e9
+        def cnt(dir: String): Long =
+          try spark.read.option("recursiveFileLookup", "true")
+            .parquet(dir).count()
+          catch { case _: Throwable => 0L }
+        val statsRows = cnt(s"$work/stats")
+        val alertRows = cnt(s"$work/alerts")
+        System.err.println(f"[bench] stream lines=$nLines sec=$streamSec%.1f " +
+          f"stats=$statsRows alerts=$alertRows")
+        f""","stream":{"lines":$nLines,"sec":$streamSec%.1f,"lines_per_sec":${nLines / streamSec}%.0f,"stats_rows":$statsRows,"stats_rows_per_sec":${statsRows / streamSec}%.0f,"alerts":$alertRows}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream bench FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        errors("stream_graph") = e.getClass.getSimpleName
+        ""
+      }
+    }
     def jnum(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, w, _) => s""""$k":${jnum(w)}""" }.mkString("{", ",", "}")
     val cpu = results.map { case (k, _, c) => s""""$k":${jnum(c)}""" }.mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cpu_sec":$cpu,"errors":$errJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cpu_sec":$cpu,"errors":$errJson$streamJson,"sf":"$sfDir"}"""
     // Full artifact (per-query wall + cpu maps, ~4 KB) goes to FILES — a
     // repo-visible copy plus /tmp — because a 4 KB stdout line overflows
     // the driver's log-tail buffer (rounds 1 and 2 both lost the parsed
@@ -112,7 +183,7 @@ object Bench {
     // (queries + cpu_sec at 3 decimals) overflowed the driver's tail
     // buffer and arrived truncated mid-JSON.
     val qs2 = results.map { case (k, w, _) => f""""$k":$w%.2f""" }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs2,"errors":$errJson,"sf":"$sfDir","detail":"bench_out.json"}"""
+    val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs2,"errors":$errJson$streamJson,"sf":"$sfDir","detail":"bench_out.json"}"""
     spark.stop()
     // Bare, final stdout line (spark.stop() already happened so nothing
     // logs after it; run/outputStrategy passes it through un-prefixed).
