@@ -61,6 +61,7 @@ object SparkEntry {
     "c9_semdedup"      -> ((s, dir) => Similarity.semDedup(s, dir)),
     "t11_kmv_distinct" -> ((s, dir) => TextAnalysis.kmvDistinct(s, dir)),
     "t12_len_quantile" -> ((s, dir) => TextAnalysis.lenQuantile(s, dir)),
+    "t13_kmv_agg"      -> ((s, dir) => TextAnalysis.kmvAgg(s, dir)),
     "c1_corpus_curation" -> ((s, dir) => Curation.curate(s, dir)),
     "j1_pairing"       -> ((s, dir) => Correlation.pairing(s, dir)),
     "j2_enrichment"    -> ((s, dir) => Correlation.enrichment(s, dir)),
@@ -175,6 +176,7 @@ object SparkEntry {
     "c9_semdedup"      -> Similarity.semDedupSql(),
     "t11_kmv_distinct" -> TextAnalysis.kmvDistinctSql(),
     "t12_len_quantile" -> TextAnalysis.lenQuantileSql(),
+    "t13_kmv_agg"      -> TextAnalysis.kmvAggSql(),
     "c1_corpus_curation" -> Curation.curateSql,
     // z2_zscore_fold / r3_alerts: sequential recurrences (influence
     // feedback, leaky-bucket counter) — no SQL equivalent; rows-only check

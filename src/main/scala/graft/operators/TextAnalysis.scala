@@ -430,6 +430,44 @@ object TextAnalysis {
             / exact_distinct AS rel_err
         FROM sketch CROSS JOIN exact"""
 
+  /** The KMV estimate again, but through the mergeable
+    * [[graft.functions.KmvSketch]] native aggregate — the ONE-PASS
+    * form. t11's relational formulation must shuffle every distinct
+    * hash for the global `DISTINCT` before the k-smallest can be
+    * taken; this plan is ObjectHashAggregate(partial sketch) → one
+    * single-partition exchange moving ≤ k longs per input partition →
+    * final merge, i.e. constant network traffic in the corpus size —
+    * the shape that wins at 100 TB (pinned in PlanSpec). The sketch's
+    * k-min set is identical to the relational k-min (TreeSet dedup ==
+    * DISTINCT), so the same DuckDB oracle checks the estimate
+    * bit-exact, and a ScalaTest pins sketch == relational equality.
+    */
+  def kmvAgg(spark: SparkSession, sfDir: String,
+      k: Int = 256): DataFrame = {
+    import graft.functions.KmvSketch.kmv_sketch
+    val hashes = Tables.loadSpread(spark, sfDir, "documents")
+      .select(explode(split(trim(lower(col("text"))), wsSplit)).as("w"))
+      .select(poly_hash(col("w")).as("h"))
+    hashes.agg(kmv_sketch(col("h"), k).as("mins"))
+      .select(
+        size(col("mins")).cast("long").as("k_actual"),
+        element_at(col("mins"), size(col("mins"))).as("h_k"))
+      .select(col("k_actual"), col("h_k"),
+        ((col("k_actual") - 1) * lit(1000000007.0) / col("h_k"))
+          .as("estimate"))
+  }
+
+  def kmvAggSql(k: Int = 256): String =
+    s"""WITH sketch AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_actual, max(h) AS h_k
+          FROM (SELECT DISTINCT ${polySql("w")} AS h
+                FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+                      FROM documents)
+                ORDER BY h LIMIT $k))
+        SELECT k_actual, h_k,
+          (k_actual - 1) * 1000000007.0 / h_k AS estimate
+        FROM sketch"""
+
   /** Deterministic sample quantiles of the document length
     * distribution — the length-filter calibration step of a corpus
     * pipeline (pick truncation / floor cutoffs from p50/p90/p99, not

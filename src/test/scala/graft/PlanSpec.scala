@@ -214,6 +214,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
 
+  test("t13 kmv aggregate: object-hash partial/final, no distinct shuffle") {
+    val p = plan("t13_kmv_agg")
+    // partial sketch before the exchange: only sketches cross the wire
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_kmv_sketch"), p)
+    // the t11 shape this replaces is distinct -> TakeOrdered: neither
+    // a distinct aggregate nor a sort may appear here
+    assert(!p.contains("TakeOrdered") && !p.contains("Sort "), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
   test("w3 retention: shuffles move user-day rows, events scan prunes") {
     val p = plan("w3_retention")
     // raw events collapse to distinct (user, day) before any join

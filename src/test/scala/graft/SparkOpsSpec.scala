@@ -293,4 +293,25 @@ class SparkOpsSpec extends AnyFunSuite {
       Similarity.kmeansConverged(vecs, maxIters = 25)
     assert(iters2 == iters && moved2 == 0.0)
   }
+
+  test("kmv_sketch aggregate == relational distinct k-min, with duplicates") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.KmvSketch.kmv_sketch
+    // duplicated + shuffled values: the sketch must dedup exactly like
+    // DISTINCT and survive partial/final merge across partitions
+    val vals = (1L to 1000L).flatMap(v => Seq(v * 7919 % 104729, v * 7919 % 104729))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(Tuple1(_)), 7)
+        .map(t => org.apache.spark.sql.Row(t._1)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val k = 64
+    val sketch = df.agg(kmv_sketch(col("h"), k)).head.getSeq[Long](0)
+    val expected = vals.distinct.sorted.take(k)
+    assert(sketch == expected)
+    // k larger than the distinct count → the whole distinct set
+    val all = df.agg(kmv_sketch(col("h"), 100000)).head.getSeq[Long](0)
+    assert(all == vals.distinct.sorted)
+  }
 }
