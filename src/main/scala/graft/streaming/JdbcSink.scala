@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** S6 — the REAL buffered batch DB sink (stream_insert_db.js:277-353),
+  * exercised end-to-end against an embedded Apache Derby database (the
+  * one JDBC engine shipped with Spark's own jars, so zero extra deps).
+  *
+  * The reference drains a per-type buffer into one multi-row INSERT via
+  * pg-promise (`stream_insert_db.js:295-327`); on failure it unshifts
+  * the batch back onto the queue head (`:339-353`). The Spark-native
+  * shape is `foreachBatch { _.write.jdbc(...) }`:
+  *
+  *   - batching: a micro-batch IS the buffer — the trigger interval
+  *     plays the 1000-row/5-s flush policy (`config/apm_config.json:230-231`);
+  *   - multi-row insert: the JDBC writer prepares one INSERT per
+  *     partition and addBatch()es rows — the same wire shape as
+  *     pg-promise's ColumnSet multi-insert, but per-executor in
+  *     parallel (at cluster scale each partition streams its own
+  *     batch, no single-writer bottleneck; `numPartitions` caps the
+  *     connection fan-in so 1000 executors don't open 1000 sessions);
+  *   - failure requeue: [[ApmStreaming.RequeueWriter]] parks the failed
+  *     micro-batch durably and replays it in order at the next trigger —
+  *     the queue-head unshift, made crash-safe.
+  *
+  * The `stats` table's jsonb column (`entries.js:120-151` nests the 15
+  * z-score fields into one object; `stream_insert_db.js:153` declares
+  * `stats:json`) maps to a `to_json(struct(...))` string column —
+  * Postgres would ingest it as jsonb verbatim; Derby (no JSON type)
+  * stores it as the CLOB the dialect picks for StringType. Either way
+  * the nested payload round-trips through `from_json`, which
+  * `Alerts.dbStatsRoundtrip` (query `s6_db_stats`) verifies against the
+  * DuckDB oracle, and [[JdbcSinkSpec]] verifies against the live Derby.
+  */
+object JdbcSink {
+
+  /** Batch JDBC append, connection fan-in capped. `numPartitions` is the
+    * reference's "one DB writer" generalized: at local[32] nothing
+    * changes, on a 1000-executor cluster it bounds concurrent inserts.
+    */
+  def writeBatch(df: DataFrame, url: String, table: String,
+      numPartitions: Int = 8): Unit = {
+    val props = new java.util.Properties()
+    val capped =
+      if (df.rdd.getNumPartitions > numPartitions) df.coalesce(numPartitions)
+      else df
+    capped.write.mode("append").jdbc(url, table, props)
+  }
+
+  /** The `stats`-table row shape (stream_insert_db.js:149-160): flat
+    * identity/measure columns + the 15 z-score fields as ONE json
+    * string column, exactly the reference's jsonb payload.
+    */
+  def statsTableRows(cand: DataFrame): DataFrame =
+    cand.select(
+      col("ts_ms"), col("server"), col("service"),
+      col("lag").cast("int").as("lag"), col("tpm"),
+      graft.operators.Alerts.statsJsonCol.as("stats_json"))
+
+  /** Streaming JDBC sink with the reference's failed-batch requeue:
+    * park-and-replay around `writeBatch`. A flaky/downed DB parks the
+    * micro-batch; the next trigger replays parked batches in batch-id
+    * order before the current one — nothing dropped, order preserved
+    * (stream_insert_db.js:339-353 semantics, crash-safe).
+    */
+  def sinkToJdbc(df: DataFrame, url: String, table: String,
+      checkpoint: String, parkDir: String,
+      availableNow: Boolean = true, trigger: String = "5 seconds")
+      : StreamingQuery =
+    ApmStreaming.sinkWithRequeue(df, checkpoint, parkDir,
+      (batch, _) => writeBatch(batch, url, table),
+      availableNow = availableNow, trigger = trigger)
+}

@@ -46,8 +46,22 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         _, g = canon(grows, gcols)
         _, e = canon(erows, ecols)
+        # driver fidelity: the gate hashes pandas-canonical BYTES, so a
+        # dtype split (e.g. DuckDB HUGEINT -> float64 vs Spark int64)
+        # hash-fails even when every value matches (round-2 lesson)
+        try:
+            gdt = got.df().reindex(sorted(gcols), axis=1).dtypes
+            edt = exp.df().reindex(sorted(ecols), axis=1).dtypes
+            dtype_diff = [(c, str(gdt[c]), str(edt[c]))
+                          for c in gdt.index
+                          if c in edt.index and gdt[c] != edt[c]]
+        except Exception:
+            dtype_diff = []
         if sorted(c.lower() for c in gcols) != sorted(c.lower() for c in ecols):
             print(f"FAIL {name}: schema {sorted(gcols)} vs {sorted(ecols)}")
+            n_fail += 1
+        elif dtype_diff:
+            print(f"FAIL {name}: dtype drift (spark,oracle): {dtype_diff}")
             n_fail += 1
         elif len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_fail += 1
