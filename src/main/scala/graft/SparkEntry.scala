@@ -82,6 +82,7 @@ object SparkEntry {
     "d2_dedup_ngram"   -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "d7_jaccard_join"  -> ((s, dir) => Dedup.jaccardJoin(s, dir)),
     "d8_span_dedup"    -> ((s, dir) => Dedup.spanDedup(s, dir)),
+    "d9_line_dedup"    -> ((s, dir) => Dedup.lineDedup(s, dir)),
     "c2_dup_clusters"  -> ((s, dir) => Dedup.dupClusters(s, dir)),
     "c3_decontaminate" -> ((s, dir) => Curation.decontaminate(s, dir)),
     "c4_mix_weights"   -> ((s, dir) => Curation.mixWeights(s, dir)),
@@ -200,6 +201,7 @@ object SparkEntry {
     "d2_dedup_ngram"   -> Dedup.ngramJaccardSql(),
     "d7_jaccard_join"  -> Dedup.jaccardJoinSql(),
     "d8_span_dedup"    -> Dedup.spanDedupSql(),
+    "d9_line_dedup"    -> Dedup.lineDedupSql(),
     "c2_dup_clusters"  -> Dedup.dupClustersSql(),
     "c3_decontaminate" -> Curation.decontaminateSql(),
     "c4_mix_weights"   -> Curation.mixWeightsSql,

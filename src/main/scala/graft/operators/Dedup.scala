@@ -614,4 +614,82 @@ object Dedup {
         WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
           <= $maxHamming"""
   }
+
+  // ------------------------------------------------------------ line dedup
+
+  /** Line-level dedup APPLIED (RefinedWeb/CCNet-style): segment each doc
+    * into consecutive non-overlapping `segWords`-word units (the stand-in
+    * for "lines" — this corpus has no newlines), drop every unit whose
+    * text recurs in MORE THAN ONE distinct document, and rebuild the
+    * cleaned text in original order. Complements [[spanDedup]], which only
+    * SCORES rolling-span boilerplate — this is the removal step that
+    * actually edits the corpus.
+    *
+    * Scale shape: segments shuffle once on their 8-byte [[PolyHash]] for
+    * the distinct-doc df (two-level keyed agg — (h, doc_id) then (h), both
+    * map-side combinable; no count-distinct state), once more for the
+    * anti-join against the duplicated-hash set, and the rebuild is one
+    * doc_id-keyed agg whose per-group state is the doc's own segments —
+    * bounded by document length, never corpus-scale. No pair joins
+    * anywhere, so cost is linear in corpus size at any scale factor.
+    */
+  def lineDedup(spark: SparkSession, sfDir: String,
+      segWords: Int = 8): DataFrame = {
+    val words = split(normText, " ")
+    val nSeg = ceil(size(words).cast("double") / segWords).cast("int")
+    val segsCol = when(size(words) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nSeg - 1),
+        i => array_join(slice(words, i * segWords + 1, lit(segWords)), " ")))
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), segsCol.as("segs"))
+    val segRows = d
+      .select(col("doc_id"), posexplode(col("segs")).as(Seq("pos", "seg")))
+      .withColumn("h", poly_hash(col("seg")))
+    val dup = segRows.groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("h").agg(count(lit(1)).as("ddf"))
+      .filter(col("ddf") > 1).select("h")
+    val rebuilt = segRows.join(dup, Seq("h"), "left_anti")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x("seg")), " ").as("clean_text"))
+    d.select(col("doc_id"), size(col("segs")).cast("long").as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  def lineDedupSql(segWords: Int = 8): String =
+    s"""WITH d AS (
+          SELECT doc_id, string_split($normTextSql, ' ') AS w
+          FROM documents),
+        segd AS (
+          SELECT doc_id,
+            CASE WHEN len(w) = 0 THEN []
+            ELSE list_transform(
+              range(CAST(ceil(len(w) / $segWords.0) AS BIGINT)),
+              i -> array_to_string(
+                w[1 + i * $segWords : (i + 1) * $segWords], ' '))
+            END AS segs
+          FROM d),
+        segr AS (
+          SELECT doc_id, unnest(range(len(segs))) AS pos,
+            unnest(segs) AS seg
+          FROM segd),
+        segh AS (SELECT doc_id, pos, seg, ${polySql("seg")} AS h FROM segr),
+        dup AS (
+          SELECT h FROM (
+            SELECT h, count(DISTINCT doc_id) AS ddf FROM segh GROUP BY h)
+          WHERE ddf > 1),
+        kept AS (SELECT * FROM segh ANTI JOIN dup USING (h)),
+        reb AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+            array_to_string(list(seg ORDER BY pos), ' ') AS clean_text
+          FROM kept GROUP BY doc_id)
+        SELECT segd.doc_id, CAST(len(segs) AS BIGINT) AS n_segs,
+          CAST(len(segs) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+          coalesce(clean_text, '') AS clean_text
+        FROM segd LEFT JOIN reb USING (doc_id)"""
 }
