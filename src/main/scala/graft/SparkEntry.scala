@@ -87,6 +87,7 @@ object SparkEntry {
     "c3_decontaminate" -> ((s, dir) => Curation.decontaminate(s, dir)),
     "c4_mix_weights"   -> ((s, dir) => Curation.mixWeights(s, dir)),
     "c5_strat_sample"  -> ((s, dir) => Curation.stratSample(s, dir)),
+    "c12_source_cap"   -> ((s, dir) => Curation.sourceCap(s, dir)),
     "c6_pii_scrub"     -> ((s, dir) => Curation.piiScrub(s, dir)),
     "t6_repetition"    -> ((s, dir) => TextAnalysis.repetition(s, dir)),
     "t8_vocab"         -> ((s, dir) => TextAnalysis.vocab(s, dir)),
@@ -206,6 +207,7 @@ object SparkEntry {
     "c3_decontaminate" -> Curation.decontaminateSql(),
     "c4_mix_weights"   -> Curation.mixWeightsSql,
     "c5_strat_sample"  -> Curation.stratSampleSql,
+    "c12_source_cap"   -> Curation.sourceCapSql(),
     "c6_pii_scrub"     -> Curation.piiScrubSql,
     "t6_repetition"    -> TextAnalysis.repetitionSql(),
     "t8_vocab"         -> TextAnalysis.vocabSql(),

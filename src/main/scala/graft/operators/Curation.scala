@@ -400,4 +400,43 @@ object Curation {
         FROM documents
         WHERE $key % 1000 < $rate"""
   }
+
+  /** Per-source document cap — keep the top `k` docs of every source by
+    * a deterministic preference order (n_chars desc, doc_id asc): the
+    * per-domain cap step of web-corpus curation (a handful of giant
+    * domains otherwise dominate the training mix).
+    *
+    * Scale shape: a single `row_number` over source would sort each
+    * source inside ONE task — the largest domain (easily billions of
+    * rows at 100 TB) becomes a straggler. Top-k is mergeable, so this
+    * runs as a salted TWO-PHASE exact top-k: phase 1 ranks within
+    * (source, doc_id mod salts) and keeps each shard's local top-k
+    * (correct because any global top-k member is necessarily in its own
+    * shard's top-k); phase 2 re-ranks the surviving <= salts*k rows per
+    * source — per-group work is now bounded by salts*k regardless of
+    * domain size. Same result as the naive window, pinned by the oracle,
+    * which IS the naive single window.
+    */
+  def sourceCap(spark: SparkSession, sfDir: String,
+      k: Int = 20, salts: Int = 8): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val local = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(salts)))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val global = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    d.withColumn("lrk", row_number().over(local)).filter(col("lrk") <= k)
+      .drop("lrk")
+      .withColumn("rk", row_number().over(global).cast("long"))
+      .filter(col("rk") <= k)
+      .select("source", "doc_id", "n_chars", "rk")
+  }
+
+  def sourceCapSql(k: Int = 20): String =
+    s"""SELECT source, doc_id, n_chars, rk FROM (
+          SELECT source, doc_id, n_chars,
+            row_number() OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id) AS rk
+          FROM documents)
+        WHERE rk <= $k"""
 }
