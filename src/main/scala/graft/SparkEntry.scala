@@ -93,6 +93,9 @@ object SparkEntry {
     "t8_vocab"         -> ((s, dir) => TextAnalysis.vocab(s, dir)),
     "t9_lm_score"      -> ((s, dir) => TextAnalysis.lmScore(s, dir)),
     "t10_top_words"    -> ((s, dir) => TextAnalysis.topWords(s, dir)),
+    "t14_bpe_pairs"    -> ((s, dir) => TextAnalysis.bpePairs(s, dir)),
+    "t15_bpe_merges"   -> ((s, dir) => TextAnalysis.bpeTrain(s, dir)),
+    "t16_bpe_tokens"   -> ((s, dir) => TextAnalysis.bpeTokens(s, dir)),
     "w1_sessionize"    -> ((s, dir) => Sessionize.sessions(s, dir)),
     "w2_funnel"        -> ((s, dir) => Sessionize.funnel(s, dir)),
     "w3_retention"     -> ((s, dir) => Sessionize.retention(s, dir)),
@@ -213,6 +216,9 @@ object SparkEntry {
     "t8_vocab"         -> TextAnalysis.vocabSql(),
     "t9_lm_score"      -> TextAnalysis.lmScoreSql(),
     "t10_top_words"    -> TextAnalysis.topWordsSql(),
+    "t14_bpe_pairs"    -> TextAnalysis.bpePairsSql,
+    "t15_bpe_merges"   -> TextAnalysis.bpeTrainSql(),
+    "t16_bpe_tokens"   -> TextAnalysis.bpeTokensSql(),
     "w1_sessionize"    -> Sessionize.sessionsSql(),
     "w2_funnel"        -> Sessionize.funnelSql(),
     "w3_retention"     -> Sessionize.retentionSql,

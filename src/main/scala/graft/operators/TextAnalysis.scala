@@ -546,4 +546,179 @@ object TextAnalysis {
     s"""SELECT doc_id,
          ${polySql("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fingerprint
        FROM documents"""
+
+  // ----------------------------------------------------------------- BPE
+
+  /** Corpus word-frequency vocabulary — the one heavy distributed pass of
+    * BPE training (everything after it operates on the aggregated vocab
+    * table, exactly how production tokenizer training scales to 100 TB:
+    * the corpus is touched once, the merge loop never is).
+    */
+  private def bpeVocab(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.loadSpread(spark, sfDir, "documents")
+      .select(explode(split(trim(lower(col("text"))), wsSplit)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  private val bpeVocabSql: String =
+    s"""SELECT w, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+              FROM documents)
+        GROUP BY w"""
+
+  /** Adjacent-symbol pair rows for the current `syms` arrays, weighted by
+    * word frequency. Words of one symbol contribute nothing (the empty
+    * sequence guard keeps `sequence` from going descending).
+    */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(0), size(col("syms")) - 2),
+        i => struct(
+          element_at(col("syms"), (i + 1).cast("int")).as("l"),
+          element_at(col("syms"), (i + 2).cast("int")).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("freq").as("cnt"))
+
+  private def pairCountsSql(vocabCte: String): String =
+    s"""SELECT list_extract(syms, CAST(i + 1 AS INT)) AS l,
+          list_extract(syms, CAST(i + 2 AS INT)) AS r,
+          CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT freq, syms, unnest(range(len(syms) - 1)) AS i
+              FROM $vocabCte)
+        GROUP BY 1, 2"""
+
+  /** BPE round 0 — the weighted adjacent character-pair statistics over
+    * the vocab (what the first merge decision is computed from).
+    */
+  def bpePairs(spark: SparkSession, sfDir: String): DataFrame =
+    pairCounts(bpeVocab(spark, sfDir)
+      .select(col("w"), col("freq"), split(col("w"), "").as("syms")))
+
+  val bpePairsSql: String =
+    s"""WITH vocab0 AS (
+          SELECT w, freq, string_split(w, '') AS syms FROM ($bpeVocabSql))
+        ${pairCountsSql("vocab0")}"""
+
+  /** One greedy left-to-right merge application: every adjacent (l, r)
+    * occurrence in `syms` collapses to the concatenated symbol. A fold —
+    * if the accumulator's last symbol is `l` and the next is `r`, replace
+    * the last with `l+r`, else append — which is exactly BPE's
+    * non-overlapping left-to-right application ("aaa" + (a,a) -> [aa, a]).
+    */
+  private def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === l && x === r,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** BPE merge-table training: `nMerges` rounds of (count weighted
+    * adjacent pairs -> take the most frequent, ties broken (l, r)
+    * lexicographic -> apply the merge). Returns the learned merge table
+    * (rank, l, r, cnt) — the tokenizer artifact.
+    *
+    * Scale shape: the corpus contributes ONE map-combinable word-count
+    * pass ([[bpeVocab]]); the loop then iterates on the vocab table,
+    * whose size is bounded by distinct words, not corpus rows — each
+    * round is a small explode/agg plus a 1-row argmax probe (same
+    * driver-scalar-per-iteration shape as the k-means and
+    * connected-components loops), and `localCheckpoint` keeps the plan
+    * O(1)-deep across rounds. The DuckDB oracle is the same computation
+    * unrolled into `nMerges` CTE layers, so the gate checks every round's
+    * argmax AND the fold semantics, not just the final table.
+    */
+  private def bpeTrainCore(spark: SparkSession, sfDir: String,
+      nMerges: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    var vocab = bpeVocab(spark, sfDir)
+      .select(col("w"), col("freq"), split(col("w"), "").as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val best = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((round.toLong, l, r, cnt))
+        vocab = vocab.select(col("w"), col("freq"),
+          applyMerge(col("syms"), l, r).as("syms")).localCheckpoint()
+        round += 1
+      }
+    }
+    (merges.toSeq, vocab)
+  }
+
+  def bpeTrain(spark: SparkSession, sfDir: String,
+      nMerges: Int = 8): DataFrame = {
+    import spark.implicits._
+    bpeTrainCore(spark, sfDir, nMerges)._1.toDF("rank", "l", "r", "cnt")
+  }
+
+  /** The unrolled CTE chain `WITH vocab0, pairs0, best0, vocab1, ...,
+    * vocab<n>` shared by the merge-table and tokenize oracles.
+    */
+  private def bpeLayersSql(nMerges: Int): String = {
+    val layers = new StringBuilder(
+      s"""WITH vocab0 AS (
+            SELECT w, freq, string_split(w, '') AS syms FROM ($bpeVocabSql))""")
+    (0 until nMerges).foreach { i =>
+      layers.append(s""",
+        pairs$i AS (${pairCountsSql(s"vocab$i")}),
+        best$i AS (SELECT l, r, cnt FROM pairs$i
+                   ORDER BY cnt DESC, l, r LIMIT 1),
+        vocab${i + 1} AS (
+          SELECT w, freq,
+            list_reduce(
+              list_prepend(CAST([] AS VARCHAR[]),
+                list_transform(syms, s -> [s])),
+              (acc, x) -> CASE WHEN len(acc) > 0
+                  AND list_extract(acc, len(acc)) = b.l
+                  AND list_extract(x, 1) = b.r
+                THEN list_append(list_slice(acc, 1, len(acc) - 1), b.l || b.r)
+                ELSE list_append(acc, list_extract(x, 1)) END) AS syms
+          FROM vocab$i, best$i b)""")
+    }
+    layers.toString
+  }
+
+  def bpeTrainSql(nMerges: Int = 8): String = {
+    val union = (0 until nMerges)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, l, r, cnt FROM best$i")
+      .mkString("\n UNION ALL ")
+    s"${bpeLayersSql(nMerges)}\n $union"
+  }
+
+  /** BPE tokenization APPLIED: per-document token counts under the
+    * trained merge table. The corpus is tokenized by joining its words
+    * against the already-segmented vocab (word -> n_bpe_tokens) — the
+    * fold never runs over corpus rows, only over the vocab, so the apply
+    * step costs one word-keyed join at any scale.
+    */
+  def bpeTokens(spark: SparkSession, sfDir: String,
+      nMerges: Int = 8): DataFrame = {
+    val vocab = bpeTrainCore(spark, sfDir, nMerges)._2
+    val segLen = vocab.select(col("w"), size(col("syms")).cast("long").as("n_sym"))
+    Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), wsSplit)).as("w"))
+      .join(segLen, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sym").as("n_bpe_tokens"))
+  }
+
+  def bpeTokensSql(nMerges: Int = 8): String =
+    s"""${bpeLayersSql(nMerges)},
+        seglen AS (
+          SELECT w, CAST(len(syms) AS BIGINT) AS n_sym FROM vocab$nMerges)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+        FROM (SELECT doc_id,
+                unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+              FROM documents) dw
+        JOIN seglen USING (w)
+        GROUP BY doc_id"""
 }
