@@ -605,7 +605,7 @@ object TextAnalysis {
     * the last with `l+r`, else append — which is exactly BPE's
     * non-overlapping left-to-right application ("aaa" + (a,a) -> [aa, a]).
     */
-  private def applyMerge(syms: Column, l: String, r: String): Column =
+  private[graft] def applyMerge(syms: Column, l: String, r: String): Column =
     aggregate(syms, array().cast("array<string>"),
       (acc, x) => when(
         size(acc) > 0 && element_at(acc, -1) === l && x === r,

@@ -230,4 +230,64 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
+
+  test("d9 line dedup: keyed aggs + anti-join, no pair join") {
+    val p = plan("d9_line_dedup")
+    // df count, anti-join on the segment hash, doc-keyed rebuild — all
+    // keyed; nothing pairwise
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+  }
+
+  test("c12 source cap: two-phase top-k, salted then per-source window") {
+    val p = plan("c12_source_cap")
+    // phase 1 partitions by (source, salt): its exchange key must carry
+    // the pmod salt; phase 2 re-partitions by source alone
+    assert(p.contains("pmod"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+    assert("RunningWindowFunction|Window".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("t14 bpe pairs: map-side combine on the pair agg, no shuffle " +
+    "beyond vocab + pair keys") {
+    val p = plan("t14_bpe_pairs")
+    // vocab groupBy(w) + pair groupBy(l, r), both with partial aggs
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // At 100 TB the win of Spark's runtime row-level filtering: a
+    // selective dimension filter is turned into a bloom filter that
+    // prunes the fact scan BEFORE the join shuffle. Thresholds are
+    // lowered to make the tiny local tables eligible — the assertion is
+    // that the injected BloomFilter aggregate/probe appears in the plan.
+    val s = spark
+    val mod = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // a broadcast-able creation side would make the join broadcast and
+      // the rule (correctly) skip injection — model the 100 TB case where
+      // both sides shuffle by disabling auto-broadcast
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = mod.map { case (k, _) => k -> s.conf.getOption(k) }
+    mod.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val li = s.read.parquet(s"$sf/lineitem.parquet")
+      val ord = s.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg") || p.contains("BloomFilter"),
+        s"runtime bloom filter not injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
 }

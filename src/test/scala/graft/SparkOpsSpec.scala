@@ -314,4 +314,57 @@ class SparkOpsSpec extends AnyFunSuite {
     val all = df.agg(kmv_sketch(col("h"), 100000)).head.getSeq[Long](0)
     assert(all == vals.distinct.sorted)
   }
+
+  test("BPE merge fold: greedy left-to-right, overlapping runs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // "aaa" + (a,a): first two merge, the merged symbol must NOT re-merge
+    // with the trailing 'a' (non-overlapping greedy application)
+    val cases = Seq(
+      (Seq("a", "a", "a"), "a", "a", Seq("aa", "a")),
+      (Seq("a", "a", "a", "a"), "a", "a", Seq("aa", "aa")),
+      (Seq("x", "a", "b", "a", "b", "y"), "a", "b", Seq("x", "ab", "ab", "y")),
+      (Seq("a"), "a", "a", Seq("a")),
+      (Seq.empty[String], "a", "a", Seq.empty[String]))
+    cases.foreach { case (in, l, r, want) =>
+      val got = Seq(Tuple1(in)).toDF("syms")
+        .select(graft.operators.TextAnalysis.applyMerge(col("syms"), l, r))
+        .head.getSeq[String](0)
+      assert(got == want, s"in=$in merge=($l,$r) got=$got want=$want")
+    }
+  }
+
+  test("BPE trainer == sequential reference implementation") {
+    import org.apache.spark.sql.functions._
+    // third independent implementation (pure Scala, no Spark/DuckDB):
+    // classic greedy BPE over the same word-frequency table
+    val freqs: Map[String, Long] = spark.read
+      .parquet(s"$sf/documents.parquet").select(col("text")).collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+"))
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    var vocab: Map[Vector[String], Long] =
+      freqs.map { case (w, f) => w.split("").toVector -> f }
+    val want = scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
+    for (round <- 0 until 8) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      val ((l, r), cnt) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+      want += ((round.toLong, l, r, cnt))
+      vocab = vocab.groupMapReduce { case (syms, _) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r)
+            acc.init :+ (l + r)
+          else acc :+ x
+        }
+      } { case (_, f) => f } (_ + _)
+    }
+    val got = graft.operators.TextAnalysis.bpeTrain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(got == want.toSeq, s"got=$got\nwant=$want")
+  }
 }
