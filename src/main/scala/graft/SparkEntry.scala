@@ -88,6 +88,8 @@ object SparkEntry {
     "c4_mix_weights"   -> ((s, dir) => Curation.mixWeights(s, dir)),
     "c5_strat_sample"  -> ((s, dir) => Curation.stratSample(s, dir)),
     "c12_source_cap"   -> ((s, dir) => Curation.sourceCap(s, dir)),
+    "c13_mix_apply"    -> ((s, dir) => Curation.mixApply(s, dir)),
+    "c14_fuzzy_decon"  -> ((s, dir) => Curation.fuzzyDecon(s, dir)),
     "c6_pii_scrub"     -> ((s, dir) => Curation.piiScrub(s, dir)),
     "t6_repetition"    -> ((s, dir) => TextAnalysis.repetition(s, dir)),
     "t8_vocab"         -> ((s, dir) => TextAnalysis.vocab(s, dir)),
@@ -211,6 +213,8 @@ object SparkEntry {
     "c4_mix_weights"   -> Curation.mixWeightsSql,
     "c5_strat_sample"  -> Curation.stratSampleSql,
     "c12_source_cap"   -> Curation.sourceCapSql(),
+    "c13_mix_apply"    -> Curation.mixApplySql(),
+    "c14_fuzzy_decon"  -> Curation.fuzzyDeconSql(),
     "c6_pii_scrub"     -> Curation.piiScrubSql,
     "t6_repetition"    -> TextAnalysis.repetitionSql(),
     "t8_vocab"         -> TextAnalysis.vocabSql(),

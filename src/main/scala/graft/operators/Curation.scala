@@ -439,4 +439,140 @@ object Curation {
               ORDER BY n_chars DESC, doc_id) AS rk
           FROM documents)
         WHERE rk <= $k"""
+
+  /** Token-budget fill — the APPLY step of data mixing: give every
+    * source a token budget and take documents in a deterministic
+    * hash-shuffled order until the budget is reached (the doc that
+    * crosses the boundary is kept, so every budget is met). The order
+    * key is the same `poly_hash(doc_id:source)` as [[stratSample]] —
+    * reproducible, uncorrelated with document content.
+    *
+    * The cumulative token count is an exact DISTRIBUTED PREFIX SUM, not
+    * one window per source (which would sort each source inside a single
+    * task — the straggler shape at 100 TB): the hash key is range-split
+    * into `buckets` ordered chunks, each (source, bucket) computes its
+    * local running sum in parallel, bucket totals (sources x buckets
+    * rows — tiny) get a cumulative offset per source, and the broadcast
+    * offset join turns local sums into global ones. Identical result to
+    * the naive per-source window, which is what the oracle runs.
+    */
+  def mixApply(spark: SparkSession, sfDir: String,
+      budget: Long = 800, buckets: Int = 16): DataFrame = {
+    val h = poly_hash(concat(col("doc_id").cast("string"), lit(":"),
+      col("source")))
+    val bsz = 1000000007L / buckets + 1
+    val d = Tables.load(spark, sfDir, "documents").select(
+      col("source"), col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+      h.as("h"))
+      .withColumn("bkt", (col("h") / bsz).cast("int"))
+    val local = Window.partitionBy("source", "bkt")
+      .orderBy(col("h"), col("doc_id"))
+    val withLocal = d.withColumn("lcum", sum("n_tok").over(local))
+    val off = Window.partitionBy("source").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("source", "bkt")
+      .agg(sum("n_tok").as("btok"))
+      .select(col("source"), col("bkt"),
+        coalesce(sum("btok").over(off), lit(0L)).as("boff"))
+    withLocal.join(broadcast(offsets), Seq("source", "bkt"))
+      .withColumn("cum_tok", col("lcum") + col("boff"))
+      .filter(col("cum_tok") - col("n_tok") < budget)
+      .select("source", "doc_id", "n_tok", "cum_tok")
+  }
+
+  def mixApplySql(budget: Long = 800): String = {
+    val h = polySql("CAST(doc_id AS VARCHAR) || ':' || source")
+    s"""WITH d AS (
+          SELECT source, doc_id,
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+              AS n_tok,
+            $h AS h
+          FROM documents),
+        c AS (
+          SELECT source, doc_id, n_tok,
+            CAST(sum(n_tok) OVER (PARTITION BY source
+              ORDER BY h, doc_id) AS BIGINT) AS cum_tok
+          FROM d)
+        SELECT source, doc_id, n_tok, cum_tok FROM c
+        WHERE cum_tok - n_tok < $budget"""
+  }
+
+  /** FUZZY decontamination — the near-duplicate complement of the exact
+    * n-gram [[decontaminate]]: a corpus doc is contaminated if it is a
+    * MinHash near-dup of any benchmark doc (paraphrased/partial leaks
+    * that exact n-gram overlap misses). Same banding as the dedup
+    * family: benchmark band keys (small — benchmarks are thousands of
+    * docs, not billions) broadcast against the corpus bands, candidates
+    * verified by the signature-estimated Jaccard. The corpus is touched
+    * by one signature scan and one broadcast band join — no shuffle of
+    * corpus rows at all.
+    */
+  def fuzzyDecon(spark: SparkSession, sfDir: String,
+      benchMod: Long = 47, threshold: Double = 0.4): DataFrame = {
+    val sigs = Dedup.minhashSignatures(spark, sfDir).select("doc_id", "sig")
+    val bench = sigs.filter(col("doc_id") % benchMod === 0)
+    val corpus = sigs.filter(col("doc_id") % benchMod =!= 0)
+    def banded(df: DataFrame, id: String) = df
+      .select(col("doc_id").as(id), col("sig").as(s"sig_$id"),
+        explode(Dedup.bandStructsCol(col("sig"))).as("b"))
+      .select(col(id), col(s"sig_$id"), col("b.band"), col("b.bkey"))
+    // a (cid, bid) pair can meet in several bands; rather than a distinct
+    // over the signature arrays (benched 10x slower in minhashLsh), the
+    // per-doc agg counts DISTINCT matching bench ids — est is identical
+    // across a pair's duplicate band hits, so max() is unaffected
+    val est = size(filter(zip_with(col("sig_cid"), col("sig_bid"),
+      (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+      .cast("double") / Dedup.MinhashK
+    val hits = banded(corpus, "cid")
+      .join(broadcast(banded(bench, "bid")), Seq("band", "bkey"))
+      .withColumn("est", est)
+      .groupBy(col("cid").as("doc_id"))
+      .agg(
+        countDistinct(when(col("est") >= threshold, col("bid")))
+          .as("n_matches"),
+        max(when(col("est") >= threshold, col("est"))).as("max_est"))
+    corpus.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("max_est"), lit(0.0)).as("max_est"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).cast("int")
+          .as("is_contaminated"))
+  }
+
+  def fuzzyDeconSql(benchMod: Long = 47, threshold: Double = 0.4): String = {
+    val rows = Dedup.MinhashK / Dedup.MinhashBands
+    val bandStructs = (0 until Dedup.MinhashBands).map { bIdx =>
+      val key = (0 until rows)
+        .map(r => s"CAST(sig[${bIdx * rows + r + 1}] AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"{'band': $bIdx, 'bkey': $key}"
+    }.mkString("[", ", ", "]")
+    val est = s"CAST(len(list_filter(list_zip(sig_cid, sig_bid), " +
+      s"p -> p[1] = p[2])) AS DOUBLE) / ${Dedup.MinhashK}"
+    s"""WITH sigs AS (SELECT doc_id, sig FROM (${Dedup.minhashSignaturesSql})),
+        corpus AS (SELECT * FROM sigs WHERE doc_id % $benchMod <> 0),
+        bench AS (SELECT * FROM sigs WHERE doc_id % $benchMod = 0),
+        cb AS (SELECT doc_id AS cid, sig AS sig_cid, b.band AS band,
+                 b.bkey AS bkey
+               FROM (SELECT doc_id, sig, unnest($bandStructs) AS b
+                     FROM corpus)),
+        bb AS (SELECT doc_id AS bid, sig AS sig_bid, b.band AS band,
+                 b.bkey AS bkey
+               FROM (SELECT doc_id, sig, unnest($bandStructs) AS b
+                     FROM bench)),
+        cand AS (SELECT cid, bid, sig_cid, sig_bid
+                 FROM cb JOIN bb USING (band, bkey)),
+        hits AS (
+          SELECT cid AS doc_id,
+            CAST(count(DISTINCT CASE WHEN $est >= $threshold
+              THEN bid END) AS BIGINT) AS n_matches,
+            max(CASE WHEN $est >= $threshold THEN $est END) AS max_est
+          FROM cand GROUP BY cid)
+        SELECT c.doc_id,
+          coalesce(h.n_matches, 0) AS n_matches,
+          coalesce(h.max_est, 0.0) AS max_est,
+          CAST(coalesce(h.n_matches, 0) > 0 AS INT) AS is_contaminated
+        FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id"""
+  }
 }
