@@ -115,6 +115,7 @@ object SparkEntry {
     "s6_pq_recall"     -> ((s, dir) => Similarity.pqRecall(s, dir)),
     "s7_ivfpq"         -> ((s, dir) => Similarity.ivfPq(s, dir)),
     "s8_ivfpq_recall"  -> ((s, dir) => Similarity.ivfPqRecall(s, dir)),
+    "s9_ivf_stats"     -> ((s, dir) => Similarity.ivfStats(s, dir)),
     "t5_seq_pack"      -> ((s, dir) => TextAnalysis.seqPack(s, dir)),
     "m1_media_meta"    -> ((s, dir) => Multimodal.meta(s, dir)),
     "m2_media_decode"  -> ((s, dir) => Multimodal.decodeAll(s, dir).toDF()),
@@ -240,6 +241,7 @@ object SparkEntry {
     "s6_pq_recall"     -> Similarity.pqRecallSql(),
     "s7_ivfpq"         -> Similarity.ivfPqSql(),
     "s8_ivfpq_recall"  -> Similarity.ivfPqRecallSql(),
+    "s9_ivf_stats"     -> Similarity.ivfStatsSql(),
     "m3_frame_sample"  -> Multimodal.frameSampleSql(),
     "t5_seq_pack"      -> TextAnalysis.seqPackSql(),
     "m1_media_meta"    -> Multimodal.metaSql,

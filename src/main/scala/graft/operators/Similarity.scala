@@ -977,4 +977,54 @@ object Similarity {
           FROM sims)
         SELECT q_id, n_id, bucket, cos, rank FROM ranked WHERE rank <= $k"""
   }
+
+  /** IVF index QUALITY statistics — per-cell occupancy plus the
+    * imbalance factor `cells * sum(share^2)` (1.0 = perfectly balanced;
+    * its value is also the expected slowdown multiple of a random probe
+    * vs the balanced index, which is why FAISS reports the same metric).
+    * At 100 TB an unbalanced index quietly turns nprobe-bounded search
+    * into scans of mega-cells, so the health check is itself a
+    * first-class query: one assignment pass, one cell-keyed count.
+    */
+  def ivfStats(spark: SparkSession, sfDir: String,
+      kmeansIters: Int = 2): DataFrame = {
+    val vecs = vecsDouble(spark, sfDir).select("vec_id", "v")
+    val cells = assignCells(vecs, ivfCentroids(vecs, kmeansIters))
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val tot = Window.partitionBy(lit(1))
+    val shared = cells.withColumn("share",
+      col("n_vecs").cast("double") / sum("n_vecs").over(tot))
+    // imbalance via a cell-ORDERED fold: a plain sum's accumulation
+    // order is unspecified on both engines, and the last-ulp drift
+    // would fail the bit-exact gate (cells table is tiny — one row per
+    // IVF cell — so the collect_list is a scalar-sized aggregate)
+    val imb = shared.agg(
+      aggregate(
+        sort_array(collect_list(struct(col("cell"),
+          (col("share") * col("share")).as("s2")))),
+        lit(0.0), (acc, x) => acc + x("s2")).as("sumsq"),
+      count(lit(1)).cast("double").as("ncells"))
+    shared.crossJoin(broadcast(imb))
+      .select(col("cell"), col("n_vecs"), col("share"),
+        (col("sumsq") * col("ncells")).as("imbalance"))
+  }
+
+  def ivfStatsSql(kmeansIters: Int = 2): String = {
+    val (ctes, _) = ivfCtesSql(kmeansIters)
+    s"""WITH $ctes,
+        cells AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+                  FROM assigned GROUP BY cell),
+        shared AS (
+          SELECT cell, n_vecs,
+            CAST(n_vecs AS DOUBLE) / sum(n_vecs) OVER () AS share
+          FROM cells),
+        stats AS (
+          SELECT list_reduce(
+              list_prepend(0.0, list(share * share ORDER BY cell)),
+              (acc, x) -> acc + x) AS sumsq,
+            CAST(count(*) AS DOUBLE) AS ncells
+          FROM shared)
+        SELECT cell, n_vecs, share, sumsq * ncells AS imbalance
+        FROM shared, stats"""
+  }
 }
