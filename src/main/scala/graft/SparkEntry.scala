@@ -116,6 +116,7 @@ object SparkEntry {
     "s7_ivfpq"         -> ((s, dir) => Similarity.ivfPq(s, dir)),
     "s8_ivfpq_recall"  -> ((s, dir) => Similarity.ivfPqRecall(s, dir)),
     "s9_ivf_stats"     -> ((s, dir) => Similarity.ivfStats(s, dir)),
+    "e3_matryoshka"    -> ((s, dir) => Similarity.matryoshkaRecall(s, dir)),
     "t5_seq_pack"      -> ((s, dir) => TextAnalysis.seqPack(s, dir)),
     "m1_media_meta"    -> ((s, dir) => Multimodal.meta(s, dir)),
     "m2_media_decode"  -> ((s, dir) => Multimodal.decodeAll(s, dir).toDF()),
@@ -242,6 +243,7 @@ object SparkEntry {
     "s7_ivfpq"         -> Similarity.ivfPqSql(),
     "s8_ivfpq_recall"  -> Similarity.ivfPqRecallSql(),
     "s9_ivf_stats"     -> Similarity.ivfStatsSql(),
+    "e3_matryoshka"    -> Similarity.matryoshkaRecallSql(),
     "m3_frame_sample"  -> Multimodal.frameSampleSql(),
     "t5_seq_pack"      -> TextAnalysis.seqPackSql(),
     "m1_media_meta"    -> Multimodal.metaSql,

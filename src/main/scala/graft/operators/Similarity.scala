@@ -1027,4 +1027,64 @@ object Similarity {
         SELECT cell, n_vecs, share, sumsq * ncells AS imbalance
         FROM shared, stats"""
   }
+
+  /** Matryoshka-style truncation recall — how much ANN quality survives
+    * when only the first `p` dimensions of each embedding are kept
+    * (dimension truncation is the cheapest embedding compression: a
+    * prefix slice at read time, p/64 of the bytes and FLOPs). For each
+    * prefix length, exact top-k under the truncated cosine is compared
+    * to the full-dimension ground truth; output is mean recall@k per
+    * prefix — measured, not assumed, like every approximate index here.
+    * The per-prefix search shares one scan; rows explode x|prefixes|
+    * before the per-query window, so cost is |prefixes| brute passes.
+    */
+  def matryoshkaRecall(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 20,
+      prefixes: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val full = knnBrute(spark, sfDir, k, nQueries).select("q_id", "n_id")
+    val vecs = vecsDouble(spark, sfDir).select("vec_id", "v")
+    val perPrefix = prefixes.map { p =>
+      val pv = vecs.select(col("vec_id"), slice(col("v"), 1, p).as("v"))
+      val q = pv.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("tq"), col("v").as("qv"))
+      val c = pv.select(col("vec_id").as("tn"), col("v").as("nv"))
+      val sims = q.join(c, col("tq") =!= col("tn"))
+        .withColumn("cos",
+          dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
+      val w = Window.partitionBy("tq").orderBy(col("cos").desc, col("tn").asc)
+      val topk = sims.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k).select("tq", "tn")
+      full.join(topk,
+          col("q_id") === col("tq") && col("n_id") === col("tn"), "left")
+        .agg((count(col("tq")) / (lit(k.toDouble) * nQueries))
+          .as("mean_recall"))
+        .select(lit(p.toLong).as("prefix_dim"), col("mean_recall"))
+    }
+    perPrefix.reduce(_.unionAll(_))
+  }
+
+  def matryoshkaRecallSql(k: Int = 5, nQueries: Int = 20,
+      prefixes: Seq[Int] = Seq(8, 16, 32)): String = {
+    val per = prefixes.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS prefix_dim,
+            count(tq) / CAST($k * $nQueries AS DOUBLE) AS mean_recall
+          FROM brute LEFT JOIN (
+            SELECT tq, tn FROM (
+              SELECT tq, tn, row_number() OVER (
+                  PARTITION BY tq ORDER BY cos DESC, tn ASC) AS rank
+              FROM (
+                SELECT q.vec_id AS tq, c.vec_id AS tn,
+                  ${dotSql("qv", "nv")} / (${normSql("qv")} * ${normSql("nv")})
+                    AS cos
+                FROM (SELECT vec_id, list_slice(v, 1, $p) AS qv FROM vecs
+                      WHERE vec_id < $nQueries) q
+                JOIN (SELECT vec_id, list_slice(v, 1, $p) AS nv FROM vecs) c
+                  ON q.vec_id <> c.vec_id))
+            WHERE rank <= $k) t
+          ON brute.q_id = t.tq AND brute.n_id = t.tn"""
+    }.mkString("\n UNION ALL ")
+    s"""WITH vecs AS ($vecsDoubleSql),
+        brute AS (SELECT q_id, n_id FROM (${knnBruteSql(k, nQueries)}))
+        $per"""
+  }
 }
