@@ -90,6 +90,7 @@ object SparkEntry {
     "c12_source_cap"   -> ((s, dir) => Curation.sourceCap(s, dir)),
     "c13_mix_apply"    -> ((s, dir) => Curation.mixApply(s, dir)),
     "c14_fuzzy_decon"  -> ((s, dir) => Curation.fuzzyDecon(s, dir)),
+    "c15_quality_attrib" -> ((s, dir) => Curation.qualityAttribution(s, dir)),
     "c6_pii_scrub"     -> ((s, dir) => Curation.piiScrub(s, dir)),
     "t6_repetition"    -> ((s, dir) => TextAnalysis.repetition(s, dir)),
     "t8_vocab"         -> ((s, dir) => TextAnalysis.vocab(s, dir)),
@@ -217,6 +218,7 @@ object SparkEntry {
     "c12_source_cap"   -> Curation.sourceCapSql(),
     "c13_mix_apply"    -> Curation.mixApplySql(),
     "c14_fuzzy_decon"  -> Curation.fuzzyDeconSql(),
+    "c15_quality_attrib" -> Curation.qualityAttributionSql,
     "c6_pii_scrub"     -> Curation.piiScrubSql,
     "t6_repetition"    -> TextAnalysis.repetitionSql(),
     "t8_vocab"         -> TextAnalysis.vocabSql(),

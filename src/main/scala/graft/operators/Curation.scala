@@ -575,4 +575,91 @@ object Curation {
           CAST(coalesce(h.n_matches, 0) > 0 AS INT) AS is_contaminated
         FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id"""
   }
+
+  /** Per-source drop ATTRIBUTION for a composite quality gate — the
+    * curation diagnostic every production pipeline reports: for each
+    * source, how many documents each rule (Gopher/C4-style length,
+    * stopword, word-length, max-word-frequency bounds) would drop, and
+    * how many survive all of them. One scan, one map-combinable
+    * aggregation keyed by source; rules are pure column expressions, so
+    * the whole query is a single shuffle of |sources| partial rows at
+    * any corpus size.
+    */
+  def qualityAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = split(trim(lower(col("text"))), "\\s+")
+    val nW = size(words).cast("double")
+    val stopList = Seq("the", "a", "of", "and", "to", "in", "is")
+    val stopCnt = size(filter(words, w => w.isin(stopList: _*))).cast("double")
+    val meanLen = (length(trim(col("text"))).cast("double") - nW + 1) / nW
+    // most-frequent-word share via an in-row fold: sort the words, count
+    // the longest run (no per-doc explode/agg — stays map-side)
+    val sorted = sort_array(words)
+    val runs = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, w) => {
+        val run = when(w === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      })
+    val maxShare = runs("best").cast("double") / nW
+    val rLen = (nW >= 10 && nW <= 1000).cast("int")
+    val rStop = (stopCnt / nW > 0.01).cast("int")
+    val rWordLen = (meanLen >= 2.0 && meanLen <= 12.0).cast("int")
+    val rMaxFreq = (maxShare < 0.2).cast("int")
+    Tables.load(spark, sfDir, "documents")
+      .select(col("source"), rLen.as("ok_len"), rStop.as("ok_stop"),
+        rWordLen.as("ok_wordlen"), rMaxFreq.as("ok_maxfreq"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(lit(1) - col("ok_len")).as("drop_len"),
+        sum(lit(1) - col("ok_stop")).as("drop_stop"),
+        sum(lit(1) - col("ok_wordlen")).as("drop_wordlen"),
+        sum(lit(1) - col("ok_maxfreq")).as("drop_maxfreq"),
+        sum(col("ok_len") * col("ok_stop") * col("ok_wordlen") *
+          col("ok_maxfreq")).as("n_kept"))
+  }
+
+  val qualityAttributionSql: String = {
+    val stopList = Seq("the", "a", "of", "and", "to", "in", "is")
+      .map("'" + _ + "'").mkString("[", ",", "]")
+    s"""WITH d AS (
+          SELECT source,
+            string_split_regex(trim(lower(text)), '\\s+') AS w,
+            CAST(length(trim(text)) AS DOUBLE) AS nc
+          FROM documents),
+        feat AS (
+          SELECT source,
+            CAST(len(w) AS DOUBLE) AS nw,
+            CAST(len(list_filter(w, x -> list_contains($stopList, x)))
+              AS DOUBLE) AS stop_cnt,
+            (nc - len(w) + 1) / len(w) AS mean_len,
+            list_reduce(
+              list_prepend({'prev': '', 'run': CAST(0 AS BIGINT),
+                            'best': CAST(0 AS BIGINT)},
+                list_transform(list_sort(w),
+                  x -> {'prev': x, 'run': CAST(0 AS BIGINT),
+                        'best': CAST(0 AS BIGINT)})),
+              (acc, e) -> CASE WHEN e.prev = acc.prev THEN
+                  {'prev': e.prev, 'run': acc.run + 1,
+                   'best': greatest(acc.best, acc.run + 1)}
+                ELSE {'prev': e.prev, 'run': CAST(1 AS BIGINT),
+                      'best': greatest(acc.best, CAST(1 AS BIGINT))} END
+            ).best AS max_run
+          FROM d),
+        flags AS (
+          SELECT source,
+            CAST(nw >= 10 AND nw <= 1000 AS INT) AS ok_len,
+            CAST(stop_cnt / nw > 0.01 AS INT) AS ok_stop,
+            CAST(mean_len >= 2.0 AND mean_len <= 12.0 AS INT) AS ok_wordlen,
+            CAST(CAST(max_run AS DOUBLE) / nw < 0.2 AS INT) AS ok_maxfreq
+          FROM feat)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(1 - ok_len) AS BIGINT) AS drop_len,
+          CAST(sum(1 - ok_stop) AS BIGINT) AS drop_stop,
+          CAST(sum(1 - ok_wordlen) AS BIGINT) AS drop_wordlen,
+          CAST(sum(1 - ok_maxfreq) AS BIGINT) AS drop_maxfreq,
+          CAST(sum(ok_len * ok_stop * ok_wordlen * ok_maxfreq) AS BIGINT)
+            AS n_kept
+        FROM flags GROUP BY source"""
+  }
 }
