@@ -135,6 +135,8 @@ object SparkEntry {
     "q18_having"       -> ((s, dir) => Relational.q18Having(s, dir)),
     "q22_anti"         -> ((s, dir) => Relational.q22Anti(s, dir)),
     "q7_volume"        -> ((s, dir) => Relational.q7Volume(s, dir)),
+    "q2_min_cost"      -> ((s, dir) => Relational.q2MinCost(s, dir)),
+    "q11_scalar_having" -> ((s, dir) => Relational.q11ScalarHaving(s, dir)),
     "q8_mkt_share"     -> ((s, dir) => Relational.q8MktShare(s, dir)),
     "q12_priority"     -> ((s, dir) => Relational.q12Priority(s, dir)),
     "q14_promo"        -> ((s, dir) => Relational.q14Promo(s, dir)),
@@ -291,6 +293,8 @@ object SparkEntry {
     "q18_having"       -> Relational.q18HavingSql(),
     "q22_anti"         -> Relational.q22AntiSql,
     "q7_volume"        -> Relational.q7VolumeSql(),
+    "q2_min_cost"      -> Relational.q2MinCostSql,
+    "q11_scalar_having" -> Relational.q11ScalarHavingSql(),
     "q8_mkt_share"     -> Relational.q8MktShareSql(),
     "q12_priority"     -> Relational.q12PrioritySql,
     "q14_promo"        -> Relational.q14PromoSql,

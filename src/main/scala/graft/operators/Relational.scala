@@ -634,4 +634,80 @@ object Relational {
                           WHERE o_custkey = c_custkey
                             AND o_orderpriority = '1-URGENT')
         GROUP BY n_name"""
+
+  /** Q2-style correlated-min subquery — per group (p_brand), the minimum
+    * revenue grain over its lineitems and the supplier achieving it
+    * (deterministic min suppkey on ties), joined back for the supplier
+    * name. The classic argmin-with-join-back: ONE pass computes the
+    * per-group min as a struct-max trick (min over (grain, suppkey)
+    * pairs — no second scan, no self-join), then only the |groups|-row
+    * result joins the supplier dim (broadcast). TPC-H Q2 runs the same
+    * shape over partsupp; this schema's price source is lineitem.
+    */
+  def q2MinCost(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), revGrain.as("grain"))
+    val part = Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    val best = li.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(min(struct(col("grain"), col("l_suppkey"))).as("best"))
+      .select(col("p_brand"), col("best.grain").as("min_grain"),
+        col("best.l_suppkey").as("s_suppkey"))
+    best.join(broadcast(Tables.load(spark, sfDir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))), Seq("s_suppkey"))
+      .select(col("p_brand"), (col("min_grain") / 1e4).as("min_rev"),
+        col("s_suppkey"), col("s_name"))
+  }
+
+  val q2MinCostSql: String =
+    s"""WITH priced AS (
+          SELECT p_brand, l_suppkey, $revGrainSql AS grain
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        best AS (
+          SELECT p_brand, min(grain) AS min_grain
+          FROM priced GROUP BY p_brand),
+        argmin AS (
+          SELECT b.p_brand, b.min_grain,
+            min(p.l_suppkey) AS s_suppkey
+          FROM best b JOIN priced p
+            ON p.p_brand = b.p_brand AND p.grain = b.min_grain
+          GROUP BY b.p_brand, b.min_grain)
+        SELECT p_brand, min_grain / 1e4 AS min_rev, s_suppkey, s_name
+        FROM argmin JOIN supplier USING (s_suppkey)"""
+
+  /** Q11-style group-vs-global HAVING — per part-type revenue kept only
+    * when it exceeds a FRACTION OF THE WHOLE CORPUS total (TPC-H Q11's
+    * `having sum(...) > (select sum(...) * fraction)`). The global
+    * scalar is the same aggregation reduced once more and broadcast —
+    * never a second scan of the fact table: one pass computes per-type
+    * grains, the scalar derives from those |types| rows.
+    */
+  def q11ScalarHaving(spark: SparkSession, sfDir: String,
+      fraction: Double = 0.04): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), revGrain.as("grain"))
+    val part = Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_type"))
+    val perType = li.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type").agg(sum("grain").as("type_grain"))
+    val total = perType.agg(sum("type_grain").as("total_grain"))
+    perType.crossJoin(broadcast(total))
+      .filter(col("type_grain") > col("total_grain") * fraction)
+      .select(col("p_type"), (col("type_grain") / 1e4).as("type_rev"),
+        (col("type_grain").cast("double") / col("total_grain"))
+          .as("share"))
+  }
+
+  def q11ScalarHavingSql(fraction: Double = 0.04): String =
+    s"""WITH per AS (
+          SELECT p_type, CAST(sum($revGrainSql) AS BIGINT) AS type_grain
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_type),
+        tot AS (SELECT CAST(sum(type_grain) AS BIGINT) AS total_grain
+                FROM per)
+        SELECT p_type, type_grain / 1e4 AS type_rev,
+          CAST(type_grain AS DOUBLE) / total_grain AS share
+        FROM per, tot
+        WHERE type_grain > total_grain * $fraction"""
 }
