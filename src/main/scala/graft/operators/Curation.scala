@@ -460,12 +460,21 @@ object Curation {
       budget: Long = 800, buckets: Int = 16): DataFrame = {
     val h = poly_hash(concat(col("doc_id").cast("string"), lit(":"),
       col("source")))
+    mixApplyFrom(
+      Tables.load(spark, sfDir, "documents").select(
+        col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        h.as("h")),
+      budget, buckets)
+  }
+
+  /** The bucketed-prefix-sum core of [[mixApply]] over an arbitrary
+    * (source, doc_id, n_tok, h) frame — shared with the streaming quota
+    * twin's equivalence test ([[graft.streaming.QuotaStreaming]]).
+    */
+  def mixApplyFrom(d0: DataFrame, budget: Long, buckets: Int): DataFrame = {
     val bsz = 1000000007L / buckets + 1
-    val d = Tables.load(spark, sfDir, "documents").select(
-      col("source"), col("doc_id"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
-      h.as("h"))
-      .withColumn("bkt", (col("h") / bsz).cast("int"))
+    val d = d0.withColumn("bkt", (col("h") / bsz).cast("int"))
     val local = Window.partitionBy("source", "bkt")
       .orderBy(col("h"), col("doc_id"))
     val withLocal = d.withColumn("lcum", sum("n_tok").over(local))
