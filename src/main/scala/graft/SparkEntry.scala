@@ -99,6 +99,7 @@ object SparkEntry {
     "t14_bpe_pairs"    -> ((s, dir) => TextAnalysis.bpePairs(s, dir)),
     "t15_bpe_merges"   -> ((s, dir) => TextAnalysis.bpeTrain(s, dir)),
     "t16_bpe_tokens"   -> ((s, dir) => TextAnalysis.bpeTokens(s, dir)),
+    "t17_bm25"         -> ((s, dir) => TextAnalysis.bm25(s, dir)),
     "w1_sessionize"    -> ((s, dir) => Sessionize.sessions(s, dir)),
     "w2_funnel"        -> ((s, dir) => Sessionize.funnel(s, dir)),
     "w3_retention"     -> ((s, dir) => Sessionize.retention(s, dir)),
@@ -118,6 +119,7 @@ object SparkEntry {
     "s8_ivfpq_recall"  -> ((s, dir) => Similarity.ivfPqRecall(s, dir)),
     "s9_ivf_stats"     -> ((s, dir) => Similarity.ivfStats(s, dir)),
     "e3_matryoshka"    -> ((s, dir) => Similarity.matryoshkaRecall(s, dir)),
+    "c16_topic_clusters" -> ((s, dir) => Similarity.topicClusters(s, dir)),
     "t5_seq_pack"      -> ((s, dir) => TextAnalysis.seqPack(s, dir)),
     "m1_media_meta"    -> ((s, dir) => Multimodal.meta(s, dir)),
     "m2_media_decode"  -> ((s, dir) => Multimodal.decodeAll(s, dir).toDF()),
@@ -142,6 +144,8 @@ object SparkEntry {
     "q14_promo"        -> ((s, dir) => Relational.q14Promo(s, dir)),
     "q15_top_supplier" -> ((s, dir) => Relational.q15TopSupplier(s, dir)),
     "q19_disjunct"     -> ((s, dir) => Relational.q19Disjunct(s, dir)),
+    "q9_profit"        -> ((s, dir) => Relational.q9Profit(s, dir)),
+    "q16_supplier_cnt" -> ((s, dir) => Relational.q16SupplierCnt(s, dir)),
     "q20_range_join"   -> ((s, dir) => Relational.q20RangeJoin(s, dir)),
     "q21_rollup"       -> ((s, dir) => Relational.qRollup(s, dir)),
     "c7_dedup_apply"   -> ((s, dir) => Dedup.dedupApply(s, dir)),
@@ -229,6 +233,7 @@ object SparkEntry {
     "t14_bpe_pairs"    -> TextAnalysis.bpePairsSql,
     "t15_bpe_merges"   -> TextAnalysis.bpeTrainSql(),
     "t16_bpe_tokens"   -> TextAnalysis.bpeTokensSql(),
+    "t17_bm25"         -> TextAnalysis.bm25Sql(),
     "w1_sessionize"    -> Sessionize.sessionsSql(),
     "w2_funnel"        -> Sessionize.funnelSql(),
     "w3_retention"     -> Sessionize.retentionSql,
@@ -248,6 +253,7 @@ object SparkEntry {
     "s8_ivfpq_recall"  -> Similarity.ivfPqRecallSql(),
     "s9_ivf_stats"     -> Similarity.ivfStatsSql(),
     "e3_matryoshka"    -> Similarity.matryoshkaRecallSql(),
+    "c16_topic_clusters" -> Similarity.topicClustersSql(),
     "m3_frame_sample"  -> Multimodal.frameSampleSql(),
     "t5_seq_pack"      -> TextAnalysis.seqPackSql(),
     "m1_media_meta"    -> Multimodal.metaSql,
@@ -300,6 +306,8 @@ object SparkEntry {
     "q14_promo"        -> Relational.q14PromoSql,
     "q15_top_supplier" -> Relational.q15TopSupplierSql,
     "q19_disjunct"     -> Relational.q19DisjunctSql,
+    "q9_profit"        -> Relational.q9ProfitSql(),
+    "q16_supplier_cnt" -> Relational.q16SupplierCntSql(),
     "q20_range_join"   -> Relational.q20RangeJoinSql(),
     "q21_rollup"       -> Relational.qRollupSql,
     "c7_dedup_apply"   -> Dedup.dedupApplySql(),

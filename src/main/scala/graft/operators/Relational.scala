@@ -710,4 +710,98 @@ object Relational {
           CAST(type_grain AS DOUBLE) / total_grain AS share
         FROM per, tot
         WHERE type_grain > total_grain * $fraction"""
+
+  /** Q9-style product-type profit: per (supplier nation, order year),
+    * revenue minus cost for lines whose part name matches a substring.
+    * The schema has no partsupp, so `p_retailprice` stands in for
+    * `ps_supplycost` — same join/agg shape as TPC-H Q9. Profit stays in
+    * the exact 1e-4 integer grain until one final division: the revenue
+    * grain is already 1e-4 units and the cost side is
+    * cents(retailprice) x qty x 100. Part (name-filtered) and
+    * supplier->nation broadcast; the only shuffle joins are the two
+    * fact-fact edges (lineitem-orders) and the final 2-col groupBy.
+    */
+  def q9Profit(spark: SparkSession, sfDir: String,
+      namePart: String = "bolt"): DataFrame = {
+    val part = Tables.load(spark, sfDir, "part")
+      .filter(col("p_name").contains(namePart))
+      .select(col("p_partkey"),
+        floor(col("p_retailprice") * 100 + lit(0.5)).cast("long")
+          .as("cost_cents"))
+    val supNat = Tables.load(spark, sfDir, "supplier")
+      .join(broadcast(Tables.load(spark, sfDir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val ord0 = Tables.load(spark, sfDir, "orders")
+    val ord = ord0.select(col("o_orderkey"),
+      year(timestamp_millis(Tables.colMillis(ord0, "o_orderdate")))
+        .cast("long").as("o_year"))
+    Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        revGrain.as("rev_grain"), col("l_quantity").cast("long").as("qty"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("nation", "o_year")
+      .agg((sum(col("rev_grain") - col("cost_cents") * col("qty") * lit(100L))
+          / lit(10000.0)).as("profit"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  def q9ProfitSql(namePart: String = "bolt"): String =
+    s"""SELECT n_name AS nation,
+          CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          sum($revGrainSql
+              - CAST(floor(p_retailprice*100 + 0.5) AS BIGINT)
+                * CAST(l_quantity AS BIGINT) * 100) / 10000.0 AS profit,
+          count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%$namePart%'
+        GROUP BY n_name, year(o_orderdate)"""
+
+  /** Q16-style supplier-relationship count: distinct suppliers able to
+    * supply each (brand, type, size) bucket, excluding a brand, a type
+    * prefix, and blacklisted suppliers (negative balance stands in for
+    * TPC-H's comment-flagged "customer complaints" — NOT IN becomes a
+    * broadcast LEFT ANTI join). The part-supplier catalog derives from
+    * lineitem (no partsupp table); no pre-distinct is needed because
+    * count(DISTINCT suppkey) dedups inside the aggregation's own
+    * partial/final two-phase shuffle.
+    */
+  def q16SupplierCnt(spark: SparkSession, sfDir: String,
+      excludeBrand: String = "Brand#17", excludeTypePrefix: String = "SMALL",
+      sizes: Seq[Int] = Seq(2, 5, 11, 28, 29, 37, 42, 50)): DataFrame = {
+    val part = Tables.load(spark, sfDir, "part")
+      .filter(col("p_brand") =!= excludeBrand &&
+        !col("p_type").startsWith(excludeTypePrefix) &&
+        col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val badSup = Tables.load(spark, sfDir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSup), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  def q16SupplierCntSql(excludeBrand: String = "Brand#17",
+      excludeTypePrefix: String = "SMALL",
+      sizes: Seq[Int] = Seq(2, 5, 11, 28, 29, 37, 42, 50)): String =
+    s"""SELECT p_brand, p_type, p_size,
+          count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> '$excludeBrand'
+          AND p_type NOT LIKE '$excludeTypePrefix%'
+          AND p_size IN (${sizes.mkString(",")})
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size"""
 }

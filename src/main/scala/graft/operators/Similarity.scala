@@ -1028,6 +1028,73 @@ object Similarity {
         FROM shared, stats"""
   }
 
+  /** Topic clustering for corpus-mix balancing: k-means over the
+    * embedding column assigns every document to a cluster; the output is
+    * the per-cluster doc count, token mass, token share of the corpus,
+    * and (since the synthetic embeddings carry a ground-truth `label`)
+    * the majority label and cluster purity — quality measured, not
+    * assumed, like the recall queries. This is the shape behind
+    * cluster-balanced data mixes (sample per topic instead of per
+    * source): at 100 TB the corpus only flows through one broadcast
+    * nearest-centroid assignment and two keyed aggregations whose key
+    * cardinality is |cells| x |labels| — no pair joins, no windows over
+    * corpus rows.
+    */
+  def topicClusters(spark: SparkSession, sfDir: String,
+      kmeansIters: Int = 2): DataFrame = {
+    val vecs = vecsDouble(spark, sfDir)
+    val ids = vecs.select("vec_id", "v")
+    val assigned = assignCells(ids, ivfCentroids(ids, kmeansIters))
+    val docs = Tables.load(spark, sfDir, "documents").select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"))
+    val byLabel = assigned.select("vec_id", "cell")
+      .join(vecs.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .join(docs, col("vec_id") === col("doc_id"))
+      .groupBy("cell", "label")
+      .agg(count(lit(1)).as("n_l"), sum("n_words").as("tok_l"))
+    val perCell = byLabel.groupBy("cell")
+      .agg(sum("n_l").as("n_docs"), sum("tok_l").as("n_tokens"),
+        max(struct(col("n_l").as("c"), (-col("label")).as("nl"))).as("mj"))
+    val tot = Window.partitionBy(lit(1))
+    perCell.select(col("cell").as("cluster"), col("n_docs"),
+        col("n_tokens"),
+        (col("n_tokens").cast("double") / sum("n_tokens").over(tot))
+          .as("token_share"),
+        (-col("mj.nl")).cast("long").as("majority_label"),
+        (col("mj.c").cast("double") / col("n_docs")).as("purity"))
+  }
+
+  def topicClustersSql(kmeansIters: Int = 2): String = {
+    val (ctes, _) = ivfCtesSql(kmeansIters)
+    s"""WITH $ctes,
+        docs AS (SELECT doc_id,
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+              AS n_words
+          FROM documents),
+        bl AS (
+          SELECT a.cell, e.label,
+            CAST(count(*) AS BIGINT) AS n_l,
+            CAST(sum(d.n_words) AS BIGINT) AS tok_l
+          FROM assigned a
+          JOIN embeddings e ON a.vec_id = e.vec_id
+          JOIN docs d ON a.vec_id = d.doc_id
+          GROUP BY a.cell, e.label),
+        pc AS (
+          SELECT cell AS cluster,
+            CAST(sum(n_l) AS BIGINT) AS n_docs,
+            CAST(sum(tok_l) AS BIGINT) AS n_tokens,
+            CAST(-struct_extract(max({'c': n_l, 'nl': -label}), 'nl')
+              AS BIGINT) AS majority_label,
+            CAST(struct_extract(max({'c': n_l, 'nl': -label}), 'c')
+              AS DOUBLE) / sum(n_l) AS purity
+          FROM bl GROUP BY cell)
+        SELECT cluster, n_docs, n_tokens,
+          CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share,
+          majority_label, purity
+        FROM pc"""
+  }
+
   /** Matryoshka-style truncation recall — how much ANN quality survives
     * when only the first `p` dimensions of each embedding are kept
     * (dimension truncation is the cheapest embedding compression: a

@@ -721,4 +721,94 @@ object TextAnalysis {
               FROM documents) dw
         JOIN seglen USING (w)
         GROUP BY doc_id"""
+
+  /** BM25 relevance ranking of the corpus against a fixed term set —
+    * the retrieval shape behind quality-by-query curation (keep the
+    * documents most relevant to a seed query). Per-term scores use the
+    * standard tf saturation `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * weighted by a LOG-FREE idf — the raw odds `(N−df+0.5)/(df+0.5)`
+    * whose log is the classic BM25 idf. The odds form is monotone in
+    * the same direction, and (unlike `ln`, whose last ulp differs
+    * between libm and the JVM) is pure +,·,/ — IEEE-exact on both
+    * engines, the same parity discipline as [[lmScore]]'s ratio space.
+    *
+    * Scale shape: terms and the |terms|-row df table broadcast; the
+    * corpus flows through one tokenize-filter-count aggregation keyed
+    * (doc, term) and the per-doc score fold is over ≤|terms| elements
+    * in sorted-term order (deterministic summation). The final top-k is
+    * `orderBy(...).limit(k)` — Spark's TakeOrdered: per-partition
+    * heap top-k merged on the driver, never a global sort.
+    */
+  def bm25(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("spark", "hash", "vector", "stream"),
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 10): DataFrame = {
+    val docs = Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        split(trim(lower(col("text"))), wsSplit).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        size(col("ws")).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("nd"), sum("dl").as("toktot"))
+      .select(col("nd"),
+        (col("toktot").cast("double") / col("nd")).as("avgdl"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "dl", "w")
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfT), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("w"),
+        (((col("nd") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)) *
+          (col("tf") * lit(k1 + 1) /
+            (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * col("dl") / col("avgdl"))))).as("s"))
+    scored.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("w"), col("s")))).as("ts"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_terms"),
+        aggregate(col("ts"), lit(0.0), (a, x) => a + x("s")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def bm25Sql(
+      terms: Seq[String] = Seq("spark", "hash", "vector", "stream"),
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 10): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (
+          SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl
+          FROM (SELECT doc_id,
+                  string_split_regex(trim(lower(text)), '\\s+') AS ws
+                FROM documents)),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS nd,
+            CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl
+          FROM d),
+        tf AS (
+          SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, dl, unnest(ws) AS w FROM d)
+          WHERE w IN ($termList)
+          GROUP BY doc_id, dl, w),
+        dft AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        scored AS (
+          /* fractional literals CAST to DOUBLE: DuckDB parses a bare 2.2
+             as DECIMAL and computes tf*2.2 exactly before converting,
+             while Spark rounds the double product — a 1-ulp mismatch.
+             (Line comments are unusable here: oracle strings are
+             newline-flattened at registration.) */
+          SELECT doc_id, w,
+            ((nd - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) *
+              (tf * CAST(${k1 + 1} AS DOUBLE) /
+                (tf + CAST($k1 AS DOUBLE) *
+                  (CAST(1.0 AS DOUBLE) - CAST($b AS DOUBLE) +
+                   CAST($b AS DOUBLE) * dl / avgdl))) AS s
+          FROM tf JOIN dft USING (w) CROSS JOIN stats)
+        SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_terms,
+          list_reduce(list_prepend(0.0,
+            list_transform(ts, x -> x.s)), (a, x) -> a + x) AS score
+        FROM (SELECT doc_id, list({'w': w, 's': s} ORDER BY w, s) AS ts
+              FROM scored GROUP BY doc_id)
+        ORDER BY score DESC, doc_id ASC
+        LIMIT $k"""
+  }
 }
