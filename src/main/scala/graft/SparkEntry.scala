@@ -100,6 +100,7 @@ object SparkEntry {
     "t15_bpe_merges"   -> ((s, dir) => TextAnalysis.bpeTrain(s, dir)),
     "t16_bpe_tokens"   -> ((s, dir) => TextAnalysis.bpeTokens(s, dir)),
     "t17_bm25"         -> ((s, dir) => TextAnalysis.bm25(s, dir)),
+    "t18_cms_topk"     -> ((s, dir) => TextAnalysis.cmsTopk(s, dir)),
     "w1_sessionize"    -> ((s, dir) => Sessionize.sessions(s, dir)),
     "w2_funnel"        -> ((s, dir) => Sessionize.funnel(s, dir)),
     "w3_retention"     -> ((s, dir) => Sessionize.retention(s, dir)),
@@ -234,6 +235,7 @@ object SparkEntry {
     "t15_bpe_merges"   -> TextAnalysis.bpeTrainSql(),
     "t16_bpe_tokens"   -> TextAnalysis.bpeTokensSql(),
     "t17_bm25"         -> TextAnalysis.bm25Sql(),
+    "t18_cms_topk"     -> TextAnalysis.cmsTopkSql(),
     "w1_sessionize"    -> Sessionize.sessionsSql(),
     "w2_funnel"        -> Sessionize.funnelSql(),
     "w3_retention"     -> Sessionize.retentionSql,

@@ -722,6 +722,89 @@ object TextAnalysis {
         JOIN seglen USING (w)
         GROUP BY doc_id"""
 
+  /** Count-min sketch parameters: D independent hash rows of W buckets.
+    * W is deliberately small relative to the synthetic vocabulary so
+    * bucket collisions actually occur and the overestimate column is a
+    * live measurement, not a column of zeros.
+    */
+  private val CmsP = 1000000007L
+  private val CmsW = 16L
+  private val CmsA = Seq(1103515245L, 1566083941L, 1812433253L, 1664525L)
+  private val CmsB = Seq(12345L, 1013904223L, 2531011L, 69069L)
+
+  private def cmsBucket(i: Int, h: Column): Column =
+    ((h * lit(CmsA(i)) + lit(CmsB(i))) % lit(CmsP)) % lit(CmsW)
+
+  private def cmsBucketSql(i: Int, h: String): String =
+    s"(($h * ${CmsA(i)} + ${CmsB(i)}) % $CmsP) % $CmsW"
+
+  /** Count-min sketch heavy hitters with measured error. The sketch is
+    * the classic D×W counter grid built RELATIONALLY: each word emits D
+    * (row, bucket) cells and one keyed count aggregates them — map-side
+    * combine collapses every input partition to ≤ D·W rows before the
+    * shuffle, so at 100 TB the sketch build moves kilobytes per
+    * partition regardless of corpus size (the same reason the grid
+    * needs no custom mergeable Aggregator: the groupBy IS the merge).
+    * The top-k exact words (TakeOrdered, the measurement baseline like
+    * [[graft.operators.Similarity]]'s brute-force kNN) are then probed
+    * against the sketch: estimate = min over the D cells, and the
+    * CMS guarantee est ≥ exact makes `overestimate` a nonneg measured
+    * error column. Counts and mins are exact integers — bit-exact
+    * cross-engine with no float discipline needed.
+    */
+  def cmsTopk(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val words = Tables.loadSpread(spark, sfDir, "documents")
+      .select(explode(split(trim(lower(col("text"))), wsSplit)).as("w"))
+    val cellArr = (h: Column) => array(CmsA.indices.map(i =>
+      struct(lit(i).as("r"), cmsBucket(i, h).as("b"))): _*)
+    val sketch = words
+      .select(explode(cellArr(poly_hash(col("w")))).as("c"))
+      .groupBy(col("c.r").as("r"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = words.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("w").asc)
+      .limit(k)
+    probes
+      .select(col("w"), col("exact_cnt"),
+        explode(cellArr(poly_hash(col("w")))).as("c"))
+      .select(col("w"), col("exact_cnt"),
+        col("c.r").as("r"), col("c.b").as("b"))
+      .join(broadcast(sketch), Seq("r", "b"))
+      .groupBy("w", "exact_cnt")
+      .agg(min(col("cnt")).as("est_cnt"))
+      .select(col("w"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("exact_cnt")).as("overestimate"))
+  }
+
+  def cmsTopkSql(k: Int = 10): String = {
+    val cellList = (h: String) => CmsA.indices.map(i =>
+      s"{'r': $i, 'b': ${cmsBucketSql(i, h)}}").mkString("[", ", ", "]")
+    s"""WITH words AS (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+          FROM documents),
+        hv AS (SELECT w, ${polySql("w")} AS h FROM words),
+        sketch AS (
+          SELECT c.r AS r, c.b AS b, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(${cellList("h")}) AS c FROM hv)
+          GROUP BY c.r, c.b),
+        probes AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM words GROUP BY w
+          ORDER BY exact_cnt DESC, w ASC LIMIT $k),
+        pc AS (
+          SELECT w, exact_cnt, c.r AS r, c.b AS b
+          FROM (SELECT w, exact_cnt,
+                  unnest(${cellList(polySql("w"))}) AS c
+                FROM probes)),
+        est AS (
+          SELECT w, exact_cnt, min(cnt) AS est_cnt
+          FROM pc JOIN sketch USING (r, b)
+          GROUP BY w, exact_cnt)
+        SELECT w, exact_cnt, est_cnt,
+          est_cnt - exact_cnt AS overestimate
+        FROM est"""
+  }
+
   /** BM25 relevance ranking of the corpus against a fixed term set —
     * the retrieval shape behind quality-by-query curation (keep the
     * documents most relevant to a seed query). Per-term scores use the
