@@ -154,6 +154,7 @@ object SparkEntry {
     "c10_data_card"    -> ((s, dir) => Curation.dataCard(s, dir)),
     "c11_incremental"  -> ((s, dir) => Curation.incrementalNew(s, dir)),
     "q23_pivot"        -> ((s, dir) => Relational.qPivot(s, dir)),
+    "q24_unpivot"      -> ((s, dir) => Relational.q24Unpivot(s, dir)),
   )
 
   /** Alert config used by registered queries: thresholds tuned so the test
@@ -317,6 +318,7 @@ object SparkEntry {
     "c10_data_card"    -> Curation.dataCardSql,
     "c11_incremental"  -> Curation.incrementalNewSql,
     "q23_pivot"        -> Relational.qPivotSql,
+    "q24_unpivot"      -> Relational.q24UnpivotSql,
     // Collapse line breaks + indentation only — NOT intra-line runs: a
     // blanket \s+ collapse rewrites whitespace inside SQL string
     // LITERALS (the email CSS carries a reference-faithful double space).

@@ -804,4 +804,42 @@ object Relational {
           AND l_suppkey NOT IN (
             SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         GROUP BY p_brand, p_type, p_size"""
+
+  private val meltCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Wide-to-long melt: the four lineitem measures unpivot into
+    * (metric, value) rows — the reshape every metrics pipeline needs
+    * before generic per-metric processing (the reference's wide `jx`
+    * row vs its long `stats` rows is exactly this tension). Spark's
+    * native `unpivot` runs as a per-row Expand (no shuffle, no UDF);
+    * the only exchange is the final |metrics|-group aggregate, which
+    * map-combines to |metrics| rows per partition at any scale. Values
+    * are lifted to exact 1e-2 integer grains BEFORE the melt so the
+    * per-metric sums are order-free and bit-identical cross-engine.
+    */
+  def q24Unpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey") +: meltCols.map(c =>
+        floor(col(c) * 100 + lit(0.5)).cast("long").as(c)): _*)
+    li.unpivot(Array(col("l_orderkey")),
+        meltCols.map(col).toArray, "metric", "grain")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"),
+        sum("grain").as("sum_grain"))
+      .select(col("metric"), col("n"),
+        (col("sum_grain") / lit(100.0)).as("total"),
+        (col("sum_grain") / lit(100.0) / col("n")).as("mean"))
+  }
+
+  val q24UnpivotSql: String = {
+    val arms = meltCols.map(c =>
+      s"""SELECT '$c' AS metric,
+          CAST(floor($c*100 + 0.5) AS BIGINT) AS grain FROM lineitem""")
+      .mkString(" UNION ALL ")
+    s"""SELECT metric, count(*) AS n,
+          sum(grain) / CAST(100.0 AS DOUBLE) AS total,
+          sum(grain) / CAST(100.0 AS DOUBLE) / count(*) AS mean
+        FROM ($arms)
+        GROUP BY metric"""
+  }
 }

@@ -299,6 +299,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q24 unpivot: melt is a per-row Expand, one partial-agg exchange") {
+    val p = plan("q24_unpivot")
+    assert(p.contains("Expand"), p)
+    // only the |metrics|-group aggregate shuffles, with map-side combine
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // At 100 TB the win of Spark's runtime row-level filtering: a
     // selective dimension filter is turned into a bloom filter that
