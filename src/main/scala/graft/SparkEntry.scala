@@ -101,6 +101,7 @@ object SparkEntry {
     "t16_bpe_tokens"   -> ((s, dir) => TextAnalysis.bpeTokens(s, dir)),
     "t17_bm25"         -> ((s, dir) => TextAnalysis.bm25(s, dir)),
     "t18_cms_topk"     -> ((s, dir) => TextAnalysis.cmsTopk(s, dir)),
+    "t19_rank_select"  -> ((s, dir) => TextAnalysis.rankSelect(s, dir)),
     "w1_sessionize"    -> ((s, dir) => Sessionize.sessions(s, dir)),
     "w2_funnel"        -> ((s, dir) => Sessionize.funnel(s, dir)),
     "w3_retention"     -> ((s, dir) => Sessionize.retention(s, dir)),
@@ -237,6 +238,7 @@ object SparkEntry {
     "t16_bpe_tokens"   -> TextAnalysis.bpeTokensSql(),
     "t17_bm25"         -> TextAnalysis.bm25Sql(),
     "t18_cms_topk"     -> TextAnalysis.cmsTopkSql(),
+    "t19_rank_select"  -> TextAnalysis.rankSelectSql(),
     "w1_sessionize"    -> Sessionize.sessionsSql(),
     "w2_funnel"        -> Sessionize.funnelSql(),
     "w3_retention"     -> Sessionize.retentionSql,

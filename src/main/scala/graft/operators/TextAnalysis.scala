@@ -532,6 +532,59 @@ object TextAnalysis {
         FROM samp CROSS JOIN exact"""
   }
 
+  /** EXACT distributed quantiles by rank selection — the scale path that
+    * [[lenQuantile]]'s collect-the-corpus baseline deliberately is not.
+    * Three relational steps, none of which sorts corpus rows globally:
+    * (1) a map-combinable histogram of `v div W` bucket counts, (2) a
+    * prefix sum over the TINY bucket table (single-partition window over
+    * ~max(v)/W rows — never corpus rows) locating the bucket holding
+    * each target rank, (3) a broadcast join back so only the selected
+    * buckets' rows are ranked, with a per-target window whose input is
+    * bucket-sized. Rank k = (n−1)·p/100 (lower quantile, 0-indexed);
+    * the value at a global rank is unique even under ties, so output is
+    * exact integers — bit-identical cross-engine. This is the
+    * select-k-th-smallest-without-sorting shape (bucketed prefix sum,
+    * same family as c13's token-budget prefix sum).
+    */
+  def rankSelect(spark: SparkSession, sfDir: String,
+      ps: Seq[Int] = Seq(50, 90, 99), bucketWidth: Long = 64L): DataFrame = {
+    import spark.implicits._
+    val vals = Tables.load(spark, sfDir, "documents")
+      .select(col("n_chars").cast("long").as("v"))
+    val hist = vals.groupBy(expr(s"v div $bucketWidth").as("bkt"))
+      .agg(count(lit(1)).as("c"))
+    // the cum table is |buckets| rows; truncating its lineage here means
+    // the corpus histogram runs ONCE even though cum feeds both the total
+    // (max hi) and the per-rank bucket lookup (the centroid-table pattern)
+    val cum = hist
+      .withColumn("hi", sum("c").over(Window.orderBy("bkt")))
+      .withColumn("lo", col("hi") - col("c"))
+      .localCheckpoint()
+    val tot = cum.agg(max("hi").as("n"))
+    val ranks = ps.toDF("p").crossJoin(broadcast(tot))
+      .select(col("p"), expr("(n - 1) * p div 100").as("k"))
+    val target = ranks.join(broadcast(cum),
+        col("k") >= col("lo") && col("k") < col("hi"))
+      .select(col("p"), col("k"), col("bkt"), col("lo"))
+    val w = Window.partitionBy("p").orderBy("v")
+    vals.join(broadcast(target), expr(s"v div $bucketWidth") === col("bkt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === col("k") - col("lo") + 1)
+      .select(col("p"), col("v").as("quantile"), col("k").as("rank"))
+  }
+
+  def rankSelectSql(ps: Seq[Int] = Seq(50, 90, 99)): String = {
+    val vs = ps.map(p => s"($p)").mkString(", ")
+    s"""WITH vals AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+        ranks AS (SELECT p, (n - 1) * p // 100 AS k
+                  FROM tot CROSS JOIN (VALUES $vs) t(p)),
+        ordered AS (
+          SELECT v, row_number() OVER (ORDER BY v) - 1 AS r FROM vals)
+        SELECT p, v AS quantile, k AS rank
+        FROM ranks JOIN ordered ON r = k"""
+  }
+
   /** Document fingerprinting — rolling polynomial hash of the normalized
     * text (lowercase, collapsed whitespace), via the codegen'd
     * [[graft.functions.PolyHash]] expression.

@@ -307,6 +307,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_"), p)
   }
 
+  test("t19 rank select: no corpus-wide sort — histogram + bucket-scoped " +
+    "window only") {
+    val p = plan("t19_rank_select")
+    // the histogram/prefix-sum stage ran eagerly into the checkpointed
+    // bucket table, so the final plan is: broadcast the rank targets,
+    // ONE window exchange over bucket-scoped rows — never a corpus sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("TakeOrdered") && !p.contains("CartesianProduct"), p)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // At 100 TB the win of Spark's runtime row-level filtering: a
     // selective dimension filter is turned into a bloom filter that
