@@ -156,6 +156,7 @@ object SparkEntry {
     "c11_incremental"  -> ((s, dir) => Curation.incrementalNew(s, dir)),
     "q23_pivot"        -> ((s, dir) => Relational.qPivot(s, dir)),
     "q24_unpivot"      -> ((s, dir) => Relational.q24Unpivot(s, dir)),
+    "q25_cube"         -> ((s, dir) => Relational.qCube(s, dir)),
   )
 
   /** Alert config used by registered queries: thresholds tuned so the test
@@ -321,6 +322,7 @@ object SparkEntry {
     "c11_incremental"  -> Curation.incrementalNewSql,
     "q23_pivot"        -> Relational.qPivotSql,
     "q24_unpivot"      -> Relational.q24UnpivotSql,
+    "q25_cube"         -> Relational.qCubeSql,
     // Collapse line breaks + indentation only — NOT intra-line runs: a
     // blanket \s+ collapse rewrites whitespace inside SQL string
     // LITERALS (the email CSS carries a reference-faithful double space).

@@ -595,6 +595,31 @@ object Relational {
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
 
+  /** CUBE aggregation — all four grouping sets of (server, service) in
+    * ONE pass (per-pair, per-server, per-service, grand total). Like
+    * [[qRollup]], Catalyst expands the sets BEFORE the exchange so
+    * map-side partial aggregation still applies — at 100 TB the shuffle
+    * carries |servers×services| × 4 partial rows per partition, not
+    * 4× the corpus. Elapsed is lifted to an exact 1e-2 grain so the
+    * per-set sums are order-free.
+    */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.txBase(spark, sfDir)
+      .select(col("server"), col("service"),
+        floor(col("elapsed") * 100 + lit(0.5)).cast("long").as("el_grain"))
+      .cube("server", "service")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("el_grain")) / lit(100.0)).as("sum_elapsed"),
+        grouping_id().cast("long").as("gid"))
+
+  val qCubeSql: String =
+    s"""SELECT server, service, count(*) AS n,
+        sum(CAST(floor(elapsed*100 + 0.5) AS BIGINT))
+          / CAST(100.0 AS DOUBLE) AS sum_elapsed,
+        CAST(grouping(server) * 2 + grouping(service) AS BIGINT) AS gid
+        FROM (${graft.Tables.txBaseSql})
+        GROUP BY CUBE (server, service)"""
+
   /** PIVOT — long-to-wide reshape (per-service event counts by server).
     * Spark's `pivot` with an explicit value list keeps the schema static
     * (no extra distinct-values job) and compiles to a single groupBy
