@@ -91,6 +91,7 @@ object SparkEntry {
     "c13_mix_apply"    -> ((s, dir) => Curation.mixApply(s, dir)),
     "c14_fuzzy_decon"  -> ((s, dir) => Curation.fuzzyDecon(s, dir)),
     "c15_quality_attrib" -> ((s, dir) => Curation.qualityAttribution(s, dir)),
+    "c17_pps_sample"   -> ((s, dir) => Curation.ppsSample(s, dir)),
     "c6_pii_scrub"     -> ((s, dir) => Curation.piiScrub(s, dir)),
     "t6_repetition"    -> ((s, dir) => TextAnalysis.repetition(s, dir)),
     "t8_vocab"         -> ((s, dir) => TextAnalysis.vocab(s, dir)),
@@ -229,6 +230,7 @@ object SparkEntry {
     "c13_mix_apply"    -> Curation.mixApplySql(),
     "c14_fuzzy_decon"  -> Curation.fuzzyDeconSql(),
     "c15_quality_attrib" -> Curation.qualityAttributionSql,
+    "c17_pps_sample"   -> Curation.ppsSampleSql(),
     "c6_pii_scrub"     -> Curation.piiScrubSql,
     "t6_repetition"    -> TextAnalysis.repetitionSql(),
     "t8_vocab"         -> TextAnalysis.vocabSql(),

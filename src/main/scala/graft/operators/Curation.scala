@@ -490,6 +490,60 @@ object Curation {
       .select("source", "doc_id", "n_tok", "cum_tok")
   }
 
+  /** Systematic probability-proportional-to-size sampling — the weighted
+    * subsample op (pick documents with probability ∝ token count, e.g.
+    * to downweight boilerplate-heavy shards without dropping long docs).
+    * Docs are laid on a line in deterministic hash order, each owning a
+    * token-length interval via the SAME bucketed global prefix sum as
+    * [[mixApply]] (local running sums per hash bucket in parallel, tiny
+    * broadcast offset table — no single-task global window); a doc is
+    * selected iff its interval contains a multiple of `step`, so
+    * inclusion probability is exactly n_tok/step (docs longer than step
+    * get a multiplicity column, the standard PPS-with-replacement
+    * accounting). All integer arithmetic — no RNG, no floats — so the
+    * sample is reproducible and bit-identical cross-engine.
+    */
+  def ppsSample(spark: SparkSession, sfDir: String,
+      step: Long = 500, buckets: Int = 16): DataFrame = {
+    val h = poly_hash(concat(col("doc_id").cast("string"), lit("#pps")))
+    val d0 = Tables.load(spark, sfDir, "documents").select(
+      col("source"), col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+      h.as("h"))
+    val bsz = 1000000007L / buckets + 1
+    val d = d0.withColumn("bkt", (col("h") / bsz).cast("int"))
+    val local = Window.partitionBy("bkt").orderBy(col("h"), col("doc_id"))
+    val withLocal = d.withColumn("lcum", sum("n_tok").over(local))
+    val off = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("bkt").agg(sum("n_tok").as("btok"))
+      .select(col("bkt"), coalesce(sum("btok").over(off), lit(0L)).as("boff"))
+    withLocal.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("cum_tok", col("lcum") + col("boff"))
+      .withColumn("n_picks",
+        expr(s"cum_tok div $step") - expr(s"(cum_tok - n_tok) div $step"))
+      .filter(col("n_picks") > 0)
+      .select("source", "doc_id", "n_tok", "cum_tok", "n_picks")
+  }
+
+  def ppsSampleSql(step: Long = 500): String = {
+    val h = polySql("CAST(doc_id AS VARCHAR) || '#pps'")
+    s"""WITH d AS (
+          SELECT source, doc_id,
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+              AS n_tok,
+            $h AS h
+          FROM documents),
+        c AS (
+          SELECT source, doc_id, n_tok,
+            CAST(sum(n_tok) OVER (ORDER BY h, doc_id) AS BIGINT) AS cum_tok
+          FROM d)
+        SELECT source, doc_id, n_tok, cum_tok,
+          cum_tok // $step - (cum_tok - n_tok) // $step AS n_picks
+        FROM c
+        WHERE cum_tok // $step - (cum_tok - n_tok) // $step > 0"""
+  }
+
   def mixApplySql(budget: Long = 800): String = {
     val h = polySql("CAST(doc_id AS VARCHAR) || ':' || source")
     s"""WITH d AS (

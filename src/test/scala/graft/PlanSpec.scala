@@ -318,6 +318,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("TakeOrdered") && !p.contains("CartesianProduct"), p)
   }
 
+  test("c17 pps sample: prefix sum is bucket-parallel, offsets broadcast") {
+    val p = plan("c17_pps_sample")
+    // local running sums partition by the hash bucket (parallel), never
+    // one global single-task window over corpus rows
+    assert("hashpartitioning\\(bkt".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // At 100 TB the win of Spark's runtime row-level filtering: a
     // selective dimension filter is turned into a bloom filter that
