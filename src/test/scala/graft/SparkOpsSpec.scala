@@ -367,4 +367,37 @@ class SparkOpsSpec extends AnyFunSuite {
       .toSeq.sortBy(_._1)
     assert(got == want.toSeq, s"got=$got\nwant=$want")
   }
+
+  test("cmsTopk: count-min guarantee holds corpus-wide (est >= exact, " +
+    "exact counts correct)") {
+    // probe EVERY word (k larger than the vocabulary), not just the
+    // top-k slice the registered query emits
+    val rows = TextAnalysis.cmsTopk(spark, sf, k = 1000000).collect()
+    val freqs: Map[String, Long] = spark.read
+      .parquet(s"$sf/documents.parquet").select(col("text")).collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+"))
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    assert(rows.length == freqs.size, s"${rows.length} vs ${freqs.size}")
+    rows.foreach { r =>
+      val (w, exact, est, over) =
+        (r.getString(r.fieldIndex("w")), r.getLong(r.fieldIndex("exact_cnt")),
+          r.getLong(r.fieldIndex("est_cnt")),
+          r.getLong(r.fieldIndex("overestimate")))
+      assert(exact == freqs(w), s"exact count wrong for '$w'")
+      assert(est >= exact && over == est - exact, s"CMS bound violated for '$w'")
+    }
+  }
+
+  test("rankSelect == element at rank of the fully sorted value list") {
+    val vals = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("n_chars")).collect().map(_.getLong(0)).sorted
+    val got = TextAnalysis.rankSelect(spark, sf).collect()
+      .map(r => r.getInt(r.fieldIndex("p")) ->
+        (r.getLong(r.fieldIndex("quantile")), r.getLong(r.fieldIndex("rank"))))
+      .toMap
+    Seq(50, 90, 99).foreach { p =>
+      val k = (vals.length - 1).toLong * p / 100
+      assert(got(p) == (vals(k.toInt), k), s"p=$p")
+    }
+  }
 }
