@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -155,4 +156,39 @@ object Sessionize {
         FROM days d JOIN firsts f ON d.user_id = f.user_id
         JOIN sizes s ON f.cohort_day = s.cohort_day
         GROUP BY f.cohort_day, d.day - f.cohort_day, cohort_size"""
+
+  /** Event-transition matrix (path analysis): per-user event streams in
+    * time order yield (prev → next) bigram counts and their share of
+    * all transitions — the Markov-chain view of user behavior that
+    * funnel analysis generalizes to. One keyed lag window per user
+    * (shuffle on user_id, parallel across users — the per-key-ordered
+    * shape shared with the z-score fold) feeding a map-combined pair
+    * count; ties inside a timestamp break on event_id on both engines,
+    * so the transition relation is deterministic.
+    */
+  def transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val d = ev.select(col("user_id"), Tables.tsMillis(ev).as("ms"),
+      col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val pairs = d.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val tot = Window.partitionBy(lit(1))
+    pairs.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (col("n").cast("double") / sum("n").over(tot)).as("share"))
+  }
+
+  val transitionsSql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type
+          FROM events),
+        p AS (SELECT event_type AS next_type,
+            lag(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ms, event_id) AS prev_type
+          FROM e)
+        SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS share
+        FROM p WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type"""
 }
