@@ -178,12 +178,13 @@ object Bench {
     try Files.writeString(Paths.get("bench_out.json"), full)
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
-    // COMPACT final stdout line: keeps the contract's "queries" map but
-    // wall-only at 2 decimals (~1.8 KB for ~80 queries) — r2's 4.3 KB line
-    // (queries + cpu_sec at 3 decimals) overflowed the driver's tail
-    // buffer and arrived truncated mid-JSON.
-    val qs2 = results.map { case (k, w, _) => f""""$k":$w%.2f""" }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs2,"errors":$errJson$streamJson,"sf":"$sfDir","detail":"bench_out.json"}"""
+    // COMPACT final stdout line, NO per-query map: three straight rounds
+    // proved the driver's log-tail buffer clips anything past a few
+    // hundred bytes (r3's 2.8 KB wall-only map still arrived mid-key).
+    // The stdout line carries only the headline scalars — total wall,
+    // query count, error map, stream block, sf — and points at
+    // bench_out.json for the per-query detail. Must stay under 400 B.
+    val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"errors":$errJson$streamJson,"sf":"$sfDir","detail":"bench_out.json"}"""
     spark.stop()
     // Bare, final stdout line (spark.stop() already happened so nothing
     // logs after it; run/outputStrategy passes it through un-prefixed).

@@ -41,11 +41,23 @@ object SparkEntry {
     "a5_sliding_stats" -> ((s, dir) => ApmStats.slidingStats(s, dir)),
     "a8_salted_stats"  -> ((s, dir) => Salting.saltedServiceStats(s, dir)),
     "z2_zscore_win"    -> ((s, dir) => zWin(s, dir)),
+    // Fold variant on 30-min buckets (1440 steps x 15 keys x 2 lags =
+    // 43200 rows): the influence recurrence is interval-independent, and
+    // the coarser grain keeps the recursive-CTE oracle's sequential
+    // lockstep walk inside the driver's oracle budget (~60 s vs ~175 s at
+    // the 10-min grain). Full-granularity window coverage stays with
+    // z2_zscore_win (129600 rows).
     "z2_zscore_fold"   -> ((s, dir) =>
-      ZScore.zScoreFold(ApmStats.slidingStats(s, dir), ZScore.defaultLags, zOvr)),
+      ZScore.zScoreFold(ApmStats.slidingStats(s, dir, 1800000L, 30),
+        ZScore.defaultLags, zOvr)),
     "r2_candidates"    -> ((s, dir) => Alerts.candidates(zWin(s, dir), alertCfg)),
+    // R3+R4 fired set (alert_ts_ms..causes). The full `al` byte assembly
+    // (alertsFull) is pinned by ScalaTest + the r5 round-trip oracle;
+    // registering the fired SET keeps this row free of cross-engine
+    // double->string rendering (Java 17's Double.toString predates the
+    // JDK-19 shortest-repr fix and disagrees with DuckDB on some values).
     "r3_alerts"        -> ((s, dir) =>
-      Alerts.alertsFull(Alerts.candidates(zWin(s, dir), alertCfg), alertCfg)),
+      Alerts.alerts(Alerts.candidates(zWin(s, dir), alertCfg), alertCfg)),
     "r5_assembly"      -> ((s, dir) =>
       Alerts.assemblyRoundtrip(Alerts.candidates(zWin(s, dir), alertCfg))),
     "r7_digest"        -> ((s, dir) =>
@@ -201,8 +213,12 @@ object SparkEntry {
     "t13_kmv_agg"      -> TextAnalysis.kmvAggSql(),
     "c1_corpus_curation" -> Curation.curateSql,
     // z2_zscore_fold / r3_alerts: sequential recurrences (influence
-    // feedback, leaky-bucket counter) — no SQL equivalent; rows-only check
-    // + ScalaTest property tests against direct reference ports.
+    // feedback, leaky-bucket counter + cooldown) — expressed as DuckDB
+    // recursive CTEs advancing every key in lockstep over row_number.
+    "z2_zscore_fold"   -> ZScore.zScoreFoldSql(
+      ApmStats.slidingStatsSql(1800000L, 30), ZScore.defaultLags, zOvr),
+    "r3_alerts"        -> Alerts.alertsSql(
+      Alerts.candidatesSql(zWinSql, alertCfg), alertCfg),
     "j1_pairing"       -> Correlation.pairingSql,
     "j2_enrichment"    -> Correlation.enrichmentSql,
     "j3_dim_lookup"    -> Correlation.dimLookupSql,

@@ -175,6 +175,66 @@ object Alerts {
       .toDF("alert_ts_ms", "server", "service", "lag", "causes")
   }
 
+  /** DuckDB oracle for [[alerts]] — the R3 leaky-bucket vote counter and
+    * R4 per-service cooldown (stream_process_alerts.js:358-392,427-467)
+    * expressed as two recursive CTEs.
+    *
+    * `vote` advances every (server, service, lag) key in lockstep over
+    * `rn` (ts order), carrying the saturating counter: +1 per bad interval
+    * while c <= windowSz, -1 per good interval floored at 0; a row fires
+    * when it is bad and the post-increment counter reaches voteThreshold.
+    * `cool` then walks each service's fired rows in (ts, server, lag)
+    * order carrying last_emit — exactly [[alerts]]'s phase-2 sort — and
+    * emits when the gap exceeds the cooldown. Equivalent to the
+    * reference's single interleaved pass because the counter never
+    * depends on cooldown state.
+    */
+  def alertsSql(candSql: String, cfg: AlertCfg = default): String = {
+    val cdSec = cfg.cooldownMs / 1000.0 // e.g. 900.0 — same literal both engines
+    s"""WITH RECURSIVE
+        cand AS MATERIALIZED (
+          SELECT server, service, lag, ts_ms, bad, causes,
+            row_number() OVER (PARTITION BY server, service, lag
+                               ORDER BY ts_ms) AS rn
+          FROM ($candSql)),
+        vote AS (
+          SELECT server, service, lag, rn, ts_ms, causes,
+            CASE WHEN bad = 1 THEN 1 ELSE 0 END AS c,
+            (bad = 1 AND 1 >= ${cfg.voteThreshold}) AS fire
+          FROM cand WHERE rn = 1
+          UNION ALL
+          SELECT server, service, lag, rn, ts_ms, causes, c2 AS c,
+            (bad = 1 AND c2 >= ${cfg.voteThreshold}) AS fire
+          FROM (
+            SELECT k.server, k.service, k.lag, k.rn, k.ts_ms, k.causes, k.bad,
+              CASE WHEN k.bad = 1
+                   THEN CASE WHEN v.c <= ${cfg.windowSz} THEN v.c + 1 ELSE v.c END
+                   ELSE CASE WHEN v.c > 0 THEN v.c - 1 ELSE 0 END END AS c2
+            FROM vote v JOIN cand k
+              ON k.server = v.server AND k.service = v.service
+             AND k.lag = v.lag AND k.rn = v.rn + 1)),
+        fired AS MATERIALIZED (
+          SELECT service, ts_ms, server, lag, causes,
+            row_number() OVER (PARTITION BY service
+                               ORDER BY ts_ms, server, lag) AS rn2
+          FROM vote WHERE fire),
+        cool AS (
+          SELECT service, rn2, ts_ms, server, lag, causes,
+            TRUE AS emit, ts_ms AS last_emit
+          FROM fired WHERE rn2 = 1
+          UNION ALL
+          SELECT f.service, f.rn2, f.ts_ms, f.server, f.lag, f.causes,
+            (f.ts_ms - c.last_emit) / CAST(1000.0 AS DOUBLE)
+              > CAST($cdSec AS DOUBLE) AS emit,
+            CASE WHEN (f.ts_ms - c.last_emit) / CAST(1000.0 AS DOUBLE)
+                      > CAST($cdSec AS DOUBLE)
+                 THEN f.ts_ms ELSE c.last_emit END AS last_emit
+          FROM cool c JOIN fired f
+            ON f.service = c.service AND f.rn2 = c.rn2 + 1)
+        SELECT ts_ms AS alert_ts_ms, server, service, lag, causes
+        FROM cool WHERE emit"""
+  }
+
   /** R5 — alert-record assembly (entries.js:202-241): the `al` wire record
     * nests the full serialized `fs` entry with its pipes escaped to `&`
     * (entries.js:210). Pure column expressions (codegen'd concat), no UDF.

@@ -474,7 +474,11 @@ object Curation {
     */
   def mixApplyFrom(d0: DataFrame, budget: Long, buckets: Int): DataFrame = {
     val bsz = 1000000007L / buckets + 1
-    val d = d0.withColumn("bkt", (col("h") / bsz).cast("int"))
+    // `div` (integer division), not `/`: float-divide-then-truncate is
+    // only monotone in h for non-negative hashes — `div` keeps bucket
+    // boundaries aligned with the oracle's ORDER BY h prefix sum even
+    // if the hash expression ever admits negatives.
+    val d = d0.withColumn("bkt", expr(s"h div $bsz").cast("int"))
     val local = Window.partitionBy("source", "bkt")
       .orderBy(col("h"), col("doc_id"))
     val withLocal = d.withColumn("lcum", sum("n_tok").over(local))
@@ -511,7 +515,11 @@ object Curation {
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
       h.as("h"))
     val bsz = 1000000007L / buckets + 1
-    val d = d0.withColumn("bkt", (col("h") / bsz).cast("int"))
+    // `div` (integer division), not `/`: float-divide-then-truncate is
+    // only monotone in h for non-negative hashes — `div` keeps bucket
+    // boundaries aligned with the oracle's ORDER BY h prefix sum even
+    // if the hash expression ever admits negatives.
+    val d = d0.withColumn("bkt", expr(s"h div $bsz").cast("int"))
     val local = Window.partitionBy("bkt").orderBy(col("h"), col("doc_id"))
     val withLocal = d.withColumn("lcum", sum("n_tok").over(local))
     val off = Window.orderBy("bkt")

@@ -826,8 +826,9 @@ object Relational {
         WHERE p_brand <> '$excludeBrand'
           AND p_type NOT LIKE '$excludeTypePrefix%'
           AND p_size IN (${sizes.mkString(",")})
-          AND l_suppkey NOT IN (
-            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          AND NOT EXISTS (
+            SELECT 1 FROM supplier
+            WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
         GROUP BY p_brand, p_type, p_size"""
 
   private val meltCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

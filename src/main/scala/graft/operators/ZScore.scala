@@ -184,6 +184,113 @@ object ZScore {
     perLag.mkString(" UNION ALL ")
   }
 
+  /** DuckDB oracle for [[zScoreFold]] — the influence-feedback recurrence
+    * (stream_calc_z_score.js:66-104,301-305) expressed as a recursive CTE.
+    *
+    * The recursion advances all (server, service) keys x lags in lockstep
+    * over `rn = row_number() ... ORDER BY ts_ms`, carrying one bounded
+    * window per metric as a LIST of STRUCT(v DOUBLE, d BOOLEAN) — the
+    * queue of *influenced* values including undefined slots, exactly
+    * [[MetricWindow]]'s (vals, defd) ring. Every double op mirrors the
+    * Scala fold's expression tree (left-fold sums via list_reduce, msq as
+    * a second pass over (v-mean)^2, lb/ub as mean -+ thr*sd, influence as
+    * infl*x + (1-infl)*last) so results are bit-identical, per the
+    * float-parity policy. Stats emit only once len(window) >= lag
+    * (undefined slots count — the reference's list-length gate), sd is
+    * undefined when msq == 0 (the constant-series quirk), and the dequeue
+    * keeps the window at exactly `lag` entries thereafter.
+    */
+  def zScoreFoldSql(statsSql: String, lags: Seq[LagCfg] = defaultLags,
+      overrides: Seq[ZOverride] = Nil): String = {
+    val lagRows = lags.map(c =>
+      s"SELECT ${c.lag} AS lag, CAST(${c.threshold} AS DOUBLE) AS thr0, " +
+      s"CAST(${c.influence} AS DOUBLE) AS infl0").mkString(" UNION ALL ")
+    def ovrCase(sel: ZOverride => Option[Double], dflt: String): String = {
+      val arms = overrides.flatMap(o => sel(o).map(v =>
+        s"WHEN b.service = '${o.service}' AND l.lag = ${o.lag} THEN CAST($v AS DOUBLE)"))
+      if (arms.isEmpty) dflt else s"CASE ${arms.mkString(" ")} ELSE $dflt END"
+    }
+    val thrSel = ovrCase(_.threshold, "l.thr0")
+    val inflSel = ovrCase(_.influence, "l.infl0")
+    // Short per-metric ids: a=average, p=per75, q=per95.
+    val ms = Seq("a" -> "average", "p" -> "per75", "q" -> "per95")
+    def push(x: String) =
+      s"struct_pack(v := coalesce($x, 0.0), d := $x IS NOT NULL)"
+    // anchor row (rn=1): empty window -> no stats, push the raw value
+    val anchorOut = ms.map { case (_, m) =>
+      s"""CAST(NULL AS DOUBLE) AS ${m}_avg, CAST(NULL AS DOUBLE) AS ${m}_lb,
+          CAST(NULL AS DOUBLE) AS ${m}_ub, 0 AS ${m}_signal""" }.mkString(", ")
+    val anchorWin = ms.map { case (i, m) => s"[${push(m)}] AS w_$i" }.mkString(", ")
+    // recursive arm, innermost-out: join -> defined lists -> means -> msq
+    // -> sd/signal/influenced -> outputs + window update
+    val defs = ms.map { case (i, _) =>
+      s"list_transform(list_filter(w_$i, e -> e.d), e -> e.v) AS def_$i" }.mkString(", ")
+    val means = ms.map { case (i, _) =>
+      s"""CASE WHEN len(def_$i) > 0 THEN ${RefStats.foldSumSql(s"def_$i")}
+          / CAST(len(def_$i) AS DOUBLE) END AS mean_$i""" }.mkString(", ")
+    val msqs = ms.map { case (i, _) =>
+      s"""CASE WHEN len(def_$i) > 0 THEN ${RefStats.foldSumSql(
+            s"list_transform(def_$i, v -> (v - mean_$i) * (v - mean_$i))")}
+          / CAST(len(def_$i) AS DOUBLE) END AS msq_$i""" }.mkString(", ")
+    val sds = ms.map { case (i, _) =>
+      s"""CASE WHEN len(w_$i) >= lag AND msq_$i IS NOT NULL AND msq_$i <> 0.0
+          THEN sqrt(msq_$i) END AS sd_$i""" }.mkString(", ")
+    val sigs = ms.map { case (i, m) =>
+      s"""CASE WHEN sd_$i IS NOT NULL AND $m IS NOT NULL
+               AND abs($m - mean_$i) > thr * sd_$i
+          THEN CASE WHEN $m > mean_$i THEN 1 ELSE -1 END ELSE 0 END AS sig_$i""" }.mkString(", ")
+    val infls = ms.map { case (i, m) =>
+      s"""CASE WHEN sig_$i <> 0 AND w_$i[len(w_$i)].d
+          THEN struct_pack(v := infl * $m + (1.0 - infl) * w_$i[len(w_$i)].v,
+                           d := TRUE)
+          ELSE ${push(m)} END AS nv_$i""" }.mkString(", ")
+    val recOut = ms.map { case (i, m) =>
+      s"""CASE WHEN len(w_$i) >= lag THEN mean_$i END AS ${m}_avg,
+          CASE WHEN len(w_$i) >= lag AND sd_$i IS NOT NULL
+            THEN mean_$i - thr * sd_$i END AS ${m}_lb,
+          CASE WHEN len(w_$i) >= lag AND sd_$i IS NOT NULL
+            THEN mean_$i + thr * sd_$i END AS ${m}_ub,
+          sig_$i AS ${m}_signal""" }.mkString(", ")
+    val recWin = ms.map { case (i, _) =>
+      s"""list_append(CASE WHEN len(w_$i) >= lag THEN w_$i[2:] ELSE w_$i END,
+          nv_$i) AS w_$i""" }.mkString(", ")
+    val carry = "server, service, lag, thr, infl, rn, ts_ms, tpm, average, per75, per95"
+    s"""WITH RECURSIVE
+        keyed AS MATERIALIZED (
+          SELECT b.server, b.service, l.lag, $thrSel AS thr, $inflSel AS infl,
+            b.rn, b.ts_ms, b.tpm, b.average, b.per75, b.per95
+          FROM (SELECT server, service, ts_ms, tpm, average, per75, per95,
+                  row_number() OVER (PARTITION BY server, service
+                                     ORDER BY ts_ms) AS rn
+                FROM ($statsSql)) b
+          CROSS JOIN ($lagRows) l),
+        step AS (
+          SELECT $carry, $anchorOut, $anchorWin
+          FROM keyed WHERE rn = 1
+          UNION ALL
+          SELECT $carry, $recOut, $recWin
+          FROM (
+            SELECT *, $sigs, $infls
+            FROM (
+              SELECT *, $sds
+              FROM (
+                SELECT *, $msqs
+                FROM (
+                  SELECT *, $means
+                  FROM (
+                    SELECT s.w_a, s.w_p, s.w_q, k.server, k.service, k.lag,
+                      k.thr, k.infl, k.rn, k.ts_ms, k.tpm, k.average,
+                      k.per75, k.per95, $defs
+                    FROM step s JOIN keyed k
+                      ON k.server = s.server AND k.service = s.service
+                     AND k.lag = s.lag AND k.rn = s.rn + 1))))))
+        SELECT server, service, ts_ms, lag, tpm, average, per75, per95,
+          average_avg, average_lb, average_ub, average_signal,
+          per75_avg, per75_lb, per75_ub, per75_signal,
+          per95_avg, per95_lb, per95_ub, per95_signal
+        FROM step"""
+  }
+
   /** Primitive ring buffer over one metric's influenced-value window —
     * semantically identical to `RefStats.zScoreStepRef` over a
     * `Queue[Option[Double]]` (same queue order, same left-to-right

@@ -389,8 +389,10 @@ class SparkOpsSpec extends AnyFunSuite {
   }
 
   test("rankSelect == element at rank of the fully sorted value list") {
+    // cast before collecting: testdata regenerates per round with
+    // physical-type drift, and a bare getLong pins the parquet type
     val vals = spark.read.parquet(s"$sf/documents.parquet")
-      .select(col("n_chars")).collect().map(_.getLong(0)).sorted
+      .select(col("n_chars").cast("long")).collect().map(_.getLong(0)).sorted
     val got = TextAnalysis.rankSelect(spark, sf).collect()
       .map(r => r.getInt(r.fieldIndex("p")) ->
         (r.getLong(r.fieldIndex("quantile")), r.getLong(r.fieldIndex("rank"))))
