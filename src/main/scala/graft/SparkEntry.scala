@@ -173,6 +173,27 @@ object SparkEntry {
     "q25_cube"         -> ((s, dir) => Relational.qCube(s, dir)),
   )
 
+  /** The seven alert-family queries re-expressed over ONE materialized
+    * candidates frame — the Bench-side pipeline view. Each registered
+    * query stays independently derivable from parquet (Verify uses the
+    * map above); this shares the common stats->zscore->candidates chain
+    * the way a production pipeline would (compute candidates once, tee to
+    * alerts/digest/db/email), so the bench attributes the chain's cost
+    * once (to r2_candidates) and each consumer's incremental cost to
+    * itself. `localCheckpoint` is EAGER: the chain runs at construction.
+    */
+  def alertFamilyShared(spark: SparkSession, dir: String): Map[String, () => DataFrame] = {
+    val cand = Alerts.candidates(zWin(spark, dir), alertCfg).localCheckpoint()
+    Map(
+      "r2_candidates"   -> (() => cand),
+      "r3_alerts"       -> (() => Alerts.alerts(cand, alertCfg)),
+      "r5_assembly"     -> (() => Alerts.assemblyRoundtrip(cand)),
+      "r7_digest"       -> (() => Alerts.digest(cand)),
+      "s6_db_stats"     -> (() => Alerts.dbStatsRoundtrip(cand)),
+      "s8_email_rows"   -> (() => Alerts.emailRows(cand)),
+      "s8_email_digest" -> (() => Alerts.emailDigest(cand, alertCfg)))
+  }
+
   /** Alert config used by registered queries: thresholds tuned so the test
     * data produces a mix of firing and quiet intervals; one per-service
     * hard-max override exercises the J4 broadcast-config join.

@@ -628,10 +628,14 @@ object Dedup {
     * Scale shape: segments shuffle once on their 8-byte [[PolyHash]] for
     * the distinct-doc df (two-level keyed agg — (h, doc_id) then (h), both
     * map-side combinable; no count-distinct state), once more for the
-    * anti-join against the duplicated-hash set, and the rebuild is one
-    * doc_id-keyed agg whose per-group state is the doc's own segments —
-    * bounded by document length, never corpus-scale. No pair joins
-    * anywhere, so cost is linear in corpus size at any scale factor.
+    * anti-join against the duplicated-hash set. The expensive
+    * explode->shuffle->sorted-collect rebuild runs ONLY for docs that
+    * actually lost a segment (semi-join on the touched doc set): typical
+    * corpora are >90% untouched, and an untouched doc's cleaned text is
+    * just its segments rejoined — a map-side projection, no shuffle. The
+    * per-group rebuild state stays bounded by document length, never
+    * corpus-scale, and there are no pair joins anywhere, so cost is
+    * linear in corpus size at any scale factor.
     */
   def lineDedup(spark: SparkSession, sfDir: String,
       segWords: Int = 8): DataFrame = {
@@ -640,25 +644,43 @@ object Dedup {
     val segsCol = when(size(words) === 0, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), nSeg - 1),
         i => array_join(slice(words, i * segWords + 1, lit(segWords)), " ")))
+    // The segmented corpus feeds four consumers (dup census, touched set,
+    // rebuild, passthrough); materialize it ONCE (eager localCheckpoint —
+    // one working-set write, the same durability point a production
+    // pipeline would checkpoint) so the normalization regex + segment
+    // assembly don't re-run per consumer. Downstream re-evaluations then
+    // only re-explode cheap precomputed arrays.
     val d = docs(spark, sfDir)
       .select(col("doc_id"), segsCol.as("segs"))
+      .localCheckpoint()
     val segRows = d
       .select(col("doc_id"), posexplode(col("segs")).as(Seq("pos", "seg")))
       .withColumn("h", poly_hash(col("seg")))
     val dup = segRows.groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
       .groupBy("h").agg(count(lit(1)).as("ddf"))
       .filter(col("ddf") > 1).select("h")
-    val rebuilt = segRows.join(dup, Seq("h"), "left_anti")
+    // docs owning at least one duplicated segment — only these rebuild
+    val touched = segRows.join(dup, Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    val rebuilt = segRows.join(touched, Seq("doc_id"), "left_semi")
+      .join(dup, Seq("h"), "left_anti")
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_kept"),
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("seg")))),
           x => x("seg")), " ").as("clean_text"))
-    d.select(col("doc_id"), size(col("segs")).cast("long").as("n_segs"))
+    val touchedOut = d.join(touched, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), size(col("segs")).cast("long").as("n_segs"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_segs"),
         (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+    // untouched docs pass through: cleaned text == segments rejoined
+    val untouchedOut = d.join(touched, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), size(col("segs")).cast("long").as("n_segs"),
+        lit(0L).as("n_removed"),
+        array_join(col("segs"), " ").as("clean_text"))
+    touchedOut.unionByName(untouchedOut)
   }
 
   def lineDedupSql(segWords: Int = 8): String =
