@@ -141,4 +141,53 @@ object ApmGraph {
     runStage3(spark, workDir, cfg)
     runStage4(spark, workDir, cfg)
   }
+
+  // ------------------------------------------- queue-transport handoff
+  // The same stage 3 -> stage 4 boundary, but through the
+  // `format("graftqueue")` connector (S3/S4) instead of a parquet topic
+  // directory — the handoff the reference runs over RabbitMQ
+  // (config/apm_config.json:87-178) and a cluster would run over Kafka.
+  // The wire value is the JSON-serialized VoteOut keyed by SERVICE, so
+  // partition-local queue ordering preserves per-service order — exactly
+  // the property the stage-4 cooldown fold relies on (and the broker
+  // contract guarantees only within a partition).
+
+  /** Stage 3 variant producing fired rows to a queue topic. */
+  def runStage3Queued(spark: SparkSession, workDir: String, cfg: GraphCfg,
+      topic: String, nPartitions: Int = 4): Unit = {
+    import spark.implicits._
+    val z = spark.readStream.schema(zOutSchema).parquet(s"$workDir/zscore")
+    val cand = Alerts.candidates(z, cfg.alert)
+      .select(col("server"), col("service"), col("lag"), col("ts_ms"),
+        col("bad"), col("causes")).as[ApmStreaming.VoteIn]
+    val fired = ApmStreaming.voteStream(cand, cfg.alert)
+    await(fired
+      .select(col("service").as("key"),
+        to_json(struct(col("server"), col("service"), col("lag"),
+          col("ts_ms"), col("causes"))).as("value"))
+      .writeStream
+      .format("graftqueue")
+      .option("topic", topic)
+      .option("partitions", nPartitions)
+      .option("checkpointLocation", s"$workDir/ckpt_fired_q")
+      .trigger(Trigger.AvailableNow())
+      .start())
+  }
+
+  /** Stage 4 variant consuming fired rows from the queue topic. */
+  def runStage4Queued(spark: SparkSession, workDir: String, cfg: GraphCfg,
+      topic: String, group: String = "stage4"): Unit = {
+    import spark.implicits._
+    val fired = spark.readStream
+      .format("graftqueue")
+      .option("topic", topic)
+      .option("group", group)
+      .load()
+      .select(from_json(col("value"), voteOutSchema).as("r"))
+      .select(col("r.*")).as[ApmStreaming.VoteOut]
+    val alerts = ApmStreaming.cooldownStream(fired, cfg.alert)
+    await(ApmStreaming.sinkToParquet(alerts.toDF(), s"$workDir/alerts",
+      s"$workDir/ckpt_alerts_q", orderCol = Some("ts_ms"),
+      availableNow = true))
+  }
 }

@@ -1,0 +1,293 @@
+package graft.streaming
+
+import java.util
+import scala.collection.mutable
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S3/S4 — the message-bus transport as a real Structured Streaming
+  * connector: `readStream.format("graftqueue")` consumes and
+  * `writeStream.format("graftqueue")` produces against a named
+  * [[InMemoryTopic]], with offsets, consumer groups, poll batching and
+  * commit semantics backed by the broker contract [[QueueContract]] pins
+  * (the reference's RabbitMQ fabric, queue.js:206-305). With this, the
+  * graph's stage handoffs run through `format(...)` exactly as they would
+  * through the Kafka connector — only the format string changes.
+  *
+  * Options: `topic` (required), `partitions` (topic width at first
+  * reference, default 4), `group` (consumer group for reads, default
+  * "default"), `maxpoll` (per-partition records per micro-batch — the
+  * `maxOffsetsPerTrigger` analogue and the contract's poll bound; 0 =
+  * unbounded).
+  *
+  * Semantics mapped onto the Spark connector surface:
+  *  - source offsets are the per-partition log offsets; `initialOffset`
+  *    resumes from the GROUP's durable commit (a fresh checkpoint of the
+  *    same group does not re-read acked records — the S4 ack contract);
+  *  - `commit(end)` after each completed micro-batch advances the group
+  *    commit, so redelivery happens only for polled-but-uncommitted
+  *    batches: at-least-once from the broker, exactly-once end-to-end via
+  *    Spark's checkpointed offsets (S7);
+  *  - the sink ships each task's rows to the driver in its commit message
+  *    and appends them in `StreamingWrite.commit`, recording the epoch id
+  *    — a replayed epoch (sink-side retry) is appended ONCE (the
+  *    transactional-producer analogue). A broker-backed implementation
+  *    would produce from executors and rely on idempotence instead; the
+  *    driver hop here is what makes the epoch atomic without a broker.
+  *
+  * Scale notes: the registry is JVM-local (local[n] = one JVM), standing
+  * in for broker addressing; reads are partition-parallel (one
+  * InputPartition per queue partition) and writes are task-parallel up to
+  * the commit hop, so the stage code exercises the same parallel shapes
+  * it would against Kafka.
+  */
+object QueueRegistry {
+  private val topics = mutable.Map.empty[String, InMemoryTopic]
+  // (topic, queryId, epochId) committed by the streaming sink
+  private val epochs = mutable.Set.empty[(String, String, Long)]
+
+  def topic(name: String, nPartitions: Int = 4): InMemoryTopic =
+    synchronized(topics.getOrElseUpdate(name, new InMemoryTopic(nPartitions)))
+
+  def exists(name: String): Boolean = synchronized(topics.contains(name))
+
+  /** Test isolation: drop a topic and its epoch history. */
+  def drop(name: String): Unit = synchronized {
+    topics.remove(name)
+    epochs.filterInPlace(_._1 != name)
+  }
+
+  /** Returns true iff this (topic, query, epoch) has NOT been committed
+    * before, and marks it — the sink's replay-dedup gate.
+    */
+  private[streaming] def beginEpoch(topic: String, queryId: String,
+      epochId: Long): Boolean =
+    synchronized(epochs.add((topic, queryId, epochId)))
+}
+
+class GraftQueueProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftqueue"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftQueueTable.readSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftQueueTable(properties)
+}
+
+object GraftQueueTable {
+  val readSchema: StructType = StructType(Seq(
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("key", StringType, nullable = true),
+    StructField("value", StringType, nullable = true)))
+}
+
+class GraftQueueTable(props: util.Map[String, String])
+    extends Table with SupportsRead with SupportsWrite {
+  private def opt(k: String, dflt: String): String = {
+    val v = props.get(k); if (v == null) dflt else v
+  }
+  private val topicName = {
+    val t = props.get("topic")
+    require(t != null && t.nonEmpty, "graftqueue requires option 'topic'")
+    t
+  }
+  private val nPartitions = opt("partitions", "4").toInt
+  private val group = opt("group", "default")
+  private val maxPoll = opt("maxpoll", "0").toInt
+
+  override def name(): String = s"graftqueue:$topicName"
+  override def schema(): StructType = GraftQueueTable.readSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = GraftQueueTable.readSchema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftQueueMicroBatchStream(topicName, nPartitions, group, maxPoll)
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val schema = info.schema()
+    val queryId = info.queryId()
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite =
+          new GraftQueueStreamingWrite(topicName, nPartitions, schema, queryId)
+      }
+    }
+  }
+}
+
+/** Per-partition offset map with manual JSON (de)serialization — the
+  * checkpointed offset token.
+  */
+case class QueueOffset(offs: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    offs.toSeq.sortBy(_._1).map { case (p, o) => s""""$p":$o""" }
+      .mkString("{", ",", "}")
+}
+
+object QueueOffset {
+  def fromJson(s: String): QueueOffset = QueueOffset(
+    s.trim.stripPrefix("{").stripSuffix("}").split(",")
+      .filter(_.nonEmpty)
+      .map { kv =>
+        val Array(k, v) = kv.split(":")
+        k.trim.stripPrefix("\"").stripSuffix("\"").toInt -> v.trim.toLong
+      }.toMap)
+}
+
+class GraftQueueMicroBatchStream(topicName: String, nPartitions: Int,
+    group: String, maxPoll: Int)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+  private def topic = QueueRegistry.topic(topicName, nPartitions)
+  // AvailableNow drain target, captured at query start: without
+  // implementing SupportsTriggerAvailableNow, Spark's wrapper collapses
+  // the drain into ONE batch and the poll bound never applies.
+  @volatile private var drainEnd: Option[Map[Int, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    drainEnd = Some(topic.endOffsets)
+
+  override def initialOffset(): Offset = {
+    val committed = topic.committed(group)
+    QueueOffset((0 until topic.nPartitions)
+      .map(p => p -> committed.getOrElse(p, 0L)).toMap)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPoll > 0) ReadLimit.maxRows(maxPoll.toLong) else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[QueueOffset].offs
+    val end = drainEnd.getOrElse(topic.endOffsets)
+    val capped = limit match {
+      // per-partition poll bound, like ContractConsumer.poll(maxPoll)
+      case r: ReadMaxRows => end.map { case (p, e) =>
+        p -> math.min(e, s.getOrElse(p, 0L) + r.maxRows()) }
+      case _ => end
+    }
+    QueueOffset(capped)
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[QueueOffset].offs
+    val e = end.asInstanceOf[QueueOffset].offs
+    // ACK-BEFORE-PROCESS (the reference consumer's semantics,
+    // queue.js:268-280: noAck/deliver-then-process): the group offset
+    // advances when the batch is handed to processing, not after it
+    // lands. Spark's checkpointed offset log is what upgrades this to
+    // effective exactly-once (S7) — and it must, because Spark only
+    // delivers `commit(n)` when batch n+1 starts, so a drain-and-stop
+    // trigger would otherwise never commit its last batch. max()-merged
+    // in the topic, so checkpoint-replayed batches are idempotent here.
+    topic.commit(group, e)
+    e.toSeq.sortBy(_._1).flatMap { case (p, to) =>
+      val from = s.getOrElse(p, 0L)
+      if (to > from) Some(QueueInputPartition(topicName, p, from, to): InputPartition)
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new QueuePartitionReaderFactory
+
+  /** Micro-batch completed durably -> advance the GROUP commit (the S4
+    * "ack after the batch survives" contract).
+    */
+  override def commit(end: Offset): Unit =
+    topic.commit(group, end.asInstanceOf[QueueOffset].offs)
+
+  override def deserializeOffset(json: String): Offset = QueueOffset.fromJson(json)
+  override def stop(): Unit = ()
+}
+
+case class QueueInputPartition(topicName: String, partition: Int,
+    from: Long, to: Long) extends InputPartition
+
+class QueuePartitionReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val qp = partition.asInstanceOf[QueueInputPartition]
+    val recs = QueueRegistry.topic(qp.topicName)
+      .read(qp.partition, qp.from, (qp.to - qp.from).toInt)
+    new PartitionReader[InternalRow] {
+      private val it = recs.iterator
+      private var cur: QueueRecord = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](
+        cur.partition, cur.offset,
+        if (cur.key == null) null else UTF8String.fromString(cur.key),
+        if (cur.value == null) null else UTF8String.fromString(cur.value)))
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Streaming sink: tasks buffer (key, value) rows into their commit
+  * message; the driver appends them in epoch commit with replay dedup —
+  * one atomic append per epoch.
+  */
+class GraftQueueStreamingWrite(topicName: String, nPartitions: Int,
+    schema: StructType, queryId: String) extends StreamingWrite {
+  private val keyIdx = schema.fieldNames.indexOf("key")
+  private val valIdx = schema.fieldNames.indexOf("value")
+  require(valIdx >= 0, "graftqueue sink requires a 'value' string column")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new QueueWriterFactory(keyIdx, valIdx)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // replayed epoch (sink retry after a crash between task success and
+    // offset log write) -> records were already appended; skip
+    if (QueueRegistry.beginEpoch(topicName, queryId, epochId)) {
+      val t = QueueRegistry.topic(topicName, nPartitions)
+      messages.foreach {
+        case QueueWriteMessage(rows) =>
+          rows.foreach { case (k, v) => t.produce(k, v) }
+        case _ => ()
+      }
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class QueueWriteMessage(rows: Seq[(String, String)]) extends WriterCommitMessage
+
+class QueueWriterFactory(keyIdx: Int, valIdx: Int) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = mutable.Buffer.empty[(String, String)]
+      override def write(row: InternalRow): Unit = {
+        val k = if (keyIdx >= 0 && !row.isNullAt(keyIdx))
+          row.getUTF8String(keyIdx).toString else null
+        val v = if (!row.isNullAt(valIdx))
+          row.getUTF8String(valIdx).toString else null
+        buf += ((k, v))
+      }
+      override def commit(): WriterCommitMessage = QueueWriteMessage(buf.toSeq)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+}

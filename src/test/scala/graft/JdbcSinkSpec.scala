@@ -76,6 +76,59 @@ class JdbcSinkSpec extends AnyFunSuite {
     cand.unpersist(); ()
   }
 
+  test("flush policy: count-bound batches and time-bound trickle flushes") {
+    // The reference flushes its insert buffer at 1000 rows OR 5 s idle
+    // (config/apm_config.json:230-231). Spark-side the micro-batch IS
+    // the buffer: source admission bounds the count path, the trigger
+    // interval bounds the time path. Pin BOTH on the live Derby sink.
+    import scala.collection.mutable
+    import spark.implicits._
+    import graft.streaming.QueueRegistry
+    implicit val sqlCtx = spark.sqlContext
+    val url = derbyUrl()
+    val bound = 1000
+
+    // COUNT path: 2500 queued rows with maxpoll=1000 on a 1-partition
+    // topic must arrive as exactly 1000/1000/500-row inserts.
+    val topic = "t_flush"
+    QueueRegistry.drop(topic)
+    val t = QueueRegistry.topic(topic, nPartitions = 1)
+    (0 until 2500).foreach(i => t.produce(null, i.toString))
+    val sizes = mutable.Buffer.empty[Long]
+    val write: (DataFrame, Long) => Unit = (df, _) => {
+      val rows = df.selectExpr("CAST(value AS INT) AS v").cache()
+      sizes += rows.count()
+      JdbcSink.writeBatch(rows, url, "flushed")
+      rows.unpersist(); ()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_flush").toString
+    val q = ApmStreaming.sinkWithRequeue(
+      spark.readStream.format("graftqueue")
+        .option("topic", topic).option("group", "flush")
+        .option("maxpoll", bound).load(),
+      s"$dir/ckpt_cnt", s"$dir/park_cnt", write,
+      availableNow = true)
+    q.awaitTermination()
+    assert(sizes.toList == List(1000L, 1000L, 500L),
+      s"count-bound flush sizes: $sizes")
+    assert(readTable(url, "flushed").count() == 2500L)
+
+    // TIME path: a trickle far below the count bound still flushes per
+    // trigger — rows never wait for the buffer to fill.
+    val in = MemoryStream[Int]
+    sizes.clear()
+    val q2 = ApmStreaming.sinkWithRequeue(in.toDF.toDF("value"),
+      s"$dir/ckpt_t", s"$dir/park_t", write,
+      availableNow = false, trigger = "1 seconds")
+    try {
+      in.addData(1, 2, 3); q2.processAllAvailable()
+      in.addData(4, 5); q2.processAllAvailable()
+      assert(sizes.toList == List(3L, 2L),
+        s"time-bound flush sizes: $sizes")
+      assert(readTable(url, "flushed").count() == 2505L)
+    } finally q2.stop()
+  }
+
   test("requeue parks while Derby is down and drains into the live table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,188 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{ApmGraph, GraftQueueStreamingWrite, QueueRegistry, QueueWriteMessage}
+
+/** S3/S4 — the `format("graftqueue")` DataSource V2 connector over the
+  * broker contract: streaming produce/consume with partitioned offsets,
+  * consumer-group committed-offset resume, per-epoch exactly-once append,
+  * and the graph's stage 3 -> 4 handoff running through the connector
+  * with results identical to the parquet-topic handoff.
+  */
+class QueueConnectorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft_wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ckpt(): String =
+    Files.createTempDirectory("graft_qckpt").toString
+
+  /** Drain a memory-stream batch into a queue topic via the sink. */
+  private def produce(topic: String, rows: Seq[(String, String)],
+      checkpoint: String): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    ms.addData(rows: _*)
+    val q = ms.toDF().toDF("key", "value")
+      .writeStream
+      .format("graftqueue")
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Drain a queue topic into memory via the source; returns
+    * (partition, offset, key, value) rows.
+    */
+  private def consume(topic: String, group: String, checkpoint: String,
+      sinkName: String, maxPoll: Int = 0): Seq[(Int, Long, String, String)] = {
+    val q = spark.readStream
+      .format("graftqueue")
+      .option("topic", topic)
+      .option("group", group)
+      .option("maxpoll", maxPoll)
+      .load()
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSeq
+  }
+
+  test("produce/consume round-trip: keyed partitioning + offset order") {
+    val topic = "t_roundtrip"
+    QueueRegistry.drop(topic)
+    val rows = (0 until 40).map(i => (s"k${i % 5}", s"v$i"))
+    produce(topic, rows, ckpt())
+    val got = consume(topic, "g1", ckpt(), "q_rt")
+    assert(got.size == 40)
+    assert(got.map(r => (r._3, r._4)).toSet == rows.toSet)
+    // same key -> same partition (hash partitioning contract)
+    got.groupBy(_._3).foreach { case (k, rs) =>
+      assert(rs.map(_._1).distinct.size == 1, s"key $k split partitions")
+    }
+    // per partition: offsets are dense from 0 and preserve produce order
+    // for each key (only intra-partition order is guaranteed)
+    got.groupBy(_._1).foreach { case (p, rs) =>
+      val offs = rs.map(_._2).sorted
+      assert(offs == (0L until offs.size.toLong), s"offsets in p$p: $offs")
+      val vs = rs.sortBy(_._2).map(_._4.drop(1).toInt)
+      assert(vs == vs.sorted, s"produce order lost in p$p")
+    }
+  }
+
+  test("consumer group resumes from its commit, not from zero") {
+    val topic = "t_resume"
+    QueueRegistry.drop(topic)
+    produce(topic, (0 until 10).map(i => (s"k$i", s"a$i")), ckpt())
+    val first = consume(topic, "gr", ckpt(), "q_res1")
+    assert(first.size == 10)
+    // same group, FRESH checkpoint: the committed offsets gate redelivery
+    produce(topic, (0 until 6).map(i => (s"k$i", s"b$i")), ckpt())
+    val second = consume(topic, "gr", ckpt(), "q_res2")
+    assert(second.map(_._4).toSet == (0 until 6).map(i => s"b$i").toSet,
+      s"acked records redelivered: $second")
+    // a DIFFERENT group still reads from the beginning
+    val fresh = consume(topic, "gr2", ckpt(), "q_res3")
+    assert(fresh.size == 16)
+  }
+
+  test("maxpoll bounds each micro-batch like the contract's poll") {
+    val topic = "t_poll"
+    QueueRegistry.drop(topic)
+    // single partition so batch admission is observable
+    produce(topic, (0 until 9).map(i => (null: String, s"v$i")), ckpt())
+    // one AvailableNow drain with maxpoll=2 must still deliver all rows
+    // (the wrapper loops batches of <= 2 per partition until caught up)
+    val got = consume(topic, "gp", ckpt(), "q_poll", maxPoll = 2)
+    assert(got.size == 9, s"got ${got.size}")
+  }
+
+  test("a replayed sink epoch appends exactly once") {
+    val topic = "t_epoch"
+    QueueRegistry.drop(topic)
+    val w = new GraftQueueStreamingWrite(topic, 2,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))), "query-1")
+    val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+      Array(QueueWriteMessage(Seq(("k", "v1"), ("k", "v2"))))
+    w.commit(7L, msgs)
+    w.commit(7L, msgs) // sink retry of the same epoch
+    val end = QueueRegistry.topic(topic).endOffsets.values.sum
+    assert(end == 2L, s"replayed epoch duplicated records: $end")
+    w.commit(8L, msgs) // a NEW epoch appends again
+    assert(QueueRegistry.topic(topic).endOffsets.values.sum == 4L)
+  }
+
+  test("graph stage3->4 handoff over the queue == parquet handoff") {
+    val fmt = DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss,SSS").withZone(ZoneOffset.UTC)
+    val t0 = 1578391200000L
+    def exitLine(id: Int, ms: Long, svc: String, elapsed: Long): String =
+      s"[$id] ${fmt.format(Instant.ofEpochMilli(ms))} " +
+        s"[a:b:42] INFO CommonTiming::Stop $svc handled in time $elapsed"
+    def writeLog(dir: String, server: String, lines: Seq[String]): Unit = {
+      val p = Paths.get(dir, "net", server, "server.log")
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, lines.mkString("", "\n", "\n"))
+      ()
+    }
+    val base = Files.createTempDirectory("graft_qgraph").toString
+    val logs = s"$base/logs"
+    val work = s"$base/work"
+    val workQ = s"$base/workq" // queued stage-4 output + checkpoints
+    val cfg = ApmGraph.GraphCfg()
+    Seq("hostA", "hostB").foreach { srv =>
+      writeLog(logs, srv, (0 until 19).map(i =>
+        exitLine(i, t0 + i * 10000L, "S:checkout", if (i < 10) 100L else 300L)))
+    }
+    ApmGraph.runStage1(spark, s"$logs/net/*/*", work, cfg)
+    writeLog(logs, "zz", Seq(exitLine(999, t0 + 100000000L, "S:checkout", 1L)))
+    ApmGraph.runStage1(spark, s"$logs/net/*/*", work, cfg)
+    ApmGraph.runStage2(spark, work, cfg)
+    // parquet-topic handoff (the baseline)
+    ApmGraph.runStage3(spark, work, cfg)
+    ApmGraph.runStage4(spark, work, cfg)
+    // queue handoff over the same zscore input, writing alerts elsewhere
+    val topic = "t_graph_fired"
+    QueueRegistry.drop(topic)
+    ApmGraph.runStage3Queued(spark, work, cfg, topic)
+    ApmGraph.runStage4Queued(spark, workQ, cfg, topic)
+    def alerts(dir: String): Set[(Long, String, String, Int)] =
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$dir/alerts")
+        .select("ts_ms", "server", "service", "lag").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+        .toSet
+    val viaParquet = alerts(work)
+    val viaQueue = alerts(workQ)
+    assert(viaParquet.nonEmpty, "no alerts produced")
+    assert(viaQueue == viaParquet,
+      s"queue handoff diverged: onlyQ=${(viaQueue -- viaParquet).take(3)} " +
+        s"onlyP=${(viaParquet -- viaQueue).take(3)}")
+  }
+}

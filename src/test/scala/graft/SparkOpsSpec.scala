@@ -90,6 +90,49 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(got.toSeq == exp)
   }
 
+  test("alertsFull == fired set + byte-assembled al entry per alert") {
+    import spark.implicits._
+    // candidates-shaped frame: two services, 30 intervals, a consecutive
+    // bad run so the vote counter fires; per95 None exercises the ""
+    // null rendering inside the nested fs block
+    val rows = for {
+      svc <- Seq("svcA", "svcB"); i <- 0 until 30
+    } yield ("srv0", svc, 6, i * 10000L, 1.0 + i,
+      100.0 + i, Some(90.0), Some(85.0), Some(95.0), 0,
+      110.0 + i, Some(91.0), Some(86.0), Some(96.0), 1,
+      if (i % 3 == 0) None: Option[Double] else Some(120.0 + i),
+      Some(92.0), Some(87.0), Some(97.0), 0)
+    val base = rows.toDF("server", "service", "lag", "ts_ms", "tpm",
+      "average", "average_avg", "average_lb", "average_ub", "average_signal",
+      "per75", "per75_avg", "per75_lb", "per75_ub", "per75_signal",
+      "per95", "per95_avg", "per95_lb", "per95_ub", "per95_signal")
+    val cand = base
+      .withColumn("causes", when(col("ts_ms") < 100000L, lit("cause")).otherwise(lit("")))
+      .withColumn("bad", (col("causes") =!= "").cast("int"))
+    val cfg = Alerts.AlertCfg(windowSz = 5, voteThreshold = 3, cooldownMs = 25000L)
+    val fired = Alerts.alerts(cand, cfg).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3), r.getString(4)))
+      .toSet
+    assert(fired.nonEmpty, "fixture produced no alerts")
+    val full = Alerts.alertsFull(cand, cfg).collect()
+    assert(full.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getInt(3), r.getString(4))).toSet == fired)
+    full.foreach { r =>
+      val entry = r.getString(5)
+      val p = entry.split("\\|", -1)
+      assert(p(0) == "al" && p(1).toLong == r.getLong(0) &&
+        p(2).toLong == r.getLong(0) && p(3) == r.getString(1) &&
+        p(4) == r.getString(2) && p(5) == r.getString(4), entry)
+      val nested = p(6).replace('&', '|').split("\\|", -1)
+      assert(nested(0) == "fs" && nested(1).toLong == r.getLong(0) &&
+        nested(4).toInt == r.getInt(3), entry)
+      // per95 None on every 3rd interval renders as "" in its z-block
+      val p95block = nested(8).split(":", -1)
+      val i = (r.getLong(0) / 10000L).toInt
+      assert((p95block(0) == "") == (i % 3 == 0), entry)
+    }
+  }
+
   test("zScoreFold == zScoreWindowed when no signal fires (no feedback)") {
     import spark.implicits._
     val rnd = new Random(29)
