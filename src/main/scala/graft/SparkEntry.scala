@@ -50,6 +50,10 @@ object SparkEntry {
     "z2_zscore_fold"   -> ((s, dir) =>
       ZScore.zScoreFold(ApmStats.slidingStats(s, dir, 1800000L, 30),
         ZScore.defaultLags, zOvr)),
+    // O(1)-state volume z-score (prefix-sum window) — the constant-state
+    // scale path; see ZScore.volumeZScorePrefix scaladoc.
+    "z6_zscore_prefix" -> ((s, dir) =>
+      ZScore.volumeZScorePrefix(graft.Tables.txBase(s, dir), 600000L)),
     "r2_candidates"    -> ((s, dir) => Alerts.candidates(zWin(s, dir), alertCfg)),
     // R3+R4 fired set (alert_ts_ms..causes). The full `al` byte assembly
     // (alertsFull) is pinned by ScalaTest + the r5 round-trip oracle;
@@ -238,6 +242,7 @@ object SparkEntry {
     // recursive CTEs advancing every key in lockstep over row_number.
     "z2_zscore_fold"   -> ZScore.zScoreFoldSql(
       ApmStats.slidingStatsSql(1800000L, 30), ZScore.defaultLags, zOvr),
+    "z6_zscore_prefix" -> ZScore.volumeZScorePrefixSql(600000L),
     "r3_alerts"        -> Alerts.alertsSql(
       Alerts.candidatesSql(zWinSql, alertCfg), alertCfg),
     "j1_pairing"       -> Correlation.pairingSql,

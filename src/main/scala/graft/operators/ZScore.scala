@@ -291,6 +291,117 @@ object ZScore {
         FROM step"""
   }
 
+  /** O(1)-state windowed z-score over per-bucket traffic VOLUME — the
+    * constant-state scale path for anomaly detection.
+    *
+    * [[zScoreWindowed]] is exact-parity with the reference but carries the
+    * window's raw values per row (`collect_list` over the frame): O(lag)
+    * state and O(lag) work per output row — at the reference's 8640-bucket
+    * day lag that is 8640 doubles materialized per (key, bucket, metric).
+    * When the monitored metric is an integer COUNT, the same mean/σ window
+    * reduces to differences of two running integer prefix sums
+    * (Σx, Σx²): O(1) state and O(1) work per row, and — because integer
+    * addition is exact in any order — bit-identical across engines with no
+    * ordered-fold machinery. This is the shape that survives lag=86400.
+    *
+    * Semantics mirror [[zScoreWindowed]] on the per-bucket count series of
+    * the dense scaffold (zero-count buckets included): stats gate on a full
+    * `lag` prior buckets, population σ over the window, σ==0 ⇒ undefined
+    * (constant series never signals — the util_methods.js:26-50 quirk),
+    * signal ±1 when |n − mean| > threshold·σ.
+    *
+    * Numerics: winSum/winSumSq are exact BIGINTs; mean = winSum/lag and
+    * msq = (winSumSq − winSum²/lag)/lag evaluate the same expression tree
+    * on both engines. msq can round slightly negative only once winSum²
+    * exceeds 2^53 (≈9·10^15 — a per-window event count of ~95 M); the
+    * `msq > 0` gate subsumes that guard and the σ==0 quirk in one test.
+    *
+    * Scale: ONE shuffle on (server, service), one sort per key, window
+    * functions only — no arrays, no folds, whole-stage codegen throughout.
+    */
+  def volumeZScorePrefix(tx: DataFrame, intervalMs: Long,
+      lags: Seq[LagCfg] = defaultLags): DataFrame = {
+    val dense = ApmStats.denseBucketsFrom(tx, intervalMs)
+      .select(col("server"), col("service"), col("bucket"), col("cnt"))
+    val wAll = Window.partitionBy("server", "service").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = dense
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("server", "service").orderBy("bucket")))
+      .withColumn("cum", sum(col("cnt")).over(wAll))
+      .withColumn("cumsq", sum(col("cnt") * col("cnt")).over(wAll))
+    val wOrd = Window.partitionBy("server", "service").orderBy("bucket")
+    val perLag = lags.map { cfg =>
+      val L = cfg.lag
+      // window [-L,-1] sums via prefix differences; gate rn > L ensures
+      // both lag() lookbacks exist (lag(cum, L+1) defaults to 0 for the
+      // first full window, whose frame starts at the partition head)
+      val ws = when(col("rn") > L,
+        lag(col("cum"), 1).over(wOrd) -
+          coalesce(lag(col("cum"), L + 1).over(wOrd), lit(0L)))
+      val wsq = when(col("rn") > L,
+        lag(col("cumsq"), 1).over(wOrd) -
+          coalesce(lag(col("cumsq"), L + 1).over(wOrd), lit(0L)))
+      val mean = ws.cast("double") / lit(L.toDouble)
+      val msq = (wsq.cast("double") -
+        ws.cast("double") * ws.cast("double") / lit(L.toDouble)) / lit(L.toDouble)
+      val sd = when(msq > 0.0, sqrt(msq))
+      val x = col("cnt").cast("double")
+      val signal = when(mean.isNotNull && sd.isNotNull &&
+          abs(x - mean) > lit(cfg.threshold) * sd,
+        when(x > mean, 1).otherwise(-1)).otherwise(0)
+      staged.select(col("server"), col("service"),
+        (col("bucket") * intervalMs).as("ts_ms"),
+        lit(L).as("lag"), col("cnt").as("n"),
+        mean.as("vol_avg"),
+        (mean - lit(cfg.threshold) * sd).as("vol_lb"),
+        (mean + lit(cfg.threshold) * sd).as("vol_ub"),
+        signal.as("vol_signal"))
+    }
+    perLag.reduce(_.unionAll(_))
+  }
+
+  /** DuckDB oracle for [[volumeZScorePrefix]] — the same prefix-difference
+    * arithmetic (exact integer window sums ⇒ no fold-order sensitivity).
+    */
+  def volumeZScorePrefixSql(intervalMs: Long,
+      lags: Seq[LagCfg] = defaultLags): String = {
+    val perLag = lags.map { cfg =>
+      val L = cfg.lag
+      val ws = s"CASE WHEN rn > $L THEN lag(cum, 1) OVER o - coalesce(lag(cum, ${L + 1}) OVER o, 0) END"
+      val wsq = s"CASE WHEN rn > $L THEN lag(cumsq, 1) OVER o - coalesce(lag(cumsq, ${L + 1}) OVER o, 0) END"
+      val mean = s"CAST(ws AS DOUBLE) / ${L.toDouble}"
+      val msq = s"(CAST(wsq AS DOUBLE) - CAST(ws AS DOUBLE) * CAST(ws AS DOUBLE) / ${L.toDouble}) / ${L.toDouble}"
+      s"""SELECT server, service, bucket * $intervalMs AS ts_ms,
+            $L AS lag, CAST(cnt AS BIGINT) AS n,
+            mean AS vol_avg,
+            mean - ${cfg.threshold} * sd AS vol_lb,
+            mean + ${cfg.threshold} * sd AS vol_ub,
+            CASE WHEN mean IS NOT NULL AND sd IS NOT NULL
+                  AND abs(CAST(cnt AS DOUBLE) - mean) > ${cfg.threshold} * sd
+                 THEN CASE WHEN CAST(cnt AS DOUBLE) > mean THEN 1 ELSE -1 END
+                 ELSE 0 END AS vol_signal
+          FROM (
+            SELECT *, $mean AS mean,
+              CASE WHEN ($msq) > 0.0 THEN sqrt($msq) END AS sd
+            FROM (
+              SELECT server, service, bucket, cnt,
+                CAST($ws AS BIGINT) AS ws, CAST($wsq AS BIGINT) AS wsq
+              FROM (
+                SELECT server, service, bucket, cnt,
+                  row_number() OVER o AS rn,
+                  CAST(sum(cnt) OVER c AS BIGINT) AS cum,
+                  CAST(sum(cnt * cnt) OVER c AS BIGINT) AS cumsq
+                FROM (SELECT server, service, bucket, cnt
+                      FROM (${ApmStats.denseBucketsSql(intervalMs)}))
+                WINDOW o AS (PARTITION BY server, service ORDER BY bucket),
+                       c AS (PARTITION BY server, service ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING))
+              WINDOW o AS (PARTITION BY server, service ORDER BY bucket)))"""
+    }
+    perLag.mkString(" UNION ALL ")
+  }
+
   /** Primitive ring buffer over one metric's influenced-value window —
     * semantically identical to `RefStats.zScoreStepRef` over a
     * `Queue[Option[Double]]` (same queue order, same left-to-right

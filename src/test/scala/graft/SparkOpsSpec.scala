@@ -71,6 +71,55 @@ class SparkOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("volumeZScorePrefix == brute-force window over per-bucket counts") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val interval = 1000L
+    // two keys, bursty counts, plus a constant-rate key (σ==0 quirk)
+    val rows = (for {
+      (srv, svc) <- Seq(("s0", "a"), ("s0", "b"), ("s1", "c")); i <- 0 until 60
+      n = if (svc == "c") 2
+          else if (rnd.nextDouble() < 0.1) 0
+          else 1 + rnd.nextInt(if (i == 45) 50 else 5)
+      j <- 0 until n
+    } yield (srv + svc + i + "_" + j, srv, svc, i * interval + j, 1.0))
+      .toDF("log_id", "server", "service", "end_ms", "elapsed")
+    val cfg = ZScore.LagCfg(5, 2.0, 0.0)
+    val got = ZScore.volumeZScorePrefix(rows, interval, Seq(cfg))
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
+        (r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Double]), r.getInt(8)))).toMap
+    // brute-force replay over the dense count series
+    val counts = rows.groupBy(col("server"), col("service"),
+        expr(s"end_ms div $interval").as("b"))
+      .count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2) -> r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toMap).toMap
+    val allB = 0L until 60L
+    var checked = 0
+    counts.foreach { case (key, byB) =>
+      val series = allB.map(b => byB.getOrElse(b, 0L))
+      allB.zipWithIndex.foreach { case (b, i) =>
+        val (gN, gAvg, gSig) = got((key._1, key._2, b * interval))
+        assert(gN == series(i), s"$key b=$b n")
+        if (i < cfg.lag) assert(gAvg.isEmpty && gSig == 0, s"$key b=$b warmup")
+        else {
+          val w = series.slice(i - cfg.lag, i).map(_.toDouble)
+          val m = w.sum / cfg.lag
+          val msq = w.map(x => (x - m) * (x - m)).sum / cfg.lag
+          assert(gAvg.exists(a => math.abs(a - m) < 1e-9), s"$key b=$b avg")
+          val expSig =
+            if (msq > 0 && math.abs(series(i) - m) > cfg.threshold * math.sqrt(msq))
+              (if (series(i) > m) 1 else -1) else 0
+          assert(gSig == expSig, s"$key b=$b sig got=$gSig exp=$expSig")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 100)
+    // the constant-rate key must never signal (σ==0 ⇒ undefined)
+    assert(got.collect { case ((_, "c", _), (_, _, s)) => s }.forall(_ == 0))
+  }
+
   test("alerts two-phase fold == interleaved reference fold") {
     import spark.implicits._
     val rnd = new Random(13)
