@@ -54,6 +54,8 @@ object SparkEntry {
     // scale path; see ZScore.volumeZScorePrefix scaladoc.
     "z6_zscore_prefix" -> ((s, dir) =>
       ZScore.volumeZScorePrefix(graft.Tables.txBase(s, dir), 600000L)),
+    // Bounded-state histogram percentile + realized error vs exact.
+    "a9_hist_quantile" -> ((s, dir) => ApmStats.histQuantile(s, dir)),
     "r2_candidates"    -> ((s, dir) => Alerts.candidates(zWin(s, dir), alertCfg)),
     // R3+R4 fired set (alert_ts_ms..causes). The full `al` byte assembly
     // (alertsFull) is pinned by ScalaTest + the r5 round-trip oracle;
@@ -243,6 +245,7 @@ object SparkEntry {
     "z2_zscore_fold"   -> ZScore.zScoreFoldSql(
       ApmStats.slidingStatsSql(1800000L, 30), ZScore.defaultLags, zOvr),
     "z6_zscore_prefix" -> ZScore.volumeZScorePrefixSql(600000L),
+    "a9_hist_quantile" -> ApmStats.histQuantileSql(),
     "r3_alerts"        -> Alerts.alertsSql(
       Alerts.candidatesSql(zWinSql, alertCfg), alertCfg),
     "j1_pairing"       -> Correlation.pairingSql,

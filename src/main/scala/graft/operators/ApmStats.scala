@@ -144,6 +144,96 @@ object ApmStats {
         RefStats.refPercentile(col("sorted"), 0.95).as("per95"))
   }
 
+  /** A6-at-scale — bounded-state approximate percentile via a fixed-width
+    * histogram, with its error vs the exact reference percentile measured
+    * in the same result.
+    *
+    * The exact percentile ([[RefStats.refPercentile]]) needs every value
+    * of the group materialized and sorted — the irreducible O(rows/key)
+    * payload the reference's sorted-insert array carries
+    * (util_methods.js:84-106). At 100 TB that payload is the bottleneck;
+    * the standard fix is a bounded sketch. This operator takes the
+    * simplest deterministic one — count per fixed-width bin — because it
+    * is (a) map-side combinable (a group's state is O(valueRange/binW)
+    * BIGINTs no matter how many rows feed it), (b) mergeable across
+    * partitions by plain addition, and (c) exactly reproducible in ANSI
+    * SQL, so the approximation itself is oracle-verified, not just
+    * spot-checked. Approx(p) = midpoint of the first bin whose cumulative
+    * count reaches p·n ⇒ error is bounded by binW/2 + the mass-ties term;
+    * the err75/err95 columns surface the realized error against the exact
+    * leg (which at scale you would simply drop).
+    *
+    * Shuffles: one keyed agg for the histogram, one window over bins
+    * (|bins| rows/key, not |rows|), one broadcast-sized join to the exact
+    * leg. No collect(), no UDFs.
+    */
+  def histQuantile(spark: SparkSession, sfDir: String,
+      binW: Double = 4.0): DataFrame = {
+    val tx = Tables.txBase(spark, sfDir)
+    val perBin = tx
+      .withColumn("bin", floor(col("elapsed") / lit(binW)).cast("long"))
+      .groupBy("server", "service", "bin")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("server", "service").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("server", "service")
+    val cum = perBin
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    def approxBin(p: Double) = min(when(
+      col("cum").cast("double") >= lit(p) * col("n").cast("double"),
+      col("bin")))
+    def mid(b: org.apache.spark.sql.Column) =
+      (b.cast("double") + lit(0.5)) * lit(binW)
+    val hist = cum.groupBy("server", "service")
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_bins"),
+        mid(approxBin(0.75)).as("approx75"),
+        mid(approxBin(0.95)).as("approx95"))
+    val exact = tx.groupBy("server", "service")
+      .agg(sort_array(collect_list(col("elapsed"))).as("sorted"))
+      .select(col("server"), col("service"),
+        RefStats.refPercentile(col("sorted"), 0.75).as("per75"),
+        RefStats.refPercentile(col("sorted"), 0.95).as("per95"))
+    hist.join(exact, Seq("server", "service"))
+      .select(col("server"), col("service"), col("n"), col("n_bins"),
+        col("approx75"), col("approx95"), col("per75"), col("per95"),
+        (col("approx75") - col("per75")).as("err75"),
+        (col("approx95") - col("per95")).as("err95"))
+  }
+
+  def histQuantileSql(binW: Double = 4.0): String = {
+    val p75 = RefStats.refPercentileSql("sorted", "0.75")
+    val p95 = RefStats.refPercentileSql("sorted", "0.95")
+    def approx(p: String) =
+      s"""(CAST(min(CASE WHEN CAST(cum AS DOUBLE) >= $p * CAST(n AS DOUBLE)
+          THEN bin END) AS DOUBLE) + 0.5) * $binW"""
+    s"""SELECT h.server, h.service, n, n_bins, approx75, approx95,
+          per75, per95,
+          approx75 - per75 AS err75, approx95 - per95 AS err95
+        FROM (
+          SELECT server, service, max(n) AS n,
+            count(*) AS n_bins,
+            ${approx("0.75")} AS approx75,
+            ${approx("0.95")} AS approx95
+          FROM (
+            SELECT server, service, bin, cnt,
+              CAST(sum(cnt) OVER (PARTITION BY server, service ORDER BY bin
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+              CAST(sum(cnt) OVER (PARTITION BY server, service) AS BIGINT) AS n
+            FROM (
+              SELECT server, service,
+                CAST(floor(elapsed / $binW) AS BIGINT) AS bin,
+                count(*) AS cnt
+              FROM (${Tables.txBaseSql})
+              GROUP BY 1, 2, 3))
+          GROUP BY 1, 2) h
+        JOIN (
+          SELECT server, service, $p75 AS per75, $p95 AS per95
+          FROM (SELECT server, service, list_sort(list(elapsed)) AS sorted
+                FROM (${Tables.txBaseSql}) GROUP BY 1, 2)) e
+          ON h.server = e.server AND h.service = e.service"""
+  }
+
   def slidingStatsSql(intervalMs: Long = 600000L, windowN: Int = 30): String = {
     val tpmDen = windowN * (intervalMs / 1000.0) / 60.0
     val p75 = RefStats.refPercentileSql("sorted", "0.75")

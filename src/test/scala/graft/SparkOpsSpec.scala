@@ -120,6 +120,40 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(got.collect { case ((_, "c", _), (_, _, s)) => s }.forall(_ == 0))
   }
 
+  test("histQuantile: approx within ~binW of exact, state bounded by bins") {
+    val binW = 4.0
+    val rows = ApmStats.histQuantile(spark, sf, binW).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nBins) = (r.getLong(2), r.getLong(3))
+      assert(nBins <= 130, s"state must be bounded by value range/binW: $nBins")
+      assert(nBins <= n)
+      // midpoint grid: approx values sit on (k+0.5)*binW
+      Seq(4, 5).foreach { i =>
+        val a = r.getDouble(i) / binW - 0.5
+        assert(math.abs(a - math.rint(a)) < 1e-9, s"not a midpoint: ${r.getDouble(i)}")
+      }
+      assert(r.getDouble(8) == r.getDouble(4) - r.getDouble(6))
+    }
+    // precise semantic: approx(p) == midpoint of the bin holding the
+    // rank-ceil(p*n) order statistic (first bin where cum mass >= p*n).
+    // (|err| is NOT binW-bounded in general: the exact formula averages
+    // two adjacent order statistics, which in a sparse tail may sit many
+    // bins apart — the err columns measure that realized gap.)
+    val byKey = graft.Tables.txBase(spark, sf).collect()
+      .map(r => ((r.getString(1), r.getString(2)), r.getDouble(4)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val vals = byKey((r.getString(0), r.getString(1)))
+      Seq((0.75, 4), (0.95, 5)).foreach { case (p, i) =>
+        val rank = math.ceil(p * vals.length).toInt
+        val expBin = math.floor(vals(rank - 1) / binW)
+        assert(r.getDouble(i) == (expBin + 0.5) * binW,
+          s"${r.getString(0)}/${r.getString(1)} p=$p")
+      }
+    }
+  }
+
   test("alerts two-phase fold == interleaved reference fold") {
     import spark.implicits._
     val rnd = new Random(13)
