@@ -102,6 +102,8 @@ object SparkEntry {
     "d8_span_dedup"    -> ((s, dir) => Dedup.spanDedup(s, dir)),
     "d9_line_dedup"    -> ((s, dir) => Dedup.lineDedup(s, dir)),
     "c2_dup_clusters"  -> ((s, dir) => Dedup.dupClusters(s, dir)),
+    // Iterative relational PageRank over the near-dup pair graph.
+    "c18_pagerank"     -> ((s, dir) => Dedup.pagerank(s, dir)),
     "c3_decontaminate" -> ((s, dir) => Curation.decontaminate(s, dir)),
     "c4_mix_weights"   -> ((s, dir) => Curation.mixWeights(s, dir)),
     "c5_strat_sample"  -> ((s, dir) => Curation.stratSample(s, dir)),
@@ -269,6 +271,7 @@ object SparkEntry {
     "d8_span_dedup"    -> Dedup.spanDedupSql(),
     "d9_line_dedup"    -> Dedup.lineDedupSql(),
     "c2_dup_clusters"  -> Dedup.dupClustersSql(),
+    "c18_pagerank"     -> Dedup.pagerankSql(),
     "c3_decontaminate" -> Curation.decontaminateSql(),
     "c4_mix_weights"   -> Curation.mixWeightsSql,
     "c5_strat_sample"  -> Curation.stratSampleSql,

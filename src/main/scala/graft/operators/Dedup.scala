@@ -416,6 +416,83 @@ object Dedup {
           CAST(doc_id = min(r) AS INT) AS is_canonical
         FROM reach GROUP BY doc_id"""
 
+  /** PageRank over the near-dup candidate graph — iterative relational
+    * computation as a first-class operator, and a principled canonical-
+    * document signal: in a near-dup cluster the highest-centrality doc is
+    * the one most "representative" of the duplicated content (cf. min-id
+    * canonicalization in [[dupClusters]], which is arbitrary).
+    *
+    * Fixed `iters` power-iteration rounds with damping 0.85 over the
+    * symmetrized LSH pair graph (restricted to nodes with >=1 edge, so
+    * there are no dangling nodes and mass accounting is closed). Each
+    * round is ONE shuffle: edges join ranks (broadcast-sized rank side at
+    * test scale, hash join at corpus scale) then a keyed aggregation on
+    * the destination. Per-target contribution sums are ordered folds
+    * (sorted by source id) so Spark and the DuckDB oracle — the same
+    * rounds unrolled as a CTE chain — agree bit-for-bit. Edges are
+    * localCheckpoint'ed once; the LSH banding never re-runs inside the
+    * loop. Driver holds no data — only the loop counter.
+    */
+  def pagerank(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4, iters: Int = 8): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir, threshold).select("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nF = deg.agg(count(lit(1)).as("n"))
+    var ranks = deg.crossJoin(broadcast(nF))
+      .select(col("src").as("doc_id"),
+        (lit(1.0) / col("n").cast("double")).as("r"))
+    (0 until iters).foreach { _ =>
+      ranks = edges
+        .join(ranks.select(col("doc_id").as("src"), col("r")), "src")
+        .join(deg, "src")
+        .select(col("dst"), col("src"),
+          (col("r") / col("deg").cast("double")).as("contrib"))
+        .groupBy("dst")
+        .agg(sort_array(collect_list(struct(col("src"), col("contrib")))).as("cs"))
+        .crossJoin(broadcast(nF))
+        .select(col("dst").as("doc_id"),
+          (lit(0.15) / col("n").cast("double") + lit(0.85) *
+            aggregate(col("cs"), lit(0.0),
+              (a, x) => a + x.getField("contrib"))).as("r"))
+    }
+    ranks.join(deg.select(col("src").as("doc_id"), col("deg")), "doc_id")
+      .select(col("doc_id"), col("deg"), col("r").as("pr"))
+  }
+
+  /** Oracle: the identical rounds unrolled as a non-recursive CTE chain
+    * (it0..itN), contribution sums as source-ordered folds.
+    */
+  def pagerankSql(threshold: Double = 0.4, iters: Int = 8): String = {
+    val step = (i: Int) =>
+      s"""it${i + 1} AS (
+          SELECT e.dst AS doc_id,
+            0.15 / CAST(nn.n AS DOUBLE) + 0.85 * ${graft.functions.RefStats
+              .foldSumSql(s"list(p.r / CAST(d.deg AS DOUBLE) ORDER BY e.src)")} AS r
+          FROM edges e
+          JOIN it$i p ON e.src = p.doc_id
+          JOIN deg d ON e.src = d.src, nn
+          GROUP BY e.dst, nn.n)"""
+    s"""WITH
+        pairs AS MATERIALIZED (
+          SELECT id_a, id_b FROM (${minhashLshSql(threshold)})),
+        edges AS MATERIALIZED (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+        deg AS MATERIALIZED (
+          SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        nn AS (SELECT count(*) AS n FROM deg),
+        it0 AS (
+          SELECT src AS doc_id, 1.0 / CAST(nn.n AS DOUBLE) AS r
+          FROM deg, nn),
+        ${(0 until iters).map(step).mkString(",\n")}
+        SELECT r.doc_id, CAST(d.deg AS BIGINT) AS deg, r.r AS pr
+        FROM it$iters r JOIN deg d ON r.doc_id = d.src"""
+  }
+
   /** Generalized k-word shingle oracle fragment (the k=3 helper above
     * special-cases the Jaccard family's gram size).
     */

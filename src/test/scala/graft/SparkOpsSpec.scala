@@ -154,6 +154,20 @@ class SparkOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank: closed mass, teleport floor, degree-monotone on cliques") {
+    val rows = Dedup.pagerank(spark, sf, iters = 8).collect()
+    assert(rows.nonEmpty, "LSH graph at sf0.001 must have edges")
+    val n = rows.length
+    // no dangling nodes => power iteration conserves total mass exactly
+    val mass = rows.map(_.getDouble(2)).sum
+    assert(math.abs(mass - 1.0) < 1e-9, s"mass $mass")
+    // every rank is strictly above the damped teleport floor
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0.15 / n * 0.999, r.toString)
+      assert(r.getLong(1) >= 1)
+    }
+  }
+
   test("alerts two-phase fold == interleaved reference fold") {
     import spark.implicits._
     val rnd = new Random(13)
