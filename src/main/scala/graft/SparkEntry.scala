@@ -112,6 +112,8 @@ object SparkEntry {
     "c14_fuzzy_decon"  -> ((s, dir) => Curation.fuzzyDecon(s, dir)),
     "c15_quality_attrib" -> ((s, dir) => Curation.qualityAttribution(s, dir)),
     "c17_pps_sample"   -> ((s, dir) => Curation.ppsSample(s, dir)),
+    // Deterministic hash-order training shuffle + sharding.
+    "c19_shuffle_shards" -> ((s, dir) => Curation.shuffleShards(s, dir)),
     "c6_pii_scrub"     -> ((s, dir) => Curation.piiScrub(s, dir)),
     "t6_repetition"    -> ((s, dir) => TextAnalysis.repetition(s, dir)),
     "t8_vocab"         -> ((s, dir) => TextAnalysis.vocab(s, dir)),
@@ -145,6 +147,8 @@ object SparkEntry {
     "e3_matryoshka"    -> ((s, dir) => Similarity.matryoshkaRecall(s, dir)),
     "c16_topic_clusters" -> ((s, dir) => Similarity.topicClusters(s, dir)),
     "t5_seq_pack"      -> ((s, dir) => TextAnalysis.seqPack(s, dir)),
+    // Overlapping fixed-size RAG/embedding chunking with provenance.
+    "t20_chunking"     -> ((s, dir) => TextAnalysis.chunk(s, dir)),
     "m1_media_meta"    -> ((s, dir) => Multimodal.meta(s, dir)),
     "m2_media_decode"  -> ((s, dir) => Multimodal.decodeAll(s, dir).toDF()),
     "m3_frame_sample"  -> ((s, dir) => Multimodal.frameSample(s, dir)),
@@ -280,6 +284,7 @@ object SparkEntry {
     "c14_fuzzy_decon"  -> Curation.fuzzyDeconSql(),
     "c15_quality_attrib" -> Curation.qualityAttributionSql,
     "c17_pps_sample"   -> Curation.ppsSampleSql(),
+    "c19_shuffle_shards" -> Curation.shuffleShardsSql(),
     "c6_pii_scrub"     -> Curation.piiScrubSql,
     "t6_repetition"    -> TextAnalysis.repetitionSql(),
     "t8_vocab"         -> TextAnalysis.vocabSql(),
@@ -314,6 +319,7 @@ object SparkEntry {
     "c16_topic_clusters" -> Similarity.topicClustersSql(),
     "m3_frame_sample"  -> Multimodal.frameSampleSql(),
     "t5_seq_pack"      -> TextAnalysis.seqPackSql(),
+    "t20_chunking"     -> TextAnalysis.chunkSql(),
     "m1_media_meta"    -> Multimodal.metaSql,
     // m2_media_decode: a real pure-JVM container parse (BMP/WAV/Y4M);
     // the oracle computes the expected header fields from the closed-form

@@ -534,6 +534,40 @@ object Curation {
       .select("source", "doc_id", "n_tok", "cum_tok", "n_picks")
   }
 
+  /** Deterministic global training-order shuffle + sharding — the last
+    * step before a corpus feeds a trainer: an order decorrelated from
+    * ingestion order (no source/time runs), reproducible across runs,
+    * and split into fixed shards for parallel loaders.
+    *
+    * Hash-order shuffling instead of RNG: position is defined by
+    * `poly_hash(doc_id#shuf)` (ties broken by doc_id), so the permutation
+    * is a pure function of the corpus — re-runnable, resumable, and
+    * cross-engine verifiable. shard = h mod nShards (map-only);
+    * pos = rank within the shard (ONE keyed shuffle; each shard sorts
+    * independently, so the global sort never serializes — this is
+    * exactly `repartition(shard).sortWithinPartitions(h)` as a write
+    * plan at 100 TB, with no total-order range exchange).
+    */
+  def shuffleShards(spark: SparkSession, sfDir: String,
+      nShards: Int = 64): DataFrame = {
+    val h = poly_hash(concat(col("doc_id").cast("string"), lit("#shuf")))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", expr(s"h % $nShards"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .select("doc_id", "h", "shard", "pos")
+  }
+
+  def shuffleShardsSql(nShards: Int = 64): String = {
+    val h = polySql("CAST(doc_id AS VARCHAR) || '#shuf'")
+    s"""SELECT doc_id, h, h % $nShards AS shard,
+          CAST(row_number() OVER (PARTITION BY h % $nShards
+            ORDER BY h, doc_id) AS BIGINT) AS pos
+        FROM (SELECT doc_id, $h AS h FROM documents)"""
+  }
+
   def ppsSampleSql(step: Long = 500): String = {
     val h = polySql("CAST(doc_id AS VARCHAR) || '#pps'")
     s"""WITH d AS (

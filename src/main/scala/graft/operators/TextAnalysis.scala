@@ -76,6 +76,47 @@ object TextAnalysis {
               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
             FROM documents))"""
 
+  /** Overlapping fixed-size chunking — the long-document splitter every
+    * embedding/RAG ingestion pipeline runs before vectorizing: windows of
+    * `chunkTok` whitespace tokens starting every `chunkTok - overlap`
+    * tokens, provenance preserved as (doc_id, chunk_idx, start_tok).
+    * Final partial windows are kept (chunk_len < chunkTok).
+    *
+    * Scale shape: scan → per-row explode — embarrassingly parallel, no
+    * shuffle; output size is rows x (n/stride), linear in corpus tokens.
+    * The split/slice/join pipeline is all codegen'd builtins.
+    */
+  def chunk(spark: SparkSession, sfDir: String,
+      chunkTok: Int = 64, overlap: Int = 16): DataFrame = {
+    val stride = chunkTok - overlap
+    Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), wsSplit).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), greatest(size(col("ws")) - 1, lit(0)),
+          lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start").cast("long") / stride).cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start_tok"),
+        size(slice(col("ws"), col("start") + 1, lit(chunkTok)))
+          .cast("long").as("chunk_len"),
+        array_join(slice(col("ws"), col("start") + 1, lit(chunkTok)), " ")
+          .as("chunk"))
+  }
+
+  def chunkSql(chunkTok: Int = 64, overlap: Int = 16): String = {
+    val stride = chunkTok - overlap
+    s"""SELECT doc_id,
+          s // $stride AS chunk_idx,
+          CAST(s AS BIGINT) AS start_tok,
+          len(list_slice(ws, s + 1, s + $chunkTok)) AS chunk_len,
+          array_to_string(list_slice(ws, s + 1, s + $chunkTok), ' ') AS chunk
+        FROM (
+          SELECT doc_id, ws,
+            unnest(range(0, greatest(len(ws), 1), $stride)) AS s
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                FROM documents))"""
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Quality scoring — length, mean word length, stopword ratio,

@@ -79,6 +79,22 @@ class PlanSpec extends AnyFunSuite {
     assert(n >= spark.sparkContext.defaultParallelism, s"fold partitions=$n")
   }
 
+  test("z6 prefix z-score: pure window plan, no per-row window arrays") {
+    val p = plan("z6_zscore_prefix")
+    // the whole point of the prefix-sum formulation: no collect_list
+    // materializing O(lag) values per row anywhere in the plan
+    assert(!p.contains("collect_list"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
+  test("a9 histogram quantile: histogram leg partial-aggregates before its exchange") {
+    val p = plan("a9_hist_quantile")
+    // bin counting must map-side combine (partial_count before exchange)
+    assert(p.contains("partial_count"), p)
+    // exact leg joins back on a tiny per-key frame — broadcastable
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("q4 EXISTS runs as a left-semi join (no post-join distinct)") {
     val p = plan("q4_semi")
     assert(p.contains("LeftSemi"), p)
