@@ -56,6 +56,8 @@ object SparkEntry {
       ZScore.volumeZScorePrefix(graft.Tables.txBase(s, dir), 600000L)),
     // Bounded-state histogram percentile + realized error vs exact.
     "a9_hist_quantile" -> ((s, dir) => ApmStats.histQuantile(s, dir)),
+    // Sliding-window percentile with bounded state (histogram fan-out).
+    "a10_sliding_hist" -> ((s, dir) => ApmStats.slidingHistQuantile(s, dir)),
     "r2_candidates"    -> ((s, dir) => Alerts.candidates(zWin(s, dir), alertCfg)),
     // R3+R4 fired set (alert_ts_ms..causes). The full `al` byte assembly
     // (alertsFull) is pinned by ScalaTest + the r5 round-trip oracle;
@@ -252,6 +254,7 @@ object SparkEntry {
       ApmStats.slidingStatsSql(1800000L, 30), ZScore.defaultLags, zOvr),
     "z6_zscore_prefix" -> ZScore.volumeZScorePrefixSql(600000L),
     "a9_hist_quantile" -> ApmStats.histQuantileSql(),
+    "a10_sliding_hist" -> ApmStats.slidingHistQuantileSql(),
     "r3_alerts"        -> Alerts.alertsSql(
       Alerts.candidatesSql(zWinSql, alertCfg), alertCfg),
     "j1_pairing"       -> Correlation.pairingSql,

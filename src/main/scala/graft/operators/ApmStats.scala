@@ -234,6 +234,98 @@ object ApmStats {
           ON h.server = e.server AND h.service = e.service"""
   }
 
+  /** A5-at-scale — the sliding-window percentile with BOUNDED state: the
+    * histogram sketch of [[histQuantile]] pushed through the sliding
+    * window by fan-out instead of sorted-list materialization.
+    *
+    * [[slidingStats]] is exact-parity but each output row materializes
+    * the window's every value (`flatten(collect_list)` over 30 buckets)
+    * — O(window·values) per row, the honest cost of exact percentiles.
+    * Here each non-empty (key, bucket, bin) count row is exploded to the
+    * `windowN` window positions it contributes to, then re-aggregated —
+    * the standard sparse-window-as-fan-out: linear in non-zero histogram
+    * cells × windowN, with O(range/binW) integers per (key, window)
+    * regardless of event volume. All-integer counts ⇒ exact cross-engine
+    * parity with no ordered folds.
+    *
+    * Shuffles: bin-count groupBy (map-side combinable), post-fan-out
+    * groupBy, per-(key,window) cumulative window + argmin agg — all keyed
+    * on (server, service[, w]); no collect, no arrays.
+    */
+  def slidingHistQuantile(spark: SparkSession, sfDir: String,
+      intervalMs: Long = 600000L, windowN: Int = 30,
+      binW: Double = 4.0): DataFrame = {
+    val tx = Tables.txBase(spark, sfDir)
+    val binned = tx
+      .withColumn("bucket", expr(s"end_ms div $intervalMs"))
+      .withColumn("bin", floor(col("elapsed") / lit(binW)).cast("long"))
+      .groupBy("server", "service", "bucket", "bin")
+      .agg(count(lit(1)).as("cnt"))
+    val range = tx.agg(
+      expr(s"min(end_ms div $intervalMs)").as("mnb"),
+      expr(s"max(end_ms div $intervalMs)").as("mxb"))
+    // fan each cell to the windowN trailing window positions it feeds,
+    // clipped to the observed bucket range
+    val fanned = binned.crossJoin(broadcast(range))
+      .select(col("server"), col("service"), col("bin"), col("cnt"),
+        explode(sequence(col("bucket"),
+          least(col("bucket") + (windowN - 1), col("mxb")))).as("w"))
+      .groupBy("server", "service", "w", "bin")
+      .agg(sum(col("cnt")).as("wcnt"))
+    val wCum = Window.partitionBy("server", "service", "w").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("server", "service", "w")
+    def approxBin(p: Double) = min(when(
+      col("cum").cast("double") >= lit(p) * col("n").cast("double"),
+      col("bin")))
+    def mid(b: org.apache.spark.sql.Column) =
+      (b.cast("double") + lit(0.5)) * lit(binW)
+    fanned
+      .withColumn("cum", sum(col("wcnt")).over(wCum))
+      .withColumn("n", sum(col("wcnt")).over(wAll))
+      .groupBy("server", "service", "w")
+      .agg(max(col("n")).as("n"),
+        mid(approxBin(0.75)).as("approx75"),
+        mid(approxBin(0.95)).as("approx95"))
+      .select(col("server"), col("service"),
+        (col("w") * intervalMs).as("ts_ms"), col("n"),
+        col("approx75"), col("approx95"))
+  }
+
+  def slidingHistQuantileSql(intervalMs: Long = 600000L, windowN: Int = 30,
+      binW: Double = 4.0): String = {
+    def approx(p: String) =
+      s"""(CAST(min(CASE WHEN CAST(cum AS DOUBLE) >= $p * CAST(n AS DOUBLE)
+          THEN bin END) AS DOUBLE) + 0.5) * $binW"""
+    s"""WITH binned AS (
+          SELECT server, service, end_ms // $intervalMs AS bucket,
+            CAST(floor(elapsed / $binW) AS BIGINT) AS bin,
+            count(*) AS cnt
+          FROM (${Tables.txBaseSql})
+          GROUP BY 1, 2, 3, 4),
+        rng AS (
+          SELECT max(end_ms // $intervalMs) AS mxb FROM (${Tables.txBaseSql})),
+        fanned AS (
+          SELECT server, service, w, bin, CAST(sum(cnt) AS BIGINT) AS wcnt
+          FROM (
+            SELECT server, service, bin, cnt,
+              unnest(range(bucket, least(bucket + $windowN, mxb + 1))) AS w
+            FROM binned, rng)
+          GROUP BY 1, 2, 3, 4),
+        cumed AS (
+          SELECT server, service, w, bin, wcnt,
+            CAST(sum(wcnt) OVER (PARTITION BY server, service, w ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+            CAST(sum(wcnt) OVER (PARTITION BY server, service, w)
+              AS BIGINT) AS n
+          FROM fanned)
+        SELECT server, service, w * $intervalMs AS ts_ms, max(n) AS n,
+          ${approx("0.75")} AS approx75,
+          ${approx("0.95")} AS approx95
+        FROM cumed
+        GROUP BY server, service, w"""
+  }
+
   def slidingStatsSql(intervalMs: Long = 600000L, windowN: Int = 30): String = {
     val tpmDen = windowN * (intervalMs / 1000.0) / 60.0
     val p75 = RefStats.refPercentileSql("sorted", "0.75")

@@ -168,6 +168,36 @@ class SparkOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("slidingHistQuantile: per-window approx == bin of rank-ceil(p*n) value") {
+    val (interval, winN, binW) = (600000L, 30, 4.0)
+    val ev = graft.Tables.txBase(spark, sf).collect()
+      .map(r => ((r.getString(1), r.getString(2)),
+        r.getLong(3) / interval, r.getDouble(4)))
+    val byKey = ev.groupBy(_._1)
+    val got = ApmStats.slidingHistQuantile(spark, sf, interval, winN, binW)
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
+        (r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    var checked = 0
+    byKey.foreach { case (key, rows) =>
+      val buckets = rows.map(_._2)
+      (buckets.min to buckets.max).foreach { w =>
+        val vals = rows.filter(r => r._2 > w - winN && r._2 <= w).map(_._3).sorted
+        got.get((key._1, key._2, w * interval)) match {
+          case None => assert(vals.isEmpty, s"$key w=$w missing")
+          case Some((n, a75, a95)) =>
+            assert(n == vals.length, s"$key w=$w n")
+            Seq((0.75, a75), (0.95, a95)).foreach { case (p, a) =>
+              val rank = math.ceil(p * vals.length).toInt
+              val expBin = math.floor(vals(rank - 1) / binW)
+              assert(a == (expBin + 0.5) * binW, s"$key w=$w p=$p")
+            }
+            checked += 1
+        }
+      }
+    }
+    assert(checked > 500)
+  }
+
   test("alerts two-phase fold == interleaved reference fold") {
     import spark.implicits._
     val rnd = new Random(13)
