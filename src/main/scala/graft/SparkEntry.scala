@@ -130,6 +130,8 @@ object SparkEntry {
     "w1_sessionize"    -> ((s, dir) => Sessionize.sessions(s, dir)),
     "w2_funnel"        -> ((s, dir) => Sessionize.funnel(s, dir)),
     "w3_retention"     -> ((s, dir) => Sessionize.retention(s, dir)),
+    // Within-session co-occurrence lift (market-basket association).
+    "w5_cooccur"       -> ((s, dir) => Sessionize.cooccur(s, dir)),
     "w4_transitions"   -> ((s, dir) => Sessionize.transitions(s, dir)),
     "d3_dedup_minhash" -> ((s, dir) => Dedup.minhash(s, dir)),
     "d4_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
@@ -302,6 +304,7 @@ object SparkEntry {
     "w1_sessionize"    -> Sessionize.sessionsSql(),
     "w2_funnel"        -> Sessionize.funnelSql(),
     "w3_retention"     -> Sessionize.retentionSql,
+    "w5_cooccur"       -> Sessionize.cooccurSql,
     "w4_transitions"   -> Sessionize.transitionsSql,
     "d3_dedup_minhash" -> Dedup.minhashSql,
     "d4_dedup_minhash_lsh" -> Dedup.minhashLshSql(),

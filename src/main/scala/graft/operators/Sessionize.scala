@@ -191,4 +191,71 @@ object Sessionize {
           CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS share
         FROM p WHERE prev_type IS NOT NULL
         GROUP BY prev_type, next_type"""
+
+  /** Within-session event-type co-occurrence with PMI-style lift —
+    * which behaviors cluster in the same user-day (association mining
+    * over the behavior stream; the classic market-basket shape).
+    *
+    * lift(a,b) = P(a,b) / (P(a)·P(b)) over user-day sessions
+    *           = n_ab · N / (n_a · n_b)   (all counts exact integers).
+    * Reported as the raw ratio, not log-PMI: `ln` is not bit-stable
+    * across engines, a single integer-derived division is.
+    *
+    * Scale shape: project to DISTINCT (user, day, type) FIRST — the
+    * irreducible presence set — so the pair join explodes presence rows
+    * (≤ |types| per session), never raw events. With a bounded type
+    * vocabulary the output is |types|² regardless of corpus size; all
+    * joins key on (user, day) and the final aggregation is map-side
+    * combinable.
+    */
+  def cooccur(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val pres = ev
+      .select(col("user_id"), Tables.tsMillis(ev).as("ms"), col("event_type"))
+      .select(col("user_id"), expr("ms div 86400000").as("day"),
+        col("event_type")).distinct()
+    val nSess = pres.select("user_id", "day").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val typeCnt = pres.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val pairs = pres.as("a")
+      .join(pres.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(typeCnt.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(typeCnt.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nSess))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_ab"), col("n_sessions"),
+        (col("n_ab").cast("double") * col("n_sessions").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+  }
+
+  val cooccurSql: String =
+    """WITH pres AS (
+         SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day, event_type
+         FROM events),
+       ns AS (SELECT count(*) AS n_sessions
+              FROM (SELECT DISTINCT user_id, day FROM pres)),
+       tc AS (SELECT event_type, count(*) AS n_t FROM pres GROUP BY 1),
+       p AS (
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_ab
+         FROM pres a JOIN pres b
+           ON a.user_id = b.user_id AND a.day = b.day
+          AND a.event_type < b.event_type
+         GROUP BY 1, 2)
+       SELECT type_a, type_b, ta.n_t AS n_a, tb.n_t AS n_b, n_ab,
+         n_sessions,
+         CAST(n_ab AS DOUBLE) * CAST(n_sessions AS DOUBLE) /
+           (CAST(ta.n_t AS DOUBLE) * CAST(tb.n_t AS DOUBLE)) AS lift
+       FROM p
+       JOIN tc ta ON p.type_a = ta.event_type
+       JOIN tc tb ON p.type_b = tb.event_type, ns"""
 }
