@@ -180,4 +180,67 @@ object ApmStateV2 {
       .transformWithState(new EnrichProcessor(ttlMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  // ------------------------------------------- Z6 volume z-score at ingest
+
+  case class VolIn(server: String, service: String, bucket: Long, cnt: Long)
+  /** NaN marks "undefined" (warmup / σ==0), mirroring the batch NULLs. */
+  case class VolOut(server: String, service: String, bucket: Long, n: Long,
+      vol_avg: Double, vol_lb: Double, vol_ub: Double, vol_signal: Int)
+  case class VolState(counts: List[Long], sum: Long, sumsq: Long)
+
+  /** Streaming twin of [[graft.operators.ZScore.volumeZScorePrefix]] —
+    * per-key state is the bounded count window plus its two running
+    * integer moments (O(lag) longs; the moments make each step O(1)).
+    * The arithmetic is the batch prefix-difference expression verbatim,
+    * so stream == batch bit-for-bit on the same dense count series
+    * (pinned in StateV2Spec). Expects the dense per-bucket counts the
+    * stats stage already emits every interval (tpm=0 rows included) in
+    * bucket order per key.
+    */
+  class VolumeZProcessor(lag: Int, threshold: Double)
+      extends StatefulProcessor[(String, String), VolIn, VolOut] {
+    @transient private var st: ValueState[VolState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[VolState]("vol",
+        Encoders.product[VolState], TTLConfig.NONE)
+    override def handleInputRows(key: (String, String), rows: Iterator[VolIn],
+        tv: TimerValues): Iterator[VolOut] = {
+      var s = if (st.exists()) st.get() else VolState(Nil, 0L, 0L)
+      val out = rows.toArray.sortBy(_.bucket).map { r =>
+        var (avg, lb, ub, sig) = (Double.NaN, Double.NaN, Double.NaN, 0)
+        if (s.counts.length >= lag) {
+          val mean = s.sum.toDouble / lag.toDouble
+          val msq = (s.sumsq.toDouble -
+            s.sum.toDouble * s.sum.toDouble / lag.toDouble) / lag.toDouble
+          avg = mean
+          if (msq > 0.0) {
+            val sd = math.sqrt(msq)
+            lb = mean - threshold * sd
+            ub = mean + threshold * sd
+            if (math.abs(r.cnt.toDouble - mean) > threshold * sd)
+              sig = if (r.cnt.toDouble > mean) 1 else -1
+          }
+        }
+        val pushed = VolState(s.counts :+ r.cnt,
+          s.sum + r.cnt, s.sumsq + r.cnt * r.cnt)
+        s = if (pushed.counts.length > lag)
+          VolState(pushed.counts.tail,
+            pushed.sum - pushed.counts.head,
+            pushed.sumsq - pushed.counts.head * pushed.counts.head)
+        else pushed
+        VolOut(key._1, key._2, r.bucket, r.cnt, avg, lb, ub, sig)
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  def volumeZStreamV2(in: Dataset[VolIn], lag: Int,
+      threshold: Double): Dataset[VolOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(r => (r.server, r.service))
+      .transformWithState(new VolumeZProcessor(lag, threshold),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -77,6 +77,52 @@ class StateV2Spec extends AnyFunSuite {
     }
   }
 
+  test("volume z-score V2 == batch prefix z6 on the same dense series") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val rnd = new scala.util.Random(23)
+      val cfg = ZScore.LagCfg(5, 2.0, 0.0)
+      val interval = 1000L
+      // dense count series per key, incl. zero buckets and a burst
+      val series = for {
+        srv <- Seq("s0", "s1"); b <- 0L until 50L
+      } yield ApmStateV2.VolIn(srv, "svc", b,
+        if (b == 40 && srv == "s0") 60L else rnd.nextInt(5).toLong)
+      val in = MemoryStream[ApmStateV2.VolIn]
+      val out = ApmStateV2.volumeZStreamV2(in.toDS(), cfg.lag, cfg.threshold)
+      val q = out.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("z6_out").start()
+      try {
+        val (c1, c2) = series.partition(_.bucket < 20)
+        in.addData(c1); q.processAllAvailable()
+        in.addData(c2); q.processAllAvailable()
+        val got = spark.table("z6_out").as[ApmStateV2.VolOut].collect()
+          .map(o => (o.server, o.bucket) ->
+            ((o.n, o.vol_avg, o.vol_lb, o.vol_signal))).toMap
+        // batch z6 over the equivalent raw events (cnt events per bucket)
+        val raw = series.flatMap(v => (0L until v.cnt).map(j =>
+            (s"${v.server}${v.bucket}_$j", v.server, v.service,
+              v.bucket * interval, 1.0)))
+          .toDF("log_id", "server", "service", "end_ms", "elapsed")
+        val exp = ZScore.volumeZScorePrefix(raw, interval, Seq(cfg))
+          .collect().map(r => (r.getString(0), r.getLong(2) / interval) ->
+            ((r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Double]),
+              Option(r.get(6)).map(_.asInstanceOf[Double]), r.getInt(8)))).toMap
+        assert(exp.nonEmpty && got.size == series.size)
+        exp.foreach { case (k, (eN, eAvg, eLb, eSig)) =>
+          val (gN, gAvg, gLb, gSig) = got(k)
+          assert(gN == eN, s"$k n")
+          assert(eAvg.fold(gAvg.isNaN)(_ == gAvg), s"$k avg")
+          assert(eLb.fold(gLb.isNaN)(_ == gLb), s"$k lb")
+          assert(gSig == eSig, s"$k sig")
+        }
+        // the burst must actually fire in both
+        assert(got(("s0", 40L))._4 == 1)
+      } finally q.stop()
+    }
+  }
+
   test("vote + cooldown V2 == reference fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
