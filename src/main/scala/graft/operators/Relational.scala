@@ -868,4 +868,48 @@ object Relational {
         FROM ($arms)
         GROUP BY metric"""
   }
+
+  /** Q26 — latest-record-wins compaction (CDC/upsert semantics): collapse
+    * the events change stream to one current row per (user_id,
+    * event_type), "latest" by (ts, event_id) with the id as the
+    * deterministic tie-break. The lakehouse MERGE/compaction primitive.
+    *
+    * Implemented with `max_by` over a packed ordering struct rather than
+    * a row_number window: ONE map-side-combinable aggregation — partial
+    * max per input split, merge per key — instead of shuffle + per-key
+    * full sort + filter. At 100 TB with long-history keys that is the
+    * difference between O(changes) streaming-friendly compaction and a
+    * sort of every key's history. (`max_by` keys on the struct's
+    * lexicographic order, so (ms, event_id) gives exactly the window
+    * formulation's ordering.)
+    */
+  def q26Compaction(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.select(col("user_id"), col("event_type"), col("event_id"),
+        Tables.tsMillis(ev).as("ms"), col("value"))
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_versions"),
+        max_by(struct(col("event_id"), col("ms"), col("value")),
+          struct(col("ms"), col("event_id"))).as("latest"))
+      .select(col("user_id"), col("event_type"), col("n_versions"),
+        col("latest.event_id").as("event_id"),
+        col("latest.ms").as("ms"),
+        col("latest.value").as("value"))
+  }
+
+  /** Oracle: the window formulation (DuckDB's arg_max cannot order by a
+    * composite key) — identical results, different plan shape, which is
+    * the point of the comparison.
+    */
+  val q26CompactionSql: String =
+    """SELECT user_id, event_type, n_versions, event_id, ms, value
+       FROM (
+         SELECT user_id, event_type, event_id, ms, value,
+           CAST(count(*) OVER (PARTITION BY user_id, event_type) AS BIGINT)
+             AS n_versions,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ms DESC, event_id DESC) AS rn
+         FROM (SELECT user_id, event_type, event_id, epoch_ms(ts) AS ms,
+                 value FROM events))
+       WHERE rn = 1"""
 }

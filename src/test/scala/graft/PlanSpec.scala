@@ -95,6 +95,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("c19 shuffle shards: map-only shard assignment, one exchange for ranks") {
+    val p = plan("c19_shuffle_shards")
+    // shard = hash mod — must not introduce its own exchange; the single
+    // shuffle is the per-shard ranking window
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("t20 chunking: shuffle-free explode over the scan") {
+    val df = SparkEntry.queries("t20_chunking")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("w5 co-occurrence: distinct presence projection precedes the pair join") {
+    val p = plan("w5_cooccur")
+    // the pair join must consume aggregated (distinct) presence rows,
+    // never raw events: a HashAggregate below the self-join on each side
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c18 pagerank: no cartesian anywhere in the iterative plan") {
+    val p = plan("c18_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    // teleport scalar rides a broadcast, not a driver collect
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("q4 EXISTS runs as a left-semi join (no post-join distinct)") {
     val p = plan("q4_semi")
     assert(p.contains("LeftSemi"), p)
