@@ -134,6 +134,8 @@ object SparkEntry {
     "w5_cooccur"       -> ((s, dir) => Sessionize.cooccur(s, dir)),
     // Latest-record-wins CDC compaction via one map-side max_by agg.
     "q26_compaction"   -> ((s, dir) => Relational.q26Compaction(s, dir)),
+    // ADC candidates + exact refine: recall lift measured side by side.
+    "s10_pq_refine"    -> ((s, dir) => Similarity.pqRefineRecall(s, dir)),
     "w4_transitions"   -> ((s, dir) => Sessionize.transitions(s, dir)),
     "d3_dedup_minhash" -> ((s, dir) => Dedup.minhash(s, dir)),
     "d4_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
@@ -308,6 +310,7 @@ object SparkEntry {
     "w3_retention"     -> Sessionize.retentionSql,
     "w5_cooccur"       -> Sessionize.cooccurSql,
     "q26_compaction"   -> Relational.q26CompactionSql,
+    "s10_pq_refine"    -> Similarity.pqRefineRecallSql(),
     "w4_transitions"   -> Sessionize.transitionsSql,
     "d3_dedup_minhash" -> Dedup.minhashSql,
     "d4_dedup_minhash_lsh" -> Dedup.minhashLshSql(),

@@ -957,6 +957,89 @@ object Similarity {
         FROM exact LEFT JOIN approx ON q_id = aq AND n_id = an
         GROUP BY q_id"""
 
+  /** ADC + exact-refine re-ranking — the full production serving shape:
+    * the compressed index proposes `cand` candidates per query (memory-
+    * bound code lookups, never the corpus floats), then the refine
+    * stage fetches exact vectors for ONLY those Q·cand candidates and
+    * re-ranks to the final top-k. The result carries recall@k for the
+    * refined list AND the raw ADC list side by side — the measured
+    * recall the refine step buys for an exact-scoring cost of
+    * Q·cand instead of Q·N.
+    *
+    * Scale: the candidate set is broadcast-sized per query batch; the
+    * refine join touches `cand/N` of the corpus — at 100 TB that ratio
+    * is what makes exact re-ranking affordable at all.
+    */
+  def pqRefineRecall(spark: SparkSession, sfDir: String,
+      k: Int = 5, cand: Int = 25, nQueries: Int = 20): DataFrame = {
+    val vecs = vecsDouble(spark, sfDir)
+    val coarse = pqAdc(spark, sfDir, cand, nQueries)
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = vecs.select(col("vec_id").as("n_id"), col("v").as("nv"))
+    val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id").asc)
+    val refined = coarse.select("q_id", "n_id")
+      .join(q, "q_id").join(c, "n_id")
+      .withColumn("d2", aggregate(
+        zip_with(col("qv"), col("nv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, e) => acc + e))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id").as("rq"), col("n_id").as("rn"))
+    val adcK = coarse.filter(col("rank") <= k)
+      .select(col("q_id").as("aq"), col("n_id").as("an"))
+    val exact = q.join(c, col("q_id") =!= col("n_id"))
+      .withColumn("d2", aggregate(
+        zip_with(col("qv"), col("nv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, e) => acc + e))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "n_id")
+    exact
+      .join(refined, col("q_id") === col("rq") && col("n_id") === col("rn"), "left")
+      .join(adcK, col("q_id") === col("aq") && col("n_id") === col("an"), "left")
+      .groupBy("q_id")
+      .agg((count(col("rq")) / lit(k.toDouble)).as("recall_refined"),
+        (count(col("aq")) / lit(k.toDouble)).as("recall_adc"))
+  }
+
+  def pqRefineRecallSql(k: Int = 5, cand: Int = 25,
+      nQueries: Int = 20): String = {
+    val d2 = """list_reduce(list_prepend(0.0,
+          list_transform(range(1, len(qv)+1),
+            i -> (qv[i] - nv[i]) * (qv[i] - nv[i]))),
+          (acc, e) -> acc + e)"""
+    s"""WITH vecs_r AS ($vecsDoubleSql),
+        coarse AS (SELECT q_id, n_id, rank
+                   FROM (${pqAdcSql(cand, nQueries)})),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM vecs_r
+              WHERE vec_id < $nQueries),
+        c AS (SELECT vec_id AS n_id, v AS nv FROM vecs_r),
+        refined AS (
+          SELECT q_id AS rq, n_id AS rn FROM (
+            SELECT coarse.q_id, coarse.n_id,
+              row_number() OVER (PARTITION BY coarse.q_id
+                ORDER BY $d2 ASC, coarse.n_id ASC) AS rnk, qv, nv
+            FROM coarse JOIN q USING (q_id) JOIN c USING (n_id))
+          WHERE rnk <= $k),
+        adck AS (SELECT q_id AS aq, n_id AS an FROM coarse
+                 WHERE rank <= $k),
+        exact AS (
+          SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY $d2 ASC, n_id ASC) AS rnk
+            FROM q JOIN c ON q_id <> n_id)
+          WHERE rnk <= $k)
+        SELECT q_id,
+          count(rq) / CAST($k AS DOUBLE) AS recall_refined,
+          count(aq) / CAST($k AS DOUBLE) AS recall_adc
+        FROM exact
+        LEFT JOIN refined ON q_id = rq AND n_id = rn
+        LEFT JOIN adck ON q_id = aq AND n_id = an
+        GROUP BY q_id"""
+  }
+
   def knnLshSql(k: Int = 5, nQueries: Int = 20): String = {
     val dim = SrpDim
     val bucket = (0 until LshBits).map { bit =>
