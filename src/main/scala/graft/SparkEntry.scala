@@ -58,6 +58,8 @@ object SparkEntry {
     "a9_hist_quantile" -> ((s, dir) => ApmStats.histQuantile(s, dir)),
     // Sliding-window percentile with bounded state (histogram fan-out).
     "a10_sliding_hist" -> ((s, dir) => ApmStats.slidingHistQuantile(s, dir)),
+    // LOCF gap-fill over the dense scaffold with fill provenance.
+    "a11_locf_fill"    -> ((s, dir) => ApmStats.locfFill(s, dir)),
     "r2_candidates"    -> ((s, dir) => Alerts.candidates(zWin(s, dir), alertCfg)),
     // R3+R4 fired set (alert_ts_ms..causes). The full `al` byte assembly
     // (alertsFull) is pinned by ScalaTest + the r5 round-trip oracle;
@@ -136,6 +138,8 @@ object SparkEntry {
     "q26_compaction"   -> ((s, dir) => Relational.q26Compaction(s, dir)),
     // ADC candidates + exact refine: recall lift measured side by side.
     "s10_pq_refine"    -> ((s, dir) => Similarity.pqRefineRecall(s, dir)),
+    // One-pass analytic window-function family per customer.
+    "q27_window_suite" -> ((s, dir) => Relational.q27WindowSuite(s, dir)),
     "w4_transitions"   -> ((s, dir) => Sessionize.transitions(s, dir)),
     "d3_dedup_minhash" -> ((s, dir) => Dedup.minhash(s, dir)),
     "d4_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
@@ -261,6 +265,7 @@ object SparkEntry {
     "z6_zscore_prefix" -> ZScore.volumeZScorePrefixSql(600000L),
     "a9_hist_quantile" -> ApmStats.histQuantileSql(),
     "a10_sliding_hist" -> ApmStats.slidingHistQuantileSql(),
+    "a11_locf_fill"    -> ApmStats.locfFillSql(),
     "r3_alerts"        -> Alerts.alertsSql(
       Alerts.candidatesSql(zWinSql, alertCfg), alertCfg),
     "j1_pairing"       -> Correlation.pairingSql,
@@ -311,6 +316,7 @@ object SparkEntry {
     "w5_cooccur"       -> Sessionize.cooccurSql,
     "q26_compaction"   -> Relational.q26CompactionSql,
     "s10_pq_refine"    -> Similarity.pqRefineRecallSql(),
+    "q27_window_suite" -> Relational.q27WindowSuiteSql,
     "w4_transitions"   -> Sessionize.transitionsSql,
     "d3_dedup_minhash" -> Dedup.minhashSql,
     "d4_dedup_minhash_lsh" -> Dedup.minhashLshSql(),

@@ -326,6 +326,54 @@ object ApmStats {
         GROUP BY server, service, w"""
   }
 
+  /** A11 — gap-fill by last-observation-carried-forward over the dense
+    * bucket scaffold: quiet intervals inherit the key's most recent
+    * observed mean (the standard time-series imputation for downstream
+    * models that cannot take NULLs), with `is_filled` provenance and the
+    * fill's age in buckets. The per-bucket mean is the ordered fold over
+    * the bucket's sorted values ([[RefStats.arrayMean]]) so both engines
+    * agree bitwise; the carry itself moves values, not recomputations.
+    *
+    * Scale: the scaffold is |keys| x |buckets| (independent of event
+    * volume); ONE shuffle on the key, one sort, two last-non-null
+    * windows sharing the frame.
+    */
+  def locfFill(spark: SparkSession, sfDir: String,
+      intervalMs: Long = 600000L): DataFrame = {
+    val w = Window.partitionBy("server", "service").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    denseBuckets(spark, sfDir, intervalMs)
+      .withColumn("obs_avg",
+        when(col("cnt") > 0, RefStats.arrayMean(col("vals"))))
+      .withColumn("obs_bucket", when(col("cnt") > 0, col("bucket")))
+      .select(col("server"), col("service"),
+        (col("bucket") * intervalMs).as("ts_ms"), col("cnt"),
+        col("obs_avg"),
+        last(col("obs_avg"), ignoreNulls = true).over(w).as("filled_avg"),
+        (col("cnt") === 0 &&
+          last(col("obs_avg"), ignoreNulls = true).over(w).isNotNull)
+          .cast("int").as("is_filled"),
+        (col("bucket") -
+          last(col("obs_bucket"), ignoreNulls = true).over(w)).as("fill_age"))
+  }
+
+  def locfFillSql(intervalMs: Long = 600000L): String = {
+    val mean = RefStats.arrayMeanSql("vals")
+    s"""SELECT server, service, bucket * $intervalMs AS ts_ms,
+          CAST(cnt AS BIGINT) AS cnt, obs_avg,
+          last_value(obs_avg IGNORE NULLS) OVER w AS filled_avg,
+          CAST(cnt = 0 AND last_value(obs_avg IGNORE NULLS) OVER w
+            IS NOT NULL AS INT) AS is_filled,
+          bucket - last_value(obs_bucket IGNORE NULLS) OVER w AS fill_age
+        FROM (
+          SELECT server, service, bucket, cnt,
+            CASE WHEN cnt > 0 THEN $mean END AS obs_avg,
+            CASE WHEN cnt > 0 THEN bucket END AS obs_bucket
+          FROM (${denseBucketsSql(intervalMs)}))
+        WINDOW w AS (PARTITION BY server, service ORDER BY bucket
+                     ROWS UNBOUNDED PRECEDING)"""
+  }
+
   def slidingStatsSql(intervalMs: Long = 600000L, windowN: Int = 30): String = {
     val tpmDen = windowN * (intervalMs / 1000.0) / 60.0
     val p75 = RefStats.refPercentileSql("sorted", "0.75")

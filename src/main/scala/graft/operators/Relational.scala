@@ -897,6 +897,48 @@ object Relational {
         col("latest.value").as("value"))
   }
 
+  /** Q27 — the analytic window-function family in one query: per-customer
+    * order sequencing with row_number, lag/lead (money on the exact 2-dp
+    * integer grain), quartile ntile, percent_rank and cume_dist. Total
+    * order inside each customer partition is (o_date_ms, o_orderkey) so
+    * every function is deterministic; the rank-derived ratios are single
+    * integer-derived divisions (bit-stable cross-engine).
+    *
+    * Scale: ONE shuffle on o_custkey, one sort per partition; every
+    * window function shares the same frame, so Spark evaluates them in
+    * a single Window operator pass.
+    */
+  def q27WindowSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord0 = Tables.load(spark, sfDir, "orders")
+    val w = Window.partitionBy("o_custkey").orderBy("o_date_ms", "o_orderkey")
+    val wAll = Window.partitionBy("o_custkey")
+    val base = ord0.select(col("o_orderkey"), col("o_custkey"),
+      Tables.colMillis(ord0, "o_orderdate").as("o_date_ms"),
+      floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("price_g"))
+    base.select(col("o_orderkey"), col("o_custkey"), col("o_date_ms"),
+        row_number().over(w).cast("long").as("seq"),
+        lag(col("price_g"), 1).over(w).as("prev_price_g"),
+        lead(col("price_g"), 1).over(w).as("next_price_g"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        count(lit(1)).over(wAll).as("n_orders"))
+  }
+
+  val q27WindowSuiteSql: String =
+    """SELECT o_orderkey, o_custkey, o_date_ms,
+         CAST(row_number() OVER w AS BIGINT) AS seq,
+         lag(price_g, 1) OVER w AS prev_price_g,
+         lead(price_g, 1) OVER w AS next_price_g,
+         CAST(ntile(4) OVER w AS INT) AS quartile,
+         percent_rank() OVER w AS pct_rank,
+         cume_dist() OVER w AS cume,
+         CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+       FROM (SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS o_date_ms,
+               CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_g
+             FROM orders)
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_date_ms, o_orderkey)"""
+
   /** Oracle: the window formulation (DuckDB's arg_max cannot order by a
     * composite key) — identical results, different plan shape, which is
     * the point of the comparison.
