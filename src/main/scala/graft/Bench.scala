@@ -79,12 +79,22 @@ object Bench {
     // reports — and time each consumer's incremental work over it, the
     // way a production tee would run. Built eagerly (localCheckpoint
     // materializes at construction) so no pass absorbs the chain cost.
-    val familyNames = Set("r3_alerts", "r5_assembly", "r7_digest",
+    val alertFam = Set("r3_alerts", "r5_assembly", "r7_digest",
       "s6_db_stats", "s8_email_rows", "s8_email_digest")
+    // ANN index sharing, same attribution scheme: training stays with
+    // the unshared trainer queries (e2_pq_codes, s7_ivfpq); the serving
+    // queries time only their own search/recall work.
+    val annFam = Set("s5_pq_adc", "s6_pq_recall", "s10_pq_refine",
+      "s8_ivfpq_recall")
+    val familyNames = alertFam ++ annFam
+    val empty = Map.empty[String, () => org.apache.spark.sql.DataFrame]
     val shared: Map[String, () => org.apache.spark.sql.DataFrame] =
-      if (familyNames.exists(n => only.forall(_.contains(n))))
+      (if (alertFam.exists(n => only.forall(_.contains(n))))
         SparkEntry.alertFamilyShared(spark, sfDir)
-      else Map.empty
+      else empty) ++
+      (if (annFam.exists(n => only.forall(_.contains(n))))
+        SparkEntry.annFamilyShared(spark, sfDir)
+      else empty)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn0) =>

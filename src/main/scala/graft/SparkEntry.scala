@@ -218,6 +218,26 @@ object SparkEntry {
       "s8_email_digest" -> (() => Alerts.emailDigest(cand, alertCfg)))
   }
 
+  /** Same chain-sharing for the ANN index families: the PQ index is
+    * trained once (cost attributed to the unshared e2_pq_codes trainer),
+    * searches serve from it; the IVF-PQ search result feeds its recall
+    * consumer (cost attributed to the unshared s7_ivfpq).
+    */
+  def annFamilyShared(spark: SparkSession, dir: String): Map[String, () => DataFrame] = {
+    // eager, like alertFamilyShared: materialize outside the timed
+    // passes so no single pass absorbs the chain cost
+    val trained = Similarity.pqTrainedShared(spark, dir)
+    val ivfpq = Similarity.ivfPq(spark, dir).localCheckpoint()
+    Map(
+      "s5_pq_adc"       -> (() => Similarity.pqAdcFrom(spark, dir,
+        trained._1, trained._2)),
+      "s6_pq_recall"    -> (() => Similarity.pqRecallFrom(spark, dir,
+        Similarity.pqAdcFrom(spark, dir, trained._1, trained._2))),
+      "s10_pq_refine"   -> (() => Similarity.pqRefineRecallFrom(spark, dir,
+        Similarity.pqAdcFrom(spark, dir, trained._1, trained._2, k = 25))),
+      "s8_ivfpq_recall" -> (() => Similarity.ivfPqRecallFrom(spark, dir, ivfpq)))
+  }
+
   /** Alert config used by registered queries: thresholds tuned so the test
     * data produces a mix of firing and quiet intervals; one per-service
     * hard-max override exercises the J4 broadcast-config join.

