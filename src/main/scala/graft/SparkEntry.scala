@@ -110,6 +110,8 @@ object SparkEntry {
     "c18_pagerank"     -> ((s, dir) => Dedup.pagerank(s, dir)),
     "c3_decontaminate" -> ((s, dir) => Curation.decontaminate(s, dir)),
     "c4_mix_weights"   -> ((s, dir) => Curation.mixWeights(s, dir)),
+    // Temperature-scaled (alpha=0.5) mixture up-sampling weights.
+    "c20_temp_mix"     -> ((s, dir) => Curation.temperatureMix(s, dir)),
     "c5_strat_sample"  -> ((s, dir) => Curation.stratSample(s, dir)),
     "c12_source_cap"   -> ((s, dir) => Curation.sourceCap(s, dir)),
     "c13_mix_apply"    -> ((s, dir) => Curation.mixApply(s, dir)),
@@ -312,6 +314,7 @@ object SparkEntry {
     "c18_pagerank"     -> Dedup.pagerankSql(),
     "c3_decontaminate" -> Curation.decontaminateSql(),
     "c4_mix_weights"   -> Curation.mixWeightsSql,
+    "c20_temp_mix"     -> Curation.temperatureMixSql,
     "c5_strat_sample"  -> Curation.stratSampleSql,
     "c12_source_cap"   -> Curation.sourceCapSql(),
     "c13_mix_apply"    -> Curation.mixApplySql(),

@@ -110,6 +110,61 @@ object Curation {
     * source; the share/weight window runs over the handful of
     * post-aggregate rows (one per source), not the corpus.
     */
+  /** Temperature-scaled mixture weights — the multilingual/multi-source
+    * up-sampling rule (mT5/XLM-R style): sample probability p_i ∝
+    * share_i^alpha with alpha=0.5, which damps head sources and boosts
+    * the tail. alpha=1/2 is deliberately the exponent computed by
+    * `sqrt`: IEEE-754 requires correctly-rounded sqrt, so unlike `pow`
+    * or `ln` it is bit-identical across engines and the whole result
+    * stays oracle-checkable. The normalizing sum folds in source-name
+    * order on both sides. Outputs the raw share, the tempered share,
+    * and the per-doc up/down-sampling factor tempered/raw.
+    */
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSrc = Tables.load(spark, sfDir, "documents")
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(sum("n_tok").as("src_tokens"))
+    val all = Window.partitionBy(lit(1))
+    val ordered = Window.partitionBy(lit(1)).orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perSrc
+      .withColumn("share",
+        col("src_tokens").cast("double") /
+          sum("src_tokens").over(all).cast("double"))
+      .withColumn("temp_raw", sqrt(col("share")))
+      // ordered fold for the normalizer: collect shares sorted by source
+      // and left-fold, so Spark and DuckDB sum in the same order
+      .withColumn("z", aggregate(
+        sort_array(collect_list(struct(col("source"), col("temp_raw")))
+          .over(ordered)),
+        lit(0.0), (acc, x) => acc + x.getField("temp_raw")))
+      .select(col("source"), col("src_tokens"), col("share"),
+        (col("temp_raw") / col("z")).as("tempered_share"),
+        ((col("temp_raw") / col("z")) / col("share")).as("sample_factor"))
+  }
+
+  val temperatureMixSql: String =
+    """WITH s AS (
+         SELECT source, CAST(sum(CAST(len(string_split_regex(trim(text),
+           '\s+')) AS BIGINT)) AS BIGINT) AS src_tokens
+         FROM documents GROUP BY source),
+       sh AS (
+         SELECT source, src_tokens,
+           CAST(src_tokens AS DOUBLE) /
+             CAST((SELECT sum(src_tokens) FROM s) AS DOUBLE) AS share
+         FROM s),
+       z AS (
+         SELECT list_reduce(list_prepend(0.0,
+             list_transform(list(sqrt(share) ORDER BY source), x -> x)),
+           (acc, v) -> acc + v) AS z
+         FROM sh)
+       SELECT source, src_tokens, share,
+         sqrt(share) / z AS tempered_share,
+         (sqrt(share) / z) / share AS sample_factor
+       FROM sh, z"""
+
   def mixWeights(spark: SparkSession, sfDir: String): DataFrame = {
     val perSrc = Tables.load(spark, sfDir, "documents")
       .select(col("source"),
