@@ -136,6 +136,10 @@ object SparkEntry {
     "w3_retention"     -> ((s, dir) => Sessionize.retention(s, dir)),
     // Within-session co-occurrence lift (market-basket association).
     "w5_cooccur"       -> ((s, dir) => Sessionize.cooccur(s, dir)),
+    // Inter-arrival cadence profile with exact reference percentiles.
+    "w6_inter_arrival" -> ((s, dir) => Sessionize.interArrival(s, dir)),
+    // Language-ID confusion matrix vs corpus labels.
+    "t21_langid_eval"  -> ((s, dir) => TextAnalysis.langIdEval(s, dir)),
     // Latest-record-wins CDC compaction via one map-side max_by agg.
     "q26_compaction"   -> ((s, dir) => Relational.q26Compaction(s, dir)),
     // ADC candidates + exact refine: recall lift measured side by side.
@@ -337,6 +341,8 @@ object SparkEntry {
     "w2_funnel"        -> Sessionize.funnelSql(),
     "w3_retention"     -> Sessionize.retentionSql,
     "w5_cooccur"       -> Sessionize.cooccurSql,
+    "w6_inter_arrival" -> Sessionize.interArrivalSql,
+    "t21_langid_eval"  -> TextAnalysis.langIdEvalSql(TextAnalysis.langIdSql),
     "q26_compaction"   -> Relational.q26CompactionSql,
     "s10_pq_refine"    -> Similarity.pqRefineRecallSql(),
     "q27_window_suite" -> Relational.q27WindowSuiteSql,

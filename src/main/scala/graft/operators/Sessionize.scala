@@ -192,6 +192,60 @@ object Sessionize {
         FROM p WHERE prev_type IS NOT NULL
         GROUP BY prev_type, next_type"""
 
+  /** Inter-arrival time distribution per event type — the behavioral
+    * cadence profile (how often does a user fire this event): gap
+    * between consecutive same-type events of the same user, summarized
+    * per type with exact reference percentiles. Gaps are integer ms so
+    * the mean is a single exact-integer division; percentiles use the
+    * reference's exact formula over the sorted gap multiset.
+    *
+    * Scale: one keyed window for the lag (user, type), one aggregation
+    * per type. The sorted gap list per type is the exact-percentile
+    * payload — swap in [[graft.operators.ApmStats.histQuantile]]'s
+    * binned sketch when types have corpus-scale cardinality.
+    */
+  def interArrival(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.RefStats
+    val ev = Tables.load(spark, sfDir, "events")
+    val base = ev.select(col("user_id"), col("event_type"),
+      Tables.tsMillis(ev).as("ms"), col("event_id"))
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ms", "event_id")
+    base.withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("sum_gap"),
+        sort_array(collect_list(col("gap").cast("double"))).as("sorted"))
+      .select(col("event_type"), col("n_gaps"),
+        (col("sum_gap").cast("double") / col("n_gaps").cast("double"))
+          .as("mean_gap_ms"),
+        RefStats.refPercentile(col("sorted"), 0.5).as("p50_gap_ms"),
+        RefStats.refPercentile(col("sorted"), 0.95).as("p95_gap_ms"))
+  }
+
+  val interArrivalSql: String = {
+    import graft.functions.RefStats
+    val p50 = RefStats.refPercentileSql("sorted", "0.5")
+    val p95 = RefStats.refPercentileSql("sorted", "0.95")
+    s"""SELECT event_type, n_gaps,
+          CAST(sum_gap AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_ms,
+          $p50 AS p50_gap_ms,
+          $p95 AS p95_gap_ms
+        FROM (
+          SELECT event_type, count(*) AS n_gaps,
+            CAST(sum(gap) AS BIGINT) AS sum_gap,
+            list_sort(list(CAST(gap AS DOUBLE))) AS sorted
+          FROM (
+            SELECT event_type,
+              ms - lag(ms, 1) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ms, event_id) AS gap
+            FROM (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
+                  FROM events))
+          WHERE gap IS NOT NULL
+          GROUP BY event_type)"""
+  }
+
   /** Within-session event-type co-occurrence with PMI-style lift —
     * which behaviors cluster in the same user-day (association mining
     * over the behavior stream; the classic market-basket shape).

@@ -117,6 +117,39 @@ object TextAnalysis {
                 FROM documents))"""
   }
 
+  /** Language-ID EVALUATION — the confusion matrix of the n-gram
+    * heuristic against the corpus labels, with per-cell share of the
+    * true class (recall when pred==label). Classifier quality shipped
+    * as a first-class query: a curation pipeline that filters on
+    * `lang_pred` should know its per-language error rates, measured on
+    * the same engine that applies the filter.
+    *
+    * Scale: classification is the shuffle-free scan layer; the matrix
+    * is one map-side-combinable count over |langs|² cells.
+    */
+  def langIdEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val preds = langId(spark, sfDir)
+    val truthTotals = preds.groupBy(col("lang_label"))
+      .agg(count(lit(1)).as("n_label"))
+    preds.groupBy("lang_label", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .join(truthTotals, Seq("lang_label"))
+      .select(col("lang_label"), col("lang_pred"), col("n"), col("n_label"),
+        (col("n").cast("double") / col("n_label").cast("double"))
+          .as("share_of_label"),
+        (col("lang_label") === col("lang_pred")).cast("int").as("is_correct"))
+  }
+
+  def langIdEvalSql(langIdRel: String): String =
+    s"""SELECT p.lang_label, lang_pred, n, n_label,
+          CAST(n AS DOUBLE) / CAST(n_label AS DOUBLE) AS share_of_label,
+          CAST(p.lang_label = lang_pred AS INT) AS is_correct
+        FROM (SELECT lang_label, lang_pred, count(*) AS n
+              FROM ($langIdRel) GROUP BY 1, 2) p
+        JOIN (SELECT lang_label, count(*) AS n_label
+              FROM ($langIdRel) GROUP BY 1) t
+          ON p.lang_label = t.lang_label"""
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Quality scoring — length, mean word length, stopword ratio,
