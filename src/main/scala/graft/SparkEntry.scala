@@ -54,6 +54,8 @@ object SparkEntry {
     // scale path; see ZScore.volumeZScorePrefix scaladoc.
     "z6_zscore_prefix" -> ((s, dir) =>
       ZScore.volumeZScorePrefix(graft.Tables.txBase(s, dir), 600000L)),
+    // MAD robust outlier profile (median/MAD complement to z-scores).
+    "z7_mad_outliers"  -> ((s, dir) => ZScore.madOutliers(s, dir)),
     // Bounded-state histogram percentile + realized error vs exact.
     "a9_hist_quantile" -> ((s, dir) => ApmStats.histQuantile(s, dir)),
     // Sliding-window percentile with bounded state (histogram fan-out).
@@ -289,6 +291,7 @@ object SparkEntry {
     "z2_zscore_fold"   -> ZScore.zScoreFoldSql(
       ApmStats.slidingStatsSql(1800000L, 30), ZScore.defaultLags, zOvr),
     "z6_zscore_prefix" -> ZScore.volumeZScorePrefixSql(600000L),
+    "z7_mad_outliers"  -> ZScore.madOutliersSql(),
     "a9_hist_quantile" -> ApmStats.histQuantileSql(),
     "a10_sliding_hist" -> ApmStats.slidingHistQuantileSql(),
     "a11_locf_fill"    -> ApmStats.locfFillSql(),

@@ -402,6 +402,71 @@ object ZScore {
     perLag.mkString(" UNION ALL ")
   }
 
+  /** MAD-based robust outlier detection — the median/median-absolute-
+    * deviation complement to the mean/σ z-score family: per (server,
+    * service), med = median(elapsed), MAD = median(|x − med|), and a row
+    * is an outlier when |x − med| > k·MAD (k=3, the conventional cutoff;
+    * with MAD==0 — over half the values identical — the rule is
+    * undefined and nothing flags, mirroring the σ==0 quirk). Robust
+    * statistics matter operationally: one retry storm of 100 s calls
+    * drags a mean/σ gate far more than the median/MAD gate.
+    *
+    * Both medians use the exact reference percentile arithmetic
+    * ([[RefStats.refPercentile]] at p=0.5) so the oracle matches
+    * bit-for-bit. Output is the per-key profile plus outlier counts.
+    *
+    * Scale: two keyed aggregations (the sorted lists are the honest
+    * exact-median payload — the bounded-state alternative is the
+    * histogram sketch, a9/a10); the |x−med| pass joins the per-key med
+    * back (broadcast-sized) rather than re-shuffling raw rows.
+    */
+  def madOutliers(spark: SparkSession, sfDir: String,
+      k: Double = 3.0): DataFrame = {
+    val tx = graft.Tables.txBase(spark, sfDir)
+    val med = tx.groupBy("server", "service")
+      .agg(sort_array(collect_list(col("elapsed"))).as("sorted"))
+      .select(col("server"), col("service"),
+        RefStats.refPercentile(col("sorted"), 0.5).as("med"))
+    val withDev = tx.join(broadcast(med), Seq("server", "service"))
+      .withColumn("dev", abs(col("elapsed") - col("med")))
+    val madF = withDev.groupBy("server", "service")
+      .agg(sort_array(collect_list(col("dev"))).as("devs"))
+      .select(col("server"), col("service"),
+        RefStats.refPercentile(col("devs"), 0.5).as("mad"))
+    withDev.join(broadcast(madF), Seq("server", "service"))
+      .groupBy("server", "service")
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("mad") > 0.0 && col("dev") > lit(k) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  def madOutliersSql(k: Double = 3.0): String = {
+    val p50s = RefStats.refPercentileSql("sorted", "0.5")
+    val p50d = RefStats.refPercentileSql("devs", "0.5")
+    s"""WITH tx AS (${graft.Tables.txBaseSql}),
+        med AS (
+          SELECT server, service, $p50s AS med
+          FROM (SELECT server, service, list_sort(list(elapsed)) AS sorted
+                FROM tx GROUP BY 1, 2)),
+        dev AS (
+          SELECT t.server, t.service, med, abs(elapsed - med) AS dev
+          FROM tx t JOIN med ON t.server = med.server
+           AND t.service = med.service),
+        madf AS (
+          SELECT server, service, $p50d AS mad
+          FROM (SELECT server, service, list_sort(list(dev)) AS devs
+                FROM dev GROUP BY 1, 2))
+        SELECT d.server, d.service, count(*) AS n,
+          min(d.med) AS med, min(mad) AS mad,
+          CAST(sum(CASE WHEN mad > 0.0 AND dev > $k * mad
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN madf m ON d.server = m.server
+         AND d.service = m.service
+        GROUP BY d.server, d.service"""
+  }
+
   /** Primitive ring buffer over one metric's influenced-value window —
     * semantically identical to `RefStats.zScoreStepRef` over a
     * `Queue[Option[Double]]` (same queue order, same left-to-right
