@@ -61,6 +61,12 @@ object Bench {
       val r = ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
       // progress trace on stderr (driver reads only the stdout JSON)
       System.err.println(f"[bench] $name wall=${r._1}%.2f cpu=${r._2}%.2f")
+      // GC between PASSES, outside the timed section: garbage-heavy
+      // queries (e.g. the jaccard verification join at 10x data)
+      // otherwise pay the previous pass's concurrent-G1 work INSIDE the
+      // next pass — observed as 5-8x cpu swings across identical passes
+      // (process CPU counts GC threads).
+      System.gc()
       r
     }
     def median(xs: Seq[Double]): Double = {
@@ -110,13 +116,9 @@ object Bench {
         val ws = passes.map(_._1)
         ws.max / math.max(ws.min, 1e-9) > 5.0
       }) { passes += timeOnce(name, fn); extra += 1 }
-      // Explicit GC between queries, OUTSIDE the timed sections: dozens
-      // of queries x passes accumulate broadcast/shuffle driver state
-      // that the ContextCleaner only reclaims on a driver GC; without
-      // this the heap fills mid-suite and a G1 storm taxes whole query
-      // families 5-30x (observed: one pass burning 250 cpu-sec on all
-      // cores, then every query in the window 10x slow until reclaim).
-      System.gc()
+      // (per-pass GC inside timeOnce also serves the between-queries
+      // role: broadcast/shuffle driver state the ContextCleaner only
+      // reclaims on a driver GC never accumulates across the suite)
       (name, median(passes.map(_._1).toSeq), median(passes.map(_._2).toSeq))
     }
     // ---- Streaming throughput: the reference's only published number is
