@@ -876,12 +876,14 @@ object Relational {
     *
     * Implemented with `max_by` over a packed ordering struct rather than
     * a row_number window: ONE map-side-combinable aggregation — partial
-    * max per input split, merge per key — instead of shuffle + per-key
-    * full sort + filter. At 100 TB with long-history keys that is the
-    * difference between O(changes) streaming-friendly compaction and a
-    * sort of every key's history. (`max_by` keys on the struct's
+    * max per input split collapses each split to a row per key BEFORE
+    * the exchange, where the window formulation must shuffle every raw
+    * change row and sort full key histories. (Struct payloads make the
+    * final step a SortAggregate — a grouping-key sort over the already-
+    * collapsed rows, not the raw history; the shuffle-volume reduction
+    * is the scale property.) `max_by` keys on the struct's
     * lexicographic order, so (ms, event_id) gives exactly the window
-    * formulation's ordering.)
+    * formulation's ordering.
     */
   def q26Compaction(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")

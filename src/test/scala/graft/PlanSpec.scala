@@ -125,6 +125,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("q26 compaction: one exchange, max_by partial-aggregates map-side") {
+    val p = plan("q26_compaction")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    // the win vs the window formulation: PARTIAL max_by collapses each
+    // input split to one row per key before the exchange (the window
+    // version must shuffle every raw row). Struct payloads force
+    // SortAggregate (grouping-key sort), which is fine — the shuffle
+    // volume reduction is the scale property.
+    assert("SortAggregate|HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("partial") && p.contains("max_by"), p)
+  }
+
+  test("a11 LOCF: both carry-forward windows share one keyed sort") {
+    val p = plan("a11_locf_fill")
+    assert("Sort ".r.findAllIn(p).length <= 2, p) // scaffold + window sort
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"), p) // scaffold cross join is broadcast
+  }
+
   test("q4 EXISTS runs as a left-semi join (no post-join distinct)") {
     val p = plan("q4_semi")
     assert(p.contains("LeftSemi"), p)

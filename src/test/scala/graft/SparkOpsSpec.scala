@@ -198,6 +198,44 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(checked > 500)
   }
 
+  test("madOutliers == brute per-key median/MAD replay") {
+    val k = 3.0
+    val got = ZScore.madOutliers(spark, sf, k).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    val byKey = graft.Tables.txBase(spark, sf).collect()
+      .map(r => ((r.getString(1), r.getString(2)), r.getDouble(4)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got.keySet == byKey.keySet)
+    byKey.foreach { case (key, vals) =>
+      val med = RefStats.calcPercentileRef(vals.sorted.toIndexedSeq, 50).get
+      val devs = vals.map(v => math.abs(v - med))
+      val mad = RefStats.calcPercentileRef(devs.sorted.toIndexedSeq, 50).get
+      val nOut = if (mad > 0) devs.count(_ > k * mad).toLong else 0L
+      val (gN, gMed, gMad, gOut) = got(key)
+      assert(gN == vals.length && gMed == med && gMad == mad && gOut == nOut,
+        s"$key got=${got(key)} exp=($med,$mad,$nOut)")
+    }
+  }
+
+  test("temperatureMix: tempered shares normalize and damp toward uniform") {
+    val rows = Curation.temperatureMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9, "raw shares sum")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9, "tempered shares sum")
+    // alpha<1 damping: every head source (share above uniform) loses
+    // share, every tail source gains — order preserved
+    val n = rows.length
+    rows.foreach { case (src, raw, temp) =>
+      if (raw > 1.0 / n) assert(temp < raw, s"$src head must damp")
+      if (raw < 1.0 / n) assert(temp > raw, s"$src tail must boost")
+    }
+    val byRaw = rows.sortBy(_._2).map(_._1).toSeq
+    val byTemp = rows.sortBy(_._3).map(_._1).toSeq
+    assert(byRaw == byTemp, "temperature preserves source ordering")
+  }
+
   test("alerts two-phase fold == interleaved reference fold") {
     import spark.implicits._
     val rnd = new Random(13)
