@@ -120,6 +120,8 @@ object SparkEntry {
     "c14_fuzzy_decon"  -> ((s, dir) => Curation.fuzzyDecon(s, dir)),
     "c15_quality_attrib" -> ((s, dir) => Curation.qualityAttribution(s, dir)),
     "c17_pps_sample"   -> ((s, dir) => Curation.ppsSample(s, dir)),
+    // Leakage-aware train/val split over near-dup clusters.
+    "c22_leak_split"   -> ((s, dir) => Curation.leakSplit(s, dir)),
     // Deterministic hash-order training shuffle + sharding.
     "c19_shuffle_shards" -> ((s, dir) => Curation.shuffleShards(s, dir)),
     "c6_pii_scrub"     -> ((s, dir) => Curation.piiScrub(s, dir)),
@@ -322,6 +324,7 @@ object SparkEntry {
     "c3_decontaminate" -> Curation.decontaminateSql(),
     "c4_mix_weights"   -> Curation.mixWeightsSql,
     "c20_temp_mix"     -> Curation.temperatureMixSql,
+    "c22_leak_split"   -> Curation.leakSplitSql(),
     "c5_strat_sample"  -> Curation.stratSampleSql,
     "c12_source_cap"   -> Curation.sourceCapSql(),
     "c13_mix_apply"    -> Curation.mixApplySql(),

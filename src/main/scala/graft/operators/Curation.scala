@@ -623,6 +623,70 @@ object Curation {
         FROM (SELECT doc_id, $h AS h FROM documents)"""
   }
 
+  /** Leakage-aware train/validation split — the assignment step every
+    * eval pipeline needs: docs split by deterministic hash (~10% val),
+    * then each VAL doc is checked against its near-dup cluster
+    * ([[graft.operators.Dedup.dupClusters]] over the MinHash-LSH pair
+    * graph) — if any near-duplicate landed in train, the val doc is
+    * flagged `leaked` (its eval score would be memorization, not
+    * generalization; cf. the dedup-between-train-and-test findings in
+    * the training-data-dedup literature). The honest fix the flag
+    * enables — cluster-level splitting — is the `cluster_split` column:
+    * the split the doc's whole cluster would get if assigned by its
+    * cluster id instead of its doc id (guaranteed leak-free).
+    *
+    * Scale: hash split is map-only; the cluster join is the LSH pair
+    * graph's component table (|docs| rows); leakage is one keyed
+    * aggregation per cluster — no pair joins beyond the already-blocked
+    * LSH candidates.
+    */
+  def leakSplit(spark: SparkSession, sfDir: String,
+      valPermille: Int = 100): DataFrame = {
+    val clusters = graft.operators.Dedup.dupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+    val h = poly_hash(concat(col("doc_id").cast("string"), lit("#split")))
+    val hc = poly_hash(concat(col("cluster_id").cast("string"), lit("#split")))
+    val split = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+      .join(clusters, Seq("doc_id"))
+      .withColumn("split",
+        when(h % 1000 < valPermille, lit("val")).otherwise(lit("train")))
+    val clusterHasTrain = split.groupBy("cluster_id")
+      .agg(max((col("split") === "train").cast("int")).as("has_train"),
+        count(lit(1)).as("cluster_size"))
+    split.join(clusterHasTrain, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("split"),
+        (col("split") === "val" && col("has_train") === 1 &&
+          col("cluster_size") > 1).cast("int").as("leaked"),
+        when(hc % 1000 < valPermille, lit("val")).otherwise(lit("train"))
+          .as("cluster_split"))
+  }
+
+  def leakSplitSql(valPermille: Int = 100): String = {
+    val h = polySql("CAST(doc_id AS VARCHAR) || '#split'")
+    val hc = polySql("CAST(s.cluster_id AS VARCHAR) || '#split'")
+    s"""WITH clusters AS (
+          SELECT doc_id, cluster_id
+          FROM (${graft.operators.Dedup.dupClustersSql()})),
+        split AS (
+          SELECT d.doc_id AS doc_id, cluster_id,
+            CASE WHEN ${polySql("CAST(d.doc_id AS VARCHAR) || '#split'")}
+              % 1000 < $valPermille THEN 'val' ELSE 'train' END AS split
+          FROM documents d JOIN clusters c ON d.doc_id = c.doc_id),
+        ct AS (
+          SELECT cluster_id,
+            max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train,
+            count(*) AS cluster_size
+          FROM split GROUP BY cluster_id)
+        SELECT s.doc_id, s.cluster_id, CAST(cluster_size AS BIGINT)
+            AS cluster_size, split,
+          CAST(split = 'val' AND has_train = 1 AND cluster_size > 1 AS INT)
+            AS leaked,
+          CASE WHEN $hc % 1000 < $valPermille THEN 'val' ELSE 'train' END
+            AS cluster_split
+        FROM split s JOIN ct ON s.cluster_id = ct.cluster_id"""
+  }
+
   def ppsSampleSql(step: Long = 500): String = {
     val h = polySql("CAST(doc_id AS VARCHAR) || '#pps'")
     s"""WITH d AS (
