@@ -140,6 +140,8 @@ object SparkEntry {
     "w3_retention"     -> ((s, dir) => Sessionize.retention(s, dir)),
     // Within-session co-occurrence lift (market-basket association).
     "w5_cooccur"       -> ((s, dir) => Sessionize.cooccur(s, dir)),
+    // Rolling DAU/WAU with exact trailing distinct via presence fan-out.
+    "w7_active_users"  -> ((s, dir) => Sessionize.activeUsers(s, dir)),
     // Inter-arrival cadence profile with exact reference percentiles.
     "w6_inter_arrival" -> ((s, dir) => Sessionize.interArrival(s, dir)),
     // Language-ID confusion matrix vs corpus labels.
@@ -348,6 +350,7 @@ object SparkEntry {
     "w3_retention"     -> Sessionize.retentionSql,
     "w5_cooccur"       -> Sessionize.cooccurSql,
     "w6_inter_arrival" -> Sessionize.interArrivalSql,
+    "w7_active_users"  -> Sessionize.activeUsersSql(),
     "t21_langid_eval"  -> TextAnalysis.langIdEvalSql(TextAnalysis.langIdSql),
     "q26_compaction"   -> Relational.q26CompactionSql,
     "s10_pq_refine"    -> Similarity.pqRefineRecallSql(),

@@ -246,6 +246,55 @@ object Sessionize {
           GROUP BY event_type)"""
   }
 
+  /** Rolling active-user counts — DAU plus exact trailing WAU (7-day)
+    * and the DAU/WAU stickiness ratio per day. Exact rolling DISTINCT
+    * doesn't decompose into window sums of daily counts; the relational
+    * shape is presence fan-out: each (user, day) presence row feeds the
+    * 7 trailing window positions it keeps the user "active" in, and the
+    * per-day distinct is counted after the fan-out (the same
+    * sparse-window-as-fan-out shape as the histogram sliding quantile).
+    *
+    * Scale: |user-days| x 7 fanned rows — linear; both aggregations are
+    * keyed and the distinct collapses map-side. No per-day user sets
+    * are ever materialized.
+    */
+  def activeUsers(spark: SparkSession, sfDir: String,
+      windowDays: Int = 7): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val pres = ev
+      .select(col("user_id"), Tables.tsMillis(ev).as("ms"))
+      .select(col("user_id"), expr("ms div 86400000").as("day")).distinct()
+    val rng = pres.agg(max("day").as("mxd"))
+    val wau = pres.crossJoin(broadcast(rng))
+      .select(col("user_id"),
+        explode(sequence(col("day"),
+          least(col("day") + (windowDays - 1), col("mxd")))).as("d"))
+      .distinct()
+      .groupBy("d").agg(count(lit(1)).as("wau"))
+    val dau = pres.groupBy(col("day").as("d"))
+      .agg(count(lit(1)).as("dau"))
+    dau.join(wau, Seq("d"))
+      .select(col("d").as("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+  }
+
+  def activeUsersSql(windowDays: Int = 7): String =
+    s"""WITH pres AS (
+          SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+          FROM events),
+        rng AS (SELECT max(day) AS mxd FROM pres),
+        wau AS (
+          SELECT d, count(*) AS wau FROM (
+            SELECT DISTINCT user_id,
+              unnest(range(day, least(day + $windowDays, mxd + 1))) AS d
+            FROM pres, rng)
+          GROUP BY d),
+        dau AS (SELECT day AS d, count(*) AS dau FROM pres GROUP BY day)
+        SELECT dau.d AS day, dau, wau,
+          CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+        FROM dau JOIN wau ON dau.d = wau.d"""
+
   /** Within-session event-type co-occurrence with PMI-style lift —
     * which behaviors cluster in the same user-day (association mining
     * over the behavior stream; the classic market-basket shape).
