@@ -150,6 +150,8 @@ object SparkEntry {
     "q26_compaction"   -> ((s, dir) => Relational.q26Compaction(s, dir)),
     // ADC candidates + exact refine: recall lift measured side by side.
     "s10_pq_refine"    -> ((s, dir) => Similarity.pqRefineRecall(s, dir)),
+    // Set algebra as keyed joins: INTERSECT/EXCEPT/UNION cohorts.
+    "q28_set_ops"      -> ((s, dir) => Relational.q28SetOps(s, dir)),
     // One-pass analytic window-function family per customer.
     "q27_window_suite" -> ((s, dir) => Relational.q27WindowSuite(s, dir)),
     "w4_transitions"   -> ((s, dir) => Sessionize.transitions(s, dir)),
@@ -355,6 +357,7 @@ object SparkEntry {
     "q26_compaction"   -> Relational.q26CompactionSql,
     "s10_pq_refine"    -> Similarity.pqRefineRecallSql(),
     "q27_window_suite" -> Relational.q27WindowSuiteSql,
+    "q28_set_ops"      -> Relational.q28SetOpsSql,
     "w4_transitions"   -> Sessionize.transitionsSql,
     "d3_dedup_minhash" -> Dedup.minhashSql,
     "d4_dedup_minhash_lsh" -> Dedup.minhashLshSql(),

@@ -899,6 +899,41 @@ object Relational {
         col("latest.value").as("value"))
   }
 
+  /** Q28 — relational set operations: the customer populations ordering
+    * in consecutive years compared with INTERSECT (retained), EXCEPT
+    * (churned / newly acquired, both directions) and UNION (either
+    * year), reported as one count row. Spark plans INTERSECT as a
+    * left-semi join and EXCEPT as a left-anti join over the distinct
+    * key sets — no dedicated operator needed, which is the point:
+    * declared set algebra, executed as keyed joins.
+    */
+  def q28SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord0 = Tables.load(spark, sfDir, "orders")
+    val base = ord0.select(col("o_custkey"),
+      year(timestamp_millis(Tables.colMillis(ord0, "o_orderdate"))).as("y"))
+    def yr(y: Int) = base.filter(col("y") === y).select("o_custkey").distinct()
+    val (a, b) = (yr(1996), yr(1997))
+    a.intersect(b).agg(count(lit(1)).as("retained"))
+      .crossJoin(a.except(b).agg(count(lit(1)).as("churned")))
+      .crossJoin(b.except(a).agg(count(lit(1)).as("acquired")))
+      .crossJoin(a.union(b).distinct().agg(count(lit(1)).as("either_year")))
+  }
+
+  val q28SetOpsSql: String =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                  WHERE year(o_orderdate) = 1996),
+        b AS (SELECT DISTINCT o_custkey FROM orders
+              WHERE year(o_orderdate) = 1997)
+       SELECT
+         (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+           AS retained,
+         (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+           AS churned,
+         (SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a))
+           AS acquired,
+         (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+           AS either_year"""
+
   /** Q27 — the analytic window-function family in one query: per-customer
     * order sequencing with row_number, lag/lead (money on the exact 2-dp
     * integer grain), quartile ntile, percent_rank and cume_dist. Total
