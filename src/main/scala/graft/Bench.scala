@@ -92,7 +92,10 @@ object Bench {
     // queries time only their own search/recall work.
     val annFam = Set("s5_pq_adc", "s6_pq_recall", "s10_pq_refine",
       "s8_ivfpq_recall")
-    val familyNames = alertFam ++ annFam
+    // LSH pair graph shared by its three consumers (banding cost stays
+    // with the unshared d4_dedup_minhash_lsh).
+    val dedupFam = Set("c2_dup_clusters", "c18_pagerank", "c22_leak_split")
+    val familyNames = alertFam ++ annFam ++ dedupFam
     val empty = Map.empty[String, () => org.apache.spark.sql.DataFrame]
     val shared: Map[String, () => org.apache.spark.sql.DataFrame] =
       (if (alertFam.exists(n => only.forall(_.contains(n))))
@@ -100,6 +103,9 @@ object Bench {
       else empty) ++
       (if (annFam.exists(n => only.forall(_.contains(n))))
         SparkEntry.annFamilyShared(spark, sfDir)
+      else empty) ++
+      (if (dedupFam.exists(n => only.forall(_.contains(n))))
+        SparkEntry.dedupFamilyShared(spark, sfDir)
       else empty)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }

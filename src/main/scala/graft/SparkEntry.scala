@@ -252,6 +252,22 @@ object SparkEntry {
       "s8_ivfpq_recall" -> (() => Similarity.ivfPqRecallFrom(spark, dir, ivfpq)))
   }
 
+  /** LSH pair-graph sharing: the banded candidate pairs are the common
+    * input of clustering, PageRank and the leak split; the banding cost
+    * stays attributed to the unshared d4_dedup_minhash_lsh. c2 times
+    * its CC rounds over the shared pairs; c22 times split+leak joins
+    * over eagerly-built clusters.
+    */
+  def dedupFamilyShared(spark: SparkSession, dir: String): Map[String, () => DataFrame] = {
+    val pairs = Dedup.minhashLsh(spark, dir)
+      .select("id_a", "id_b").localCheckpoint()
+    val clusters = Dedup.dupClustersFrom(spark, dir, pairs).localCheckpoint()
+    Map(
+      "c2_dup_clusters" -> (() => Dedup.dupClustersFrom(spark, dir, pairs)),
+      "c18_pagerank"    -> (() => Dedup.pagerankFrom(pairs)),
+      "c22_leak_split"  -> (() => Curation.leakSplitFrom(spark, dir, clusters)))
+  }
+
   /** Alert config used by registered queries: thresholds tuned so the test
     * data produces a mix of firing and quiet intervals; one per-service
     * hard-max override exercises the J4 broadcast-config join.

@@ -393,8 +393,16 @@ object Dedup {
     * is exact regardless of round counts.
     */
   def dupClusters(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.4): DataFrame = {
-    val pairs = minhashLsh(spark, sfDir, threshold).select("id_a", "id_b")
+      threshold: Double = 0.4): DataFrame =
+    dupClustersFrom(spark, sfDir,
+      minhashLsh(spark, sfDir, threshold).select("id_a", "id_b"))
+
+  /** Clustering over an already-materialized pair graph — the serving
+    * entry point (bench chain-sharing: the LSH banding cost stays
+    * attributed to d4; consumers time only their own graph work).
+    */
+  def dupClustersFrom(spark: SparkSession, sfDir: String,
+      pairs: DataFrame): DataFrame = {
     val nodes = Tables.load(spark, sfDir, "documents").select("doc_id")
     connectedComponents(nodes, pairs)
       .select(col("doc_id"), col("label").as("cluster_id"),
@@ -434,8 +442,11 @@ object Dedup {
     * loop. Driver holds no data — only the loop counter.
     */
   def pagerank(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.4, iters: Int = 8): DataFrame = {
-    val pairs = minhashLsh(spark, sfDir, threshold).select("id_a", "id_b")
+      threshold: Double = 0.4, iters: Int = 8): DataFrame =
+    pagerankFrom(minhashLsh(spark, sfDir, threshold).select("id_a", "id_b"),
+      iters)
+
+  def pagerankFrom(pairs: DataFrame, iters: Int = 8): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
