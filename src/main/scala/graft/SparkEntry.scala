@@ -150,6 +150,8 @@ object SparkEntry {
     "q26_compaction"   -> ((s, dir) => Relational.q26Compaction(s, dir)),
     // ADC candidates + exact refine: recall lift measured side by side.
     "s10_pq_refine"    -> ((s, dir) => Similarity.pqRefineRecall(s, dir)),
+    // Q21-style double correlation: EXISTS + NOT EXISTS on one table.
+    "q29_waiting_supplier" -> ((s, dir) => Relational.q29WaitingSupplier(s, dir)),
     // Set algebra as keyed joins: INTERSECT/EXCEPT/UNION cohorts.
     "q28_set_ops"      -> ((s, dir) => Relational.q28SetOps(s, dir)),
     // One-pass analytic window-function family per customer.
@@ -374,6 +376,7 @@ object SparkEntry {
     "s10_pq_refine"    -> Similarity.pqRefineRecallSql(),
     "q27_window_suite" -> Relational.q27WindowSuiteSql,
     "q28_set_ops"      -> Relational.q28SetOpsSql,
+    "q29_waiting_supplier" -> Relational.q29WaitingSupplierSql,
     "w4_transitions"   -> Sessionize.transitionsSql,
     "d3_dedup_minhash" -> Dedup.minhashSql,
     "d4_dedup_minhash_lsh" -> Dedup.minhashLshSql(),

@@ -899,6 +899,58 @@ object Relational {
         col("latest.value").as("value"))
   }
 
+  /** Q29 — the TPC-H Q21 "waiting supplier" shape: for each supplier,
+    * count the multi-supplier orders where THIS supplier shipped late
+    * (ship > orderdate + 90 d, the schema's lateness proxy) and no
+    * OTHER supplier in the order did — a correlated EXISTS and a
+    * correlated NOT EXISTS against the same table in one query, the one
+    * double-correlation join shape the suite lacked. Spark plans the
+    * pair as a left-semi then left-anti join on the order key with the
+    * supplier-inequality as residual; both shuffle on the same key so
+    * the exchange is reused.
+    */
+  def q29WaitingSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val li0 = Tables.load(spark, sfDir, "lineitem")
+    val ord0 = Tables.load(spark, sfDir, "orders")
+    val li = li0.select(col("l_orderkey"), col("l_suppkey"),
+      Tables.colMillis(li0, "l_shipdate").as("ship_ms"))
+    val ord = ord0.select(col("o_orderkey"),
+      Tables.colMillis(ord0, "o_orderdate").as("odate_ms"))
+    val withLate = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        (col("ship_ms") > col("odate_ms") + day90Ms).cast("int"))
+      .select("l_orderkey", "l_suppkey", "late")
+    val cand = withLate.filter(col("late") === 1)
+    val other = withLate.select(col("l_orderkey").as("o_k"),
+      col("l_suppkey").as("o_s"), col("late").as("o_late"))
+    val semi = cand.join(other,
+      col("l_orderkey") === col("o_k") && col("l_suppkey") =!= col("o_s"),
+      "left_semi")
+    val anti = semi.join(other.filter(col("o_late") === 1),
+      col("l_orderkey") === col("o_k") && col("l_suppkey") =!= col("o_s"),
+      "left_anti")
+    anti.groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  val q29WaitingSupplierSql: String =
+    s"""WITH l AS (
+          SELECT l_orderkey, l_suppkey,
+            CAST(epoch_ms(l_shipdate) >
+              epoch_ms(o_orderdate) + $day90Ms AS INT) AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        SELECT l_suppkey AS s_suppkey, count(*) AS numwait
+        FROM l l1
+        WHERE l1.late = 1
+          AND EXISTS (SELECT 1 FROM l l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM l l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.late = 1)
+        GROUP BY l_suppkey"""
+
   /** Q28 — relational set operations: the customer populations ordering
     * in consecutive years compared with INTERSECT (retained), EXCEPT
     * (churned / newly acquired, both directions) and UNION (either
