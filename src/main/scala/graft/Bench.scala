@@ -96,23 +96,34 @@ object Bench {
     // with the unshared d4_dedup_minhash_lsh).
     val dedupFam = Set("c2_dup_clusters", "c18_pagerank", "c22_leak_split")
     val familyNames = alertFam ++ annFam ++ dedupFam
-    val empty = Map.empty[String, () => org.apache.spark.sql.DataFrame]
-    val shared: Map[String, () => org.apache.spark.sql.DataFrame] =
-      (if (alertFam.exists(n => only.forall(_.contains(n))))
-        SparkEntry.alertFamilyShared(spark, sfDir)
-      else empty) ++
-      (if (annFam.exists(n => only.forall(_.contains(n))))
-        SparkEntry.annFamilyShared(spark, sfDir)
-      else empty) ++
-      (if (dedupFam.exists(n => only.forall(_.contains(n))))
-        SparkEntry.dedupFamilyShared(spark, sfDir)
-      else empty)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Families are built LAZILY at their first consumer (outside the
+    // timed passes) and their checkpointed frames unpersisted right
+    // after their LAST consumer — so no family's resident blocks leak
+    // heap pressure into unrelated queries later in the alphabet (the
+    // round-4 d7 in-suite scaling outlier was exactly that).
+    type FamBuild = (Map[String, () => org.apache.spark.sql.DataFrame],
+      Seq[org.apache.spark.sql.DataFrame])
+    val fams: Seq[(Set[String], () => FamBuild)] = Seq(
+      (alertFam, () => SparkEntry.alertFamilyShared(spark, sfDir)),
+      (annFam,   () => SparkEntry.annFamilyShared(spark, sfDir)),
+      (dedupFam, () => SparkEntry.dedupFamilyShared(spark, sfDir)))
+    val runList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn0) =>
+    val runNames = runList.map(_._1).toSet
+    // last in-run consumer per family index -> release point
+    val lastOf: Map[Int, String] = fams.zipWithIndex.flatMap {
+      case ((consumers, _), i) =>
+        val present = consumers.intersect(runNames)
+        if (present.isEmpty) None else Some(i -> present.toSeq.max)
+    }.toMap
+    val built = mutable.Map.empty[Int, FamBuild]
+    val results = runList.map { case (name, fn0) =>
+      val famIdx = fams.indexWhere(_._1.contains(name))
       val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
-        if (familyNames(name) && shared.contains(name)) (_, _) => shared(name)()
-        else fn0
+        if (famIdx >= 0) {
+          val m = built.getOrElseUpdate(famIdx, fams(famIdx)._2())._1
+          if (m.contains(name)) (_, _) => m(name)() else fn0
+        } else fn0
       val passes = mutable.Buffer.empty[(Double, Double)]
       passes += timeOnce(name, fn)
       passes += timeOnce(name, fn)
@@ -125,6 +136,11 @@ object Bench {
       // (per-pass GC inside timeOnce also serves the between-queries
       // role: broadcast/shuffle driver state the ContextCleaner only
       // reclaims on a driver GC never accumulates across the suite)
+      if (famIdx >= 0 && lastOf.get(famIdx).contains(name))
+        built.remove(famIdx).foreach { case (_, frames) =>
+          frames.foreach(_.unpersist(blocking = true))
+          System.gc() // let ContextCleaner reap the chain's broadcasts
+        }
       (name, median(passes.map(_._1).toSeq), median(passes.map(_._2).toSeq))
     }
     // ---- Streaming throughput: the reference's only published number is
@@ -204,7 +220,16 @@ object Bench {
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cpu_sec":$cpu,"errors":$errJson$streamJson,"sf":"$sfDir"}"""
+    // `shared`: queries timed as INCREMENTAL work over a family frame
+    // whose build cost is attributed to the family's unshared trainer
+    // query (r2_candidates / e2_pq_codes / s7_ivfpq / d4) — pipeline-view
+    // numbers, not standalone-chain numbers. `gc_note`: medians exclude
+    // inter-pass GC (System.gc between passes keeps the previous pass's
+    // collection work out of the next timed section), which stabilizes
+    // medians but means allocation-heavy queries don't pay their GC here.
+    val sharedJson = familyNames.toSeq.sorted
+      .map(n => s""""$n"""").mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cpu_sec":$cpu,"shared":$sharedJson,"gc_note":"per-query medians exclude inter-pass System.gc","errors":$errJson$streamJson,"sf":"$sfDir"}"""
     // Full artifact (per-query wall + cpu maps, ~4 KB) goes to FILES — a
     // repo-visible copy plus /tmp — because a 4 KB stdout line overflows
     // the driver's log-tail buffer (rounds 1 and 2 both lost the parsed

@@ -221,17 +221,25 @@ object SparkEntry {
     * alerts/digest/db/email), so the bench attributes the chain's cost
     * once (to r2_candidates) and each consumer's incremental cost to
     * itself. `localCheckpoint` is EAGER: the chain runs at construction.
+    *
+    * Each builder also returns the MATERIALIZED frames so the bench can
+    * `unpersist` them once the family's last consumer has been timed —
+    * without that, every family's checkpointed blocks stay resident for
+    * the whole suite and later families measure under alien heap
+    * pressure (the round-4 d7 in-suite scaling outlier).
     */
-  def alertFamilyShared(spark: SparkSession, dir: String): Map[String, () => DataFrame] = {
+  def alertFamilyShared(spark: SparkSession,
+      dir: String): (Map[String, () => DataFrame], Seq[DataFrame]) = {
     val cand = Alerts.candidates(zWin(spark, dir), alertCfg).localCheckpoint()
-    Map(
+    (Map(
       "r2_candidates"   -> (() => cand),
       "r3_alerts"       -> (() => Alerts.alerts(cand, alertCfg)),
       "r5_assembly"     -> (() => Alerts.assemblyRoundtrip(cand)),
       "r7_digest"       -> (() => Alerts.digest(cand)),
       "s6_db_stats"     -> (() => Alerts.dbStatsRoundtrip(cand)),
       "s8_email_rows"   -> (() => Alerts.emailRows(cand)),
-      "s8_email_digest" -> (() => Alerts.emailDigest(cand, alertCfg)))
+      "s8_email_digest" -> (() => Alerts.emailDigest(cand, alertCfg))),
+      Seq(cand))
   }
 
   /** Same chain-sharing for the ANN index families: the PQ index is
@@ -239,19 +247,21 @@ object SparkEntry {
     * searches serve from it; the IVF-PQ search result feeds its recall
     * consumer (cost attributed to the unshared s7_ivfpq).
     */
-  def annFamilyShared(spark: SparkSession, dir: String): Map[String, () => DataFrame] = {
+  def annFamilyShared(spark: SparkSession,
+      dir: String): (Map[String, () => DataFrame], Seq[DataFrame]) = {
     // eager, like alertFamilyShared: materialize outside the timed
     // passes so no single pass absorbs the chain cost
     val trained = Similarity.pqTrainedShared(spark, dir)
     val ivfpq = Similarity.ivfPq(spark, dir).localCheckpoint()
-    Map(
+    (Map(
       "s5_pq_adc"       -> (() => Similarity.pqAdcFrom(spark, dir,
         trained._1, trained._2)),
       "s6_pq_recall"    -> (() => Similarity.pqRecallFrom(spark, dir,
         Similarity.pqAdcFrom(spark, dir, trained._1, trained._2))),
       "s10_pq_refine"   -> (() => Similarity.pqRefineRecallFrom(spark, dir,
         Similarity.pqAdcFrom(spark, dir, trained._1, trained._2, k = 25))),
-      "s8_ivfpq_recall" -> (() => Similarity.ivfPqRecallFrom(spark, dir, ivfpq)))
+      "s8_ivfpq_recall" -> (() => Similarity.ivfPqRecallFrom(spark, dir, ivfpq))),
+      Seq(trained._1, ivfpq))
   }
 
   /** LSH pair-graph sharing: the banded candidate pairs are the common
@@ -260,14 +270,16 @@ object SparkEntry {
     * its CC rounds over the shared pairs; c22 times split+leak joins
     * over eagerly-built clusters.
     */
-  def dedupFamilyShared(spark: SparkSession, dir: String): Map[String, () => DataFrame] = {
+  def dedupFamilyShared(spark: SparkSession,
+      dir: String): (Map[String, () => DataFrame], Seq[DataFrame]) = {
     val pairs = Dedup.minhashLsh(spark, dir)
       .select("id_a", "id_b").localCheckpoint()
     val clusters = Dedup.dupClustersFrom(spark, dir, pairs).localCheckpoint()
-    Map(
+    (Map(
       "c2_dup_clusters" -> (() => Dedup.dupClustersFrom(spark, dir, pairs)),
       "c18_pagerank"    -> (() => Dedup.pagerankFrom(pairs)),
-      "c22_leak_split"  -> (() => Curation.leakSplitFrom(spark, dir, clusters)))
+      "c22_leak_split"  -> (() => Curation.leakSplitFrom(spark, dir, clusters))),
+      Seq(pairs, clusters))
   }
 
   /** Alert config used by registered queries: thresholds tuned so the test

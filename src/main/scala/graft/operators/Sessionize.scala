@@ -256,7 +256,10 @@ object Sessionize {
     *
     * Scale: |user-days| x 7 fanned rows — linear; both aggregations are
     * keyed and the distinct collapses map-side. No per-day user sets
-    * are ever materialized.
+    * are ever materialized. The day series is DENSE over [min, max]: a
+    * day with trailing-window activity but no same-day activity reports
+    * dau=0 / stickiness=0 instead of silently vanishing (an inner join
+    * of DAU to WAU would hole the series — both engines scaffold).
     */
   def activeUsers(spark: SparkSession, sfDir: String,
       windowDays: Int = 7): DataFrame = {
@@ -264,8 +267,8 @@ object Sessionize {
     val pres = ev
       .select(col("user_id"), Tables.tsMillis(ev).as("ms"))
       .select(col("user_id"), expr("ms div 86400000").as("day")).distinct()
-    val rng = pres.agg(max("day").as("mxd"))
-    val wau = pres.crossJoin(broadcast(rng))
+    val rng = pres.agg(min("day").as("mnd"), max("day").as("mxd"))
+    val wau = pres.crossJoin(broadcast(rng.select(col("mxd"))))
       .select(col("user_id"),
         explode(sequence(col("day"),
           least(col("day") + (windowDays - 1), col("mxd")))).as("d"))
@@ -273,17 +276,22 @@ object Sessionize {
       .groupBy("d").agg(count(lit(1)).as("wau"))
     val dau = pres.groupBy(col("day").as("d"))
       .agg(count(lit(1)).as("dau"))
-    dau.join(wau, Seq("d"))
-      .select(col("d").as("day"), col("dau"), col("wau"),
-        (col("dau").cast("double") / col("wau").cast("double"))
-          .as("stickiness"))
+    val days = rng.select(explode(sequence(col("mnd"), col("mxd"))).as("d"))
+    days.join(wau, Seq("d"), "left").join(dau, Seq("d"), "left")
+      .select(col("d").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"),
+        when(coalesce(col("wau"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(coalesce(col("dau"), lit(0L)).cast("double") /
+            col("wau").cast("double")).as("stickiness"))
   }
 
   def activeUsersSql(windowDays: Int = 7): String =
     s"""WITH pres AS (
           SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
           FROM events),
-        rng AS (SELECT max(day) AS mxd FROM pres),
+        rng AS (SELECT min(day) AS mnd, max(day) AS mxd FROM pres),
+        days AS (SELECT unnest(range(mnd, mxd + 1)) AS d FROM rng),
         wau AS (
           SELECT d, count(*) AS wau FROM (
             SELECT DISTINCT user_id,
@@ -291,9 +299,14 @@ object Sessionize {
             FROM pres, rng)
           GROUP BY d),
         dau AS (SELECT day AS d, count(*) AS dau FROM pres GROUP BY day)
-        SELECT dau.d AS day, dau, wau,
-          CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
-        FROM dau JOIN wau ON dau.d = wau.d"""
+        SELECT days.d AS day,
+          CAST(coalesce(dau, 0) AS BIGINT) AS dau,
+          CAST(coalesce(wau, 0) AS BIGINT) AS wau,
+          CASE WHEN coalesce(wau, 0) = 0 THEN 0.0
+               ELSE CAST(coalesce(dau, 0) AS DOUBLE) / CAST(wau AS DOUBLE)
+          END AS stickiness
+        FROM days LEFT JOIN wau ON days.d = wau.d
+                  LEFT JOIN dau ON days.d = dau.d"""
 
   /** Within-session event-type co-occurrence with PMI-style lift —
     * which behaviors cluster in the same user-day (association mining

@@ -187,7 +187,10 @@ object ApmStateV2 {
   /** NaN marks "undefined" (warmup / σ==0), mirroring the batch NULLs. */
   case class VolOut(server: String, service: String, bucket: Long, n: Long,
       vol_avg: Double, vol_lb: Double, vol_ub: Double, vol_signal: Int)
-  case class VolState(counts: List[Long], sum: Long, sumsq: Long)
+  /** `last` = highest bucket already folded (Long.MinValue = none yet) —
+    * the cross-batch ordering guard.
+    */
+  case class VolState(counts: List[Long], sum: Long, sumsq: Long, last: Long)
 
   /** Streaming twin of [[graft.operators.ZScore.volumeZScorePrefix]] —
     * per-key state is the bounded count window plus its two running
@@ -195,10 +198,20 @@ object ApmStateV2 {
     * The arithmetic is the batch prefix-difference expression verbatim,
     * so stream == batch bit-for-bit on the same dense count series
     * (pinned in StateV2Spec). Expects the dense per-bucket counts the
-    * stats stage already emits every interval (tpm=0 rows included) in
-    * bucket order per key.
+    * stats stage already emits every interval (tpm=0 rows included).
+    *
+    * Bucket discipline ACROSS micro-batches (the dense contract can break
+    * at a restart seam or an upstream reshuffle, and a blind append would
+    * silently corrupt the running moments):
+    *  - a bucket at or below the last folded one (duplicate / late
+    *    arrival) is DROPPED — its window position was already consumed;
+    *  - a gap is FILLED with zero-count steps (what the batch dense
+    *    scaffold would contain), each emitting its row, so stream ==
+    *    batch holds even when the upstream elides empty buckets.
+    * `step` is the bucket increment of the dense series (1 for
+    * pre-divided bucket indexes, intervalMs for epoch-ms buckets).
     */
-  class VolumeZProcessor(lag: Int, threshold: Double)
+  class VolumeZProcessor(lag: Int, threshold: Double, step: Long = 1L)
       extends StatefulProcessor[(String, String), VolIn, VolOut] {
     @transient private var st: ValueState[VolState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -206,8 +219,11 @@ object ApmStateV2 {
         Encoders.product[VolState], TTLConfig.NONE)
     override def handleInputRows(key: (String, String), rows: Iterator[VolIn],
         tv: TimerValues): Iterator[VolOut] = {
-      var s = if (st.exists()) st.get() else VolState(Nil, 0L, 0L)
-      val out = rows.toArray.sortBy(_.bucket).map { r =>
+      var s = if (st.exists()) st.get()
+        else VolState(Nil, 0L, 0L, Long.MinValue)
+      // fold ONE in-order bucket: emit its stats row, push it into the
+      // bounded window + moments
+      def fold(bucket: Long, cnt: Long): VolOut = {
         var (avg, lb, ub, sig) = (Double.NaN, Double.NaN, Double.NaN, 0)
         if (s.counts.length >= lag) {
           val mean = s.sum.toDouble / lag.toDouble
@@ -218,18 +234,27 @@ object ApmStateV2 {
             val sd = math.sqrt(msq)
             lb = mean - threshold * sd
             ub = mean + threshold * sd
-            if (math.abs(r.cnt.toDouble - mean) > threshold * sd)
-              sig = if (r.cnt.toDouble > mean) 1 else -1
+            if (math.abs(cnt.toDouble - mean) > threshold * sd)
+              sig = if (cnt.toDouble > mean) 1 else -1
           }
         }
-        val pushed = VolState(s.counts :+ r.cnt,
-          s.sum + r.cnt, s.sumsq + r.cnt * r.cnt)
+        val pushed = VolState(s.counts :+ cnt,
+          s.sum + cnt, s.sumsq + cnt * cnt, bucket)
         s = if (pushed.counts.length > lag)
           VolState(pushed.counts.tail,
             pushed.sum - pushed.counts.head,
-            pushed.sumsq - pushed.counts.head * pushed.counts.head)
+            pushed.sumsq - pushed.counts.head * pushed.counts.head, bucket)
         else pushed
-        VolOut(key._1, key._2, r.bucket, r.cnt, avg, lb, ub, sig)
+        VolOut(key._1, key._2, bucket, cnt, avg, lb, ub, sig)
+      }
+      val out = rows.toArray.sortBy(_.bucket).flatMap { r =>
+        if (s.last != Long.MinValue && r.bucket <= s.last) Nil // dup/late
+        else {
+          val gapFill =
+            if (s.last == Long.MinValue) Nil
+            else (s.last + step) until r.bucket by step
+          gapFill.map(fold(_, 0L)) :+ fold(r.bucket, r.cnt)
+        }
       }
       st.update(s)
       out.iterator
@@ -237,10 +262,10 @@ object ApmStateV2 {
   }
 
   def volumeZStreamV2(in: Dataset[VolIn], lag: Int,
-      threshold: Double): Dataset[VolOut] = {
+      threshold: Double, step: Long = 1L): Dataset[VolOut] = {
     import in.sparkSession.implicits._
     in.groupByKey(r => (r.server, r.service))
-      .transformWithState(new VolumeZProcessor(lag, threshold),
+      .transformWithState(new VolumeZProcessor(lag, threshold, step),
         TimeMode.None(), OutputMode.Append())
   }
 }

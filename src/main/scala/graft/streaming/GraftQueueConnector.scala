@@ -38,41 +38,47 @@ import org.apache.spark.unsafe.types.UTF8String
   *    commit, so redelivery happens only for polled-but-uncommitted
   *    batches: at-least-once from the broker, exactly-once end-to-end via
   *    Spark's checkpointed offsets (S7);
-  *  - the sink ships each task's rows to the driver in its commit message
-  *    and appends them in `StreamingWrite.commit`, recording the epoch id
-  *    — a replayed epoch (sink-side retry) is appended ONCE (the
-  *    transactional-producer analogue). A broker-backed implementation
-  *    would produce from executors and rely on idempotence instead; the
-  *    driver hop here is what makes the epoch atomic without a broker.
+  *  - the sink produces FROM THE TASK at task-commit time — each
+  *    `DataWriter` buffers its rows and appends them to the topic in one
+  *    atomic section under a (queryId, epochId, partitionId) fence, the
+  *    idempotent-producer analogue: a replayed epoch (sink-side retry
+  *    after a crash between task success and offset-log write) finds its
+  *    per-partition fences taken and appends nothing; a task retried
+  *    BEFORE its commit left no rows, so the retry appends cleanly. The
+  *    `WriterCommitMessage` carries only a row COUNT — the driver's epoch
+  *    commit is pure metadata, so no data-proportional bytes ever cross
+  *    the driver (exactly the property a Kafka producer has).
   *
   * Scale notes: the registry is JVM-local (local[n] = one JVM), standing
-  * in for broker addressing; reads are partition-parallel (one
-  * InputPartition per queue partition) and writes are task-parallel up to
-  * the commit hop, so the stage code exercises the same parallel shapes
-  * it would against Kafka.
+  * in for broker addressing — against a real broker the task-side
+  * `produceAll` becomes a producer client and the fence becomes producer
+  * idempotence/transactions; reads are partition-parallel (one
+  * InputPartition per queue partition) and writes are fully task-parallel
+  * end to end, the driver seeing only counts.
   */
 object QueueRegistry {
   private val topics = mutable.Map.empty[String, InMemoryTopic]
-  // (topic, queryId, epochId) committed by the streaming sink
-  private val epochs = mutable.Set.empty[(String, String, Long)]
+  // (topic, queryId, epochId, writePartitionId) fences taken by sink TASKS
+  private val taskEpochs = mutable.Set.empty[(String, String, Long, Int)]
 
   def topic(name: String, nPartitions: Int = 4): InMemoryTopic =
     synchronized(topics.getOrElseUpdate(name, new InMemoryTopic(nPartitions)))
 
   def exists(name: String): Boolean = synchronized(topics.contains(name))
 
-  /** Test isolation: drop a topic and its epoch history. */
+  /** Test isolation: drop a topic and its fence history. */
   def drop(name: String): Unit = synchronized {
     topics.remove(name)
-    epochs.filterInPlace(_._1 != name)
+    taskEpochs.filterInPlace(_._1 != name)
   }
 
-  /** Returns true iff this (topic, query, epoch) has NOT been committed
-    * before, and marks it — the sink's replay-dedup gate.
+  /** Returns true iff this (topic, query, epoch, write-partition) has NOT
+    * produced before, and marks it — the per-partition idempotence fence
+    * a replayed epoch's tasks hit. Taken at TASK commit, executor-side.
     */
-  private[streaming] def beginEpoch(topic: String, queryId: String,
-      epochId: Long): Boolean =
-    synchronized(epochs.add((topic, queryId, epochId)))
+  private[streaming] def beginTaskEpoch(topic: String, queryId: String,
+      epochId: Long, partitionId: Int): Boolean =
+    synchronized(taskEpochs.add((topic, queryId, epochId, partitionId)))
 }
 
 class GraftQueueProvider extends TableProvider with DataSourceRegister {
@@ -243,9 +249,20 @@ class QueuePartitionReaderFactory extends PartitionReaderFactory {
   }
 }
 
-/** Streaming sink: tasks buffer (key, value) rows into their commit
-  * message; the driver appends them in epoch commit with replay dedup —
-  * one atomic append per epoch.
+/** Streaming sink, executor-side produce: each task buffers its rows and
+  * appends them to the topic atomically AT TASK COMMIT under the
+  * registry's (queryId, epochId, partitionId) fence; the commit message
+  * carries only a count, so the driver's epoch commit is pure metadata.
+  *
+  * Failure matrix (the idempotent-producer semantics, no transactions):
+  *  - task fails BEFORE its commit: nothing appended, fence untaken, the
+  *    retry appends cleanly;
+  *  - task succeeds but the EPOCH is replayed (crash before the offset
+  *    log write): the replayed task finds its fence taken, appends
+  *    nothing — per-partition exactly-once;
+  *  - epoch aborts after SOME tasks committed: those rows remain visible
+  *    (Kafka's non-transactional producer has the same window); the
+  *    replay fences them, so no duplicates.
   */
 class GraftQueueStreamingWrite(topicName: String, nPartitions: Int,
     schema: StructType, queryId: String) extends StreamingWrite {
@@ -254,27 +271,21 @@ class GraftQueueStreamingWrite(topicName: String, nPartitions: Int,
   require(valIdx >= 0, "graftqueue sink requires a 'value' string column")
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new QueueWriterFactory(keyIdx, valIdx)
+    new QueueWriterFactory(topicName, nPartitions, queryId, keyIdx, valIdx)
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    // replayed epoch (sink retry after a crash between task success and
-    // offset log write) -> records were already appended; skip
-    if (QueueRegistry.beginEpoch(topicName, queryId, epochId)) {
-      val t = QueueRegistry.topic(topicName, nPartitions)
-      messages.foreach {
-        case QueueWriteMessage(rows) =>
-          rows.foreach { case (k, v) => t.produce(k, v) }
-        case _ => ()
-      }
-    }
-  }
+  // tasks already produced; the epoch commit is metadata-only
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-case class QueueWriteMessage(rows: Seq[(String, String)]) extends WriterCommitMessage
+/** Metadata-only commit message — row COUNT, never row payloads. */
+case class QueueTaskMeta(partitionId: Int, epochId: Long, rows: Long)
+    extends WriterCommitMessage
 
-class QueueWriterFactory(keyIdx: Int, valIdx: Int) extends StreamingDataWriterFactory {
+class QueueWriterFactory(topicName: String, nPartitions: Int,
+    queryId: String, keyIdx: Int, valIdx: Int)
+    extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -286,7 +297,13 @@ class QueueWriterFactory(keyIdx: Int, valIdx: Int) extends StreamingDataWriterFa
           row.getUTF8String(valIdx).toString else null
         buf += ((k, v))
       }
-      override def commit(): WriterCommitMessage = QueueWriteMessage(buf.toSeq)
+      override def commit(): WriterCommitMessage = {
+        // the executor-side produce: atomic per task, fenced per
+        // (query, epoch, partition) so epoch replay is idempotent
+        if (QueueRegistry.beginTaskEpoch(topicName, queryId, epochId, partitionId))
+          QueueRegistry.topic(topicName, nPartitions).produceAll(buf.toSeq)
+        QueueTaskMeta(partitionId, epochId, buf.size.toLong)
+      }
       override def abort(): Unit = buf.clear()
       override def close(): Unit = ()
     }

@@ -49,6 +49,20 @@ final class InMemoryTopic(val nPartitions: Int) {
     (p, logs(p).length - 1L)
   }
 
+  /** Append a task's whole buffer in ONE synchronized section — the
+    * atomic unit of the sink's executor-side produce. Keys still choose
+    * partitions by hash (the contract); atomicity is per producing TASK,
+    * so a reader never observes a torn task batch.
+    */
+  def produceAll(rows: Seq[(String, String)]): Unit = synchronized {
+    rows.foreach { case (key, value) =>
+      val p =
+        if (key == null) { roundRobin += 1; (roundRobin - 1) % nPartitions }
+        else math.floorMod(key.hashCode, nPartitions)
+      logs(p) += ((key, value))
+    }
+  }
+
   def endOffsets: Map[Int, Long] =
     synchronized((0 until nPartitions).map(p => p -> logs(p).length.toLong).toMap)
 

@@ -3,8 +3,10 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Streaming heavy hitters by the space-saving (Misra-Gries) summary —
-  * the ingest-time twin of the batch count-min top-k
+/** Streaming heavy hitters by the space-saving summary (Metwally et
+  * al., a Misra-Gries-FAMILY counter summary — but not Misra-Gries
+  * itself, which decrements every counter instead of evicting the
+  * minimum slot) — the ingest-time twin of the batch count-min top-k
   * ([[graft.operators.TextAnalysis.cmsTopk]]): each word-space shard
   * of the stream keeps at
   * most `capacity` counters, evicting the minimum-count slot when a new

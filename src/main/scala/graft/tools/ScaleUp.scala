@@ -100,13 +100,24 @@ object ScaleUp {
       .select("doc_id", "text", "lang", "source", "n_chars"))
 
     val dim = 64
+    // rotation alone cycles every `dim` replicas (rep % dim == 0 would
+    // duplicate rep-0 exactly at factor > 64, recreating the clique
+    // blowup) — so past the first cycle, compose it with a per-element
+    // deterministic sign flip keyed on (rotation block, position). The
+    // first 64 replicas stay rotation-only, keeping factor<=64 corpora
+    // byte-identical to earlier probes.
+    val rotated = concat(
+      slice(col("embedding"), col("rep") % dim + 1,
+        lit(dim) - pmod(col("rep"), lit(dim))),
+      slice(col("embedding"), lit(1), col("rep") % dim))
+    val blockCol = expr(s"rep div $dim").cast("long")
+    val flipped = transform(rotated, (x, i) =>
+      when(pmod(xxhash64(blockCol, i), lit(2L)) === lit(0L), x).otherwise(-x))
     write("embeddings")(reps(t("embeddings"))
       .withColumn("embedding",
-        when(col("rep") === 0, col("embedding")).otherwise(
-          concat(
-            slice(col("embedding"), col("rep") % dim + 1,
-              lit(dim) - pmod(col("rep"), lit(dim))),
-            slice(col("embedding"), lit(1), col("rep") % dim))))
+        when(col("rep") === 0, col("embedding"))
+          .when(col("rep") < dim, rotated)
+          .otherwise(flipped))
       .withColumn("vec_id", offset("vec_id"))
       .select("vec_id", "embedding", "label"))
 

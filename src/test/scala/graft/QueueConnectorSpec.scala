@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{ApmGraph, GraftQueueStreamingWrite, QueueRegistry, QueueWriteMessage}
+import graft.streaming.{ApmGraph, QueueRegistry, QueueTaskMeta, QueueWriterFactory}
 
 /** S3/S4 — the `format("graftqueue")` DataSource V2 connector over the
   * broker contract: streaming produce/consume with partitioned offsets,
@@ -119,22 +119,36 @@ class QueueConnectorSpec extends AnyFunSuite {
     assert(got.size == 9, s"got ${got.size}")
   }
 
-  test("a replayed sink epoch appends exactly once") {
+  test("a replayed sink epoch appends exactly once, per partition") {
     val topic = "t_epoch"
     QueueRegistry.drop(topic)
-    val w = new GraftQueueStreamingWrite(topic, 2,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("key",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.StringType))), "query-1")
-    val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
-      Array(QueueWriteMessage(Seq(("k", "v1"), ("k", "v2"))))
-    w.commit(7L, msgs)
-    w.commit(7L, msgs) // sink retry of the same epoch
+    val factory = new QueueWriterFactory(topic, 2, "query-1",
+      keyIdx = 0, valIdx = 1)
+    def row(k: String, v: String) =
+      org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(k),
+        org.apache.spark.unsafe.types.UTF8String.fromString(v))
+    def runTask(partitionId: Int, epochId: Long, vs: Seq[String]) = {
+      val w = factory.createWriter(partitionId, taskId = 100L + partitionId,
+        epochId = epochId)
+      vs.foreach(v => w.write(row(s"k$partitionId", v)))
+      w.commit()
+    }
+    // epoch 7: two write partitions produce at TASK commit
+    val m0 = runTask(0, 7L, Seq("v1", "v2"))
+    runTask(1, 7L, Seq("v3"))
+    assert(QueueRegistry.topic(topic).endOffsets.values.sum == 3L)
+    // the commit message is metadata-only — no row payloads to the driver
+    assert(m0 == QueueTaskMeta(partitionId = 0, epochId = 7L, rows = 2L))
+    // epoch 7 replayed (sink retry): only partition 1's task reruns, then
+    // the full epoch reruns — every task is fenced, nothing duplicates
+    runTask(1, 7L, Seq("v3"))
+    runTask(0, 7L, Seq("v1", "v2"))
+    runTask(1, 7L, Seq("v3"))
     val end = QueueRegistry.topic(topic).endOffsets.values.sum
-    assert(end == 2L, s"replayed epoch duplicated records: $end")
-    w.commit(8L, msgs) // a NEW epoch appends again
+    assert(end == 3L, s"replayed epoch duplicated records: $end")
+    // a NEW epoch appends again
+    runTask(0, 8L, Seq("v4"))
     assert(QueueRegistry.topic(topic).endOffsets.values.sum == 4L)
   }
 

@@ -123,6 +123,59 @@ class StateV2Spec extends AnyFunSuite {
     }
   }
 
+  test("volume z-score V2 guards cross-batch bucket discipline " +
+      "(dup dropped, gap zero-filled == batch dense scaffold)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val cfg = ZScore.LagCfg(4, 2.0, 0.0)
+      val interval = 1000L
+      val in = MemoryStream[ApmStateV2.VolIn]
+      val out = ApmStateV2.volumeZStreamV2(in.toDS(), cfg.lag, cfg.threshold)
+      val q = out.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("z6_guard_out").start()
+      try {
+        val cnts = Map(0L -> 3L, 1L -> 2L, 2L -> 4L, 3L -> 1L,
+          7L -> 9L, 8L -> 2L) // buckets 4-6 elided upstream (gap)
+        in.addData(Seq(0L, 1L, 2L).map(b =>
+          ApmStateV2.VolIn("s0", "svc", b, cnts(b))))
+        q.processAllAvailable()
+        // batch 2 replays bucket 2 (dup), adds 3, then jumps to 7 (gap),
+        // then a LATE bucket 1 arrives in batch 3 (out-of-order)
+        in.addData(Seq(2L, 3L, 7L).map(b =>
+          ApmStateV2.VolIn("s0", "svc", b, cnts(b))))
+        q.processAllAvailable()
+        in.addData(ApmStateV2.VolIn("s0", "svc", 1L, 99L),
+          ApmStateV2.VolIn("s0", "svc", 8L, cnts(8L)))
+        q.processAllAvailable()
+        val got = spark.table("z6_guard_out").as[ApmStateV2.VolOut].collect()
+          .map(o => o.bucket -> ((o.n, o.vol_avg, o.vol_signal))).toMap
+        // exactly one row per bucket 0..8: dup 2 and late 1 dropped,
+        // gap 4-6 zero-filled
+        assert(got.keySet == (0L to 8L).toSet, s"buckets: ${got.keySet}")
+        assert((4L to 6L).forall(b => got(b)._1 == 0L), "gap not zero-filled")
+        assert(got(1L)._1 == cnts(1L), "late bucket overwrote history")
+        // equivalence with the batch prefix z6 over the dense series the
+        // guard reconstructs (zeros at 4-6)
+        val raw = (0L to 8L).flatMap(b =>
+            (0L until cnts.getOrElse(b, 0L)).map(j =>
+              (s"r${b}_$j", "s0", "svc", b * interval, 1.0)))
+          .toDF("log_id", "server", "service", "end_ms", "elapsed")
+        val exp = ZScore.volumeZScorePrefix(raw, interval, Seq(cfg))
+          .collect().map(r => (r.getLong(2) / interval) ->
+            ((r.getLong(4),
+              Option(r.get(5)).map(_.asInstanceOf[Double]), r.getInt(8)))).toMap
+        assert(exp.keySet == got.keySet)
+        exp.foreach { case (b, (eN, eAvg, eSig)) =>
+          val (gN, gAvg, gSig) = got(b)
+          assert(gN == eN, s"bucket $b n")
+          assert(eAvg.fold(gAvg.isNaN)(_ == gAvg), s"bucket $b avg")
+          assert(gSig == eSig, s"bucket $b sig")
+        }
+      } finally q.stop()
+    }
+  }
+
   test("vote + cooldown V2 == reference fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
