@@ -268,4 +268,88 @@ object ApmStateV2 {
       .transformWithState(new VolumeZProcessor(lag, threshold, step),
         TimeMode.None(), OutputMode.Append())
   }
+
+  // --------------------------- A10 histogram sliding quantile at ingest
+
+  /** One (bucket, bin) histogram cell of a key — the stats stage's
+    * per-interval output unit (all cells of a bucket arrive in one
+    * micro-batch, the watermark-close contract).
+    */
+  case class HistIn(server: String, service: String, bucket: Long,
+      bin: Long, cnt: Long)
+  case class HistOut(server: String, service: String, bucket: Long,
+      n: Long, approx75: Double, approx95: Double)
+  case class HistBucket(bucket: Long, bins: List[(Long, Long)])
+  case class HistState(ring: List[HistBucket], last: Long)
+
+  /** Streaming twin of [[graft.operators.ApmStats.slidingHistQuantileFrom]]
+    * (a10) — the BOUNDED-STATE sliding percentile at ingest: per-key
+    * state is a ring of the trailing `windowN` bucket histograms
+    * (windowN × non-empty bins longs — independent of event volume,
+    * unlike the exact stats stage's sorted value lists). Each arriving
+    * bucket emits the window ending at it: merge the ring by bin
+    * addition, approx(p) = midpoint of the first bin whose cumulative
+    * count reaches p·n — float-for-float the batch expression, so
+    * stream == batch exactly (StateV2Spec pins it).
+    *
+    * Bucket discipline matches [[VolumeZProcessor]]: duplicates/late
+    * buckets dropped, gaps filled with empty histograms (an all-empty
+    * window emits nothing, exactly the batch fan-out's absence).
+    * Batch-only divergence at the SEAM: the batch scaffold fans trailing
+    * windows out to the GLOBAL max bucket, so a key silent at corpus end
+    * gets trailing rows there that the stream only emits once that key's
+    * next bucket arrives — inherent to unclosed streaming windows.
+    */
+  class HistQuantileProcessor(windowN: Int, binW: Double, step: Long = 1L)
+      extends StatefulProcessor[(String, String), HistIn, HistOut] {
+    @transient private var st: ValueState[HistState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[HistState]("hist",
+        Encoders.product[HistState], TTLConfig.NONE)
+    override def handleInputRows(key: (String, String), rows: Iterator[HistIn],
+        tv: TimerValues): Iterator[HistOut] = {
+      var s = if (st.exists()) st.get() else HistState(Nil, Long.MinValue)
+      def push(bucket: Long, cells: List[(Long, Long)]): Option[HistOut] = {
+        s = HistState(
+          (s.ring :+ HistBucket(bucket, cells)).takeRight(windowN), bucket)
+        val merged = scala.collection.mutable.Map.empty[Long, Long]
+        s.ring.foreach(_.bins.foreach { case (b, c) =>
+          merged(b) = merged.getOrElse(b, 0L) + c })
+        val n = merged.valuesIterator.sum
+        if (n == 0L) None
+        else {
+          val sorted = merged.toSeq.sortBy(_._1)
+          def approx(p: Double): Double = {
+            var cum = 0L
+            val bin = sorted.find { case (_, c) =>
+              cum += c; cum.toDouble >= p * n.toDouble }.get._1
+            (bin.toDouble + 0.5) * binW
+          }
+          Some(HistOut(key._1, key._2, bucket, n, approx(0.75), approx(0.95)))
+        }
+      }
+      val byBucket = rows.toArray.groupBy(_.bucket).toSeq.sortBy(_._1)
+      val out = byBucket.flatMap { case (b, cells) =>
+        if (s.last != Long.MinValue && b <= s.last) Nil // dup/late: drop
+        else {
+          val gaps =
+            if (s.last == Long.MinValue) Seq.empty[Long]
+            else (s.last + step) until b by step
+          val binned = cells.groupBy(_.bin).view
+            .mapValues(_.map(_.cnt).sum).toList.sortBy(_._1)
+          gaps.flatMap(push(_, Nil)) ++ push(b, binned)
+        }
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  def histQuantileStreamV2(in: Dataset[HistIn], windowN: Int,
+      binW: Double, step: Long = 1L): Dataset[HistOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(r => (r.server, r.service))
+      .transformWithState(new HistQuantileProcessor(windowN, binW, step),
+        TimeMode.None(), OutputMode.Append())
+  }
 }
