@@ -173,6 +173,9 @@ object SparkEntry {
     "s8_ivfpq_recall"  -> ((s, dir) => Similarity.ivfPqRecall(s, dir)),
     "s9_ivf_stats"     -> ((s, dir) => Similarity.ivfStats(s, dir)),
     "e3_matryoshka"    -> ((s, dir) => Similarity.matryoshkaRecall(s, dir)),
+    "e4_pca_cov"       -> ((s, dir) => Pca.pcaCov(s, dir)),
+    "e5_pca_component" -> ((s, dir) => Pca.pcaComponent(s, dir)),
+    "e6_pca_project"   -> ((s, dir) => Pca.pcaProject(s, dir)),
     "c16_topic_clusters" -> ((s, dir) => Similarity.topicClusters(s, dir)),
     "t5_seq_pack"      -> ((s, dir) => TextAnalysis.seqPack(s, dir)),
     // Overlapping fixed-size RAG/embedding chunking with provenance.
@@ -406,6 +409,9 @@ object SparkEntry {
     "s8_ivfpq_recall"  -> Similarity.ivfPqRecallSql(),
     "s9_ivf_stats"     -> Similarity.ivfStatsSql(),
     "e3_matryoshka"    -> Similarity.matryoshkaRecallSql(),
+    "e4_pca_cov"       -> Pca.pcaCovSql,
+    "e5_pca_component" -> Pca.pcaComponentSql,
+    "e6_pca_project"   -> Pca.pcaProjectSql,
     "c16_topic_clusters" -> Similarity.topicClustersSql(),
     "m3_frame_sample"  -> Multimodal.frameSampleSql(),
     "t5_seq_pack"      -> TextAnalysis.seqPackSql(),

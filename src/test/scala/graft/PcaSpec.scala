@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.FixedPointMoments.fixed_point_moments
+import graft.operators.Pca
+
+/** Distributed PCA: the fixed-point moments aggregate against a brute
+  * loop (including partitioning invariance — the property the integer
+  * accumulation exists for), and the eigen/projection layer's algebraic
+  * contracts on real data.
+  */
+class PcaSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("fixed_point_moments == brute loop, any partitioning") {
+    import spark.implicits._
+    val d = 3
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(257)(Array.fill(d)(rnd.nextInt(2001) - 1000L))
+    def agg(nPart: Int): (Long, Seq[Long], Seq[Long]) = {
+      val r = vecs.map(_.toSeq).toDF("q").repartition(nPart)
+        .agg(fixed_point_moments(col("q"), d).as("m"))
+        .select("m.n", "m.s", "m.m2").head()
+      (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2))
+    }
+    val expS = (0 until d).map(i => vecs.map(_(i)).sum)
+    val expM2 = for { i <- 0 until d; j <- i until d }
+      yield vecs.map(v => v(i) * v(j)).sum
+    Seq(1, 7).foreach { p =>
+      val (n, s, m2) = agg(p)
+      assert(n == vecs.size.toLong)
+      assert(s == expS, s"sums at $p partitions")
+      assert(m2 == expM2, s"m2 at $p partitions")
+    }
+  }
+
+  test("covariance is symmetric positive-semidefinite-ish and matches " +
+      "the moments identity on real embeddings") {
+    val cov = Pca.pcaCov(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cov.size == Pca.Dim * (Pca.Dim + 1) / 2)
+    // diagonal = variances: non-negative (up to quantization epsilon)
+    (0 until Pca.Dim).foreach { i =>
+      assert(cov((i.toLong, i.toLong)) >= -1e-9, s"var($i) negative")
+    }
+  }
+
+  test("power iteration converges: Cv = lambda v within residual, " +
+      "unit norm, lambda >= max variance") {
+    val comp = Pca.pcaComponent(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    val v = comp.map(_.getDouble(1))
+    val lam = comp.head.getDouble(2)
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-12, s"norm $nrm")
+    val covRows = Pca.pcaCov(spark, sf).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2))
+      .toMap
+    def c(i: Int, j: Int) =
+      covRows.getOrElse((i, j), covRows((j, i)))
+    val w = Array.tabulate(Pca.Dim)(i =>
+      (0 until Pca.Dim).map(j => c(i, j) * v(j)).sum)
+    val resid = math.sqrt(
+      w.zip(v).map { case (wi, vi) => (wi - lam * vi) * (wi - lam * vi) }.sum)
+    assert(resid < 1e-6 * math.abs(lam) + 1e-12, s"residual $resid lam $lam")
+    val maxVar = (0 until Pca.Dim).map(i => c(i, i)).max
+    assert(lam >= maxVar - 1e-12, s"lam $lam < max variance $maxVar")
+  }
+
+  test("projection is centered: sum of pc1 over the corpus ~ 0") {
+    val pcs = Pca.pcaProject(spark, sf).collect().map(_.getDouble(1))
+    assert(pcs.length == 500)
+    // centering uses the fixed-point mu: exact up to quantization epsilon
+    assert(math.abs(pcs.sum / pcs.length) < 1e-4, s"mean ${pcs.sum / pcs.length}")
+    // and the projection actually spreads (top component carries variance)
+    val mean = pcs.sum / pcs.length
+    val varr = pcs.map(x => (x - mean) * (x - mean)).sum / pcs.length
+    assert(varr > 0.0, "degenerate projection")
+  }
+}
