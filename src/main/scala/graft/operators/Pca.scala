@@ -116,21 +116,12 @@ object Pca {
     * 1/sqrt(64) = 0.125, every sum folding ascending — the identical
     * operation sequence the oracle's recursive CTE performs.
     */
-  private def topComponent(spark: SparkSession,
-      sfDir: String): (Array[Double], Array[Double], Double) = {
-    val row = moments(spark, sfDir).head()
-    val n = row.getLong(0)
-    val s = row.getSeq[Long](1).toArray
-    val m2 = row.getSeq[Long](2).toArray
-    val nD = n.toDouble
-    def covAt(i: Int, j: Int): Double = {
-      val (a, b) = if (i <= j) (i, j) else (j, i)
-      val k = a * Dim - a * (a - 1) / 2 + (b - a)
-      m2(k).toDouble / (Scale * Scale) / nD -
-        (s(a).toDouble / Scale / nD) * (s(b).toDouble / Scale / nD)
-    }
-    val cov = Array.tabulate(Dim, Dim)(covAt)
-    val mu = Array.tabulate(Dim)(i => s(i).toDouble / Scale / nD)
+  /** Power-iterate a (deflated) matrix: `Iters` steps from the exact
+    * 0.125 start, every sum folding ascending; returns the unit
+    * eigenvector and its Rayleigh eigenvalue — the identical operation
+    * sequence the oracle's recursive CTE performs.
+    */
+  private def powerIter(cov: Array[Array[Double]]): (Array[Double], Double) = {
     def matvec(v: Array[Double]): Array[Double] = Array.tabulate(Dim) { i =>
       var acc = 0.0
       var j = 0
@@ -152,29 +143,61 @@ object Pca {
     var lam = 0.0
     var i = 0
     while (i < Dim) { lam += v(i) * w(i); i += 1 }
-    (v, mu, lam)
+    (v, lam)
   }
 
-  /** e5 — the top principal component itself: (i, loading, eigval). */
+  /** Driver-side deterministic eigen step shared by e5/e6: full
+    * symmetric cov from the collected moments row, top component by
+    * power iteration, second component by power iteration on the
+    * DEFLATED matrix C - lam1 v1 v1^T (classic Hotelling deflation,
+    * same arithmetic order as the oracle).
+    */
+  private def topComponents(spark: SparkSession, sfDir: String)
+      : (Array[Double], Array[Double], Array[Double], Double, Double) = {
+    val row = moments(spark, sfDir).head()
+    val n = row.getLong(0)
+    val s = row.getSeq[Long](1).toArray
+    val m2 = row.getSeq[Long](2).toArray
+    val nD = n.toDouble
+    def covAt(i: Int, j: Int): Double = {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      val k = a * Dim - a * (a - 1) / 2 + (b - a)
+      m2(k).toDouble / (Scale * Scale) / nD -
+        (s(a).toDouble / Scale / nD) * (s(b).toDouble / Scale / nD)
+    }
+    val cov = Array.tabulate(Dim, Dim)(covAt)
+    val mu = Array.tabulate(Dim)(i => s(i).toDouble / Scale / nD)
+    val (v1, lam1) = powerIter(cov)
+    val cov2 = Array.tabulate(Dim, Dim)((i, j) =>
+      cov(i)(j) - lam1 * v1(i) * v1(j))
+    val (v2, lam2) = powerIter(cov2)
+    (v1, v2, mu, lam1, lam2)
+  }
+
+  /** e5 — the top two principal components:
+    * (i, loading1, loading2, eigval1, eigval2).
+    */
   def pcaComponent(spark: SparkSession, sfDir: String): DataFrame = {
-    val (v, _, lam) = topComponent(spark, sfDir)
+    val (v1, v2, _, lam1, lam2) = topComponents(spark, sfDir)
     import spark.implicits._
-    v.toSeq.zipWithIndex.map { case (x, i) => (i.toLong, x, lam) }
-      .toDF("i", "loading", "eigval")
+    (0 until Dim).map(i => (i.toLong, v1(i), v2(i), lam1, lam2))
+      .toDF("i", "loading1", "loading2", "eigval1", "eigval2")
   }
 
-  /** e6 — project every embedding onto the top component:
-    * pc1 = sum_i (x_i - mu_i) * v_i, ascending fold per row.
+  /** e6 — the 2-D embedding map: project every vector onto the top two
+    * components, pc_k = sum_i (x_i - mu_i) * v_k(i), ascending fold
+    * per row.
     */
   def pcaProject(spark: SparkSession, sfDir: String): DataFrame = {
-    val (v, mu, _) = topComponent(spark, sfDir)
+    val (v1, v2, mu, _, _) = topComponents(spark, sfDir)
     val centered = zip_with(
       transform(col("embedding"), x => x.cast("double")),
       typedlit(mu.toSeq), (x, m) => x - m)
-    val terms = zip_with(centered, typedlit(v.toSeq), (c, vi) => c * vi)
+    def proj(v: Array[Double]): Column =
+      aggregate(zip_with(centered, typedlit(v.toSeq), (c, vi) => c * vi),
+        lit(0.0), (acc, e) => acc + e)
     Tables.load(spark, sfDir, "embeddings").select(
-      col("vec_id"),
-      aggregate(terms, lit(0.0), (acc, e) => acc + e).as("pc1"))
+      col("vec_id"), proj(v1).as("pc1"), proj(v2).as("pc2"))
   }
 
   /** The shared oracle scaffolding: exact integer moments, the double
@@ -224,32 +247,69 @@ object Pca {
                   list_reduce(list_prepend(0.0,
                     list_transform(range(1, ${Dim + 1}), j ->
                       c[i][j] * v[j])), (acc, e) -> acc + e)) AS w
-              FROM it, covm WHERE it.k < $Iters)))"""
-
-  def pcaComponentSql: String =
-    s"""WITH RECURSIVE $eigCte,
-        fin AS (SELECT v FROM it WHERE k = $Iters),
-        wf AS (
-          SELECT v, list_transform(range(1, ${Dim + 1}), i ->
-            list_reduce(list_prepend(0.0,
-              list_transform(range(1, ${Dim + 1}), j ->
-                c[i][j] * v[j])), (acc, e) -> acc + e)) AS w
-          FROM fin, covm),
-        lam AS (
+              FROM it, covm WHERE it.k < $Iters))),
+        fin1 AS MATERIALIZED (SELECT v FROM it WHERE k = $Iters),
+        lam1 AS MATERIALIZED (
           SELECT v, list_reduce(list_prepend(0.0,
             list_transform(range(1, ${Dim + 1}), i -> v[i] * w[i])),
             (acc, e) -> acc + e) AS eigval
-          FROM wf)
-        SELECT i - 1 AS i, v[i] AS loading, eigval
-        FROM lam, range(1, ${Dim + 1}) t(i)"""
+          FROM (
+            SELECT v, list_transform(range(1, ${Dim + 1}), i ->
+              list_reduce(list_prepend(0.0,
+                list_transform(range(1, ${Dim + 1}), j ->
+                  c[i][j] * v[j])), (acc, e) -> acc + e)) AS w
+            FROM fin1, covm)),
+        covm2 AS MATERIALIZED (
+          SELECT list_transform(range(1, ${Dim + 1}), i ->
+            list_transform(range(1, ${Dim + 1}), j ->
+              c[i][j] - eigval * v[i] * v[j])) AS c
+          FROM covm, lam1),
+        it2 AS (
+          SELECT 0 AS k,
+            list_transform(range(1, ${Dim + 1}),
+              i -> CAST(0.125 AS DOUBLE)) AS v
+          UNION ALL
+          SELECT k + 1,
+            list_transform(w, e -> e / nrm) AS v
+          FROM (
+            SELECT k, w,
+              sqrt(list_reduce(list_prepend(0.0,
+                list_transform(w, e -> e * e)), (acc, e) -> acc + e)) AS nrm
+            FROM (
+              SELECT it2.k AS k,
+                list_transform(range(1, ${Dim + 1}), i ->
+                  list_reduce(list_prepend(0.0,
+                    list_transform(range(1, ${Dim + 1}), j ->
+                      c[i][j] * v[j])), (acc, e) -> acc + e)) AS w
+              FROM it2, covm2 WHERE it2.k < $Iters))),
+        fin2 AS MATERIALIZED (SELECT v FROM it2 WHERE k = $Iters),
+        lam2 AS MATERIALIZED (
+          SELECT v, list_reduce(list_prepend(0.0,
+            list_transform(range(1, ${Dim + 1}), i -> v[i] * w[i])),
+            (acc, e) -> acc + e) AS eigval
+          FROM (
+            SELECT v, list_transform(range(1, ${Dim + 1}), i ->
+              list_reduce(list_prepend(0.0,
+                list_transform(range(1, ${Dim + 1}), j ->
+                  c[i][j] * v[j])), (acc, e) -> acc + e)) AS w
+            FROM fin2, covm2))"""
+
+  def pcaComponentSql: String =
+    s"""WITH RECURSIVE $eigCte
+        SELECT i - 1 AS i, a.v[i] AS loading1, b.v[i] AS loading2,
+          a.eigval AS eigval1, b.eigval AS eigval2
+        FROM lam1 a, lam2 b, range(1, ${Dim + 1}) t(i)"""
 
   def pcaProjectSql: String =
-    s"""WITH RECURSIVE $eigCte,
-        fin AS (SELECT v FROM it WHERE k = $Iters)
+    s"""WITH RECURSIVE $eigCte
         SELECT vec_id,
           list_reduce(list_prepend(0.0,
             list_transform(range(1, ${Dim + 1}), i ->
-              (CAST(embedding[i] AS DOUBLE) - mu[i]) * v[i])),
-            (acc, e) -> acc + e) AS pc1
-        FROM embeddings, fin, mu"""
+              (CAST(embedding[i] AS DOUBLE) - mu[i]) * a.v[i])),
+            (acc, e) -> acc + e) AS pc1,
+          list_reduce(list_prepend(0.0,
+            list_transform(range(1, ${Dim + 1}), i ->
+              (CAST(embedding[i] AS DOUBLE) - mu[i]) * b.v[i])),
+            (acc, e) -> acc + e) AS pc2
+        FROM embeddings, lam1 a, lam2 b, mu"""
 }
