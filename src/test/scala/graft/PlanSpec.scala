@@ -95,6 +95,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("e4 pca covariance: one aggregate, partial moments before the " +
+      "single exchange, no explode below it") {
+    val p = plan("e4_pca_cov")
+    // partial fixed_point_moments must combine map-side: one buffer per
+    // partition crosses the (single) exchange
+    assert(p.contains("partial_fixed_point_moments"), p)
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    // the Generate (cell explode) happens AFTER the aggregate, on 1 row
+    val genIdx = p.indexOf("Generate")
+    val aggIdx = p.indexOf("ObjectHashAggregate")
+    assert(genIdx >= 0 && aggIdx >= 0 && genIdx < aggIdx,
+      s"explode must sit above the aggregate in the plan tree: $p")
+  }
+
   test("c19 shuffle shards: map-only shard assignment, one exchange for ranks") {
     val p = plan("c19_shuffle_shards")
     // shard = hash mod — must not introduce its own exchange; the single
