@@ -335,9 +335,19 @@ object ApmStateV2 {
           val gaps =
             if (s.last == Long.MinValue) Seq.empty[Long]
             else (s.last + step) until b by step
+          // only the first windowN fills can still see ring mass (the
+          // windowN-th drains it); the rest of a LONGER gap is jumped in
+          // O(1) — the skipped positions provably emit nothing, so a key
+          // quiet for a month costs windowN steps, not gap-length steps
+          val jumped = gaps.length > windowN
+          val walked = if (jumped) gaps.take(windowN) else gaps
+          val fillOut = walked.flatMap(push(_, Nil))
+          // after windowN empty fills the ring is all-empty: reposition
+          // `last` past the skipped stretch with an empty ring
+          if (jumped) s = HistState(Nil, b - step)
           val binned = cells.groupBy(_.bin).view
             .mapValues(_.map(_.cnt).sum).toList.sortBy(_._1)
-          gaps.flatMap(push(_, Nil)) ++ push(b, binned)
+          fillOut ++ push(b, binned)
         }
       }
       st.update(s)

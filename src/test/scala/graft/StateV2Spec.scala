@@ -224,6 +224,48 @@ class StateV2Spec extends AnyFunSuite {
     }
   }
 
+  test("histogram twin jumps a long gap in O(windowN) and still == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val (intervalMs, windowN, binW) = (1000L, 5, 4.0)
+      // buckets 0..3, then silence until 30..32 (gap >> windowN)
+      val present = Seq(0L, 1L, 2L, 3L, 30L, 31L, 32L)
+      val raw = for { b <- present; j <- 0 until 3 }
+        yield (s"r$b-$j", "s0", "svc", b * intervalMs + j,
+          (b % 7 + j * 4 + 1).toDouble)
+      val cells = raw.groupBy(r =>
+          (r._4 / intervalMs, math.floor(r._5 / binW).toLong))
+        .map { case ((b, bin), rs) =>
+          ApmStateV2.HistIn("s0", "svc", b, bin, rs.size.toLong) }.toSeq
+      val in = MemoryStream[ApmStateV2.HistIn]
+      val out = ApmStateV2.histQuantileStreamV2(in.toDS(), windowN, binW)
+      val q = out.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("hist_gap_out").start()
+      try {
+        val (c1, c2) = cells.partition(_.bucket < 20)
+        in.addData(c1); q.processAllAvailable()
+        in.addData(c2); q.processAllAvailable()
+        val got = spark.table("hist_gap_out").as[ApmStateV2.HistOut]
+          .collect().map(o => o.bucket ->
+            ((o.n, o.approx75, o.approx95))).toMap
+        val exp = graft.operators.ApmStats.slidingHistQuantileFrom(
+            raw.toDF("log_id", "server", "service", "end_ms", "elapsed"),
+            intervalMs, windowN, binW)
+          .collect().map(r => (r.getLong(2) / intervalMs) ->
+            ((r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+        // mid-gap windows (fully empty) exist in NEITHER output; the
+        // trailing windows right after the last data bucket exist in both
+        assert(got.keySet == exp.keySet,
+          s"only_stream=${got.keySet -- exp.keySet} " +
+            s"only_batch=${exp.keySet -- got.keySet}")
+        assert(got.keySet.intersect((9L to 29L).toSet).isEmpty)
+        assert(got.contains(7L) && got.contains(30L))
+        exp.foreach { case (k, e) => assert(got(k) == e, s"bucket $k") }
+      } finally q.stop()
+    }
+  }
+
   test("vote + cooldown V2 == reference fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
