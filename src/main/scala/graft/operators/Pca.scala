@@ -201,9 +201,9 @@ object Pca {
   }
 
   /** The shared oracle scaffolding: exact integer moments, the double
-    * cov/mu derivation, and the 30-step power iteration as a recursive
-    * CTE over LIST(DOUBLE) state (left folds via list_reduce on a 0.0
-    * prepend, matching the Scala loops term for term).
+    * cov/mu derivation, and the `Iters`-step power iteration as a
+    * recursive CTE over LIST(DOUBLE) state (left folds via list_reduce
+    * on a 0.0 prepend, matching the Scala loops term for term).
     */
   private def eigCte: String =
     s"""q AS MATERIALIZED (
