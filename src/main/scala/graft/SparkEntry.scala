@@ -176,6 +176,7 @@ object SparkEntry {
     "e4_pca_cov"       -> ((s, dir) => Pca.pcaCov(s, dir)),
     "e5_pca_component" -> ((s, dir) => Pca.pcaComponent(s, dir)),
     "e6_pca_project"   -> ((s, dir) => Pca.pcaProject(s, dir)),
+    "e7_pca_residual"  -> ((s, dir) => Pca.pcaResidual(s, dir)),
     "c16_topic_clusters" -> ((s, dir) => Similarity.topicClusters(s, dir)),
     "t5_seq_pack"      -> ((s, dir) => TextAnalysis.seqPack(s, dir)),
     // Overlapping fixed-size RAG/embedding chunking with provenance.
@@ -412,6 +413,7 @@ object SparkEntry {
     "e4_pca_cov"       -> Pca.pcaCovSql,
     "e5_pca_component" -> Pca.pcaComponentSql,
     "e6_pca_project"   -> Pca.pcaProjectSql,
+    "e7_pca_residual"  -> Pca.pcaResidualSql,
     "c16_topic_clusters" -> Similarity.topicClustersSql(),
     "m3_frame_sample"  -> Multimodal.frameSampleSql(),
     "t5_seq_pack"      -> TextAnalysis.seqPackSql(),

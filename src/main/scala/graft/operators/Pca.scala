@@ -200,6 +200,38 @@ object Pca {
       col("vec_id"), proj(v1).as("pc1"), proj(v2).as("pc2"))
   }
 
+  /** e7 — PCA reconstruction-error outlier scores: per vector,
+    * resid = ||(x - mu) - pc1*v1 - pc2*v2||^2, the squared distance to
+    * the top-2 principal subspace. Embedding-curation pipelines use
+    * this as an outlier/novelty signal (vectors the dominant factors
+    * can't explain: corrupted inputs, off-distribution content). Pure
+    * per-row column arithmetic over the broadcast loadings — a single
+    * scan, no shuffle — with every fold ascending so the DuckDB oracle
+    * reproduces it bit-for-bit (`p1`/`p2` are term-for-term the e6
+    * projections; the residual fold squares a diff array built as
+    * (c_i - p1*v1_i) - p2*v2_i in that exact order).
+    */
+  def pcaResidual(spark: SparkSession, sfDir: String): DataFrame = {
+    val (v1, v2, mu, _, _) = topComponents(spark, sfDir)
+    val centered = zip_with(
+      transform(col("embedding"), x => x.cast("double")),
+      typedlit(mu.toSeq), (x, m) => x - m)
+    def proj(c: Column, v: Array[Double]): Column =
+      aggregate(zip_with(c, typedlit(v.toSeq), (ci, vi) => ci * vi),
+        lit(0.0), (acc, e) => acc + e)
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), centered.as("c"))
+      .select(col("vec_id"), col("c"),
+        proj(col("c"), v1).as("p1"), proj(col("c"), v2).as("p2"))
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(
+            zip_with(col("c"), typedlit(v1.toSeq),
+              (ci, vi) => ci - col("p1") * vi),
+            typedlit(v2.toSeq), (d, wi) => d - col("p2") * wi),
+          lit(0.0), (acc, d) => acc + d * d).as("resid"))
+  }
+
   /** The shared oracle scaffolding: exact integer moments, the double
     * cov/mu derivation, and the `Iters`-step power iteration as a
     * recursive CTE over LIST(DOUBLE) state (left folds via list_reduce
@@ -299,6 +331,30 @@ object Pca {
         SELECT i - 1 AS i, a.v[i] AS loading1, b.v[i] AS loading2,
           a.eigval AS eigval1, b.eigval AS eigval2
         FROM lam1 a, lam2 b, range(1, ${Dim + 1}) t(i)"""
+
+  def pcaResidualSql: String =
+    s"""WITH RECURSIVE $eigCte
+        SELECT vec_id,
+          list_reduce(list_prepend(0.0,
+            list_transform(
+              list_transform(range(1, ${Dim + 1}), i ->
+                (c[i] - p1 * av[i]) - p2 * bv[i]),
+              d -> d * d)),
+            (acc, e) -> acc + e) AS resid
+        FROM (
+          SELECT vec_id, c, av, bv,
+            list_reduce(list_prepend(0.0,
+              list_transform(range(1, ${Dim + 1}), i -> c[i] * av[i])),
+              (acc, e) -> acc + e) AS p1,
+            list_reduce(list_prepend(0.0,
+              list_transform(range(1, ${Dim + 1}), i -> c[i] * bv[i])),
+              (acc, e) -> acc + e) AS p2
+          FROM (
+            SELECT vec_id,
+              list_transform(range(1, ${Dim + 1}), i ->
+                CAST(embedding[i] AS DOUBLE) - mu[i]) AS c,
+              a.v AS av, b.v AS bv
+            FROM embeddings, lam1 a, lam2 b, mu))"""
 
   def pcaProjectSql: String =
     s"""WITH RECURSIVE $eigCte

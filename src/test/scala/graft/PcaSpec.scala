@@ -108,4 +108,45 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(m1) < 1e-4 && math.abs(m2) < 1e-4, s"means $m1 $m2")
     assert(var1 >= var2 && var2 > 0.0, s"variance order: $var1 $var2")
   }
+
+  test("reconstruction residual obeys Pythagoras against the projection " +
+      "and averages to the unexplained variance") {
+    import spark.implicits._
+    val resid = Pca.pcaResidual(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(resid.size == 500)
+    assert(resid.values.forall(_ >= 0.0), "squared distance negative")
+    // Pythagoras: ||c||^2 = p1^2 + p2^2 + resid (v1, v2 orthonormal up
+    // to the power-iteration epsilon) — ties e7 to e6 independently of
+    // the shared code path
+    val proj = Pca.pcaProject(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val mu = {
+      val row = Pca.moments(spark, sf).head()
+      val n = row.getLong(0).toDouble
+      row.getSeq[Long](1).toArray.map(_.toDouble / Pca.Scale / n)
+    }
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .as[(Long, Seq[Double])].collect()
+    emb.foreach { case (id, e) =>
+      val c2 = e.zip(mu).map { case (x, m) => (x - m) * (x - m) }.sum
+      val (p1, p2) = proj(id)
+      val expected = c2 - p1 * p1 - p2 * p2
+      assert(math.abs(resid(id) - expected) <= 1e-6 * math.max(c2, 1.0),
+        s"vec $id: resid ${resid(id)} vs ||c||^2-p1^2-p2^2 $expected")
+    }
+    // mean residual = total variance minus the captured eigenvalues
+    // (same algebra, corpus-level): within the orthonormality epsilon
+    val comp = Pca.pcaComponent(spark, sf).head()
+    val lam1 = comp.getDouble(3); val lam2 = comp.getDouble(4)
+    val trace = Pca.pcaCov(spark, sf)
+      .filter(col("i") === col("j"))
+      .agg(sum("cov")).head().getDouble(0)
+    val meanResid = resid.values.sum / resid.size
+    assert(math.abs(meanResid - (trace - lam1 - lam2)) < 1e-3 * trace,
+      s"mean resid $meanResid vs trace-lam $trace $lam1 $lam2")
+  }
 }
