@@ -326,4 +326,38 @@ class StateV2Spec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("streaming moments == batch fixed-point aggregate, any batch split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.MomentsStreaming
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val d = 4
+      val rnd = new scala.util.Random(53)
+      val vecs = (0 until 301).map(i =>
+        MomentsStreaming.MomIn(i.toLong,
+          Seq.fill(d)((rnd.nextInt(2001) - 1000).toLong)))
+      val in = MemoryStream[MomentsStreaming.MomIn]
+      val out = MomentsStreaming.momentsStreamV2(in.toDS(), d, nShards = 5)
+      val q = out.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("mom_out").start()
+      try {
+        // uneven micro-batches: the merged running state must not care
+        in.addData(vecs.take(7)); q.processAllAvailable()
+        in.addData(vecs.slice(7, 180)); q.processAllAvailable()
+        in.addData(vecs.drop(180)); q.processAllAvailable()
+        val rows = spark.table("mom_out")
+          .as[MomentsStreaming.MomOut].collect().toSeq
+        val (n, s, m2) = MomentsStreaming.mergeLatest(rows, d)
+        val batch = vecs.map(_.q).toDF("q")
+          .agg(graft.functions.FixedPointMoments
+            .fixed_point_moments(col("q"), d).as("m"))
+          .select("m.n", "m.s", "m.m2").head()
+        assert(n == batch.getLong(0))
+        assert(s == batch.getSeq[Long](1), "first moments differ")
+        assert(m2 == batch.getSeq[Long](2), "second moments differ")
+      } finally q.stop()
+    }
+  }
 }
