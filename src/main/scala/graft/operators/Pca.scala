@@ -219,17 +219,33 @@ object Pca {
     def proj(c: Column, v: Array[Double]): Column =
       aggregate(zip_with(c, typedlit(v.toSeq), (ci, vi) => ci * vi),
         lit(0.0), (acc, e) => acc + e)
+    val v1l = typedlit(v1.toSeq)
+    val v2l = typedlit(v2.toSeq)
+    // p1/p2 ride in the fold's INITIAL accumulator, evaluated once per
+    // row: a plain scalar-column formulation gets CollapseProject'd into
+    // the per-element lambda (Catalyst counts references, not lambda
+    // iterations), silently re-folding each projection d times per
+    // element — O(d^2) per row instead of O(d). The index counter makes
+    // the loadings addressable per element; the arithmetic sequence
+    // (d_i = (c_i - p1*v1_i) - p2*v2_i, s += d_i*d_i ascending) is
+    // bit-identical to the oracle's.
     Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), centered.as("c"))
-      .select(col("vec_id"), col("c"),
-        proj(col("c"), v1).as("p1"), proj(col("c"), v2).as("p2"))
       .select(col("vec_id"),
         aggregate(
-          zip_with(
-            zip_with(col("c"), typedlit(v1.toSeq),
-              (ci, vi) => ci - col("p1") * vi),
-            typedlit(v2.toSeq), (d, wi) => d - col("p2") * wi),
-          lit(0.0), (acc, d) => acc + d * d).as("resid"))
+          col("c"),
+          struct(lit(0.0).as("s"),
+            proj(col("c"), v1).as("p1"), proj(col("c"), v2).as("p2"),
+            lit(0).as("i")),
+          (acc, ci) => {
+            val d = (ci - acc.getField("p1") *
+                element_at(v1l, acc.getField("i") + 1)) -
+              acc.getField("p2") * element_at(v2l, acc.getField("i") + 1)
+            struct((acc.getField("s") + d * d).as("s"),
+              acc.getField("p1").as("p1"), acc.getField("p2").as("p2"),
+              (acc.getField("i") + lit(1)).as("i"))
+          },
+          acc => acc.getField("s")).as("resid"))
   }
 
   /** The shared oracle scaffolding: exact integer moments, the double
