@@ -109,6 +109,19 @@ class PlanSpec extends AnyFunSuite {
       s"explode must sit above the aggregate in the plan tree: $p")
   }
 
+  test("e7 pca residual: map-only scan, p1/p2 folds stay in the " +
+      "initial accumulator, never inside a per-element lambda") {
+    val p = plan("e7_pca_residual")
+    // single column-pruned scan, no exchange anywhere in the data path
+    assert(!p.contains("Exchange"), p)
+    // regression guard for the CollapseProject O(d^2) inlining: the two
+    // projection folds must sit in the outer fold's INITIAL struct
+    // (evaluated once per row) — the bad shape re-evaluates them inside
+    // the per-element merge lambda, d times per row
+    assert(p.contains("struct(s, 0.0, p1, aggregate("),
+      s"p1/p2 folds not in the initial accumulator: $p")
+  }
+
   test("c19 shuffle shards: map-only shard assignment, one exchange for ranks") {
     val p = plan("c19_shuffle_shards")
     // shard = hash mod — must not introduce its own exchange; the single
