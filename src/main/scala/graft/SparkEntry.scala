@@ -62,6 +62,8 @@ object SparkEntry {
     "a10_sliding_hist" -> ((s, dir) => ApmStats.slidingHistQuantile(s, dir)),
     // LOCF gap-fill over the dense scaffold with fill provenance.
     "a11_locf_fill"    -> ((s, dir) => ApmStats.locfFill(s, dir)),
+    // Integer-exact additive seasonal decomposition of the volume series.
+    "a12_seasonal"     -> ((s, dir) => ApmStats.seasonalDecompose(s, dir)),
     "r2_candidates"    -> ((s, dir) => Alerts.candidates(zWin(s, dir), alertCfg)),
     // R3+R4 fired set (alert_ts_ms..causes). The full `al` byte assembly
     // (alertsFull) is pinned by ScalaTest + the r5 round-trip oracle;
@@ -335,6 +337,7 @@ object SparkEntry {
     "a9_hist_quantile" -> ApmStats.histQuantileSql(),
     "a10_sliding_hist" -> ApmStats.slidingHistQuantileSql(),
     "a11_locf_fill"    -> ApmStats.locfFillSql(),
+    "a12_seasonal"     -> ApmStats.seasonalDecomposeSql(),
     "r3_alerts"        -> Alerts.alertsSql(
       Alerts.candidatesSql(zWinSql, alertCfg), alertCfg),
     "j1_pairing"       -> Correlation.pairingSql,

@@ -403,4 +403,78 @@ object ApmStats {
           WINDOW w AS (PARTITION BY server, service ORDER BY bucket
                        ROWS BETWEEN ${windowN - 1} PRECEDING AND CURRENT ROW))"""
   }
+
+  /** A12 — seasonal decomposition of the per-key volume series into
+    * trend + daily-seasonal + residual, the classical additive model
+    * capacity planning and anomaly baselining use (the z-score family
+    * detects DEVIATIONS; this names the structure they deviate FROM:
+    * "is Tuesday 14:00 always like this, or is today's trend shifted?").
+    *
+    *  - trend: trailing `period`-bucket moving average of the dense
+    *    bucket counts (full windows only — warm-up rows are dropped,
+    *    not emitted half-defined);
+    *  - seasonal: per (key, phase = bucket mod period) mean of the
+    *    detrended series;
+    *  - residual: what neither explains.
+    *
+    * Float-parity design: every sum stays INTEGER until the final
+    * division — trend keeps its numerator (a windowed count sum),
+    * detrended = period*cnt - trend_num is exact, and the seasonal mean
+    * divides one integer sum — so both engines hash-match without any
+    * ordered-fold machinery. Scale: the scaffold is |keys| x |buckets|;
+    * one shuffle for the window, one keyed agg on (key, phase), one
+    * co-keyed join back.
+    */
+  def seasonalDecompose(spark: SparkSession, sfDir: String,
+      intervalMs: Long = 600000L, period: Int = 144): DataFrame = {
+    val dense = denseBuckets(spark, sfDir, intervalMs)
+      .select("server", "service", "bucket", "cnt")
+    val wKey = Window.partitionBy("server", "service").orderBy("bucket")
+    val full = dense
+      .withColumn("trend_num",
+        sum(col("cnt")).over(wKey.rowsBetween(-(period - 1), Window.currentRow)))
+      .withColumn("rn", row_number().over(wKey))
+      .filter(col("rn") >= period)
+      .withColumn("phase", pmod(col("bucket"), lit(period.toLong)))
+      .withColumn("det_num", lit(period.toLong) * col("cnt") - col("trend_num"))
+    val seasonal = full.groupBy("server", "service", "phase")
+      .agg(sum("det_num").as("s_num"), count(lit(1)).as("s_cnt"))
+    val trend = col("trend_num").cast("double") / lit(period.toDouble)
+    val seas = col("s_num").cast("double") /
+      (lit(period.toDouble) * col("s_cnt"))
+    full.join(seasonal, Seq("server", "service", "phase"))
+      .select(col("server"), col("service"),
+        (col("bucket") * intervalMs).as("ts_ms"), col("cnt"),
+        trend.as("trend"), seas.as("seasonal"),
+        ((col("cnt").cast("double") - trend) - seas).as("resid"))
+  }
+
+  def seasonalDecomposeSql(intervalMs: Long = 600000L,
+      period: Int = 144): String =
+    s"""WITH dense AS (
+          SELECT server, service, bucket, CAST(cnt AS BIGINT) AS cnt
+          FROM (${denseBucketsSql(intervalMs)})),
+        win AS (
+          SELECT server, service, bucket, cnt,
+            CAST(sum(cnt) OVER w AS BIGINT) AS trend_num,
+            row_number() OVER (PARTITION BY server, service
+                               ORDER BY bucket) AS rn,
+            bucket % $period AS phase
+          FROM dense
+          WINDOW w AS (PARTITION BY server, service ORDER BY bucket
+                       ROWS BETWEEN ${period - 1} PRECEDING AND CURRENT ROW)),
+        f AS (
+          SELECT *, $period * cnt - trend_num AS det_num
+          FROM win WHERE rn >= $period),
+        s AS (
+          SELECT server, service, phase,
+            CAST(sum(det_num) AS BIGINT) AS s_num, count(*) AS s_cnt
+          FROM f GROUP BY 1, 2, 3)
+        SELECT f.server, f.service, f.bucket * $intervalMs AS ts_ms, f.cnt,
+          CAST(f.trend_num AS DOUBLE) / ${period.toDouble} AS trend,
+          CAST(s.s_num AS DOUBLE) / (${period.toDouble} * s.s_cnt) AS seasonal,
+          (CAST(f.cnt AS DOUBLE) -
+             CAST(f.trend_num AS DOUBLE) / ${period.toDouble}) -
+            CAST(s.s_num AS DOUBLE) / (${period.toDouble} * s.s_cnt) AS resid
+        FROM f JOIN s USING (server, service, phase)"""
 }

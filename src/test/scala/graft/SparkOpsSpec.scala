@@ -610,4 +610,45 @@ class SparkOpsSpec extends AnyFunSuite {
       assert(got(p) == (vals(k.toInt), k), s"p=$p")
     }
   }
+
+  test("seasonalDecompose == brute per-key loop; additive identity holds") {
+    val (interval, period) = (600000L, 144)
+    val ev = graft.Tables.txBase(spark, sf).collect()
+      .map(r => ((r.getString(1), r.getString(2)), r.getLong(3) / interval))
+    val keys = ev.map(_._1).distinct
+    val (mn, mx) = (ev.map(_._2).min, ev.map(_._2).max)
+    val cnts = ev.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = ApmStats.seasonalDecompose(spark, sf, interval, period)
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
+        (r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got.size == keys.length * (mx - mn + 1 - (period - 1)),
+      s"full-window row count ${got.size}")
+    var checked = 0
+    keys.foreach { key =>
+      val series = (mn to mx).map(b => cnts.getOrElse((key, b), 0L)).toArray
+      // integer-exact brute: trailing-window sums, then per-phase means
+      val trendNum = series.indices.drop(period - 1).map(i =>
+        (i - period + 1 to i).map(series).sum)
+      val detNum = trendNum.zipWithIndex.map { case (tn, j) =>
+        period * series(j + period - 1) - tn }
+      val byPhase = detNum.zipWithIndex
+        .groupBy { case (_, j) => (mn + j + period - 1) % period }
+      byPhase.foreach { case (phase, ds) =>
+        val sNum = ds.map(_._1).sum
+        ds.foreach { case (dn, j) =>
+          val b = mn + j + period - 1
+          val (cnt, trend, seas, resid) = got((key._1, key._2, b * interval))
+          assert(cnt == series(j + period - 1), s"$key b=$b cnt")
+          assert(trend == trendNum(j).toDouble / period, s"$key b=$b trend")
+          assert(seas == sNum.toDouble / (period.toDouble * ds.length),
+            s"$key b=$b seasonal")
+          // additive identity: the three parts re-assemble the series
+          assert(math.abs((trend + seas + resid) - cnt) < 1e-9,
+            s"$key b=$b identity")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 1000)
+  }
 }
