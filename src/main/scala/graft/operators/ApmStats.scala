@@ -422,14 +422,18 @@ object ApmStats {
     * detrended = period*cnt - trend_num is exact, and the seasonal mean
     * divides one integer sum — so both engines hash-match without any
     * ordered-fold machinery. Scale: the scaffold is |keys| x |buckets|;
-    * one shuffle for the window, one keyed agg on (key, phase), one
-    * co-keyed join back.
+    * the seasonal mean is a SECOND window pass (partition (key, phase),
+    * unbounded frame) rather than an agg + join back — an agg'd frame
+    * joined to its own source gets no subtree reuse from Catalyst, so
+    * the join formulation scanned and windowed the scaffold twice.
+    * Two keyed shuffles total, each row touched once per pass.
     */
   def seasonalDecompose(spark: SparkSession, sfDir: String,
       intervalMs: Long = 600000L, period: Int = 144): DataFrame = {
     val dense = denseBuckets(spark, sfDir, intervalMs)
       .select("server", "service", "bucket", "cnt")
     val wKey = Window.partitionBy("server", "service").orderBy("bucket")
+    val wPhase = Window.partitionBy("server", "service", "phase")
     val full = dense
       .withColumn("trend_num",
         sum(col("cnt")).over(wKey.rowsBetween(-(period - 1), Window.currentRow)))
@@ -437,16 +441,15 @@ object ApmStats {
       .filter(col("rn") >= period)
       .withColumn("phase", pmod(col("bucket"), lit(period.toLong)))
       .withColumn("det_num", lit(period.toLong) * col("cnt") - col("trend_num"))
-    val seasonal = full.groupBy("server", "service", "phase")
-      .agg(sum("det_num").as("s_num"), count(lit(1)).as("s_cnt"))
+      .withColumn("s_num", sum(col("det_num")).over(wPhase))
+      .withColumn("s_cnt", count(lit(1)).over(wPhase))
     val trend = col("trend_num").cast("double") / lit(period.toDouble)
     val seas = col("s_num").cast("double") /
       (lit(period.toDouble) * col("s_cnt"))
-    full.join(seasonal, Seq("server", "service", "phase"))
-      .select(col("server"), col("service"),
-        (col("bucket") * intervalMs).as("ts_ms"), col("cnt"),
-        trend.as("trend"), seas.as("seasonal"),
-        ((col("cnt").cast("double") - trend) - seas).as("resid"))
+    full.select(col("server"), col("service"),
+      (col("bucket") * intervalMs).as("ts_ms"), col("cnt"),
+      trend.as("trend"), seas.as("seasonal"),
+      ((col("cnt").cast("double") - trend) - seas).as("resid"))
   }
 
   def seasonalDecomposeSql(intervalMs: Long = 600000L,
@@ -466,15 +469,17 @@ object ApmStats {
         f AS (
           SELECT *, $period * cnt - trend_num AS det_num
           FROM win WHERE rn >= $period),
-        s AS (
-          SELECT server, service, phase,
-            CAST(sum(det_num) AS BIGINT) AS s_num, count(*) AS s_cnt
-          FROM f GROUP BY 1, 2, 3)
-        SELECT f.server, f.service, f.bucket * $intervalMs AS ts_ms, f.cnt,
-          CAST(f.trend_num AS DOUBLE) / ${period.toDouble} AS trend,
-          CAST(s.s_num AS DOUBLE) / (${period.toDouble} * s.s_cnt) AS seasonal,
-          (CAST(f.cnt AS DOUBLE) -
-             CAST(f.trend_num AS DOUBLE) / ${period.toDouble}) -
-            CAST(s.s_num AS DOUBLE) / (${period.toDouble} * s.s_cnt) AS resid
-        FROM f JOIN s USING (server, service, phase)"""
+        g AS (
+          SELECT *,
+            CAST(sum(det_num) OVER wp AS BIGINT) AS s_num,
+            count(*) OVER wp AS s_cnt
+          FROM f
+          WINDOW wp AS (PARTITION BY server, service, phase))
+        SELECT server, service, bucket * $intervalMs AS ts_ms, cnt,
+          CAST(trend_num AS DOUBLE) / ${period.toDouble} AS trend,
+          CAST(s_num AS DOUBLE) / (${period.toDouble} * s_cnt) AS seasonal,
+          (CAST(cnt AS DOUBLE) -
+             CAST(trend_num AS DOUBLE) / ${period.toDouble}) -
+            CAST(s_num AS DOUBLE) / (${period.toDouble} * s_cnt) AS resid
+        FROM g"""
 }
