@@ -122,6 +122,17 @@ class PlanSpec extends AnyFunSuite {
       s"p1/p2 folds not in the initial accumulator: $p")
   }
 
+  test("a12 seasonal: two window passes over one scaffold, no self-join") {
+    val p = plan("a12_seasonal")
+    // the seasonal mean must be the second window, never an agg joined
+    // back to its own source (Catalyst gives that no subtree reuse — it
+    // scanned and windowed the scaffold twice)
+    assert("\\bWindow\\b".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // joins present are only the scaffold's broadcast cross/left fills
+    assert(!p.contains("ShuffledHashJoin"), p)
+  }
+
   test("c19 shuffle shards: map-only shard assignment, one exchange for ranks") {
     val p = plan("c19_shuffle_shards")
     // shard = hash mod — must not introduce its own exchange; the single
