@@ -95,7 +95,6 @@ object Bench {
     // LSH pair graph shared by its three consumers (banding cost stays
     // with the unshared d4_dedup_minhash_lsh).
     val dedupFam = Set("c2_dup_clusters", "c18_pagerank", "c22_leak_split")
-    val familyNames = alertFam ++ annFam ++ dedupFam
     // Families are built LAZILY at their first consumer (outside the
     // timed passes) and their checkpointed frames unpersisted right
     // after their LAST consumer — so no family's resident blocks leak
@@ -117,12 +116,18 @@ object Bench {
         if (present.isEmpty) None else Some(i -> present.toSeq.max)
     }.toMap
     val built = mutable.Map.empty[Int, FamBuild]
+    // names actually timed as incremental work over a built family frame
+    // in THIS run (family built AND the map served the query) — what the
+    // artifact's `shared` field reports, so a SPARK_GRAFT_ONLY run or a
+    // query that fell back to its standalone fn0 is never mislabeled
+    val sharedRan = mutable.Set.empty[String]
     val results = runList.map { case (name, fn0) =>
       val famIdx = fams.indexWhere(_._1.contains(name))
       val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
         if (famIdx >= 0) {
           val m = built.getOrElseUpdate(famIdx, fams(famIdx)._2())._1
-          if (m.contains(name)) (_, _) => m(name)() else fn0
+          if (m.contains(name)) { sharedRan += name; (_, _) => m(name)() }
+          else fn0
         } else fn0
       val passes = mutable.Buffer.empty[(Double, Double)]
       passes += timeOnce(name, fn)
@@ -227,7 +232,7 @@ object Bench {
     // inter-pass GC (System.gc between passes keeps the previous pass's
     // collection work out of the next timed section), which stabilizes
     // medians but means allocation-heavy queries don't pay their GC here.
-    val sharedJson = familyNames.toSeq.sorted
+    val sharedJson = sharedRan.toSeq.sorted
       .map(n => s""""$n"""").mkString("[", ",", "]")
     val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cpu_sec":$cpu,"shared":$sharedJson,"gc_note":"per-query medians exclude inter-pass System.gc","errors":$errJson$streamJson,"sf":"$sfDir"}"""
     // Full artifact (per-query wall + cpu maps, ~4 KB) goes to FILES — a

@@ -27,10 +27,15 @@ import org.apache.spark.sql.types._
   * per vector, groupBy cell) shuffles 2080x the input at d=64 —
   * this aggregate's wire traffic is constant in the data size.
   *
-  * Overflow: update/merge use Math.addExact, so saturation is a loud
-  * error, never silent corruption. With |x| <= 2 and S = 2^14 each
-  * product is < 2^31, giving headroom for ~2^32 rows per cell; larger
-  * corpora lower S (the quantization-precision/row-count tradeoff knob).
+  * Overflow: update/merge use Math.addExact and the cross products
+  * Math.multiplyExact, so saturation is a loud error, never silent
+  * corruption — including for inputs outside the documented domain.
+  * With |x| <= 2 and S = 2^14 each product is < 2^31, giving headroom
+  * for ~2^32 rows per cell; larger corpora lower S (the
+  * quantization-precision/row-count tradeoff knob). Callers that can
+  * see raw out-of-domain vectors should validate at quantization time
+  * ([[graft.operators.Pca]] raises a per-row diagnostic there) so the
+  * failure names the offending input, not the aggregate.
   */
 case class FixedPointMoments(child: Expression, d: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -57,7 +62,7 @@ case class FixedPointMoments(child: Expression, d: Int,
         buf(1 + i) = Math.addExact(buf(1 + i), xi)
         var j = i
         while (j < d) {
-          buf(k) = Math.addExact(buf(k), xi * arr.getLong(j))
+          buf(k) = Math.addExact(buf(k), Math.multiplyExact(xi, arr.getLong(j)))
           k += 1; j += 1
         }
         i += 1

@@ -41,6 +41,14 @@ object Pca {
     * addExact trips; larger corpora lower the scale.
     */
   val Scale = 16384.0
+  /** Validated fixed-point domain: |x| <= 2, i.e. |q| <= 2*Scale. The
+    * covariance aggregate's overflow headroom (see [[Scale]]) assumes
+    * it, so [[quantized]] RAISES on any vector element outside it —
+    * a per-row diagnostic naming the value, instead of a
+    * Math.multiplyExact ArithmeticException from deep inside the
+    * aggregate with no row context.
+    */
+  val MaxAbsQ = 2L * Scale.toLong
   /** Power-iteration step count. Synthetic embeddings have a flat
     * spectrum (lambda2/lambda1 ~ 0.9), so convergence needs
     * 0.9^k << 1: 200 steps puts the residual below 1e-9 relative.
@@ -49,11 +57,27 @@ object Pca {
     */
   val Iters = 200
 
+  /** Quantize one embedding element, asserting the fixed-point domain:
+    * out-of-range input raises a diagnostic naming the offending value
+    * (a defined, catchable failure) rather than overflowing the moments
+    * aggregate mid-job. In-range data compiles to the identical
+    * round/cast expression as before — the `when` arm is dead — so the
+    * e4–e7 oracles are unchanged.
+    */
+  private[graft] def quantizeElem(x: Column): Column = {
+    val q = round(x.cast("double") * lit(Scale)).cast("long")
+    when(abs(q) > lit(MaxAbsQ),
+      raise_error(concat(
+        lit(s"pca: embedding element outside fixed-point domain |x| <= 2 "
+          + s"(|q| <= $MaxAbsQ at scale ${Scale.toLong}): x="),
+        x.cast("string"))).cast("long"))
+      .otherwise(q)
+  }
+
   private def quantized(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "embeddings").select(
       col("vec_id"), col("embedding"),
-      transform(col("embedding"),
-        x => round(x.cast("double") * lit(Scale)).cast("long")).as("q"))
+      transform(col("embedding"), x => quantizeElem(x)).as("q"))
 
   /** The single-row exact moments frame: n, s[d], m2[d(d+1)/2]. */
   def moments(spark: SparkSession, sfDir: String): DataFrame =

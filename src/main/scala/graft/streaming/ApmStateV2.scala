@@ -38,6 +38,44 @@ object ApmStateV2 {
   val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** Observability for the bucket-discipline DROPS in [[VolumeZProcessor]]
+    * / [[HistQuantileProcessor]]: a bucket at or below the last folded one
+    * is discarded by design (its window position was already consumed),
+    * but a DATA-carrying late bucket being dropped means the stream result
+    * has diverged from what a batch run over the full input would say —
+    * which used to be invisible at runtime. Every drop now bumps a counter
+    * and a data-carrying drop logs a WARN naming key/bucket/payload, so an
+    * operator can see the divergence (per-executor on a cluster: the
+    * counters are JVM-local, the log lines land in executor logs — on a
+    * real deployment these feed the metrics sink; here they make the
+    * behavior testable, StateV2Spec pins it).
+    */
+  object LateDrops {
+    import java.util.concurrent.atomic.AtomicLong
+    private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    /** All dropped buckets (duplicates AND late). */
+    val dropped = new AtomicLong(0L)
+    /** Dropped buckets that carried non-empty data — the divergence
+      * signal. An exact-duplicate replay of a non-empty bucket also
+      * counts (the fold keeps only running sums, so "same bucket, same
+      * payload" is indistinguishable from "same bucket, new payload" —
+      * over-reporting is the safe side for a divergence alarm).
+      */
+    val droppedWithData = new AtomicLong(0L)
+    private[streaming] def record(op: String, key: (String, String),
+        bucket: Long, last: Long, payload: String, hasData: Boolean): Unit = {
+      dropped.incrementAndGet()
+      if (hasData) {
+        droppedWithData.incrementAndGet()
+        log.warn(s"$op: dropping late/duplicate DATA bucket $bucket " +
+          s"(last folded $last) for key $key payload=$payload — stream " +
+          "result may diverge from batch over the same full input")
+      }
+    }
+    /** Test hook: zero both counters. */
+    def reset(): Unit = { dropped.set(0L); droppedWithData.set(0L) }
+  }
+
   /** Z1-Z5 — the per-(server,service,lag) z-score recurrence. State: the
     * three bounded influenced-value lists (O(lag) doubles per key).
     */
@@ -205,6 +243,8 @@ object ApmStateV2 {
     * silently corrupt the running moments):
     *  - a bucket at or below the last folded one (duplicate / late
     *    arrival) is DROPPED — its window position was already consumed;
+    *    the drop is observable ([[LateDrops]]: counter + WARN when the
+    *    dropped bucket carried data), never silent;
     *  - a gap is FILLED with zero-count steps (what the batch dense
     *    scaffold would contain), each emitting its row, so stream ==
     *    batch holds even when the upstream elides empty buckets.
@@ -248,8 +288,11 @@ object ApmStateV2 {
         VolOut(key._1, key._2, bucket, cnt, avg, lb, ub, sig)
       }
       val out = rows.toArray.sortBy(_.bucket).flatMap { r =>
-        if (s.last != Long.MinValue && r.bucket <= s.last) Nil // dup/late
-        else {
+        if (s.last != Long.MinValue && r.bucket <= s.last) { // dup/late
+          LateDrops.record("VolumeZProcessor", key, r.bucket, s.last,
+            s"cnt=${r.cnt}", hasData = r.cnt != 0L)
+          Nil
+        } else {
           val gapFill =
             if (s.last == Long.MinValue) Nil
             else (s.last + step) until r.bucket by step
@@ -330,8 +373,11 @@ object ApmStateV2 {
       }
       val byBucket = rows.toArray.groupBy(_.bucket).toSeq.sortBy(_._1)
       val out = byBucket.flatMap { case (b, cells) =>
-        if (s.last != Long.MinValue && b <= s.last) Nil // dup/late: drop
-        else {
+        if (s.last != Long.MinValue && b <= s.last) { // dup/late: drop
+          LateDrops.record("HistQuantileProcessor", key, b, s.last,
+            s"cells=${cells.length}", hasData = cells.exists(_.cnt != 0L))
+          Nil
+        } else {
           val gaps =
             if (s.last == Long.MinValue) Seq.empty[Long]
             else (s.last + step) until b by step

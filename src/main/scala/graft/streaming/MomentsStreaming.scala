@@ -22,8 +22,8 @@ import org.apache.spark.sql.streaming._
   * of nShards tiny buffers — is a trivial final reduction, batch-side
   * or on a downstream tick. Per micro-batch each touched shard emits
   * its updated running buffer; a consumer takes each shard's LATEST row
-  * and sums. Overflow uses Math.addExact like the batch aggregate:
-  * loud, never silent.
+  * and sums. Overflow uses Math.addExact/multiplyExact like the batch
+  * aggregate: loud, never silent — even for out-of-domain input.
   */
 object MomentsStreaming {
 
@@ -54,7 +54,7 @@ object MomentsStreaming {
           buf(1 + i) = Math.addExact(buf(1 + i), xi)
           var j = i
           while (j < d) {
-            buf(k) = Math.addExact(buf(k), xi * r.q(j))
+            buf(k) = Math.addExact(buf(k), Math.multiplyExact(xi, r.q(j)))
             k += 1; j += 1
           }
           i += 1

@@ -46,6 +46,25 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("quantization validates the fixed-point domain: in-range passes " +
+      "through unchanged, out-of-range raises a diagnostic naming x") {
+    import spark.implicits._
+    def q(xs: Seq[Double]): Seq[Long] =
+      xs.toDF("x").select(Pca.quantizeElem(col("x")).as("q"))
+        .as[Long].collect().toSeq
+    // boundary: |x| = 2 quantizes to exactly +-MaxAbsQ and is accepted
+    assert(q(Seq(0.0, 1.999, 2.0, -2.0)) ==
+      Seq(0L, math.round(1.999 * Pca.Scale), Pca.MaxAbsQ, -Pca.MaxAbsQ))
+    // out-of-domain: a defined per-row failure BEFORE the aggregate,
+    // whose message names the offending value (diagnosable), instead of
+    // an ArithmeticException from inside fixed_point_moments
+    val e = intercept[Exception] { q(Seq(1.0, 7.5)) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("fixed-point domain") &&
+      m.contains("7.5")), s"unexpected failure: $e")
+  }
+
   test("covariance is symmetric positive-semidefinite-ish and matches " +
       "the moments identity on real embeddings") {
     val cov = Pca.pcaCov(spark, sf).collect()

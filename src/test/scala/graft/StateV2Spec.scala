@@ -135,6 +135,7 @@ class StateV2Spec extends AnyFunSuite {
       val q = out.writeStream.outputMode(OutputMode.Append)
         .format("memory").queryName("z6_guard_out").start()
       try {
+        ApmStateV2.LateDrops.reset()
         val cnts = Map(0L -> 3L, 1L -> 2L, 2L -> 4L, 3L -> 1L,
           7L -> 9L, 8L -> 2L) // buckets 4-6 elided upstream (gap)
         in.addData(Seq(0L, 1L, 2L).map(b =>
@@ -172,6 +173,12 @@ class StateV2Spec extends AnyFunSuite {
           assert(eAvg.fold(gAvg.isNaN)(_ == gAvg), s"bucket $b avg")
           assert(gSig == eSig, s"bucket $b sig")
         }
+        // the drops are OBSERVABLE, not silent: dup bucket 2 (cnt=4) and
+        // late bucket 1 (cnt=99) both carried data -> counter + WARN
+        assert(ApmStateV2.LateDrops.dropped.get() == 2L,
+          s"dropped=${ApmStateV2.LateDrops.dropped.get()}")
+        assert(ApmStateV2.LateDrops.droppedWithData.get() == 2L,
+          s"droppedWithData=${ApmStateV2.LateDrops.droppedWithData.get()}")
       } finally q.stop()
     }
   }
