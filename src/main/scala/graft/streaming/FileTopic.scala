@@ -1,0 +1,219 @@
+package graft.streaming
+
+import java.io.DataInputStream
+import java.nio.ByteBuffer
+import java.nio.channels.{Channels, FileChannel}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
+import java.util.concurrent.ConcurrentHashMap
+
+/** File-backed [[QueueTopic]] — the out-of-process transport behind the
+  * same broker contract [[InMemoryTopic]] pins. Two SEPARATE JVMs can
+  * produce to and consume from the same topic directory, which closes
+  * the distance between the JVM-local test double and the reference's
+  * actual process topology (six OS processes connected by a broker,
+  * config/apm_config.json:87-178) without needing a broker jar: the
+  * durable medium is the filesystem instead of a broker's log.
+  *
+  * Layout under `dir/`:
+  *  - `meta`            — the topic's partition count, fixed at creation;
+  *  - `pN.log`          — partition N's append-only record log, each
+  *                        record framed as [keyLen|key|valLen|val]
+  *                        (length -1 = null), so the log is
+  *                        self-describing;
+  *  - `pN.idx`          — 8-byte big-endian byte-position of each record
+  *                        in `pN.log`; `size/8` IS the end offset, and
+  *                        entry i seeks record i in O(1) — reads are
+  *                        O(poll), not O(log);
+  *  - `rr`              — round-robin cursor for null-key produce;
+  *  - `commits_<group>` — the group's committed offsets (the broker's
+  *                        offsets topic), replaced atomically;
+  *  - `fence_<q>_<p>`   — per-(query, write-partition) high-water epoch
+  *                        (the idempotent-producer fence).
+  *
+  * Concurrency: all mutation runs under BOTH a JVM-level mutex (two
+  * threads/instances of this process) and an exclusive `FileChannel`
+  * lock on `dir/lock` (two processes) — `produceAll` is one such
+  * critical section, preserving the contract's torn-task-batch
+  * exclusion across JVMs. Readers need no lock: logs/indexes are
+  * append-only and an index entry is written only AFTER its record's
+  * bytes, so any offset a reader learns about is fully durable;
+  * `commits_<group>` is replaced via ATOMIC_MOVE, so a reader sees
+  * either the old or the new file, never a torn one.
+  *
+  * Scale note: this is a correctness-faithful transport for multi-
+  * process deployment and tests, not a throughput fabric — the global
+  * append lock serializes producers (a real broker serializes
+  * per-partition). The connector's task-side buffering keeps the
+  * critical section to one locked append per task, so the contract's
+  * performance shape (batched produce, O(poll) reads, metadata-only
+  * commits) survives; swapping in Kafka keeps every caller unchanged.
+  */
+final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
+    extends QueueTopic {
+  require(requestedPartitions >= 1)
+  Files.createDirectories(dir)
+  private val lockPath = dir.resolve("lock")
+  private val metaPath = dir.resolve("meta")
+
+  private def mutex: Object = FileTopic.mutexFor(dir)
+
+  /** JVM mutex + exclusive cross-process file lock around `f`. */
+  private def withLock[T](f: => T): T = mutex.synchronized {
+    val ch = FileChannel.open(lockPath, StandardOpenOption.CREATE,
+      StandardOpenOption.WRITE)
+    try {
+      val l = ch.lock()
+      try f finally l.release()
+    } finally ch.close()
+  }
+
+  /** Partition count is a property of the DIRECTORY, fixed by whichever
+    * process creates the topic first (matching a broker: topic width is
+    * set at creation, later clients just read it).
+    */
+  val nPartitions: Int = withLock {
+    if (Files.exists(metaPath)) new String(Files.readAllBytes(metaPath), UTF_8).trim.toInt
+    else {
+      Files.write(metaPath, requestedPartitions.toString.getBytes(UTF_8))
+      requestedPartitions
+    }
+  }
+
+  private def logPath(p: Int) = dir.resolve(s"p$p.log")
+  private def idxPath(p: Int) = dir.resolve(s"p$p.idx")
+  private def fileName(prefix: String, s: String) =
+    dir.resolve(prefix + s.map(c =>
+      if (c.isLetterOrDigit || c == '-' || c == '.') c else '_'))
+
+  private def readLongFile(p: Path, dflt: Long): Long =
+    if (Files.exists(p)) ByteBuffer.wrap(Files.readAllBytes(p)).getLong else dflt
+  private def writeLongFile(p: Path, v: Long): Unit = {
+    Files.write(p, ByteBuffer.allocate(8).putLong(v).array())
+    ()
+  }
+
+  // must hold the lock; appends record bytes FIRST, index entry second —
+  // the ordering that lets readers go lock-free
+  private def append(p: Int, key: String, value: String): Long = {
+    val kb = if (key == null) null else key.getBytes(UTF_8)
+    val vb = if (value == null) null else value.getBytes(UTF_8)
+    val frame = ByteBuffer.allocate(
+      8 + (if (kb == null) 0 else kb.length) + (if (vb == null) 0 else vb.length))
+    frame.putInt(if (kb == null) -1 else kb.length)
+    if (kb != null) frame.put(kb)
+    frame.putInt(if (vb == null) -1 else vb.length)
+    if (vb != null) frame.put(vb)
+    frame.flip()
+    val log = logPath(p)
+    val pos = if (Files.exists(log)) Files.size(log) else 0L
+    val lch = FileChannel.open(log, StandardOpenOption.CREATE,
+      StandardOpenOption.APPEND)
+    try { while (frame.hasRemaining) lch.write(frame) } finally lch.close()
+    val entry = ByteBuffer.allocate(8).putLong(pos)
+    entry.flip()
+    val ich = FileChannel.open(idxPath(p), StandardOpenOption.CREATE,
+      StandardOpenOption.APPEND)
+    try {
+      while (entry.hasRemaining) ich.write(entry)
+      ich.size() / 8 - 1
+    } finally ich.close()
+  }
+
+  private def partitionFor(key: String): Int =
+    if (key == null) {
+      val rr = dir.resolve("rr")
+      val cur = readLongFile(rr, 0L)
+      writeLongFile(rr, cur + 1)
+      (cur % nPartitions).toInt
+    } else math.floorMod(key.hashCode, nPartitions)
+
+  def produce(key: String, value: String): (Int, Long) = withLock {
+    val p = partitionFor(key)
+    (p, append(p, key, value))
+  }
+
+  def produceAll(rows: Seq[(String, String)]): Unit = withLock {
+    rows.foreach { case (k, v) => append(partitionFor(k), k, v) }
+  }
+
+  def endOffsets: Map[Int, Long] =
+    (0 until nPartitions).map { p =>
+      val ip = idxPath(p)
+      p -> (if (Files.exists(ip)) Files.size(ip) / 8 else 0L)
+    }.toMap
+
+  private[streaming] def read(p: Int, from: Long, max: Int): Seq[QueueRecord] = {
+    val ip = idxPath(p)
+    val total = if (Files.exists(ip)) Files.size(ip) / 8 else 0L
+    if (from >= total || max <= 0) return Seq.empty
+    val n = math.min(max.toLong, total - from).toInt
+    val startPos = {
+      val ich = FileChannel.open(ip, StandardOpenOption.READ)
+      try {
+        val bb = ByteBuffer.allocate(8)
+        ich.position(from * 8)
+        while (bb.hasRemaining) ich.read(bb)
+        bb.flip(); bb.getLong
+      } finally ich.close()
+    }
+    val lch = FileChannel.open(logPath(p), StandardOpenOption.READ)
+    try {
+      lch.position(startPos)
+      val in = new DataInputStream(Channels.newInputStream(lch))
+      (0 until n).map { i =>
+        def readBytes(): String = {
+          val len = in.readInt()
+          if (len < 0) null
+          else {
+            val b = new Array[Byte](len)
+            in.readFully(b)
+            new String(b, UTF_8)
+          }
+        }
+        val k = readBytes(); val v = readBytes()
+        QueueRecord(p, from + i, k, v)
+      }
+    } finally lch.close()
+  }
+
+  private[streaming] def committed(group: String): Map[Int, Long] = {
+    val p = fileName("commits_", group)
+    if (!Files.exists(p)) Map.empty
+    else new String(Files.readAllBytes(p), UTF_8).split("\n")
+      .filter(_.nonEmpty).map { line =>
+        val Array(pp, oo) = line.split(":")
+        pp.toInt -> oo.toLong
+      }.toMap
+  }
+
+  private[streaming] def commit(group: String, offs: Map[Int, Long]): Unit =
+    withLock {
+      val merged = (committed(group).toSeq ++ offs.toSeq)
+        .groupMapReduce(_._1)(_._2)(math.max)
+      val body = merged.toSeq.sorted.map { case (p, o) => s"$p:$o" }
+        .mkString("", "\n", "\n")
+      val tmp = dir.resolve(s"commits_tmp_${Thread.currentThread().getId}")
+      Files.write(tmp, body.getBytes(UTF_8))
+      Files.move(tmp, fileName("commits_", group),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+
+  private[streaming] def beginTaskEpoch(queryId: String, epochId: Long,
+      partitionId: Int): Boolean = withLock {
+    val f = fileName("fence_", s"${queryId}_$partitionId")
+    val hw = readLongFile(f, Long.MinValue)
+    if (epochId > hw) { writeLongFile(f, epochId); true } else false
+  }
+}
+
+object FileTopic {
+  // one JVM-level mutex per topic directory: FileChannel.lock throws
+  // OverlappingFileLockException on a second acquisition from the SAME
+  // JVM, so in-process exclusion must happen before the file lock
+  private val mutexes = new ConcurrentHashMap[String, Object]()
+  private def mutexFor(dir: Path): Object =
+    mutexes.computeIfAbsent(dir.toAbsolutePath.normalize.toString,
+      _ => new Object)
+}

@@ -28,7 +28,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference, default 4), `group` (consumer group for reads, default
   * "default"), `maxpoll` (per-partition records per micro-batch — the
   * `maxOffsetsPerTrigger` analogue and the contract's poll bound; 0 =
-  * unbounded).
+  * unbounded), `dir` (optional base directory: when set, the topic is
+  * the file-backed [[FileTopic]] at `dir/topic` — shared across separate
+  * JVMs, the reference's actual process topology — instead of the
+  * JVM-local registry).
   *
   * Semantics mapped onto the Spark connector surface:
   *  - source offsets are the per-partition log offsets; `initialOffset`
@@ -49,8 +52,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    commit is pure metadata, so no data-proportional bytes ever cross
   *    the driver (exactly the property a Kafka producer has).
   *
-  * Scale notes: the registry is JVM-local (local[n] = one JVM), standing
-  * in for broker addressing — against a real broker the task-side
+  * Scale notes: without `dir` the registry is JVM-local (local[n] = one
+  * JVM), standing in for broker addressing; with `dir` the topic, its
+  * group commits AND the idempotence fence are file-backed, so separate
+  * producer/consumer PROCESSES interoperate (FileTopicSpec forks a real
+  * second JVM against it). Against a real broker the task-side
   * `produceAll` becomes a producer client and the fence becomes producer
   * idempotence/transactions; reads are partition-parallel (one
   * InputPartition per queue partition) and writes are fully task-parallel
@@ -58,27 +64,37 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object QueueRegistry {
   private val topics = mutable.Map.empty[String, InMemoryTopic]
-  // (topic, queryId, epochId, writePartitionId) fences taken by sink TASKS
-  private val taskEpochs = mutable.Set.empty[(String, String, Long, Int)]
+  // (name, dir) -> file-backed topic instance cache (state lives on disk;
+  // the cache only avoids re-opening per call)
+  private val fileTopics = mutable.Map.empty[(String, String), FileTopic]
 
-  def topic(name: String, nPartitions: Int = 4): InMemoryTopic =
-    synchronized(topics.getOrElseUpdate(name, new InMemoryTopic(nPartitions)))
+  /** Resolve a topic: `dir = None` is the JVM-local in-memory registry
+    * (standing in for broker addressing in local[n]); `dir = Some(base)`
+    * is the file-backed transport at `base/name`, shared across
+    * PROCESSES — the idempotence fence and group commits live with the
+    * topic either way (QueueTopic.beginTaskEpoch keeps one high-water
+    * epoch per (query, write-partition), bounded for the query's life).
+    */
+  def topic(name: String, nPartitions: Int = 4,
+      dir: Option[String] = None): QueueTopic = synchronized {
+    dir match {
+      case Some(base) => fileTopics.getOrElseUpdate((name, base),
+        new FileTopic(java.nio.file.Paths.get(base, name), nPartitions))
+      case None =>
+        topics.getOrElseUpdate(name, new InMemoryTopic(nPartitions))
+    }
+  }
 
   def exists(name: String): Boolean = synchronized(topics.contains(name))
 
-  /** Test isolation: drop a topic and its fence history. */
+  /** Test isolation: drop an in-memory topic (and its fences/commits,
+    * which live on the instance) and evict file-topic cache entries for
+    * the name (their on-disk state is the test's temp dir to clean).
+    */
   def drop(name: String): Unit = synchronized {
     topics.remove(name)
-    taskEpochs.filterInPlace(_._1 != name)
+    fileTopics.filterInPlace { case ((n, _), _) => n != name }
   }
-
-  /** Returns true iff this (topic, query, epoch, write-partition) has NOT
-    * produced before, and marks it — the per-partition idempotence fence
-    * a replayed epoch's tasks hit. Taken at TASK commit, executor-side.
-    */
-  private[streaming] def beginTaskEpoch(topic: String, queryId: String,
-      epochId: Long, partitionId: Int): Boolean =
-    synchronized(taskEpochs.add((topic, queryId, epochId, partitionId)))
 }
 
 class GraftQueueProvider extends TableProvider with DataSourceRegister {
@@ -111,6 +127,8 @@ class GraftQueueTable(props: util.Map[String, String])
   private val nPartitions = opt("partitions", "4").toInt
   private val group = opt("group", "default")
   private val maxPoll = opt("maxpoll", "0").toInt
+  // optional base directory: present -> file-backed multi-process topic
+  private val dirOpt = Option(props.get("dir")).filter(_.nonEmpty)
 
   override def name(): String = s"graftqueue:$topicName"
   override def schema(): StructType = GraftQueueTable.readSchema
@@ -123,7 +141,8 @@ class GraftQueueTable(props: util.Map[String, String])
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = GraftQueueTable.readSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftQueueMicroBatchStream(topicName, nPartitions, group, maxPoll)
+          new GraftQueueMicroBatchStream(topicName, nPartitions, group,
+            maxPoll, dirOpt)
       }
     }
 
@@ -133,7 +152,8 @@ class GraftQueueTable(props: util.Map[String, String])
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toStreaming: StreamingWrite =
-          new GraftQueueStreamingWrite(topicName, nPartitions, schema, queryId)
+          new GraftQueueStreamingWrite(topicName, nPartitions, schema,
+            queryId, dirOpt)
       }
     }
   }
@@ -159,10 +179,10 @@ object QueueOffset {
 }
 
 class GraftQueueMicroBatchStream(topicName: String, nPartitions: Int,
-    group: String, maxPoll: Int)
+    group: String, maxPoll: Int, dirOpt: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
-  private def topic = QueueRegistry.topic(topicName, nPartitions)
+  private def topic = QueueRegistry.topic(topicName, nPartitions, dirOpt)
   // AvailableNow drain target, captured at query start: without
   // implementing SupportsTriggerAvailableNow, Spark's wrapper collapses
   // the drain into ONE batch and the poll bound never applies.
@@ -210,7 +230,8 @@ class GraftQueueMicroBatchStream(topicName: String, nPartitions: Int,
     topic.commit(group, e)
     e.toSeq.sortBy(_._1).flatMap { case (p, to) =>
       val from = s.getOrElse(p, 0L)
-      if (to > from) Some(QueueInputPartition(topicName, p, from, to): InputPartition)
+      if (to > from)
+        Some(QueueInputPartition(topicName, p, from, to, dirOpt): InputPartition)
       else None
     }.toArray
   }
@@ -229,12 +250,12 @@ class GraftQueueMicroBatchStream(topicName: String, nPartitions: Int,
 }
 
 case class QueueInputPartition(topicName: String, partition: Int,
-    from: Long, to: Long) extends InputPartition
+    from: Long, to: Long, dir: Option[String] = None) extends InputPartition
 
 class QueuePartitionReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val qp = partition.asInstanceOf[QueueInputPartition]
-    val recs = QueueRegistry.topic(qp.topicName)
+    val recs = QueueRegistry.topic(qp.topicName, dir = qp.dir)
       .read(qp.partition, qp.from, (qp.to - qp.from).toInt)
     new PartitionReader[InternalRow] {
       private val it = recs.iterator
@@ -265,13 +286,15 @@ class QueuePartitionReaderFactory extends PartitionReaderFactory {
   *    replay fences them, so no duplicates.
   */
 class GraftQueueStreamingWrite(topicName: String, nPartitions: Int,
-    schema: StructType, queryId: String) extends StreamingWrite {
+    schema: StructType, queryId: String, dirOpt: Option[String] = None)
+    extends StreamingWrite {
   private val keyIdx = schema.fieldNames.indexOf("key")
   private val valIdx = schema.fieldNames.indexOf("value")
   require(valIdx >= 0, "graftqueue sink requires a 'value' string column")
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new QueueWriterFactory(topicName, nPartitions, queryId, keyIdx, valIdx)
+    new QueueWriterFactory(topicName, nPartitions, queryId, keyIdx, valIdx,
+      dirOpt)
 
   // tasks already produced; the epoch commit is metadata-only
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -284,7 +307,8 @@ case class QueueTaskMeta(partitionId: Int, epochId: Long, rows: Long)
     extends WriterCommitMessage
 
 class QueueWriterFactory(topicName: String, nPartitions: Int,
-    queryId: String, keyIdx: Int, valIdx: Int)
+    queryId: String, keyIdx: Int, valIdx: Int,
+    dirOpt: Option[String] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
@@ -299,9 +323,12 @@ class QueueWriterFactory(topicName: String, nPartitions: Int,
       }
       override def commit(): WriterCommitMessage = {
         // the executor-side produce: atomic per task, fenced per
-        // (query, epoch, partition) so epoch replay is idempotent
-        if (QueueRegistry.beginTaskEpoch(topicName, queryId, epochId, partitionId))
-          QueueRegistry.topic(topicName, nPartitions).produceAll(buf.toSeq)
+        // (query, epoch, partition) so epoch replay is idempotent — the
+        // fence lives WITH the topic (file-backed when the topic is), so
+        // it holds across processes too
+        val t = QueueRegistry.topic(topicName, nPartitions, dirOpt)
+        if (t.beginTaskEpoch(queryId, epochId, partitionId))
+          t.produceAll(buf.toSeq)
         QueueTaskMeta(partitionId, epochId, buf.size.toLong)
       }
       override def abort(): Unit = buf.clear()

@@ -33,8 +33,41 @@ import scala.collection.mutable
   *    exactly-once via checkpointed offsets + idempotent sinks (S7);
   *  - `endOffsets` is the consumer-lag denominator (monitoring parity
   *    with the reference's queue-depth flow control, S2).
+  *
+  * Two implementations share the contract (QueueContractSpec runs the
+  * same suite against both): [[InMemoryTopic]] (JVM-local, the unit-test
+  * double) and [[FileTopic]] (file-backed, multi-process — two separate
+  * JVMs can produce/consume the same topic, the process topology the
+  * reference's broker actually has).
   */
-final class InMemoryTopic(val nPartitions: Int) {
+trait QueueTopic {
+  def nPartitions: Int
+  /** Append; returns (partition, offset) like a producer ack. */
+  def produce(key: String, value: String): (Int, Long)
+  /** Append a task's whole buffer as ONE atomic unit — the executor-side
+    * produce of the sink. Keys still choose partitions by hash; atomicity
+    * is per producing TASK, so a reader never observes a torn task batch.
+    */
+  def produceAll(rows: Seq[(String, String)]): Unit
+  def endOffsets: Map[Int, Long]
+  private[streaming] def read(p: Int, from: Long, max: Int): Seq[QueueRecord]
+  /** Durable committed offsets per consumer group. */
+  private[streaming] def committed(group: String): Map[Int, Long]
+  private[streaming] def commit(group: String, offs: Map[Int, Long]): Unit
+  /** Idempotent-producer fence, taken at TASK commit: returns true iff
+    * this (query, epoch, write-partition) should produce — i.e. the
+    * epoch is ABOVE the partition's high-water mark — and advances the
+    * mark. Epochs of a streaming query are strictly increasing per
+    * partition (micro-batch N completes before N+1 starts), so a
+    * replayed epoch is exactly "epochId <= high-water": state is one
+    * long per (query, partition), bounded for the life of the query,
+    * instead of one fence entry per epoch forever.
+    */
+  private[streaming] def beginTaskEpoch(queryId: String, epochId: Long,
+      partitionId: Int): Boolean
+}
+
+final class InMemoryTopic(val nPartitions: Int) extends QueueTopic {
   require(nPartitions >= 1)
   private val logs =
     Array.fill(nPartitions)(mutable.ArrayBuffer.empty[(String, String)])
@@ -85,6 +118,15 @@ final class InMemoryTopic(val nPartitions: Int) {
       val g = groupOffsets.getOrElseUpdate(group, mutable.Map.empty)
       offs.foreach { case (p, o) => g(p) = math.max(o, g.getOrElse(p, 0L)) }
     }
+
+  // (query, write-partition) -> high-water epoch produced
+  private val epochHighWater = mutable.Map.empty[(String, Int), Long]
+  private[streaming] def beginTaskEpoch(queryId: String, epochId: Long,
+      partitionId: Int): Boolean = synchronized {
+    val k = (queryId, partitionId)
+    val hw = epochHighWater.getOrElse(k, Long.MinValue)
+    if (epochId > hw) { epochHighWater(k) = epochId; true } else false
+  }
 }
 
 final case class QueueRecord(partition: Int, offset: Long,
@@ -93,7 +135,7 @@ final case class QueueRecord(partition: Int, offset: Long,
 /** A group consumer: polls forward from its position, commits survived
   * offsets; a NEW instance of the same group resumes from the commit.
   */
-final class ContractConsumer(topic: InMemoryTopic, group: String) {
+final class ContractConsumer(topic: QueueTopic, group: String) {
   // position starts at the group's committed offsets (Kafka's
   // auto.offset.reset=earliest below the first commit)
   private val position: mutable.Map[Int, Long] =

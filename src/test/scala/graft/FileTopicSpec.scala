@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+import scala.sys.process._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{ContractConsumer, FileTopic, FileTopicChild}
+
+/** The file-backed queue transport across REAL process boundaries: forks
+  * separate `java` child JVMs (FileTopicChild) that produce/consume/fence
+  * against the same topic directory this JVM uses — the process topology
+  * the reference's broker fabric actually has (six OS processes,
+  * config/apm_config.json:87-178), which the JVM-local registry could
+  * never exercise. Plus the `format("graftqueue")` connector running
+  * over the file backend via the `dir` option.
+  */
+class FileTopicSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft_wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Fork a child JVM on FileTopicChild; returns its stdout lines. */
+  private def fork(args: String*): Seq[String] = {
+    val java = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq(java, "-cp", cp, "graft.streaming.FileTopicChild") ++ args
+    val out = collection.mutable.Buffer.empty[String]
+    val code = Process(cmd).!(ProcessLogger(out += _, _ => ()))
+    assert(code == 0, s"child JVM failed: ${args.toSeq}\n${out.mkString("\n")}")
+    out.toSeq
+  }
+
+  test("a child JVM's records are consumable here, and our commit " +
+      "gates a second child consumer (cross-process group resume)") {
+    val dir = Files.createTempDirectory("graft_ft_2jvm").toString
+    assert(fork("produce", dir, "4", "a", "40").contains("PRODUCED=40"))
+    // consume in THIS JVM what the child produced
+    val t = new FileTopic(java.nio.file.Paths.get(dir))
+    assert(t.nPartitions == 4)
+    val c = new ContractConsumer(t, "g2jvm")
+    val got = c.poll(1000)
+    assert(got.size == 40, s"got ${got.size}")
+    assert(got.map(_.value).toSet == (0 until 40).map(i => s"a:$i").toSet)
+    // key affinity across the process boundary: same key, one partition
+    got.groupBy(_.key).foreach { case (k, rs) =>
+      assert(rs.map(_.partition).distinct.size == 1, s"key $k split")
+    }
+    c.commitSync()
+    // child produces MORE, then a child CONSUMER of the same group sees
+    // only the new tail — our commit is durable and visible to it
+    assert(fork("produce", dir, "4", "b", "15").contains("PRODUCED=15"))
+    assert(fork("consume", dir, "g2jvm").contains("CONSUMED=15"))
+    // and nothing remains for a third consumer of that group
+    assert(fork("consume", dir, "g2jvm").contains("CONSUMED=0"))
+  }
+
+  test("two concurrent child-JVM producers + this JVM: all records land " +
+      "intact, none torn, offsets dense") {
+    val dir = Files.createTempDirectory("graft_ft_conc").toString
+    val f1 = new Thread { override def run(): Unit =
+      assert(fork("produce", dir, "2", "p1", "300").contains("PRODUCED=300")) }
+    val f2 = new Thread { override def run(): Unit =
+      assert(fork("produce", dir, "2", "p2", "300").contains("PRODUCED=300")) }
+    f1.start(); f2.start()
+    val t = new FileTopic(java.nio.file.Paths.get(dir), 2)
+    (0 until 300).foreach(i => t.produce(s"k${i % 8}", s"p0:$i"))
+    f1.join(60000); f2.join(60000)
+    val c = new ContractConsumer(t, "gc")
+    val got = c.poll(100000)
+    assert(got.size == 900, s"lost records: ${got.size}")
+    // every record intact (no torn/interleaved frames): value parses and
+    // each producer's full sequence is present
+    val byProducer = got.map(_.value.split(":")).groupBy(_.head)
+    assert(byProducer.keySet == Set("p0", "p1", "p2"))
+    byProducer.foreach { case (p, vs) =>
+      assert(vs.map(_(1).toInt).sorted == (0 until 300), s"$p lost/torn")
+    }
+    // offsets dense per partition
+    got.groupBy(_.partition).foreach { case (p, rs) =>
+      assert(rs.map(_.offset).sorted == (0L until rs.size.toLong),
+        s"offset gap in p$p")
+    }
+  }
+
+  test("the idempotence fence holds across processes: a child's epoch " +
+      "fences ours, and high-water admits only newer epochs") {
+    val dir = Files.createTempDirectory("graft_ft_fence").toString
+    val t = new FileTopic(java.nio.file.Paths.get(dir), 2)
+    // child takes (q1, epoch 5, p0)
+    assert(fork("fence", dir, "q1", "5", "0").contains("FENCE=true"))
+    // our replay of epoch 5 (and anything older) is fenced
+    assert(!FileTopicChild.fence(t, "q1", 5L, 0))
+    assert(!FileTopicChild.fence(t, "q1", 4L, 0))
+    // other partition / other query are independent
+    assert(FileTopicChild.fence(t, "q1", 5L, 1))
+    assert(FileTopicChild.fence(t, "q2", 5L, 0))
+    // a NEWER epoch advances; the child then sees ITS replay fenced
+    assert(FileTopicChild.fence(t, "q1", 6L, 0))
+    assert(fork("fence", dir, "q1", "6", "0").contains("FENCE=false"))
+    assert(fork("fence", dir, "q1", "7", "0").contains("FENCE=true"))
+  }
+
+  test("graftqueue connector over dir: streaming write + group-committed " +
+      "streaming read through the file backend") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("graft_ft_conn").toString
+    def ckpt() = Files.createTempDirectory("graft_ft_ck").toString
+    val ms = MemoryStream[(String, String)]
+    ms.addData((0 until 30).map(i => (s"k${i % 5}", s"v$i")): _*)
+    val w = ms.toDF().toDF("key", "value").writeStream
+      .format("graftqueue").option("topic", "tfile")
+      .option("dir", base)
+      .option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow()).start()
+    w.awaitTermination()
+    // the records are on disk, not in the JVM registry
+    assert(!graft.streaming.QueueRegistry.exists("tfile"))
+    def drain(group: String, sink: String): Seq[(String, String)] = {
+      val q = spark.readStream.format("graftqueue")
+        .option("topic", "tfile").option("dir", base).option("group", group)
+        .load()
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(sink).collect()
+        .map(r => (r.getString(2), r.getString(3))).toSeq
+    }
+    val got = drain("gA", "ft_conn1")
+    assert(got.size == 30)
+    assert(got.toSet == (0 until 30).map(i => (s"k${i % 5}", s"v$i")).toSet)
+    // fresh checkpoint, same group: the FILE-backed commit gates redelivery
+    assert(drain("gA", "ft_conn2").isEmpty, "file-backed group commit ignored")
+    // a child JVM can still read everything under a new group
+    assert(fork("consume", s"$base/tfile", "gB").contains("CONSUMED=30"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import java.nio.file.Paths
+
+/** Test-only child-process entry point for the two-JVM [[FileTopic]]
+  * tests (FileTopicSpec forks `java -cp <test classpath> …` on this
+  * main): each mode exercises one side of the broker contract from a
+  * genuinely separate process, printing a single parseable result line.
+  *
+  * Modes:
+  *  - `produce <dir> <nPart> <prefix> <count>` — produce `count` keyed
+  *    records (`k<i%8>` -> `<prefix>:<i>`); prints `PRODUCED=<count>`.
+  *  - `consume <dir> <group>` — poll everything, commit, print
+  *    `CONSUMED=<n>`.
+  *  - `fence <dir> <query> <epoch> <part>` — take the idempotence
+  *    fence; prints `FENCE=<true|false>`.
+  */
+object FileTopicChild {
+  /** In-process accessor for the `private[streaming]` fence so specs in
+    * package `graft` can exercise it against the child JVM's takes.
+    */
+  def fence(t: QueueTopic, query: String, epoch: Long, part: Int): Boolean =
+    t.beginTaskEpoch(query, epoch, part)
+
+  def main(args: Array[String]): Unit = args(0) match {
+    case "produce" =>
+      val t = new FileTopic(Paths.get(args(1)), args(2).toInt)
+      val prefix = args(3)
+      val count = args(4).toInt
+      (0 until count).foreach(i => t.produce(s"k${i % 8}", s"$prefix:$i"))
+      println(s"PRODUCED=$count")
+    case "consume" =>
+      val t = new FileTopic(Paths.get(args(1)))
+      val c = new ContractConsumer(t, args(2))
+      var n = 0
+      var batch = c.poll(1000)
+      while (batch.nonEmpty) { n += batch.size; batch = c.poll(1000) }
+      c.commitSync()
+      println(s"CONSUMED=$n")
+    case "fence" =>
+      val t = new FileTopic(Paths.get(args(1)))
+      val took = t.beginTaskEpoch(args(2), args(3).toLong, args(4).toInt)
+      println(s"FENCE=$took")
+    case other => sys.error(s"unknown mode $other")
+  }
+}
