@@ -64,6 +64,12 @@ object ApmGraph {
     q.awaitTermination(); ()
   }
 
+  // Each stage has a `startStageN` (returns the running query — a real
+  // deployment starts all four concurrently on processing-time triggers;
+  // GraphFaultSpec uses the handles to kill queries mid-drain) and a
+  // `runStageN` that drains it to completion (AvailableNow), which is
+  // also the deterministic test mode.
+
   /** Stage 1: tail logs -> route -> parse -> [tee] + window stats. Runs
     * both sinks to completion (AvailableNow).
     */
@@ -92,19 +98,29 @@ object ApmGraph {
     await(tee); await(stats)
   }
 
-  /** Stage 2: stats -> lag fan-out -> keyed z-score state. */
-  def runStage2(spark: SparkSession, workDir: String, cfg: GraphCfg): Unit = {
-    val stats = spark.readStream.schema(statsSchema)
-      .parquet(s"$workDir/stats")
+  /** Stage 2: stats -> lag fan-out -> keyed z-score state.
+    * `maxFilesPerTrigger` caps how many stats files one micro-batch
+    * admits — the backfill rate limiter (and the knob GraphFaultSpec
+    * uses to split a drain into epochs it can kill between).
+    */
+  def startStage2(spark: SparkSession, workDir: String, cfg: GraphCfg,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(statsSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stats = reader.parquet(s"$workDir/stats")
     val z = ApmStreaming.zScoreStream(
       ApmStreaming.fanOutLags(stats, Seq(cfg.lag)))
-    await(z.writeStream
+    z.writeStream
       .format("parquet")
       .option("path", s"$workDir/zscore")
       .option("checkpointLocation", s"$workDir/ckpt_z")
       .trigger(Trigger.AvailableNow())
-      .start())
+      .start()
   }
+
+  def runStage2(spark: SparkSession, workDir: String, cfg: GraphCfg): Unit =
+    await(startStage2(spark, workDir, cfg))
 
   /** Stage 3: z-scored frame -> candidate flags -> vote fold. */
   def runStage3(spark: SparkSession, workDir: String, cfg: GraphCfg): Unit = {
@@ -122,16 +138,25 @@ object ApmGraph {
       .start())
   }
 
-  /** Stage 4: cooldown dedup -> ordered alert sink (A7). */
-  def runStage4(spark: SparkSession, workDir: String, cfg: GraphCfg): Unit = {
+  /** Stage 4: cooldown dedup -> ordered alert sink (A7). `afterBatch`
+    * is [[ApmStreaming.sinkToParquet]]'s fault-injection point (runs in
+    * the window between the sink's data write and the epoch commit);
+    * production callers leave it a no-op.
+    */
+  def startStage4(spark: SparkSession, workDir: String, cfg: GraphCfg,
+      afterBatch: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
     val fired = spark.readStream.schema(voteOutSchema)
       .parquet(s"$workDir/fired").as[ApmStreaming.VoteOut]
     val alerts = ApmStreaming.cooldownStream(fired, cfg.alert)
-    await(ApmStreaming.sinkToParquet(alerts.toDF(), s"$workDir/alerts",
+    ApmStreaming.sinkToParquet(alerts.toDF(), s"$workDir/alerts",
       s"$workDir/ckpt_alerts", orderCol = Some("ts_ms"),
-      availableNow = true))
+      availableNow = true, afterBatch = afterBatch)
   }
+
+  def runStage4(spark: SparkSession, workDir: String, cfg: GraphCfg): Unit =
+    await(startStage4(spark, workDir, cfg))
 
   /** Drain the whole graph once, in topological order. */
   def runAll(spark: SparkSession, logsGlob: String, workDir: String,

@@ -276,10 +276,22 @@ object ApmStreaming {
     * event time within each emitted batch — Spark's watermark already
     * bounds what a batch contains, so a per-batch local sort reproduces
     * the ordered-emission guarantee without any heap.
+    *
+    * Exactly-once: a `foreachBatch` writer is only exactly-once if it is
+    * IDEMPOTENT per batchId — a crash between the data write and the
+    * checkpoint commit replays the batch on restart. Writing
+    * mode=overwrite into a per-batchId directory makes the replay land
+    * on the same path with the same (deterministically recomputed)
+    * rows, so the crash window cannot duplicate. `afterBatch` is a
+    * fault-injection point: it runs after the data write but BEFORE the
+    * epoch commits, i.e. inside that exact window (GraphFaultSpec
+    * crashes there and asserts the resume is loss- and dup-free);
+    * production callers leave it a no-op.
     */
   def sinkToParquet(df: DataFrame, outDir: String, checkpoint: String,
       trigger: String = "5 seconds", orderCol: Option[String] = None,
-      availableNow: Boolean = false)
+      availableNow: Boolean = false,
+      afterBatch: Long => Unit = _ => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .outputMode(OutputMode.Append)
@@ -289,8 +301,8 @@ object ApmStreaming {
         else org.apache.spark.sql.streaming.Trigger.ProcessingTime(trigger))
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val ordered = orderCol.fold(batch)(c => batch.sortWithinPartitions(c))
-        ordered.write.mode("append").parquet(s"$outDir/batch_$batchId")
-        ()
+        ordered.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        afterBatch(batchId)
       }
       .start()
 
