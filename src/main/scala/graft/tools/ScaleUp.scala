@@ -31,6 +31,39 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <factor>
   */
 object ScaleUp {
+
+  val KeyOffset = 10000000000L
+
+  /** The embeddings replica transform, exposed for probes (AnnScaleProbe
+    * measures the >64-replica decorrelation directly): replica i<64
+    * rotates the vector by i dims (norms and intra-replica geometry
+    * exact, cross-replica cosine decorrelated); past the first rotation
+    * cycle a per-element deterministic sign flip keyed on (rotation
+    * block, position) keeps later cycles from reproducing rep-0 exactly
+    * (which would recreate the cross-replica clique no real corpus
+    * growth produces).
+    */
+  def scaleEmbeddings(spark: SparkSession, emb: DataFrame,
+      factor: Int): DataFrame = {
+    val dim = 64
+    val reps = emb.crossJoin(
+      spark.range(factor.toLong).select(col("id").cast("int").as("rep")))
+    val rotated = concat(
+      slice(col("embedding"), col("rep") % dim + 1,
+        lit(dim) - pmod(col("rep"), lit(dim))),
+      slice(col("embedding"), lit(1), col("rep") % dim))
+    val blockCol = expr(s"rep div $dim").cast("long")
+    val flipped = transform(rotated, (x, i) =>
+      when(pmod(xxhash64(blockCol, i), lit(2L)) === lit(0L), x).otherwise(-x))
+    reps
+      .withColumn("embedding",
+        when(col("rep") === 0, col("embedding"))
+          .when(col("rep") < dim, rotated)
+          .otherwise(flipped))
+      .withColumn("vec_id", col("vec_id") + col("rep").cast("long") * KeyOffset)
+      .select("vec_id", "embedding", "label")
+  }
+
   def main(args: Array[String]): Unit = {
     val (src, out, factor) = (args(0), args(1), args(2).toInt)
     val spark = SparkSession.builder()
@@ -99,27 +132,8 @@ object ScaleUp {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars"))
 
-    val dim = 64
-    // rotation alone cycles every `dim` replicas (rep % dim == 0 would
-    // duplicate rep-0 exactly at factor > 64, recreating the clique
-    // blowup) — so past the first cycle, compose it with a per-element
-    // deterministic sign flip keyed on (rotation block, position). The
-    // first 64 replicas stay rotation-only, keeping factor<=64 corpora
-    // byte-identical to earlier probes.
-    val rotated = concat(
-      slice(col("embedding"), col("rep") % dim + 1,
-        lit(dim) - pmod(col("rep"), lit(dim))),
-      slice(col("embedding"), lit(1), col("rep") % dim))
-    val blockCol = expr(s"rep div $dim").cast("long")
-    val flipped = transform(rotated, (x, i) =>
-      when(pmod(xxhash64(blockCol, i), lit(2L)) === lit(0L), x).otherwise(-x))
-    write("embeddings")(reps(t("embeddings"))
-      .withColumn("embedding",
-        when(col("rep") === 0, col("embedding"))
-          .when(col("rep") < dim, rotated)
-          .otherwise(flipped))
-      .withColumn("vec_id", offset("vec_id"))
-      .select("vec_id", "embedding", "label"))
+    // rotation + >64-replica sign flip, shared with AnnScaleProbe
+    write("embeddings")(scaleEmbeddings(spark, t("embeddings"), factor))
 
     println(s"""{"scaled": "$out", "factor": $factor}""")
     spark.stop()
