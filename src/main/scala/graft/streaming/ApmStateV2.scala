@@ -408,4 +408,99 @@ object ApmStateV2 {
       .transformWithState(new HistQuantileProcessor(windowN, binW, step),
         TimeMode.None(), OutputMode.Append())
   }
+
+  // --------------------------- A12 seasonal decomposition at ingest
+
+  case class SeasOut(server: String, service: String, bucket: Long,
+      cnt: Long, trend: Double, seasonal: Double, resid: Double)
+  /** ring: trailing up-to-`period` counts (current included once folded),
+    * trendSum their integer sum; rn rows folded; phases the per-phase
+    * running (phase, detrended-sum, row-count) triples (<= period
+    * entries — the state is O(period) regardless of series length, and
+    * a List because the V2 state encoder takes product/array types, not
+    * maps); last = highest folded bucket.
+    */
+  case class SeasState(ring: List[Long], trendSum: Long, rn: Long,
+      phases: List[(Long, Long, Long)], last: Long)
+
+  /** Streaming twin of [[graft.operators.ApmStats.seasonalDecompose]]
+    * (a12) — trend + daily-seasonal + residual AT INGEST. The batch
+    * operator's two window passes map onto bounded per-key state:
+    *  - the trailing `period`-bucket trend sum is a ring of counts with
+    *    its running integer sum (pass 1);
+    *  - the per-(key, phase) seasonal mean becomes a RUNNING integer
+    *    sum per phase (pass 2's unbounded frame, prefix form): the
+    *    stream's seasonal at row i is the batch mean over phase rows
+    *    seen so far, and at each phase's LAST row it equals the batch
+    *    a12 value exactly (the full-series mean) — the same
+    *    running-vs-complete relationship z6 has to z2. All sums stay
+    *    integer until the final division (the a12 parity recipe), so
+    *    stream == prefix-batch bit-for-bit (StateV2Spec).
+    *
+    * Same bucket discipline as [[VolumeZProcessor]]: dup/late buckets
+    * are dropped observably ([[LateDrops]]), gaps are zero-filled like
+    * the batch dense scaffold; warm-up rows (rn < period) fold into
+    * state but are not emitted, mirroring the batch `rn >= period`
+    * filter.
+    */
+  class SeasonalProcessor(period: Int, step: Long = 1L)
+      extends StatefulProcessor[(String, String), VolIn, SeasOut] {
+    @transient private var st: ValueState[SeasState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SeasState]("seas",
+        Encoders.product[SeasState], TTLConfig.NONE)
+    override def handleInputRows(key: (String, String), rows: Iterator[VolIn],
+        tv: TimerValues): Iterator[SeasOut] = {
+      var s = if (st.exists()) st.get()
+        else SeasState(Nil, 0L, 0L, Nil, Long.MinValue)
+      def fold(bucket: Long, cnt: Long): Option[SeasOut] = {
+        val pushedRing = s.ring :+ cnt
+        val (ring, trendSum) =
+          if (pushedRing.length > period)
+            (pushedRing.tail, s.trendSum + cnt - pushedRing.head)
+          else (pushedRing, s.trendSum + cnt)
+        val rn = s.rn + 1
+        if (rn < period) {
+          s = SeasState(ring, trendSum, rn, s.phases, bucket)
+          None
+        } else {
+          // phase is of the bucket INDEX (bucket/step), matching the
+          // batch `pmod(bucket, period)` over pre-divided indexes
+          val phase = math.floorMod(bucket / step, period.toLong)
+          val det = period.toLong * cnt - trendSum
+          val (pNum, pCnt) = s.phases.find(_._1 == phase)
+            .map(t => (t._2 + det, t._3 + 1L)).getOrElse((det, 1L))
+          s = SeasState(ring, trendSum, rn,
+            (phase, pNum, pCnt) :: s.phases.filterNot(_._1 == phase),
+            bucket)
+          val trend = trendSum.toDouble / period.toDouble
+          val seasonal = pNum.toDouble / (period.toDouble * pCnt)
+          Some(SeasOut(key._1, key._2, bucket, cnt, trend, seasonal,
+            (cnt.toDouble - trend) - seasonal))
+        }
+      }
+      val out = rows.toArray.sortBy(_.bucket).flatMap { r =>
+        if (s.last != Long.MinValue && r.bucket <= s.last) { // dup/late
+          LateDrops.record("SeasonalProcessor", key, r.bucket, s.last,
+            s"cnt=${r.cnt}", hasData = r.cnt != 0L)
+          Nil
+        } else {
+          val gapFill =
+            if (s.last == Long.MinValue) Nil
+            else (s.last + step) until r.bucket by step
+          gapFill.flatMap(fold(_, 0L)) ++ fold(r.bucket, r.cnt)
+        }
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  def seasonalStreamV2(in: Dataset[VolIn], period: Int,
+      step: Long = 1L): Dataset[SeasOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(r => (r.server, r.service))
+      .transformWithState(new SeasonalProcessor(period, step),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -367,4 +367,86 @@ class StateV2Spec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("seasonal decomposition V2 == prefix-batch windows; last phase " +
+      "rows == the full a12 seasonal mean") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val period = 6
+      // dense series with real seasonality; buckets where cnt == 0 are
+      // ELIDED from the stream input (the twin must zero-fill them), and
+      // a late duplicate is replayed (the twin must drop it)
+      val dense = for {
+        srv <- Seq("s0", "s1"); b <- 0L until 48L
+      } yield ApmStateV2.VolIn(srv, "svc", b,
+        if (b % 11 == 7) 0L
+        else 5L + (b % period) * 2L + (if (srv == "s1") 3L else 0L) + b / 12L)
+      val fed = dense.filter(_.cnt != 0L)
+      val in = MemoryStream[ApmStateV2.VolIn]
+      val out = ApmStateV2.seasonalStreamV2(in.toDS(), period)
+      val q = out.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("seas_out").start()
+      try {
+        val (c1, c2) = fed.partition(_.bucket < 20L)
+        in.addData(c1); q.processAllAvailable()
+        // replay an already-folded bucket: observable drop, no effect
+        in.addData(ApmStateV2.VolIn("s0", "svc", 3L, 99L))
+        in.addData(c2); q.processAllAvailable()
+        val got = spark.table("seas_out").as[ApmStateV2.SeasOut].collect()
+          .map(o => (o.server, o.bucket) -> ((o.cnt, o.trend, o.seasonal, o.resid)))
+          .toMap
+
+        // prefix-batch formulation over the DENSE series: the a12 window
+        // pair with the seasonal frame cut at the current row
+        val wKey = Window.partitionBy("server", "service").orderBy("bucket")
+        val wRun = Window.partitionBy("server", "service", "phase")
+          .orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val exp = dense.toDF()
+          .withColumn("trend_num", sum(col("cnt"))
+            .over(wKey.rowsBetween(-(period - 1), Window.currentRow)))
+          .withColumn("rn", row_number().over(wKey))
+          .filter(col("rn") >= period)
+          .withColumn("phase", pmod(col("bucket"), lit(period.toLong)))
+          .withColumn("det", lit(period.toLong) * col("cnt") - col("trend_num"))
+          .withColumn("s_num", sum(col("det")).over(wRun))
+          .withColumn("s_cnt", count(lit(1)).over(wRun))
+        val expRows = exp.collect().map { r =>
+          val trend = r.getAs[Long]("trend_num").toDouble / period
+          val seas = r.getAs[Long]("s_num").toDouble /
+            (period.toDouble * r.getAs[Long]("s_cnt"))
+          (r.getAs[String]("server"), r.getAs[Long]("bucket")) ->
+            ((r.getAs[Long]("cnt"), trend, seas,
+              (r.getAs[Long]("cnt").toDouble - trend) - seas))
+        }.toMap
+        assert(got.size == expRows.size,
+          s"row count ${got.size} != ${expRows.size}")
+        expRows.foreach { case (k, e) =>
+          assert(got(k) == e, s"$k: got ${got(k)} exp $e") // bit-exact
+        }
+
+        // at each phase's LAST row the running mean IS the registered
+        // batch a12 seasonal (the full-series mean)
+        val fullSeas = exp
+          .withColumn("s_num_all", sum(col("det")).over(
+            Window.partitionBy("server", "service", "phase")))
+          .withColumn("s_cnt_all", count(lit(1)).over(
+            Window.partitionBy("server", "service", "phase")))
+          .withColumn("last_b", max(col("bucket")).over(
+            Window.partitionBy("server", "service", "phase")))
+          .filter(col("bucket") === col("last_b"))
+          .collect().map { r =>
+            (r.getAs[String]("server"), r.getAs[Long]("bucket")) ->
+              (r.getAs[Long]("s_num_all").toDouble /
+                (period.toDouble * r.getAs[Long]("s_cnt_all")))
+          }.toMap
+        fullSeas.foreach { case (k, e) =>
+          assert(got(k)._3 == e, s"$k final seasonal ${got(k)._3} != $e")
+        }
+      } finally q.stop()
+    }
+  }
 }
