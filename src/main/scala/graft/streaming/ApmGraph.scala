@@ -177,16 +177,31 @@ object ApmGraph {
   // the property the stage-4 cooldown fold relies on (and the broker
   // contract guarantees only within a partition).
 
-  /** Stage 3 variant producing fired rows to a queue topic. */
+  /** Stage 3 variant producing fired rows to a queue topic. `queueDir`
+    * selects the file-backed transport (see GraftQueueConnector's `dir`
+    * option): the topic directory is shared across PROCESSES, so stage 4
+    * can run in a separate JVM — the reference's actual deployment
+    * topology.
+    */
+  /** `zscoreDir` lets this producer read a zscore topic directory OWNED
+    * by another pipeline's work dir (a parquet topic has one writer,
+    * many consumers — each consumer only needs its own checkpoint, which
+    * stays under `workDir`). A file-sink output cannot be symlinked or
+    * copied instead: its `_spark_metadata` log records absolute paths,
+    * so a relocated clone lists as empty.
+    */
   def runStage3Queued(spark: SparkSession, workDir: String, cfg: GraphCfg,
-      topic: String, nPartitions: Int = 4): Unit = {
+      topic: String, nPartitions: Int = 4,
+      queueDir: Option[String] = None,
+      zscoreDir: Option[String] = None): Unit = {
     import spark.implicits._
-    val z = spark.readStream.schema(zOutSchema).parquet(s"$workDir/zscore")
+    val z = spark.readStream.schema(zOutSchema)
+      .parquet(zscoreDir.getOrElse(s"$workDir/zscore"))
     val cand = Alerts.candidates(z, cfg.alert)
       .select(col("server"), col("service"), col("lag"), col("ts_ms"),
         col("bad"), col("causes")).as[ApmStreaming.VoteIn]
     val fired = ApmStreaming.voteStream(cand, cfg.alert)
-    await(fired
+    val w = fired
       .select(col("service").as("key"),
         to_json(struct(col("server"), col("service"), col("lag"),
           col("ts_ms"), col("causes"))).as("value"))
@@ -196,18 +211,21 @@ object ApmGraph {
       .option("partitions", nPartitions)
       .option("checkpointLocation", s"$workDir/ckpt_fired_q")
       .trigger(Trigger.AvailableNow())
-      .start())
+    queueDir.foreach(d => w.option("dir", d))
+    await(w.start())
   }
 
   /** Stage 4 variant consuming fired rows from the queue topic. */
   def runStage4Queued(spark: SparkSession, workDir: String, cfg: GraphCfg,
-      topic: String, group: String = "stage4"): Unit = {
+      topic: String, group: String = "stage4",
+      queueDir: Option[String] = None): Unit = {
     import spark.implicits._
-    val fired = spark.readStream
+    val r = spark.readStream
       .format("graftqueue")
       .option("topic", topic)
       .option("group", group)
-      .load()
+    queueDir.foreach(d => r.option("dir", d))
+    val fired = r.load()
       .select(from_json(col("value"), voteOutSchema).as("r"))
       .select(col("r.*")).as[ApmStreaming.VoteOut]
     val alerts = ApmStreaming.cooldownStream(fired, cfg.alert)

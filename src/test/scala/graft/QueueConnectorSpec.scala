@@ -198,5 +198,23 @@ class QueueConnectorSpec extends AnyFunSuite {
     assert(viaQueue == viaParquet,
       s"queue handoff diverged: onlyQ=${(viaQueue -- viaParquet).take(3)} " +
         s"onlyP=${(viaParquet -- viaQueue).take(3)}")
+
+    // same handoff a third time over the FILE-BACKED transport (the
+    // multi-process topology): separate work dir whose zscore input is
+    // the same frames, topic + fences + commits living on disk
+    val workF = s"$base/workf" // own checkpoints; same zscore topic input
+    val qdir = s"$base/qdir"
+    ApmGraph.runStage3Queued(spark, workF, cfg, "t_graph_fired_f",
+      queueDir = Some(qdir), zscoreDir = Some(s"$work/zscore"))
+    assert(!QueueRegistry.exists("t_graph_fired_f"),
+      "file-backed topic leaked into the JVM-local registry")
+    val fOffs = new graft.streaming.FileTopic(
+      Paths.get(qdir, "t_graph_fired_f")).endOffsets
+    assert(fOffs.values.sum > 0L,
+      s"stage 3 produced nothing to the file topic: $fOffs")
+    ApmGraph.runStage4Queued(spark, workF, cfg, "t_graph_fired_f",
+      queueDir = Some(qdir))
+    assert(alerts(workF) == viaParquet,
+      "file-backed queue handoff diverged from the parquet handoff")
   }
 }
