@@ -206,6 +206,26 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
     val hw = readLongFile(f, Long.MinValue)
     if (epochId > hw) { writeLongFile(f, epochId); true } else false
   }
+
+  /** Fence check, data append, fence advance — one lock section, in
+    * that order (the append is inlined: [[withLock]] does not re-enter
+    * across a second `FileChannel.lock` from the same thread). A
+    * process crash mid-append leaves some records visible with the
+    * fence NOT advanced, so the task retry re-appends the buffer —
+    * at-least-once across a hard crash, exactly-once for Spark-level
+    * retries/replays; advancing the fence first would instead lose the
+    * buffer silently.
+    */
+  private[streaming] def produceFenced(queryId: String, epochId: Long,
+      partitionId: Int, rows: Seq[(String, String)]): Boolean = withLock {
+    val f = fileName("fence_", s"${queryId}_$partitionId")
+    val hw = readLongFile(f, Long.MinValue)
+    if (epochId > hw) {
+      rows.foreach { case (k, v) => append(partitionFor(k), k, v) }
+      writeLongFile(f, epochId)
+      true
+    } else false
+  }
 }
 
 object FileTopic {

@@ -322,13 +322,14 @@ class QueueWriterFactory(topicName: String, nPartitions: Int,
         buf += ((k, v))
       }
       override def commit(): WriterCommitMessage = {
-        // the executor-side produce: atomic per task, fenced per
-        // (query, epoch, partition) so epoch replay is idempotent — the
-        // fence lives WITH the topic (file-backed when the topic is), so
-        // it holds across processes too
-        val t = QueueRegistry.topic(topicName, nPartitions, dirOpt)
-        if (t.beginTaskEpoch(queryId, epochId, partitionId))
-          t.produceAll(buf.toSeq)
+        // the executor-side produce: fence check, append, fence advance
+        // in ONE topic-side critical section (data strictly before
+        // fence — a crash between a taken fence and the append would
+        // otherwise lose the buffer to a fenced retry). The fence lives
+        // WITH the topic (file-backed when the topic is), so epoch
+        // replay is idempotent across processes too.
+        QueueRegistry.topic(topicName, nPartitions, dirOpt)
+          .produceFenced(queryId, epochId, partitionId, buf.toSeq)
         QueueTaskMeta(partitionId, epochId, buf.size.toLong)
       }
       override def abort(): Unit = buf.clear()

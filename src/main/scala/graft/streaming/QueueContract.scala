@@ -54,17 +54,34 @@ trait QueueTopic {
   /** Durable committed offsets per consumer group. */
   private[streaming] def committed(group: String): Map[Int, Long]
   private[streaming] def commit(group: String, offs: Map[Int, Long]): Unit
-  /** Idempotent-producer fence, taken at TASK commit: returns true iff
-    * this (query, epoch, write-partition) should produce — i.e. the
-    * epoch is ABOVE the partition's high-water mark — and advances the
-    * mark. Epochs of a streaming query are strictly increasing per
-    * partition (micro-batch N completes before N+1 starts), so a
-    * replayed epoch is exactly "epochId <= high-water": state is one
-    * long per (query, partition), bounded for the life of the query,
-    * instead of one fence entry per epoch forever.
+  /** Idempotent-producer fence primitive: returns true iff this
+    * (query, epoch, write-partition) is ABOVE the partition's
+    * high-water mark, and advances the mark. Epochs of a streaming
+    * query are strictly increasing per partition (micro-batch N
+    * completes before N+1 starts), so a replayed epoch is exactly
+    * "epochId <= high-water": state is one long per (query,
+    * partition), bounded for the life of the query, instead of one
+    * fence entry per epoch forever. The production sink does NOT call
+    * this followed by [[produceAll]] — that ordering has a crash hole
+    * — it calls [[produceFenced]], which is the two fused atomically;
+    * this primitive remains for fence-semantics tests.
     */
   private[streaming] def beginTaskEpoch(queryId: String, epochId: Long,
       partitionId: Int): Boolean
+  /** The sink's executor-side produce, fenced and ATOMIC: iff `epochId`
+    * is above the (query, write-partition) high-water mark, append the
+    * whole buffer and only then advance the mark — ONE critical
+    * section, data strictly before fence. The ordering is the crash
+    * contract: fence-first would turn a crash between fence and append
+    * into silent data loss (the task retry finds itself fenced and the
+    * buffer is gone — at-most-once); data-first makes a crash mid-
+    * produce at-least-once (the retry re-appends; a broker-side
+    * transaction is what would roll the partial batch back), while
+    * Spark-level task retries and epoch replays remain exactly-once.
+    * Returns whether the buffer was appended.
+    */
+  private[streaming] def produceFenced(queryId: String, epochId: Long,
+      partitionId: Int, rows: Seq[(String, String)]): Boolean
 }
 
 final class InMemoryTopic(val nPartitions: Int) extends QueueTopic {
@@ -126,6 +143,18 @@ final class InMemoryTopic(val nPartitions: Int) extends QueueTopic {
     val k = (queryId, partitionId)
     val hw = epochHighWater.getOrElse(k, Long.MinValue)
     if (epochId > hw) { epochHighWater(k) = epochId; true } else false
+  }
+
+  // data before fence, one monitor section (produceAll re-enters it)
+  private[streaming] def produceFenced(queryId: String, epochId: Long,
+      partitionId: Int, rows: Seq[(String, String)]): Boolean = synchronized {
+    val k = (queryId, partitionId)
+    val hw = epochHighWater.getOrElse(k, Long.MinValue)
+    if (epochId > hw) {
+      produceAll(rows)
+      epochHighWater(k) = epochId
+      true
+    } else false
   }
 }
 

@@ -93,6 +93,28 @@ class QueueContractSpec extends AnyFunSuite {
       a.commitSync()
       assert(b.poll(100).size == 8) // ga's commit is invisible to gb
     }
+
+    test(s"[$backend] produceFenced: replayed/older epochs append " +
+        "nothing; data lands before the fence advances") {
+      import graft.streaming.FileTopicChild.{fence, produceFenced}
+      val t = mkTopic(2)
+      val rows = (0 until 10).map(i => (s"k$i", s"v$i"))
+      assert(produceFenced(t, "q1", 3L, 0, rows))
+      assert(t.endOffsets.values.sum == 10L)
+      // exact replay and an older epoch are both fenced, no append
+      assert(!produceFenced(t, "q1", 3L, 0, rows))
+      assert(!produceFenced(t, "q1", 2L, 0, rows))
+      assert(t.endOffsets.values.sum == 10L)
+      // other write-partition / other query are independent fences
+      assert(produceFenced(t, "q1", 3L, 1, rows.take(2)))
+      assert(produceFenced(t, "q2", 3L, 0, rows.take(1)))
+      assert(t.endOffsets.values.sum == 13L)
+      // a newer epoch appends and advances the same high-water mark the
+      // fence primitive sees (one mark, not two bookkeeping domains)
+      assert(produceFenced(t, "q1", 4L, 0, rows.take(1)))
+      assert(!fence(t, "q1", 4L, 0), "primitive saw a stale mark")
+      assert(t.endOffsets.values.sum == 14L)
+    }
   }
 
   test("file topic: a second instance over the same directory sees the " +

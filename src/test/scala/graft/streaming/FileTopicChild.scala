@@ -22,6 +22,11 @@ object FileTopicChild {
   def fence(t: QueueTopic, query: String, epoch: Long, part: Int): Boolean =
     t.beginTaskEpoch(query, epoch, part)
 
+  /** Same, for the atomic fence+append the production sink uses. */
+  def produceFenced(t: QueueTopic, query: String, epoch: Long, part: Int,
+      rows: Seq[(String, String)]): Boolean =
+    t.produceFenced(query, epoch, part, rows)
+
   def main(args: Array[String]): Unit = args(0) match {
     case "produce" =>
       val t = new FileTopic(Paths.get(args(1)), args(2).toInt)
