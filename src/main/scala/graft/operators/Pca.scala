@@ -65,8 +65,17 @@ object Pca {
     * e4–e7 oracles are unchanged.
     */
   private[graft] def quantizeElem(x: Column): Column = {
-    val q = round(x.cast("double") * lit(Scale)).cast("long")
-    when(abs(q) > lit(MaxAbsQ),
+    val xd = x.cast("double")
+    val q = round(xd * lit(Scale)).cast("long")
+    // NaN/Infinity are checked on the DOUBLE, before q: a non-ANSI cast
+    // turns NaN into 0 (silent corruption) and -Infinity into
+    // Long.MinValue, whose abs overflows negative and slips past the
+    // range test; an ANSI cast would throw its generic error before
+    // raise_error could name the value. Or short-circuits in codegen,
+    // so the q branch never evaluates for those rows.
+    when(isnan(xd) ||
+        abs(xd) === lit(Double.PositiveInfinity) ||
+        abs(q) > lit(MaxAbsQ),
       raise_error(concat(
         lit(s"pca: embedding element outside fixed-point domain |x| <= 2 "
           + s"(|q| <= $MaxAbsQ at scale ${Scale.toLong}): x="),

@@ -181,14 +181,12 @@ object ApmGraph {
     * selects the file-backed transport (see GraftQueueConnector's `dir`
     * option): the topic directory is shared across PROCESSES, so stage 4
     * can run in a separate JVM — the reference's actual deployment
-    * topology.
-    */
-  /** `zscoreDir` lets this producer read a zscore topic directory OWNED
-    * by another pipeline's work dir (a parquet topic has one writer,
-    * many consumers — each consumer only needs its own checkpoint, which
-    * stays under `workDir`). A file-sink output cannot be symlinked or
-    * copied instead: its `_spark_metadata` log records absolute paths,
-    * so a relocated clone lists as empty.
+    * topology. `zscoreDir` lets this producer read a zscore topic
+    * directory OWNED by another pipeline's work dir (a parquet topic has
+    * one writer, many consumers — each consumer only needs its own
+    * checkpoint, which stays under `workDir`); a file-sink output cannot
+    * be symlinked or copied instead, since its `_spark_metadata` log
+    * records absolute paths and a relocated clone lists as empty.
     */
   def runStage3Queued(spark: SparkSession, workDir: String, cfg: GraphCfg,
       topic: String, nPartitions: Int = 4,

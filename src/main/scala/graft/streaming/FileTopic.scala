@@ -73,9 +73,10 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
     * set at creation, later clients just read it).
     */
   val nPartitions: Int = withLock {
-    if (Files.exists(metaPath)) new String(Files.readAllBytes(metaPath), UTF_8).trim.toInt
+    if (Files.exists(metaPath) && Files.size(metaPath) > 0)
+      new String(Files.readAllBytes(metaPath), UTF_8).trim.toInt
     else {
-      Files.write(metaPath, requestedPartitions.toString.getBytes(UTF_8))
+      writeAtomic(metaPath, requestedPartitions.toString.getBytes(UTF_8))
       requestedPartitions
     }
   }
@@ -86,12 +87,31 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
     dir.resolve(prefix + s.map(c =>
       if (c.isLetterOrDigit || c == '-' || c == '.') c else '_'))
 
-  private def readLongFile(p: Path, dflt: Long): Long =
-    if (Files.exists(p)) ByteBuffer.wrap(Files.readAllBytes(p)).getLong else dflt
-  private def writeLongFile(p: Path, v: Long): Unit = {
-    Files.write(p, ByteBuffer.allocate(8).putLong(v).array())
+  /** Replace-style writes (fence, rr, meta, commits) go through a
+    * dot-prefixed temp file + ATOMIC_MOVE: a plain `Files.write`
+    * truncates before writing, so a crash inside it would leave a
+    * 0-byte file that wedges every later read of that key — the exact
+    * crash windows (fence advance, topic creation) this transport
+    * reasons about. The `.tmp` prefix also cannot collide with a real
+    * state file: those all start with a letter (`fileName`'s sanitizer
+    * never emits a leading dot for the prefix).
+    */
+  private def writeAtomic(p: Path, bytes: Array[Byte]): Unit = {
+    val tmp = Files.createTempFile(dir, ".tmp_", "")
+    Files.write(tmp, bytes)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     ()
   }
+
+  // tolerate a short/empty file (pre-atomic-write crash debris) as
+  // absent rather than throwing BufferUnderflow forever
+  private def readLongFile(p: Path, dflt: Long): Long =
+    if (Files.exists(p) && Files.size(p) >= 8)
+      ByteBuffer.wrap(Files.readAllBytes(p)).getLong
+    else dflt
+  private def writeLongFile(p: Path, v: Long): Unit =
+    writeAtomic(p, ByteBuffer.allocate(8).putLong(v).array())
 
   // must hold the lock; appends record bytes FIRST, index entry second —
   // the ordering that lets readers go lock-free
@@ -112,7 +132,16 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
     try { while (frame.hasRemaining) lch.write(frame) } finally lch.close()
     val entry = ByteBuffer.allocate(8).putLong(pos)
     entry.flip()
-    val ich = FileChannel.open(idxPath(p), StandardOpenOption.CREATE,
+    // a hard crash can persist a PARTIAL trailing index entry; truncate
+    // back to 8-byte alignment before appending, or every later offset
+    // would be permanently skewed (the partial entry's record bytes stay
+    // orphaned in the log — invisible, re-appended by the retry)
+    val ip = idxPath(p)
+    if (Files.exists(ip) && Files.size(ip) % 8 != 0) {
+      val tch = FileChannel.open(ip, StandardOpenOption.WRITE)
+      try tch.truncate(Files.size(ip) / 8 * 8) finally tch.close()
+    }
+    val ich = FileChannel.open(ip, StandardOpenOption.CREATE,
       StandardOpenOption.APPEND)
     try {
       while (entry.hasRemaining) ich.write(entry)
@@ -193,11 +222,10 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
         .groupMapReduce(_._1)(_._2)(math.max)
       val body = merged.toSeq.sorted.map { case (p, o) => s"$p:$o" }
         .mkString("", "\n", "\n")
-      val tmp = dir.resolve(s"commits_tmp_${Thread.currentThread().getId}")
-      Files.write(tmp, body.getBytes(UTF_8))
-      Files.move(tmp, fileName("commits_", group),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      ()
+      // dot-prefixed temp via writeAtomic: the old commits_tmp_<thread>
+      // name lived in the real commit-file namespace, so a group
+      // literally named tmp_<N> could have its offsets clobbered
+      writeAtomic(fileName("commits_", group), body.getBytes(UTF_8))
     }
 
   private[streaming] def beginTaskEpoch(queryId: String, epochId: Long,

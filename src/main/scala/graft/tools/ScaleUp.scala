@@ -74,7 +74,9 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val KeyOff = 10000000000L
+    val KeyOff = KeyOffset // one constant — FK offsets and the
+    // embeddings/probe offsets must agree or cross-replica detection
+    // (vec_id div KeyOffset) silently breaks
 
     def reps(df: DataFrame): DataFrame =
       df.crossJoin(

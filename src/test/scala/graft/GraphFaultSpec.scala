@@ -101,6 +101,8 @@ class GraphFaultSpec extends AnyFunSuite {
     val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
     while (q2.isActive && q2.recentProgress.isEmpty &&
         System.nanoTime() < deadline) Thread.sleep(5)
+    assert(q2.recentProgress.nonEmpty || !q2.isActive,
+      "stage 2 made no progress within 60 s — cannot stage the kill")
     q2.stop()
     q2.awaitTermination()
     val zRowsAtKill = spark.read.parquet(s"$work/zscore").count()

@@ -63,6 +63,16 @@ class PcaSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(m => m.contains("fixed-point domain") &&
       m.contains("7.5")), s"unexpected failure: $e")
+    // the non-finite values a bare range test on the CAST result misses:
+    // NaN casts to 0 (silent corruption), -Infinity to Long.MinValue
+    // (abs overflows negative and passes |q| <= MaxAbsQ) — all three
+    // must hit the same named diagnostic
+    Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+      .foreach { bad =>
+        val eb = intercept[Exception] { q(Seq(1.0, bad)) }
+        assert(msgs(eb).exists(_.contains("fixed-point domain")),
+          s"$bad escaped the domain guard: $eb")
+      }
   }
 
   test("covariance is symmetric positive-semidefinite-ish and matches " +
