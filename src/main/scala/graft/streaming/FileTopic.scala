@@ -21,10 +21,14 @@ import java.util.concurrent.ConcurrentHashMap
   *                        record framed as [keyLen|key|valLen|val]
   *                        (length -1 = null), so the log is
   *                        self-describing;
-  *  - `pN.idx`          — 8-byte big-endian byte-position of each record
-  *                        in `pN.log`; `size/8` IS the end offset, and
-  *                        entry i seeks record i in O(1) — reads are
-  *                        O(poll), not O(log);
+  *  - `pN.idx`          — 8-byte big-endian byte-position where record i
+  *                        ENDS in `pN.log` (record i starts at entry i-1,
+  *                        or 0); `size/8` IS the end offset, entry i-1
+  *                        seeks record i in O(1) — reads are O(poll),
+  *                        not O(log) — and the LAST entry is the log's
+  *                        valid length, so an append can truncate crash
+  *                        debris (a torn or un-indexed trailing frame)
+  *                        in O(1) without parsing the log;
   *  - `rr`              — round-robin cursor for null-key produce;
   *  - `commits_<group>` — the group's committed offsets (the broker's
   *                        offsets topic), replaced atomically;
@@ -113,6 +117,24 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
   private def writeLongFile(p: Path, v: Long): Unit =
     writeAtomic(p, ByteBuffer.allocate(8).putLong(v).array())
 
+  /** Byte length of partition `p`'s INDEXED log prefix: the last index
+    * entry (entries record where each record ENDS), 0 when empty. Must
+    * hold the lock when used to reconcile.
+    */
+  private def validLogEnd(ip: Path): Long = {
+    val entries = if (Files.exists(ip)) Files.size(ip) / 8 else 0L
+    if (entries == 0) 0L
+    else {
+      val ich = FileChannel.open(ip, StandardOpenOption.READ)
+      try {
+        val bb = ByteBuffer.allocate(8)
+        ich.position((entries - 1) * 8)
+        while (bb.hasRemaining) ich.read(bb)
+        bb.flip(); bb.getLong
+      } finally ich.close()
+    }
+  }
+
   // must hold the lock; appends record bytes FIRST, index entry second —
   // the ordering that lets readers go lock-free
   private def append(p: Int, key: String, value: String): Long = {
@@ -125,22 +147,35 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
     frame.putInt(if (vb == null) -1 else vb.length)
     if (vb != null) frame.put(vb)
     frame.flip()
-    val log = logPath(p)
-    val pos = if (Files.exists(log)) Files.size(log) else 0L
-    val lch = FileChannel.open(log, StandardOpenOption.CREATE,
-      StandardOpenOption.APPEND)
-    try { while (frame.hasRemaining) lch.write(frame) } finally lch.close()
-    val entry = ByteBuffer.allocate(8).putLong(pos)
-    entry.flip()
-    // a hard crash can persist a PARTIAL trailing index entry; truncate
-    // back to 8-byte alignment before appending, or every later offset
-    // would be permanently skewed (the partial entry's record bytes stay
-    // orphaned in the log — invisible, re-appended by the retry)
+    // reconcile BOTH crash windows before writing, or sequential reads
+    // would return/misparse the debris and skew every later offset:
+    //  - a PARTIAL trailing index entry (crash mid index write) —
+    //    truncate the index back to 8-byte alignment;
+    //  - un-indexed trailing log bytes (crash after a partial or full
+    //    frame write, before its index entry) — truncate the log back
+    //    to the last indexed record's end; the producer whose append
+    //    died there never advanced its fence, so its retry re-appends.
     val ip = idxPath(p)
     if (Files.exists(ip) && Files.size(ip) % 8 != 0) {
       val tch = FileChannel.open(ip, StandardOpenOption.WRITE)
       try tch.truncate(Files.size(ip) / 8 * 8) finally tch.close()
     }
+    val log = logPath(p)
+    val pos = validLogEnd(ip)
+    val logSize = if (Files.exists(log)) Files.size(log) else 0L
+    require(logSize >= pos,
+      s"$log shorter ($logSize) than its index claims ($pos) — " +
+        "index entries must only be written after their record bytes")
+    if (logSize > pos) {
+      val tch = FileChannel.open(log, StandardOpenOption.WRITE)
+      try tch.truncate(pos) finally tch.close()
+    }
+    val frameLen = frame.remaining().toLong
+    val lch = FileChannel.open(log, StandardOpenOption.CREATE,
+      StandardOpenOption.APPEND)
+    try { while (frame.hasRemaining) lch.write(frame) } finally lch.close()
+    val entry = ByteBuffer.allocate(8).putLong(pos + frameLen)
+    entry.flip()
     val ich = FileChannel.open(ip, StandardOpenOption.CREATE,
       StandardOpenOption.APPEND)
     try {
@@ -177,15 +212,20 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
     val total = if (Files.exists(ip)) Files.size(ip) / 8 else 0L
     if (from >= total || max <= 0) return Seq.empty
     val n = math.min(max.toLong, total - from).toInt
-    val startPos = {
-      val ich = FileChannel.open(ip, StandardOpenOption.READ)
-      try {
-        val bb = ByteBuffer.allocate(8)
-        ich.position(from * 8)
-        while (bb.hasRemaining) ich.read(bb)
-        bb.flip(); bb.getLong
-      } finally ich.close()
-    }
+    // record `from` STARTS where record `from - 1` ends (entry from-1);
+    // every frame in [from, from+n) is indexed, hence contiguous and
+    // fully durable — debris can only ever trail the indexed prefix
+    val startPos =
+      if (from == 0) 0L
+      else {
+        val ich = FileChannel.open(ip, StandardOpenOption.READ)
+        try {
+          val bb = ByteBuffer.allocate(8)
+          ich.position((from - 1) * 8)
+          while (bb.hasRemaining) ich.read(bb)
+          bb.flip(); bb.getLong
+        } finally ich.close()
+      }
     val lch = FileChannel.open(logPath(p), StandardOpenOption.READ)
     try {
       lch.position(startPos)

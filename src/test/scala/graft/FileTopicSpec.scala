@@ -108,6 +108,56 @@ class FileTopicSpec extends AnyFunSuite {
     assert(fork("fence", dir, "q1", "7", "0").contains("FENCE=true"))
   }
 
+  test("crash-debris recovery: 0-byte state files read as absent, a torn " +
+      "trailing index entry is truncated, and no temp files leak") {
+    import java.nio.ByteBuffer
+    import java.nio.file.{Files => F, StandardOpenOption => O}
+    val dir = F.createTempDirectory("graft_ft_debris")
+    // a crash inside a pre-atomic Files.write could leave 0-byte debris
+    // for ANY replace-style key; each must read as absent, not wedge
+    F.write(dir.resolve("meta"), Array.emptyByteArray)
+    F.write(dir.resolve("rr"), Array.emptyByteArray)
+    F.write(dir.resolve("fence_q1_0"), Array.emptyByteArray)
+    val t = new FileTopic(dir, 1)
+    assert(t.nPartitions == 1, "0-byte meta must not wedge topic creation")
+    t.produce(null, "rr-null-key") // 0-byte rr cursor reads as 0
+    assert(FileTopicChild.fence(t, "q1", 0L, 0),
+      "0-byte fence must read as no-epoch-seen, admitting epoch 0")
+    assert(!FileTopicChild.fence(t, "q1", 0L, 0), "then fence normally")
+    // crash window 1: record "c" fully in the log but only 3 of its 8
+    // index-entry bytes persisted — the orphan frame and the partial
+    // entry must BOTH be scrubbed by the next append, or sequential
+    // reads would return "c" as offset 3 and shift every later record
+    t.produce("k", "a"); t.produce("k", "b")
+    val log = dir.resolve("p0.log"); val idx = dir.resolve("p0.idx")
+    val orphan = ByteBuffer.allocate(8 + 1 + 1)
+      .putInt(1).put('k'.toByte).putInt(1).put('c'.toByte).array()
+    F.write(log, orphan, O.APPEND)
+    F.write(idx, Array[Byte](0, 0, 0), O.APPEND) // 3 of 8 entry bytes
+    assert(t.endOffsets(0) == 3, "partial entry visible as a phantom slot")
+    val logEndBefore = F.size(log)
+    t.produce("k", "d")
+    assert(F.size(log) < logEndBefore + 9,
+      "orphan frame bytes were not truncated before the new append")
+    // crash window 2: a TORN frame (4 of its bytes) with no index entry
+    F.write(log, Array[Byte](0, 0, 0, 9), O.APPEND)
+    t.produce("k", "e")
+    val c = new ContractConsumer(t, "gdebris")
+    val got = c.poll(100)
+    assert(got.map(_.value) == Seq("rr-null-key", "a", "b", "d", "e"),
+      s"crash-debris recovery broke the record stream: ${got.map(_.value)}")
+    assert(got.map(_.offset) == Seq(0L, 1L, 2L, 3L, 4L), "offsets not dense")
+    // replace-style writes must not leave temp debris, and a group
+    // literally named tmp_<N> must keep its offsets across other commits
+    FileTopicChild.commit(t, "tmp_1", Map(0 -> 2L))
+    FileTopicChild.commit(t, "g", Map(0 -> 4L))
+    assert(FileTopicChild.committed(t, "tmp_1") == Map(0 -> 2L))
+    import scala.jdk.CollectionConverters._
+    val stray = F.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith(".tmp_")).toSeq
+    assert(stray.isEmpty, s"leaked temp files: $stray")
+  }
+
   test("graftqueue connector over dir: streaming write + group-committed " +
       "streaming read through the file backend") {
     import spark.implicits._

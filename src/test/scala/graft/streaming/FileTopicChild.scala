@@ -27,6 +27,12 @@ object FileTopicChild {
       rows: Seq[(String, String)]): Boolean =
     t.produceFenced(query, epoch, part, rows)
 
+  /** Same, for the group-commit pair (offset-hygiene assertions). */
+  def commit(t: QueueTopic, group: String, offs: Map[Int, Long]): Unit =
+    t.commit(group, offs)
+  def committed(t: QueueTopic, group: String): Map[Int, Long] =
+    t.committed(group)
+
   def main(args: Array[String]): Unit = args(0) match {
     case "produce" =>
       val t = new FileTopic(Paths.get(args(1)), args(2).toInt)
