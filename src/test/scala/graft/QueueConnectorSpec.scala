@@ -216,5 +216,24 @@ class QueueConnectorSpec extends AnyFunSuite {
       queueDir = Some(qdir))
     assert(alerts(workF) == viaParquet,
       "file-backed queue handoff diverged from the parquet handoff")
+
+    // and the same stage 4 in a SEPARATE Spark JVM (fresh consumer
+    // group, own work dir), sharing nothing with this process but the
+    // topic directory — the reference's actual process topology
+    val workG = s"$base/workg"
+    val java = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val out = collection.mutable.Buffer.empty[String]
+    val code = scala.sys.process.Process(Seq(java, "-Xmx4g", "-cp", cp,
+      "graft.streaming.FileTopicChild", "stage4", workG, qdir,
+      "t_graph_fired_f", "stage4_jvm2"))
+      .!(scala.sys.process.ProcessLogger(out += _, _ => ()))
+    assert(code == 0, s"child Spark JVM failed:\n${out.takeRight(30).mkString("\n")}")
+    val reported = out.collectFirst { case s if s.startsWith("ALERTS=") =>
+      s.stripPrefix("ALERTS=").toLong }
+    assert(reported.contains(viaParquet.size.toLong),
+      s"child JVM reported $reported alerts, expected ${viaParquet.size}")
+    assert(alerts(workG) == viaParquet,
+      "cross-JVM stage 4 diverged from the parquet handoff")
   }
 }

@@ -14,6 +14,12 @@ import java.nio.file.Paths
   *    `CONSUMED=<n>`.
   *  - `fence <dir> <query> <epoch> <part>` — take the idempotence
   *    fence; prints `FENCE=<true|false>`.
+  *  - `stage4 <workDir> <queueDir> <topic> <group>` — run the graph's
+  *    stage 4 (cooldown -> ordered alert sink) in THIS process with its
+  *    own SparkSession, consuming the file-backed topic another Spark
+  *    JVM produced; prints `ALERTS=<rowcount>`. This is the two-Spark-
+  *    process leg of the reference's topology: the processes share
+  *    nothing but the topic directory.
   */
 object FileTopicChild {
   /** In-process accessor for the `private[streaming]` fence so specs in
@@ -52,6 +58,22 @@ object FileTopicChild {
       val t = new FileTopic(Paths.get(args(1)))
       val took = t.beginTaskEpoch(args(2), args(3).toLong, args(4).toInt)
       println(s"FENCE=$took")
+    case "stage4" =>
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft_wh_child").toString)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      ApmGraph.runStage4Queued(spark, args(1), ApmGraph.GraphCfg(),
+        args(3), group = args(4), queueDir = Some(args(2)))
+      val n = spark.read.option("recursiveFileLookup", "true")
+        .parquet(args(1) + "/alerts").count()
+      spark.stop()
+      println(s"ALERTS=$n")
     case other => sys.error(s"unknown mode $other")
   }
 }
