@@ -158,6 +158,44 @@ class FileTopicSpec extends AnyFunSuite {
     assert(stray.isEmpty, s"leaked temp files: $stray")
   }
 
+  test("SIGKILL a producer JVM mid-stream: survivors form an exact prefix, " +
+      "debris is scrubbed, and the topic keeps working") {
+    val dir = Files.createTempDirectory("graft_ft_kill").toString
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    // the child produces 60k records sequentially (k<i%8> -> x:<i>);
+    // kill -9 lands somewhere mid-append
+    val pb = new java.lang.ProcessBuilder( // sys.process shadows the name
+      javaBin, "-cp", cp, "graft.streaming.FileTopicChild",
+      "produce", dir, "4", "x", "60000")
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    // wait until at least SOME records are durable, then kill hard
+    val t = new FileTopic(java.nio.file.Paths.get(dir), 4)
+    val spinDeadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (t.endOffsets.values.sum < 500 && p.isAlive &&
+        System.nanoTime() < spinDeadline) Thread.sleep(2)
+    p.destroyForcibly()
+    p.waitFor()
+    assert(p.exitValue() != 0, "child finished before the kill landed — " +
+      "raise the record count or lower the spin threshold")
+    val c = new ContractConsumer(t, "gkill")
+    val got = c.poll(100000) // every frame must parse cleanly
+    val ids = got.map(_.value.stripPrefix("x:").toInt).sorted
+    assert(ids.nonEmpty && ids == (0 to ids.max),
+      s"survivors are not an exact prefix: n=${ids.size} max=${ids.max}")
+    assert(ids.size < 60000, "kill landed after the full produce")
+    got.groupBy(_.partition).foreach { case (part, rs) =>
+      assert(rs.map(_.offset).sorted == (0L until rs.size.toLong),
+        s"offset gap in p$part after the kill")
+    }
+    // appends after the crash scrub any torn tail and stay readable
+    (0 until 8).foreach(i => t.produce(s"k${i % 8}", s"post:$i"))
+    val after = c.poll(100000)
+    assert(after.map(_.value).toSet == (0 until 8).map(i => s"post:$i").toSet,
+      s"post-crash appends unreadable: ${after.map(_.value).take(10)}")
+  }
+
   test("graftqueue connector over dir: streaming write + group-committed " +
       "streaming read through the file backend") {
     import spark.implicits._
