@@ -1,0 +1,140 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+
+/** Suite-wide physical-plan audit: walks EVERY registered query's
+  * executed plan (AQE off, so the static shape is what's judged) and
+  * counts the node kinds the engine's scale story depends on — parquet
+  * scans, shuffle/broadcast exchanges, join strategies, whole-stage
+  * codegen spans — then flags the two shapes that must never appear
+  * unannounced at 100 TB: `CartesianProductExec` and
+  * `BroadcastNestedLoopJoinExec`. PlansMain/PlanSpec pin the flagship
+  * plans in depth; this audit is the breadth guarantee that NO query,
+  * present or future, quietly grows an all-pairs join. The same check
+  * runs in the test suite (PlanAuditSpec), so a regression fails CI,
+  * and `runMain graft.tools.PlanAudit` writes the reviewable
+  * PLAN_AUDIT.json artifact.
+  *
+  * A cartesian is never allowed; nested-loop joins are allowed only up
+  * to the per-query count pinned in [[pinnedBnlj]] — each pinned one is
+  * a BROADCAST of a deliberately tiny (constant, scalar-aggregate, or
+  * model-scale) frame, the documented dense-scaffold / config / model
+  * idioms, never data x data.
+  */
+object PlanAudit {
+
+  final case class QueryAudit(name: String, scans: Int, shuffles: Int,
+      broadcasts: Int, bhj: Int, smj: Int, shj: Int, cartesian: Int,
+      bnlj: Int, codegenSpans: Int, flagged: Seq[String])
+
+  /** Per-query MAXIMUM BroadcastNestedLoopJoin count (absent = 0). Every
+    * pinned nested-loop is a deliberate broadcast of a BOUNDED side —
+    * the data side streams past it — in one of four idioms; growing any
+    * count (or a cartesian anywhere, which has no whitelist) fails the
+    * audit and PlanAuditSpec until consciously re-pinned.
+    */
+  val pinnedBnlj: Map[String, Int] = Map(
+    // dense scaffold / per-key bucket bounds crossed onto the stream
+    // (scaffold size = keys x windows, data-independent)
+    "a5_sliding_stats" -> 1, "a10_sliding_hist" -> 1, "a11_locf_fill" -> 1,
+    "a12_seasonal" -> 1, "w7_active_users" -> 1,
+    // alert/z-score config-override struct (J4/Z1): a constant 1-row
+    // settings frame every stage crosses in
+    "r2_candidates" -> 1, "r3_alerts" -> 1, "r5_assembly" -> 1,
+    "r7_digest" -> 1, "s6_db_stats" -> 1, "s8_email_rows" -> 1,
+    "s8_email_digest" -> 1, "z2_zscore_win" -> 1, "z2_zscore_fold" -> 1,
+    "z6_zscore_prefix" -> 2,
+    // 1-row scalar-aggregate broadcast (corpus totals, global averages,
+    // quantile thresholds) — the SQL scalar-subquery shape
+    "q11_scalar_having" -> 1, "q22_anti" -> 1, "q28_set_ops" -> 3,
+    "t9_lm_score" -> 1, "t11_kmv_distinct" -> 1, "t12_len_quantile" -> 1,
+    "t17_bm25" -> 1, "t19_rank_select" -> 2, "w2_funnel" -> 2,
+    "w5_cooccur" -> 1, "d6_dedup_embed" -> 1, "d6_embed_recall" -> 3,
+    "e3_matryoshka" -> 4,
+    // trained-model broadcast: centroids / codebooks / PageRank mass —
+    // model-scale rows, never the corpus
+    "c9_semdedup" -> 3, "c16_topic_clusters" -> 1, "c18_pagerank" -> 9,
+    "s3_knn_ivf" -> 2, "s7_ivfpq" -> 3, "s9_ivf_stats" -> 3,
+    // probe/query-point broadcast (a handful of vectors) and the exact
+    // top-k frame a recall measurement joins back in
+    "s1_knn_brute" -> 1, "s4_ivf_recall" -> 3, "s6_pq_recall" -> 1,
+    "s8_ivfpq_recall" -> 4, "s10_pq_refine" -> 1)
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val direct = p.collect { case n => n }
+    direct ++ direct.flatMap(_.subqueries.flatMap(allNodes))
+  }
+
+  def auditOne(name: String, plan: SparkPlan): QueryAudit = {
+    val ns = allNodes(plan)
+    val cartesian = ns.count(_.isInstanceOf[CartesianProductExec])
+    val bnlj = ns.count(_.isInstanceOf[BroadcastNestedLoopJoinExec])
+    val allowed = pinnedBnlj.getOrElse(name, 0)
+    val flagged =
+      (if (cartesian > 0) Seq(s"cartesian product ($cartesian)") else Nil) ++
+      (if (bnlj > allowed)
+        Seq(s"nested-loop joins grew: $bnlj > pinned $allowed") else Nil)
+    QueryAudit(name,
+      scans = ns.count(_.isInstanceOf[FileSourceScanExec]),
+      shuffles = ns.count(_.isInstanceOf[ShuffleExchangeExec]),
+      broadcasts = ns.count(_.isInstanceOf[BroadcastExchangeExec]),
+      bhj = ns.count(_.isInstanceOf[BroadcastHashJoinExec]),
+      smj = ns.count(_.isInstanceOf[SortMergeJoinExec]),
+      shj = ns.count(_.isInstanceOf[ShuffledHashJoinExec]),
+      cartesian = cartesian, bnlj = bnlj,
+      codegenSpans = ns.count(_.isInstanceOf[WholeStageCodegenExec]),
+      flagged = flagged)
+  }
+
+  /** Audit every registered query at `sfDir`. Building a plan is cheap;
+    * the handful of eager trainer queries (BPE, k-means, PCA) run their
+    * bounded driver loops, same as any Verify pass.
+    */
+  def auditAll(spark: SparkSession, sfDir: String,
+      only: Set[String] = Set.empty): Seq[QueryAudit] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, fn) =>
+        auditOne(name, fn(spark, sfDir).queryExecution.executedPlan)
+      }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.drop(1).headOption.getOrElse("PLAN_AUDIT.json")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "false") // audit the static shape
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val audits = auditAll(spark, sfDir)
+    val body = audits.map { a =>
+      val extra = if (a.flagged.isEmpty) ""
+        else s""","flagged":"${a.flagged.mkString("; ")}""""
+      val note = pinnedBnlj.get(a.name)
+        .map(m => s""","bnlj_pinned_max":$m""").getOrElse("")
+      s"""  "${a.name}": {"scans":${a.scans},"shuffles":${a.shuffles},""" +
+        s""""broadcasts":${a.broadcasts},"bhj":${a.bhj},"smj":${a.smj},""" +
+        s""""shj":${a.shj},"cartesian":${a.cartesian},"bnlj":${a.bnlj},""" +
+        s""""codegen_spans":${a.codegenSpans}$note$extra}"""
+    }.mkString("{\n", ",\n", "\n}")
+    Files.writeString(Paths.get(out), body + "\n")
+    val bad = audits.filter(_.flagged.nonEmpty)
+    println(s"[plan-audit] ${audits.size} queries, " +
+      s"${audits.map(_.scans).sum} scans, " +
+      s"${audits.map(_.shuffles).sum} shuffles, " +
+      s"${audits.map(_.cartesian).sum} cartesian, " +
+      s"${audits.map(_.bnlj).sum} bnlj, flagged=${bad.size} -> $out")
+    bad.foreach(a => println(s"[plan-audit] FLAGGED ${a.name}: " +
+      a.flagged.mkString("; ")))
+    spark.stop()
+    if (bad.nonEmpty) sys.exit(1)
+  }
+}
