@@ -135,9 +135,7 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
     }
   }
 
-  // must hold the lock; appends record bytes FIRST, index entry second —
-  // the ordering that lets readers go lock-free
-  private def append(p: Int, key: String, value: String): Long = {
+  private def frameBytes(key: String, value: String): Array[Byte] = {
     val kb = if (key == null) null else key.getBytes(UTF_8)
     val vb = if (value == null) null else value.getBytes(UTF_8)
     val frame = ByteBuffer.allocate(
@@ -146,42 +144,72 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
     if (kb != null) frame.put(kb)
     frame.putInt(if (vb == null) -1 else vb.length)
     if (vb != null) frame.put(vb)
-    frame.flip()
-    // reconcile BOTH crash windows before writing, or sequential reads
-    // would return/misparse the debris and skew every later offset:
-    //  - a PARTIAL trailing index entry (crash mid index write) —
-    //    truncate the index back to 8-byte alignment;
-    //  - un-indexed trailing log bytes (crash after a partial or full
-    //    frame write, before its index entry) — truncate the log back
-    //    to the last indexed record's end; the producer whose append
-    //    died there never advanced its fence, so its retry re-appends.
+    frame.array()
+  }
+
+  /** Append a batch to ONE partition — must hold the lock. All record
+    * bytes are written FIRST (one channel write), their index entries
+    * second (one write, in frame order): readers stay lock-free because
+    * any entry they can see points at fully-durable bytes, and a task's
+    * batch costs two channel opens instead of four per record. Returns
+    * the first appended offset.
+    *
+    * Before writing, BOTH crash windows are reconciled, or sequential
+    * reads would return/misparse debris and every later offset would
+    * skew:
+    *  - a PARTIAL trailing index entry (crash mid index write) —
+    *    truncate the index back to 8-byte alignment;
+    *  - un-indexed trailing log bytes (crash after frame writes, before
+    *    their entries — possibly several frames, possibly torn) —
+    *    truncate the log back to the last indexed record's end (the
+    *    last index entry, since entries record END positions); the
+    *    producer whose append died there never advanced its fence, so
+    *    its retry re-appends the whole batch.
+    */
+  private def appendBatch(p: Int, rows: Seq[(String, String)]): Long = {
     val ip = idxPath(p)
     if (Files.exists(ip) && Files.size(ip) % 8 != 0) {
       val tch = FileChannel.open(ip, StandardOpenOption.WRITE)
       try tch.truncate(Files.size(ip) / 8 * 8) finally tch.close()
     }
     val log = logPath(p)
-    val pos = validLogEnd(ip)
+    val pos0 = validLogEnd(ip)
     val logSize = if (Files.exists(log)) Files.size(log) else 0L
-    require(logSize >= pos,
-      s"$log shorter ($logSize) than its index claims ($pos) — " +
+    require(logSize >= pos0,
+      s"$log shorter ($logSize) than its index claims ($pos0) — " +
         "index entries must only be written after their record bytes")
-    if (logSize > pos) {
+    if (logSize > pos0) {
       val tch = FileChannel.open(log, StandardOpenOption.WRITE)
-      try tch.truncate(pos) finally tch.close()
+      try tch.truncate(pos0) finally tch.close()
     }
-    val frameLen = frame.remaining().toLong
+    val firstOffset = if (Files.exists(ip)) Files.size(ip) / 8 else 0L
+    if (rows.isEmpty) return firstOffset
+    val frames = rows.map { case (k, v) => frameBytes(k, v) }
+    val data = ByteBuffer.allocate(frames.iterator.map(_.length).sum)
+    frames.foreach(data.put)
+    data.flip()
+    val entries = ByteBuffer.allocate(8 * frames.size)
+    var end = pos0
+    frames.foreach { f => end += f.length; entries.putLong(end) }
+    entries.flip()
     val lch = FileChannel.open(log, StandardOpenOption.CREATE,
       StandardOpenOption.APPEND)
-    try { while (frame.hasRemaining) lch.write(frame) } finally lch.close()
-    val entry = ByteBuffer.allocate(8).putLong(pos + frameLen)
-    entry.flip()
+    try { while (data.hasRemaining) lch.write(data) } finally lch.close()
     val ich = FileChannel.open(ip, StandardOpenOption.CREATE,
       StandardOpenOption.APPEND)
-    try {
-      while (entry.hasRemaining) ich.write(entry)
-      ich.size() / 8 - 1
-    } finally ich.close()
+    try { while (entries.hasRemaining) ich.write(entries) }
+    finally ich.close()
+    firstOffset
+  }
+
+  /** Route a batch to its partitions (arrival order kept per partition)
+    * and append partition-locally — must hold the lock.
+    */
+  private def appendAll(rows: Seq[(String, String)]): Unit = {
+    val routed = rows.map { case (k, v) => (partitionFor(k), k, v) }
+    routed.groupBy(_._1).foreach { case (p, rs) =>
+      appendBatch(p, rs.map(t => (t._2, t._3)))
+    }
   }
 
   private def partitionFor(key: String): Int =
@@ -194,11 +222,11 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
 
   def produce(key: String, value: String): (Int, Long) = withLock {
     val p = partitionFor(key)
-    (p, append(p, key, value))
+    (p, appendBatch(p, Seq(key -> value)))
   }
 
   def produceAll(rows: Seq[(String, String)]): Unit = withLock {
-    rows.foreach { case (k, v) => append(partitionFor(k), k, v) }
+    appendAll(rows)
   }
 
   def endOffsets: Map[Int, Long] =
@@ -289,7 +317,7 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
     val f = fileName("fence_", s"${queryId}_$partitionId")
     val hw = readLongFile(f, Long.MinValue)
     if (epochId > hw) {
-      rows.foreach { case (k, v) => append(partitionFor(k), k, v) }
+      appendAll(rows)
       writeLongFile(f, epochId)
       true
     } else false
