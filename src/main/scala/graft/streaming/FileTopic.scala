@@ -16,6 +16,9 @@ import java.util.concurrent.ConcurrentHashMap
   * durable medium is the filesystem instead of a broker's log.
   *
   * Layout under `dir/`:
+  *  - `format`          — on-disk format version ("2": end-indexed);
+  *                        an unmarked non-empty directory is refused at
+  *                        open rather than silently reinterpreted;
   *  - `meta`            — the topic's partition count, fixed at creation;
   *  - `pN.log`          — partition N's append-only record log, each
   *                        record framed as [keyLen|key|valLen|val]
@@ -74,9 +77,35 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
 
   /** Partition count is a property of the DIRECTORY, fixed by whichever
     * process creates the topic first (matching a broker: topic width is
-    * set at creation, later clients just read it).
+    * set at creation, later clients just read it). The same critical
+    * section checks the on-disk `format` marker: index entries record
+    * END positions (format 2); reopening a directory written by an
+    * older start-indexed build would silently truncate and shift its
+    * records, so an unmarked non-empty directory is refused loudly.
     */
   val nPartitions: Int = withLock {
+    val fmtPath = dir.resolve("format")
+    if (Files.exists(fmtPath) && Files.size(fmtPath) > 0) {
+      val v = new String(Files.readAllBytes(fmtPath), UTF_8).trim
+      require(v == "2",
+        s"file topic $dir has format '$v'; this build reads format 2")
+    } else {
+      val idxRe = "p\\d+\\.(idx|log)".r
+      val preexisting = {
+        val s = Files.list(dir)
+        try {
+          val it = s.iterator()
+          var found = false
+          while (!found && it.hasNext)
+            found = idxRe.matches(it.next().getFileName.toString)
+          found
+        } finally s.close()
+      }
+      require(!preexisting,
+        s"file topic $dir holds unversioned (start-indexed) data; this " +
+          "build reads end-indexed format 2 — recreate the topic")
+      writeAtomic(fmtPath, "2".getBytes(UTF_8))
+    }
     if (Files.exists(metaPath) && Files.size(metaPath) > 0)
       new String(Files.readAllBytes(metaPath), UTF_8).trim.toInt
     else {
@@ -117,22 +146,26 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
   private def writeLongFile(p: Path, v: Long): Unit =
     writeAtomic(p, ByteBuffer.allocate(8).putLong(v).array())
 
+  /** Index entry `i` of `ip` (8-byte big-endian record-END position);
+    * the caller guarantees `i < size/8`.
+    */
+  private def readIdxEntry(ip: Path, i: Long): Long = {
+    val ich = FileChannel.open(ip, StandardOpenOption.READ)
+    try {
+      val bb = ByteBuffer.allocate(8)
+      ich.position(i * 8)
+      while (bb.hasRemaining) ich.read(bb)
+      bb.flip(); bb.getLong
+    } finally ich.close()
+  }
+
   /** Byte length of partition `p`'s INDEXED log prefix: the last index
     * entry (entries record where each record ENDS), 0 when empty. Must
     * hold the lock when used to reconcile.
     */
   private def validLogEnd(ip: Path): Long = {
     val entries = if (Files.exists(ip)) Files.size(ip) / 8 else 0L
-    if (entries == 0) 0L
-    else {
-      val ich = FileChannel.open(ip, StandardOpenOption.READ)
-      try {
-        val bb = ByteBuffer.allocate(8)
-        ich.position((entries - 1) * 8)
-        while (bb.hasRemaining) ich.read(bb)
-        bb.flip(); bb.getLong
-      } finally ich.close()
-    }
+    if (entries == 0) 0L else readIdxEntry(ip, entries - 1)
   }
 
   private def frameBytes(key: String, value: String): Array[Byte] = {
@@ -173,11 +206,24 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
       try tch.truncate(Files.size(ip) / 8 * 8) finally tch.close()
     }
     val log = logPath(p)
-    val pos0 = validLogEnd(ip)
+    var pos0 = validLogEnd(ip)
     val logSize = if (Files.exists(log)) Files.size(log) else 0L
-    require(logSize >= pos0,
-      s"$log shorter ($logSize) than its index claims ($pos0) — " +
-        "index entries must only be written after their record bytes")
+    if (logSize < pos0) {
+      // index AHEAD of log: unreachable under a process crash (an entry
+      // is written only after its record bytes), but a power loss can
+      // flush the index page before the log page. Entries whose end
+      // exceeds the durable log are phantom — drop them from the tail,
+      // then fall through to normal tail-debris truncation. The records
+      // they named are lost even if acked: the transport orders writes
+      // but does not fsync (a broker's flush/replication policy is its
+      // own config) — recover to the longest consistent prefix rather
+      // than wedging the partition forever.
+      var k = Files.size(ip) / 8
+      while (k > 0 && readIdxEntry(ip, k - 1) > logSize) k -= 1
+      val tch = FileChannel.open(ip, StandardOpenOption.WRITE)
+      try tch.truncate(k * 8) finally tch.close()
+      pos0 = if (k == 0) 0L else readIdxEntry(ip, k - 1)
+    }
     if (logSize > pos0) {
       val tch = FileChannel.open(log, StandardOpenOption.WRITE)
       try tch.truncate(pos0) finally tch.close()
@@ -185,16 +231,17 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
     val firstOffset = if (Files.exists(ip)) Files.size(ip) / 8 else 0L
     if (rows.isEmpty) return firstOffset
     val frames = rows.map { case (k, v) => frameBytes(k, v) }
-    val data = ByteBuffer.allocate(frames.iterator.map(_.length).sum)
-    frames.foreach(data.put)
-    data.flip()
     val entries = ByteBuffer.allocate(8 * frames.size)
     var end = pos0
     frames.foreach { f => end += f.length; entries.putLong(end) }
     entries.flip()
+    // gather write: one syscall for the whole batch, no second copy of
+    // the frame bytes under the global append lock
+    val data = frames.map(ByteBuffer.wrap).toArray
     val lch = FileChannel.open(log, StandardOpenOption.CREATE,
       StandardOpenOption.APPEND)
-    try { while (data.hasRemaining) lch.write(data) } finally lch.close()
+    try { while (data.exists(_.hasRemaining)) lch.write(data) }
+    finally lch.close()
     val ich = FileChannel.open(ip, StandardOpenOption.CREATE,
       StandardOpenOption.APPEND)
     try { while (entries.hasRemaining) ich.write(entries) }
@@ -243,17 +290,7 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
     // record `from` STARTS where record `from - 1` ends (entry from-1);
     // every frame in [from, from+n) is indexed, hence contiguous and
     // fully durable — debris can only ever trail the indexed prefix
-    val startPos =
-      if (from == 0) 0L
-      else {
-        val ich = FileChannel.open(ip, StandardOpenOption.READ)
-        try {
-          val bb = ByteBuffer.allocate(8)
-          ich.position((from - 1) * 8)
-          while (bb.hasRemaining) ich.read(bb)
-          bb.flip(); bb.getLong
-        } finally ich.close()
-      }
+    val startPos = if (from == 0) 0L else readIdxEntry(ip, from - 1)
     val lch = FileChannel.open(logPath(p), StandardOpenOption.READ)
     try {
       lch.position(startPos)

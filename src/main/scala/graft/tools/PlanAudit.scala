@@ -19,8 +19,8 @@ import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNes
   * and `runMain graft.tools.PlanAudit` writes the reviewable
   * PLAN_AUDIT.json artifact.
   *
-  * A cartesian is never allowed; nested-loop joins are allowed only up
-  * to the per-query count pinned in [[pinnedBnlj]] — each pinned one is
+  * A cartesian is never allowed; nested-loop joins must match the
+  * per-query count pinned in [[pinnedBnlj]] exactly — each pinned one is
   * a BROADCAST of a deliberately tiny (constant, scalar-aggregate, or
   * model-scale) frame, the documented dense-scaffold / config / model
   * idioms, never data x data.
@@ -31,11 +31,12 @@ object PlanAudit {
       broadcasts: Int, bhj: Int, smj: Int, shj: Int, cartesian: Int,
       bnlj: Int, codegenSpans: Int, flagged: Seq[String])
 
-  /** Per-query MAXIMUM BroadcastNestedLoopJoin count (absent = 0). Every
+  /** Per-query EXACT BroadcastNestedLoopJoin count (absent = 0). Every
     * pinned nested-loop is a deliberate broadcast of a BOUNDED side —
-    * the data side streams past it — in one of four idioms; growing any
-    * count (or a cartesian anywhere, which has no whitelist) fails the
-    * audit and PlanAuditSpec until consciously re-pinned.
+    * the data side streams past it — in one of four idioms; any change
+    * in any count, up or down (or a cartesian anywhere, which has no
+    * whitelist), fails the audit and PlanAuditSpec until consciously
+    * re-pinned.
     */
   val pinnedBnlj: Map[String, Int] = Map(
     // dense scaffold / per-key bucket bounds crossed onto the stream
@@ -74,10 +75,17 @@ object PlanAudit {
     val cartesian = ns.count(_.isInstanceOf[CartesianProductExec])
     val bnlj = ns.count(_.isInstanceOf[BroadcastNestedLoopJoinExec])
     val allowed = pinnedBnlj.getOrElse(name, 0)
+    // exact equality, not <=: a pin left over after a query DROPS a
+    // nested loop would otherwise be silent headroom for a later
+    // accidental data-x-data join to hide in
     val flagged =
       (if (cartesian > 0) Seq(s"cartesian product ($cartesian)") else Nil) ++
       (if (bnlj > allowed)
-        Seq(s"nested-loop joins grew: $bnlj > pinned $allowed") else Nil)
+        Seq(s"nested-loop joins grew: $bnlj > pinned $allowed")
+      else if (bnlj < allowed)
+        Seq(s"nested-loop joins shrank: $bnlj < pinned $allowed — " +
+          "re-pin so the audit stays exact")
+      else Nil)
     QueryAudit(name,
       scans = ns.count(_.isInstanceOf[FileSourceScanExec]),
       shuffles = ns.count(_.isInstanceOf[ShuffleExchangeExec]),
@@ -119,7 +127,7 @@ object PlanAudit {
       val extra = if (a.flagged.isEmpty) ""
         else s""","flagged":"${a.flagged.mkString("; ")}""""
       val note = pinnedBnlj.get(a.name)
-        .map(m => s""","bnlj_pinned_max":$m""").getOrElse("")
+        .map(m => s""","bnlj_pinned":$m""").getOrElse("")
       s"""  "${a.name}": {"scans":${a.scans},"shuffles":${a.shuffles},""" +
         s""""broadcasts":${a.broadcasts},"bhj":${a.bhj},"smj":${a.smj},""" +
         s""""shj":${a.shj},"cartesian":${a.cartesian},"bnlj":${a.bnlj},""" +

@@ -158,6 +158,48 @@ class FileTopicSpec extends AnyFunSuite {
     assert(stray.isEmpty, s"leaked temp files: $stray")
   }
 
+  test("format marker: an unversioned data directory and a future format " +
+      "are refused at open; a fresh directory is stamped") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import java.nio.file.{Files => F}
+    // a directory with topic data but no marker = written by a build
+    // with different index semantics — reinterpreting it would corrupt
+    val legacy = F.createTempDirectory("graft_ft_legacy")
+    F.write(legacy.resolve("p0.idx"), Array[Byte](0, 0, 0, 0, 0, 0, 0, 9))
+    val e1 = intercept[IllegalArgumentException] { new FileTopic(legacy) }
+    assert(e1.getMessage.contains("unversioned"), e1.getMessage)
+    // a future format is refused, not guessed at
+    val future = F.createTempDirectory("graft_ft_future")
+    F.write(future.resolve("format"), "9".getBytes(UTF_8))
+    val e2 = intercept[IllegalArgumentException] { new FileTopic(future) }
+    assert(e2.getMessage.contains("format '9'"), e2.getMessage)
+    // fresh directories are stamped and re-openable
+    val fresh = F.createTempDirectory("graft_ft_fresh")
+    new FileTopic(fresh, 2).produce("k", "v")
+    assert(new String(F.readAllBytes(fresh.resolve("format")), UTF_8) == "2")
+    assert(new FileTopic(fresh).nPartitions == 2)
+  }
+
+  test("power-loss shape (index ahead of log): phantom entries drop, the " +
+      "longest consistent prefix survives, the partition keeps working") {
+    import java.nio.channels.FileChannel
+    import java.nio.file.{Files => F, StandardOpenOption => O}
+    val dir = F.createTempDirectory("graft_ft_plo")
+    val t = new FileTopic(dir, 1)
+    t.produce("k", "aa"); t.produce("k", "bb"); t.produce("k", "cc")
+    // simulate writeback persisting the index page but not the last
+    // log page: chop the log mid-way into record "cc"'s frame while its
+    // index entry (and "cc"'s full end position) remain
+    val log = dir.resolve("p0.log")
+    val ch = FileChannel.open(log, O.WRITE)
+    try ch.truncate(F.size(log) - 3) finally ch.close()
+    // the next append must drop the phantom entry, truncate the torn
+    // frame, and land its own record as offset 2
+    t.produce("k", "dd")
+    val c = new ContractConsumer(t, "gplo")
+    assert(c.poll(100).map(_.value) == Seq("aa", "bb", "dd"))
+  }
+
   test("SIGKILL a producer JVM mid-stream: survivors form an exact prefix, " +
       "debris is scrubbed, and the topic keeps working") {
     val dir = Files.createTempDirectory("graft_ft_kill").toString
