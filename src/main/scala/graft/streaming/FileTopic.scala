@@ -16,22 +16,31 @@ import java.util.concurrent.ConcurrentHashMap
   * durable medium is the filesystem instead of a broker's log.
   *
   * Layout under `dir/`:
-  *  - `format`          — on-disk format version ("2": end-indexed);
-  *                        an unmarked non-empty directory is refused at
-  *                        open rather than silently reinterpreted;
+  *  - `format`          — on-disk format version ("3": end-indexed,
+  *                        generation-compacted); an unmarked non-empty
+  *                        directory is refused at open rather than
+  *                        silently reinterpreted;
   *  - `meta`            — the topic's partition count, fixed at creation;
-  *  - `pN.log`          — partition N's append-only record log, each
-  *                        record framed as [keyLen|key|valLen|val]
-  *                        (length -1 = null), so the log is
-  *                        self-describing;
-  *  - `pN.idx`          — 8-byte big-endian byte-position where record i
-  *                        ENDS in `pN.log` (record i starts at entry i-1,
-  *                        or 0); `size/8` IS the end offset, entry i-1
-  *                        seeks record i in O(1) — reads are O(poll),
-  *                        not O(log) — and the LAST entry is the log's
-  *                        valid length, so an append can truncate crash
-  *                        debris (a torn or un-indexed trailing frame)
-  *                        in O(1) without parsing the log;
+  *  - `pN.gen`          — partition N's current generation and base
+  *                        offset ("g:base", absent = "0:0"): retention
+  *                        ([[truncateToCommitted]]) rewrites the kept
+  *                        tail into generation g+1 files and flips this
+  *                        ONE pointer atomically — the multi-file swap a
+  *                        pair of renames could tear becomes a single
+  *                        ATOMIC_MOVE, and records [0, base) are gone;
+  *  - `pN.G.log`        — partition N's append-only record log for
+  *                        generation G, each record framed as
+  *                        [keyLen|key|valLen|val] (length -1 = null),
+  *                        so the log is self-describing;
+  *  - `pN.G.idx`        — 8-byte big-endian byte-position where local
+  *                        record i ENDS in `pN.G.log` (record i starts
+  *                        at entry i-1, or 0); `base + size/8` IS the
+  *                        end offset, entry i-1 seeks record i in O(1)
+  *                        — reads are O(poll), not O(log) — and the
+  *                        LAST entry is the log's valid length, so an
+  *                        append can truncate crash debris (a torn or
+  *                        un-indexed trailing frame) in O(1) without
+  *                        parsing the log;
   *  - `rr`              — round-robin cursor for null-key produce;
   *  - `commits_<group>` — the group's committed offsets (the broker's
   *                        offsets topic), replaced atomically;
@@ -48,16 +57,29 @@ import java.util.concurrent.ConcurrentHashMap
   * `commits_<group>` is replaced via ATOMIC_MOVE, so a reader sees
   * either the old or the new file, never a torn one.
   *
+  * Durability policy: by default the transport ORDERS writes (data
+  * before index, index before fence) but does not force them to disk —
+  * a process crash loses nothing acked, while a power loss recovers to
+  * the longest consistent prefix (see the index-ahead-of-log path in
+  * [[appendBatch]]). `fsync = true` forces the log and index channels
+  * before an append returns — a broker's `flush.messages=1` — closing
+  * the power-loss window for acked records at the cost of a sync per
+  * locked append. Retention rewrites are always forced before their
+  * pointer flips, whatever the policy: compaction must never trade
+  * durable old-generation bytes for torn new-generation ones.
+  *
   * Scale note: this is a correctness-faithful transport for multi-
   * process deployment and tests, not a throughput fabric — the global
   * append lock serializes producers (a real broker serializes
   * per-partition). The connector's task-side buffering keeps the
   * critical section to one locked append per task, so the contract's
   * performance shape (batched produce, O(poll) reads, metadata-only
-  * commits) survives; swapping in Kafka keeps every caller unchanged.
+  * commits) survives; retention keeps a long-running deployment's disk
+  * bounded by consumer lag instead of stream lifetime; swapping in
+  * Kafka keeps every caller unchanged.
   */
-final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
-    extends QueueTopic {
+final class FileTopic(val dir: Path, requestedPartitions: Int = 4,
+    fsync: Boolean = false) extends QueueTopic {
   require(requestedPartitions >= 1)
   Files.createDirectories(dir)
   private val lockPath = dir.resolve("lock")
@@ -87,10 +109,11 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
     val fmtPath = dir.resolve("format")
     if (Files.exists(fmtPath) && Files.size(fmtPath) > 0) {
       val v = new String(Files.readAllBytes(fmtPath), UTF_8).trim
-      require(v == "2",
-        s"file topic $dir has format '$v'; this build reads format 2")
+      require(v == FileTopic.Format,
+        s"file topic $dir has format '$v'; this build reads " +
+          s"format ${FileTopic.Format}")
     } else {
-      val idxRe = "p\\d+\\.(idx|log)".r
+      val idxRe = "p\\d+(\\.\\d+)?\\.(idx|log)".r
       val preexisting = {
         val s = Files.list(dir)
         try {
@@ -102,10 +125,23 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
         } finally s.close()
       }
       require(!preexisting,
-        s"file topic $dir holds unversioned (start-indexed) data; this " +
-          "build reads end-indexed format 2 — recreate the topic")
-      writeAtomic(fmtPath, "2".getBytes(UTF_8))
+        s"file topic $dir holds unversioned data from an older layout; " +
+          s"this build reads format ${FileTopic.Format} — recreate the " +
+          "topic")
+      writeAtomic(fmtPath, FileTopic.Format.getBytes(UTF_8))
     }
+    // GC non-current generations: a compact that crashed BEFORE its
+    // pointer flip leaves g+1 debris; one that crashed AFTER leaves the
+    // old g files. Either way the pointer names the one live pair.
+    val genRe = "p(\\d+)\\.(\\d+)\\.(idx|log)".r
+    val s = Files.list(dir)
+    try s.iterator().forEachRemaining { f =>
+      f.getFileName.toString match {
+        case genRe(p, g, _) if g.toLong != genAndBase(p.toInt)._1 =>
+          Files.deleteIfExists(f); ()
+        case _ => ()
+      }
+    } finally s.close()
     if (Files.exists(metaPath) && Files.size(metaPath) > 0)
       new String(Files.readAllBytes(metaPath), UTF_8).trim.toInt
     else {
@@ -114,8 +150,22 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
     }
   }
 
-  private def logPath(p: Int) = dir.resolve(s"p$p.log")
-  private def idxPath(p: Int) = dir.resolve(s"p$p.idx")
+  /** Partition `p`'s live (generation, base offset) — the `pN.gen`
+    * pointer, absent = (0, 0). The pointer is replaced atomically, so
+    * lock-free readers see either the old pair or the new one.
+    */
+  private def genAndBase(p: Int): (Long, Long) = {
+    val f = dir.resolve(s"p$p.gen")
+    if (!Files.exists(f) || Files.size(f) == 0) (0L, 0L)
+    else {
+      val Array(g, b) =
+        new String(Files.readAllBytes(f), UTF_8).trim.split(":")
+      (g.toLong, b.toLong)
+    }
+  }
+
+  private def logPath(p: Int, g: Long) = dir.resolve(s"p$p.$g.log")
+  private def idxPath(p: Int, g: Long) = dir.resolve(s"p$p.$g.idx")
   private def fileName(prefix: String, s: String) =
     dir.resolve(prefix + s.map(c =>
       if (c.isLetterOrDigit || c == '-' || c == '.') c else '_'))
@@ -200,12 +250,13 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
     *    its retry re-appends the whole batch.
     */
   private def appendBatch(p: Int, rows: Seq[(String, String)]): Long = {
-    val ip = idxPath(p)
+    val (gen, base) = genAndBase(p)
+    val ip = idxPath(p, gen)
     if (Files.exists(ip) && Files.size(ip) % 8 != 0) {
       val tch = FileChannel.open(ip, StandardOpenOption.WRITE)
       try tch.truncate(Files.size(ip) / 8 * 8) finally tch.close()
     }
-    val log = logPath(p)
+    val log = logPath(p, gen)
     var pos0 = validLogEnd(ip)
     val logSize = if (Files.exists(log)) Files.size(log) else 0L
     if (logSize < pos0) {
@@ -228,7 +279,8 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
       val tch = FileChannel.open(log, StandardOpenOption.WRITE)
       try tch.truncate(pos0) finally tch.close()
     }
-    val firstOffset = if (Files.exists(ip)) Files.size(ip) / 8 else 0L
+    val firstOffset =
+      base + (if (Files.exists(ip)) Files.size(ip) / 8 else 0L)
     if (rows.isEmpty) return firstOffset
     val frames = rows.map { case (k, v) => frameBytes(k, v) }
     val entries = ByteBuffer.allocate(8 * frames.size)
@@ -240,12 +292,16 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
     val data = frames.map(ByteBuffer.wrap).toArray
     val lch = FileChannel.open(log, StandardOpenOption.CREATE,
       StandardOpenOption.APPEND)
-    try { while (data.exists(_.hasRemaining)) lch.write(data) }
-    finally lch.close()
+    try {
+      while (data.exists(_.hasRemaining)) lch.write(data)
+      if (fsync) lch.force(true)
+    } finally lch.close()
     val ich = FileChannel.open(ip, StandardOpenOption.CREATE,
       StandardOpenOption.APPEND)
-    try { while (entries.hasRemaining) ich.write(entries) }
-    finally ich.close()
+    try {
+      while (entries.hasRemaining) ich.write(entries)
+      if (fsync) ich.force(true)
+    } finally ich.close()
     firstOffset
   }
 
@@ -276,49 +332,161 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
     appendAll(rows)
   }
 
-  def endOffsets: Map[Int, Long] =
-    (0 until nPartitions).map { p =>
-      val ip = idxPath(p)
-      p -> (if (Files.exists(ip)) Files.size(ip) / 8 else 0L)
-    }.toMap
-
-  private[streaming] def read(p: Int, from: Long, max: Int): Seq[QueueRecord] = {
-    val ip = idxPath(p)
-    val total = if (Files.exists(ip)) Files.size(ip) / 8 else 0L
-    if (from >= total || max <= 0) return Seq.empty
-    val n = math.min(max.toLong, total - from).toInt
-    // record `from` STARTS where record `from - 1` ends (entry from-1);
-    // every frame in [from, from+n) is indexed, hence contiguous and
-    // fully durable — debris can only ever trail the indexed prefix
-    val startPos = if (from == 0) 0L else readIdxEntry(ip, from - 1)
-    val lch = FileChannel.open(logPath(p), StandardOpenOption.READ)
-    try {
-      lch.position(startPos)
-      val in = new DataInputStream(Channels.newInputStream(lch))
-      (0 until n).map { i =>
-        def readBytes(): String = {
-          val len = in.readInt()
-          if (len < 0) null
-          else {
-            val b = new Array[Byte](len)
-            in.readFully(b)
-            new String(b, UTF_8)
-          }
-        }
-        val k = readBytes(); val v = readBytes()
-        QueueRecord(p, from + i, k, v)
+  /** Run `f` against partition `p`'s live generation, retrying if a
+    * concurrent [[truncateToCommitted]] flips the pointer and deletes
+    * the old files between the pointer read and the file open — the
+    * one race lock-free readers can observe (compaction is the only
+    * deleter, and it always installs a complete replacement first).
+    */
+  private def withGen[T](p: Int)(f: (Long, Long) => T): T = {
+    var attempts = 0
+    while (true) {
+      val (g, base) = genAndBase(p)
+      try return f(g, base)
+      catch {
+        case _: java.nio.file.NoSuchFileException if attempts < 5 =>
+          attempts += 1
       }
-    } finally lch.close()
+    }
+    throw new IllegalStateException("unreachable")
   }
 
-  private[streaming] def committed(group: String): Map[Int, Long] = {
-    val p = fileName("commits_", group)
+  def endOffsets: Map[Int, Long] =
+    (0 until nPartitions).map { p =>
+      p -> withGen(p) { (g, base) =>
+        val ip = idxPath(p, g)
+        base + (if (Files.exists(ip)) Files.size(ip) / 8 else 0L)
+      }
+    }.toMap
+
+  def beginningOffsets: Map[Int, Long] =
+    (0 until nPartitions).map(p => p -> genAndBase(p)._2).toMap
+
+  private[streaming] def read(p: Int, from: Long, max: Int): Seq[QueueRecord] =
+    withGen(p) { (gen, base) =>
+      val ip = idxPath(p, gen)
+      val entries = if (Files.exists(ip)) Files.size(ip) / 8 else 0L
+      // below the beginning = earliest-reset: resume at the first
+      // retained record; offsets stay the records' own, never renumbered
+      val from0 = math.max(from, base)
+      val local = from0 - base
+      if (local >= entries || max <= 0) Seq.empty
+      else {
+        val n = math.min(max.toLong, entries - local).toInt
+        // record `local` STARTS where record `local - 1` ends (entry
+        // local-1); every frame in [local, local+n) is indexed, hence
+        // contiguous and fully durable — debris can only ever trail the
+        // indexed prefix
+        val startPos = if (local == 0) 0L else readIdxEntry(ip, local - 1)
+        val lch = FileChannel.open(logPath(p, gen), StandardOpenOption.READ)
+        try {
+          lch.position(startPos)
+          val in = new DataInputStream(Channels.newInputStream(lch))
+          (0 until n).map { i =>
+            def readBytes(): String = {
+              val len = in.readInt()
+              if (len < 0) null
+              else {
+                val b = new Array[Byte](len)
+                in.readFully(b)
+                new String(b, UTF_8)
+              }
+            }
+            val k = readBytes(); val v = readBytes()
+            QueueRecord(p, from0 + i, k, v)
+          }
+        } finally lch.close()
+      }
+    }
+
+  private def parseCommits(p: Path): Map[Int, Long] =
     if (!Files.exists(p)) Map.empty
     else new String(Files.readAllBytes(p), UTF_8).split("\n")
       .filter(_.nonEmpty).map { line =>
         val Array(pp, oo) = line.split(":")
         pp.toInt -> oo.toLong
       }.toMap
+
+  private[streaming] def committed(group: String): Map[Int, Long] =
+    parseCommits(fileName("commits_", group))
+
+  def truncateToCommitted(): Map[Int, Long] = withLock {
+    val groups = {
+      val s = Files.list(dir)
+      try {
+        val b = Seq.newBuilder[Map[Int, Long]]
+        s.iterator().forEachRemaining { f =>
+          if (f.getFileName.toString.startsWith("commits_"))
+            b += parseCommits(f)
+        }
+        b.result()
+      } finally s.close()
+    }
+    if (groups.nonEmpty) (0 until nPartitions).foreach { p =>
+      val (gen, base) = genAndBase(p)
+      val ip = idxPath(p, gen)
+      val entries = if (Files.exists(ip)) Files.size(ip) / 8 else 0L
+      val target = groups.iterator.map(_.getOrElse(p, 0L)).min
+      val cut = math.min(target, base + entries)
+      if (cut > base) compactPartition(p, gen, base, cut, entries)
+    }
+    beginningOffsets
+  }
+
+  /** Rewrite partition `p`'s kept tail (records [cut, end)) into
+    * generation `gen + 1` and flip the `pN.gen` pointer — must hold the
+    * lock. The new log and index are written COMPLETELY and forced
+    * before the pointer moves, so every state a crash can leave is one
+    * the open-time generation GC or the pointer itself resolves: pointer
+    * still old = the half-built g+1 pair is deleted debris; pointer new
+    * = the old pair is deleted debris. Index entries are rebased to the
+    * new log's coordinates (subtract the cut record's end position);
+    * offsets are NOT renumbered — `base` absorbs the cut.
+    */
+  private def compactPartition(p: Int, gen: Long, base: Long, cut: Long,
+      entries: Long): Unit = {
+    val ip = idxPath(p, gen); val lp = logPath(p, gen)
+    val localCut = cut - base
+    val byteCut = readIdxEntry(ip, localCut - 1)
+    val keep = entries - localCut
+    val byteEnd = if (keep == 0) byteCut else readIdxEntry(ip, entries - 1)
+    val nl = logPath(p, gen + 1); val ni = idxPath(p, gen + 1)
+    val lch = FileChannel.open(nl, StandardOpenOption.CREATE,
+      StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      val src = FileChannel.open(lp, StandardOpenOption.READ)
+      try {
+        var pos = byteCut
+        while (pos < byteEnd) pos += src.transferTo(pos, byteEnd - pos, lch)
+      } finally src.close()
+      lch.force(true)
+    } finally lch.close()
+    val rch = FileChannel.open(ip, StandardOpenOption.READ)
+    val ich = FileChannel.open(ni, StandardOpenOption.CREATE,
+      StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      // rebase in bounded chunks: retention cost is O(kept bytes), with
+      // O(1) memory however long the tail is
+      rch.position(localCut * 8)
+      val in = ByteBuffer.allocate(1 << 20)
+      var remaining = 8L * keep
+      while (remaining > 0) {
+        in.clear(); in.limit(math.min(in.capacity.toLong, remaining).toInt)
+        while (in.hasRemaining && rch.read(in) >= 0) ()
+        in.flip()
+        val out = ByteBuffer.allocate(in.remaining)
+        while (in.hasRemaining) out.putLong(in.getLong - byteCut)
+        out.flip()
+        remaining -= out.remaining
+        while (out.hasRemaining) ich.write(out)
+      }
+      ich.force(true)
+    } finally { rch.close(); ich.close() }
+    writeAtomic(dir.resolve(s"p$p.gen"),
+      s"${gen + 1}:$cut".getBytes(UTF_8))
+    Files.deleteIfExists(lp)
+    Files.deleteIfExists(ip)
+    ()
   }
 
   private[streaming] def commit(group: String, offs: Map[Int, Long]): Unit =
@@ -362,6 +530,12 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4)
 }
 
 object FileTopic {
+  /** On-disk format version: "3" = end-indexed, generation-compacted.
+    * ("2" was end-indexed without generations; "1" start-indexed —
+    * both refused at open, never reinterpreted.)
+    */
+  val Format = "3"
+
   // one JVM-level mutex per topic directory: FileChannel.lock throws
   // OverlappingFileLockException on a second acquisition from the SAME
   // JVM, so in-process exclusion must happen before the file lock

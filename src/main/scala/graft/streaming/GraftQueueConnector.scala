@@ -193,8 +193,15 @@ class GraftQueueMicroBatchStream(topicName: String, nPartitions: Int,
 
   override def initialOffset(): Offset = {
     val committed = topic.committed(group)
+    // a NEW group on a retention-trimmed topic starts at the earliest
+    // RETAINED record (auto.offset.reset=earliest), so planned batch
+    // ranges only ever cover records that exist; an existing group's
+    // commit is always >= the beginning (retention trims to the MIN
+    // committed across groups, which includes it)
+    val beginning = topic.beginningOffsets
     QueueOffset((0 until topic.nPartitions)
-      .map(p => p -> committed.getOrElse(p, 0L)).toMap)
+      .map(p => p -> math.max(committed.getOrElse(p, 0L),
+        beginning.getOrElse(p, 0L))).toMap)
   }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -255,8 +262,13 @@ case class QueueInputPartition(topicName: String, partition: Int,
 class QueuePartitionReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val qp = partition.asInstanceOf[QueueInputPartition]
+    // the takeWhile is load-bearing only for a range planned below a
+    // retention beginning (read resumes at the beginning — earliest
+    // reset — and could otherwise run past `to`); planned ranges start
+    // at max(committed, beginning), so normally it keeps everything
     val recs = QueueRegistry.topic(qp.topicName, dir = qp.dir)
       .read(qp.partition, qp.from, (qp.to - qp.from).toInt)
+      .takeWhile(_.offset < qp.to)
     new PartitionReader[InternalRow] {
       private val it = recs.iterator
       private var cur: QueueRecord = _

@@ -50,6 +50,23 @@ trait QueueTopic {
     */
   def produceAll(rows: Seq[(String, String)]): Unit
   def endOffsets: Map[Int, Long]
+  /** Earliest RETAINED offset per partition — 0 until retention trims
+    * (Kafka's `beginningOffsets`). A read below it resumes at it, the
+    * `auto.offset.reset=earliest` behavior a consumer of a retention-
+    * trimmed topic sees.
+    */
+  def beginningOffsets: Map[Int, Long]
+  /** Retention: drop every record ALL consumer groups have committed
+    * past — the `AdminClient.deleteRecords` analog with its target
+    * derived from group progress, the safe default for a transport
+    * whose consumers checkpoint their own offsets (nothing a group
+    * still needs can be dropped). A topic with no commit groups keeps
+    * everything: zero groups proves nothing consumed, not everything.
+    * Offsets are NOT renumbered — the beginning moves up, ends stay —
+    * so committed offsets, fences and in-flight batch ranges all stay
+    * valid. Returns the new per-partition beginning offsets.
+    */
+  def truncateToCommitted(): Map[Int, Long]
   private[streaming] def read(p: Int, from: Long, max: Int): Seq[QueueRecord]
   /** Durable committed offsets per consumer group. */
   private[streaming] def committed(group: String): Map[Int, Long]
@@ -88,6 +105,8 @@ final class InMemoryTopic(val nPartitions: Int) extends QueueTopic {
   require(nPartitions >= 1)
   private val logs =
     Array.fill(nPartitions)(mutable.ArrayBuffer.empty[(String, String)])
+  // records [0, base) are retention-trimmed; logs(p)(i) is offset base+i
+  private val base = Array.fill(nPartitions)(0L)
   private var roundRobin = 0
 
   /** Append; returns (partition, offset) like a producer ack. */
@@ -96,7 +115,7 @@ final class InMemoryTopic(val nPartitions: Int) extends QueueTopic {
       if (key == null) { roundRobin += 1; (roundRobin - 1) % nPartitions }
       else math.floorMod(key.hashCode, nPartitions)
     logs(p) += ((key, value))
-    (p, logs(p).length - 1L)
+    (p, base(p) + logs(p).length - 1L)
   }
 
   /** Append a task's whole buffer in ONE synchronized section — the
@@ -114,13 +133,31 @@ final class InMemoryTopic(val nPartitions: Int) extends QueueTopic {
   }
 
   def endOffsets: Map[Int, Long] =
-    synchronized((0 until nPartitions).map(p => p -> logs(p).length.toLong).toMap)
+    synchronized(
+      (0 until nPartitions).map(p => p -> (base(p) + logs(p).length)).toMap)
+
+  def beginningOffsets: Map[Int, Long] =
+    synchronized((0 until nPartitions).map(p => p -> base(p)).toMap)
+
+  def truncateToCommitted(): Map[Int, Long] = synchronized {
+    if (groupOffsets.nonEmpty) (0 until nPartitions).foreach { p =>
+      val target = groupOffsets.valuesIterator.map(_.getOrElse(p, 0L)).min
+      val cut = math.min(target, base(p) + logs(p).length)
+      if (cut > base(p)) {
+        logs(p).dropInPlace((cut - base(p)).toInt)
+        base(p) = cut
+      }
+    }
+    beginningOffsets
+  }
 
   private[streaming] def read(p: Int, from: Long, max: Int): Seq[QueueRecord] =
     synchronized {
-      logs(p).iterator.zipWithIndex.drop(from.toInt).take(max).map {
-        case ((k, v), off) => QueueRecord(p, off.toLong, k, v)
-      }.toSeq
+      // below the beginning = earliest-reset: resume at the first
+      // retained record, offsets stay the record's own (never renumber)
+      val from0 = math.max(from, base(p))
+      logs(p).iterator.zipWithIndex.drop((from0 - base(p)).toInt).take(max)
+        .map { case ((k, v), i) => QueueRecord(p, base(p) + i, k, v) }.toSeq
     }
 
   /** Durable committed offsets per consumer group (survives a consumer

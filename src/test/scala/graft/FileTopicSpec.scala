@@ -129,7 +129,7 @@ class FileTopicSpec extends AnyFunSuite {
     // entry must BOTH be scrubbed by the next append, or sequential
     // reads would return "c" as offset 3 and shift every later record
     t.produce("k", "a"); t.produce("k", "b")
-    val log = dir.resolve("p0.log"); val idx = dir.resolve("p0.idx")
+    val log = dir.resolve("p0.0.log"); val idx = dir.resolve("p0.0.idx")
     val orphan = ByteBuffer.allocate(8 + 1 + 1)
       .putInt(1).put('k'.toByte).putInt(1).put('c'.toByte).array()
     F.write(log, orphan, O.APPEND)
@@ -176,7 +176,8 @@ class FileTopicSpec extends AnyFunSuite {
     // fresh directories are stamped and re-openable
     val fresh = F.createTempDirectory("graft_ft_fresh")
     new FileTopic(fresh, 2).produce("k", "v")
-    assert(new String(F.readAllBytes(fresh.resolve("format")), UTF_8) == "2")
+    assert(new String(F.readAllBytes(fresh.resolve("format")), UTF_8) ==
+      FileTopic.Format)
     assert(new FileTopic(fresh).nPartitions == 2)
   }
 
@@ -190,7 +191,7 @@ class FileTopicSpec extends AnyFunSuite {
     // simulate writeback persisting the index page but not the last
     // log page: chop the log mid-way into record "cc"'s frame while its
     // index entry (and "cc"'s full end position) remain
-    val log = dir.resolve("p0.log")
+    val log = dir.resolve("p0.0.log")
     val ch = FileChannel.open(log, O.WRITE)
     try ch.truncate(F.size(log) - 3) finally ch.close()
     // the next append must drop the phantom entry, truncate the torn
@@ -236,6 +237,67 @@ class FileTopicSpec extends AnyFunSuite {
     val after = c.poll(100000)
     assert(after.map(_.value).toSet == (0 until 8).map(i => s"post:$i").toSet,
       s"post-crash appends unreadable: ${after.map(_.value).take(10)}")
+  }
+
+  test("retention on disk: log bytes are physically reclaimed, a crashed " +
+      "compact's generation debris is GC'd at open, and a reopened " +
+      "instance continues the trimmed offset line") {
+    import java.nio.file.{Files => F}
+    import scala.jdk.CollectionConverters._
+    val dir = F.createTempDirectory("graft_ft_ret")
+    def logBytes: Long = {
+      val s = F.list(dir)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".log"))
+        .map(F.size).sum
+      finally s.close()
+    }
+    val t = new FileTopic(dir, 2)
+    val pad = "x" * 1000
+    (0 until 40).foreach(i => t.produce(s"k$i", s"$pad:$i"))
+    val before = logBytes
+    assert(before > 40000L)
+    val c = new ContractConsumer(t, "g")
+    assert(c.poll(1000).size == 40); c.commitSync()
+    val begins = t.truncateToCommitted()
+    assert(begins == t.endOffsets, "everything was committed, all trims")
+    assert(logBytes == 0L,
+      s"trimmed records still occupy disk ($logBytes bytes)")
+    // a compact that crashed before its pointer flip leaves half-built
+    // next-generation files; open must GC any non-current generation
+    F.write(dir.resolve("p0.7.log"), Array[Byte](1, 2, 3))
+    F.write(dir.resolve("p0.7.idx"), Array[Byte](9, 9, 9, 9, 9, 9, 9, 9))
+    val t2 = new FileTopic(dir)
+    assert(!F.exists(dir.resolve("p0.7.log")), "stale generation survived")
+    assert(!F.exists(dir.resolve("p0.7.idx")), "stale generation survived")
+    // the reopened instance agrees on the trimmed line and appends to it
+    assert(t2.beginningOffsets == begins && t2.endOffsets == begins)
+    t2.produce("k1", "fresh")
+    val c2 = new ContractConsumer(t2, "g")
+    assert(c2.poll(100).map(_.value) == Seq("fresh"))
+    // a PARTIAL trim keeps the uncommitted tail byte-identical: group g
+    // (the only group) commits through tail:4, the trim drops exactly
+    // the committed prefix, and a fresh instance + fresh group reads
+    // the kept records intact
+    (0 until 10).foreach(i => t2.produce("k1", s"tail:$i"))
+    assert(c2.poll(5).map(_.value) == (0 until 5).map(i => s"tail:$i"))
+    c2.commitSync()
+    t2.truncateToCommitted()
+    val c3 = new ContractConsumer(new FileTopic(dir), "gfresh")
+    assert(c3.poll(100).map(_.value) == (5 until 10).map(i => s"tail:$i"))
+  }
+
+  test("fsync policy: forced appends keep the same contract semantics") {
+    val dir = Files.createTempDirectory("graft_ft_sync")
+    val t = new FileTopic(dir, 1, fsync = true)
+    (0 until 5).foreach(i => t.produce("k", s"v$i"))
+    val c = new ContractConsumer(t, "g")
+    assert(c.poll(100).map(_.value) == (0 until 5).map(i => s"v$i"))
+    c.commitSync()
+    // a non-fsync instance over the same directory interoperates
+    val t2 = new FileTopic(dir)
+    t2.produce("k", "v5")
+    assert(new ContractConsumer(t2, "g").poll(100).map(_.value) == Seq("v5"))
   }
 
   test("graftqueue connector over dir: streaming write + group-committed " +

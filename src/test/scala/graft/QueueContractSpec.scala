@@ -94,6 +94,47 @@ class QueueContractSpec extends AnyFunSuite {
       assert(b.poll(100).size == 8) // ga's commit is invisible to gb
     }
 
+    test(s"[$backend] retention trims to the SLOWEST group's commit; " +
+        "offsets never renumber; new groups earliest-reset") {
+      val t = mkTopic(1)
+      (0 until 10).foreach(i => t.produce("k", s"v$i"))
+      // zero commit groups proves nothing consumed, not everything: no-op
+      assert(t.truncateToCommitted() == Map(0 -> 0L))
+      assert(t.endOffsets == Map(0 -> 10L))
+      val fast = new ContractConsumer(t, "rfast")
+      assert(fast.poll(100).size == 10); fast.commitSync() // at 10
+      val slow = new ContractConsumer(t, "rslow")
+      assert(slow.poll(4).size == 4); slow.commitSync() // at 4
+      // min across groups = 4: records 0..3 go, the rest stay
+      assert(t.truncateToCommitted() == Map(0 -> 4L))
+      assert(t.beginningOffsets == Map(0 -> 4L))
+      assert(t.endOffsets == Map(0 -> 10L), "ends must not renumber")
+      // the slow group's resume line is untouched, payloads intact
+      val slow2 = new ContractConsumer(t, "rslow")
+      val tail = slow2.poll(100)
+      assert(tail.map(_.offset) == (4L until 10L))
+      assert(tail.map(_.value) == (4 until 10).map(i => s"v$i"))
+      // a BRAND-NEW group starts at the beginning (earliest reset),
+      // seeing only retained records with their original offsets
+      val fresh = new ContractConsumer(t, "rfresh")
+      assert(fresh.poll(100).map(_.offset) == (4L until 10L))
+      // appends continue the same offset line across a trim
+      assert(t.produce("k", "v10")._2 == 10L)
+      // once every group commits everything, everything goes
+      slow2.commitSync(); fresh.commitSync()
+      Seq("rfast", "rslow", "rfresh").foreach { g =>
+        val c = new ContractConsumer(t, g)
+        c.poll(100); c.commitSync()
+      }
+      assert(t.truncateToCommitted() == Map(0 -> 11L))
+      assert(t.endOffsets == Map(0 -> 11L))
+      assert(new ContractConsumer(t, "rlate").poll(100).isEmpty)
+      // and the fully-trimmed partition still accepts appends
+      assert(t.produce("k", "v11")._2 == 11L)
+      assert(new ContractConsumer(t, "rlate").poll(100)
+        .map(r => (r.offset, r.value)) == Seq((11L, "v11")))
+    }
+
     test(s"[$backend] produceFenced: replayed/older epochs append " +
         "nothing; data lands before the fence advances") {
       import graft.streaming.FileTopicChild.{fence, produceFenced}
