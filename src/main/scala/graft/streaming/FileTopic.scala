@@ -334,9 +334,13 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4,
 
   /** Run `f` against partition `p`'s live generation, retrying if a
     * concurrent [[truncateToCommitted]] flips the pointer and deletes
-    * the old files between the pointer read and the file open — the
+    * the old files between the pointer read and any file access — the
     * one race lock-free readers can observe (compaction is the only
     * deleter, and it always installs a complete replacement first).
+    * Every access under a pinned generation must THROW when the
+    * generation is compacted away ([[entriesAt]] disambiguates the
+    * missing-index case) — a fallback to "empty" here would silently
+    * hide live records instead of retrying.
     */
   private def withGen[T](p: Int)(f: (Long, Long) => T): T = {
     var attempts = 0
@@ -353,51 +357,75 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4,
 
   def endOffsets: Map[Int, Long] =
     (0 until nPartitions).map { p =>
-      p -> withGen(p) { (g, base) =>
-        val ip = idxPath(p, g)
-        base + (if (Files.exists(ip)) Files.size(ip) / 8 else 0L)
-      }
+      p -> withGen(p) { (g, base) => base + entriesAt(p, g) }
     }.toMap
 
   def beginningOffsets: Map[Int, Long] =
     (0 until nPartitions).map(p => p -> genAndBase(p)._2).toMap
 
-  private[streaming] def read(p: Int, from: Long, max: Int): Seq[QueueRecord] =
-    withGen(p) { (gen, base) =>
-      val ip = idxPath(p, gen)
-      val entries = if (Files.exists(ip)) Files.size(ip) / 8 else 0L
-      // below the beginning = earliest-reset: resume at the first
-      // retained record; offsets stay the records' own, never renumbered
-      val from0 = math.max(from, base)
-      val local = from0 - base
-      if (local >= entries || max <= 0) Seq.empty
-      else {
-        val n = math.min(max.toLong, entries - local).toInt
-        // record `local` STARTS where record `local - 1` ends (entry
-        // local-1); every frame in [local, local+n) is indexed, hence
-        // contiguous and fully durable — debris can only ever trail the
-        // indexed prefix
-        val startPos = if (local == 0) 0L else readIdxEntry(ip, local - 1)
-        val lch = FileChannel.open(logPath(p, gen), StandardOpenOption.READ)
-        try {
-          lch.position(startPos)
-          val in = new DataInputStream(Channels.newInputStream(lch))
-          (0 until n).map { i =>
-            def readBytes(): String = {
-              val len = in.readInt()
-              if (len < 0) null
-              else {
-                val b = new Array[Byte](len)
-                in.readFully(b)
-                new String(b, UTF_8)
-              }
-            }
-            val k = readBytes(); val v = readBytes()
-            QueueRecord(p, from0 + i, k, v)
-          }
-        } finally lch.close()
-      }
+  /** Entry count of partition `p`'s generation-`gen` index. A missing
+    * index is ambiguous: the partition may never have been written
+    * (entries = 0), or `gen` may be STALE — a concurrent compact
+    * flipped the pointer and deleted its files between our pointer
+    * read and this size check. The two must not be conflated: treating
+    * a compacted-away generation as empty silently hides records that
+    * exist in the live one. Disambiguate by re-reading the pointer —
+    * unchanged proves never-written; moved rethrows so [[withGen]]
+    * retries against the live generation.
+    */
+  private def entriesAt(p: Int, gen: Long): Long =
+    try Files.size(idxPath(p, gen)) / 8
+    catch {
+      case e: java.nio.file.NoSuchFileException =>
+        if (genAndBase(p)._1 != gen) throw e
+        0L
     }
+
+  private[streaming] def read(p: Int, from: Long, max: Int): Seq[QueueRecord] =
+    withGen(p)((gen, base) => readAt(p, gen, base, from, max))
+
+  /** [[read]]'s body for one pinned (generation, base) — the seam that
+    * lets a test drive the stale-generation path deterministically: on
+    * a compacted-away `gen` this THROWS (so [[withGen]] retries) rather
+    * than returning an empty batch for records the live generation
+    * still holds.
+    */
+  private[graft] def readAt(p: Int, gen: Long, base: Long, from: Long,
+      max: Int): Seq[QueueRecord] = {
+    val ip = idxPath(p, gen)
+    val entries = entriesAt(p, gen)
+    // below the beginning = earliest-reset: resume at the first
+    // retained record; offsets stay the records' own, never renumbered
+    val from0 = math.max(from, base)
+    val local = from0 - base
+    if (local >= entries || max <= 0) Seq.empty
+    else {
+      val n = math.min(max.toLong, entries - local).toInt
+      // record `local` STARTS where record `local - 1` ends (entry
+      // local-1); every frame in [local, local+n) is indexed, hence
+      // contiguous and fully durable — debris can only ever trail the
+      // indexed prefix
+      val startPos = if (local == 0) 0L else readIdxEntry(ip, local - 1)
+      val lch = FileChannel.open(logPath(p, gen), StandardOpenOption.READ)
+      try {
+        lch.position(startPos)
+        val in = new DataInputStream(Channels.newInputStream(lch))
+        (0 until n).map { i =>
+          def readBytes(): String = {
+            val len = in.readInt()
+            if (len < 0) null
+            else {
+              val b = new Array[Byte](len)
+              in.readFully(b)
+              new String(b, UTF_8)
+            }
+          }
+          val k = readBytes(); val v = readBytes()
+          QueueRecord(p, from0 + i, k, v)
+        }
+      } finally lch.close()
+    }
+  }
 
   private def parseCommits(p: Path): Map[Int, Long] =
     if (!Files.exists(p)) Map.empty
@@ -410,25 +438,31 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4,
   private[streaming] def committed(group: String): Map[Int, Long] =
     parseCommits(fileName("commits_", group))
 
-  def truncateToCommitted(): Map[Int, Long] = withLock {
+  def truncateToCommitted(minFraction: Double): Map[Int, Long] = withLock {
+    // keyed by the sanitized group name so `<group>.durable` pairs with
+    // its base group (the sanitizer preserves dots, so sanitize(g +
+    // ".durable") == sanitize(g) + ".durable")
     val groups = {
       val s = Files.list(dir)
       try {
-        val b = Seq.newBuilder[Map[Int, Long]]
+        val b = Map.newBuilder[String, Map[Int, Long]]
         s.iterator().forEachRemaining { f =>
-          if (f.getFileName.toString.startsWith("commits_"))
-            b += parseCommits(f)
+          val n = f.getFileName.toString
+          if (n.startsWith("commits_"))
+            b += n.stripPrefix("commits_") -> parseCommits(f)
         }
         b.result()
       } finally s.close()
     }
-    if (groups.nonEmpty) (0 until nPartitions).foreach { p =>
+    val lines = QueueTopic.retentionLines(groups)
+    if (lines.nonEmpty) (0 until nPartitions).foreach { p =>
       val (gen, base) = genAndBase(p)
       val ip = idxPath(p, gen)
       val entries = if (Files.exists(ip)) Files.size(ip) / 8 else 0L
-      val target = groups.iterator.map(_.getOrElse(p, 0L)).min
+      val target = lines.iterator.map(_.getOrElse(p, 0L)).min
       val cut = math.min(target, base + entries)
-      if (cut > base) compactPartition(p, gen, base, cut, entries)
+      if (cut > base && (cut - base).toDouble >= minFraction * entries)
+        compactPartition(p, gen, base, cut, entries)
     }
     beginningOffsets
   }

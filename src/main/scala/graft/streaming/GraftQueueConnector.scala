@@ -31,7 +31,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * unbounded), `dir` (optional base directory: when set, the topic is
   * the file-backed [[FileTopic]] at `dir/topic` — shared across separate
   * JVMs, the reference's actual process topology — instead of the
-  * JVM-local registry).
+  * JVM-local registry), `retain` (`committed` makes this reader run
+  * retention after each durable micro-batch commit — trimming records
+  * every group has consumed, amortized at the 0.5 fraction — so a
+  * long-running deployment's disk is bounded by consumer lag without an
+  * out-of-band `truncateToCommitted` admin call; default `off`).
   *
   * Semantics mapped onto the Spark connector surface:
   *  - source offsets are the per-partition log offsets; `initialOffset`
@@ -129,6 +133,14 @@ class GraftQueueTable(props: util.Map[String, String])
   private val maxPoll = opt("maxpoll", "0").toInt
   // optional base directory: present -> file-backed multi-process topic
   private val dirOpt = Option(props.get("dir")).filter(_.nonEmpty)
+  // retain=committed: this reader also runs retention after each durable
+  // micro-batch commit, trimming records every group has consumed
+  private val retain = opt("retain", "off") match {
+    case "off" => false
+    case "committed" => true
+    case other => throw new IllegalArgumentException(
+      s"graftqueue option retain='$other'; expected 'off' or 'committed'")
+  }
 
   override def name(): String = s"graftqueue:$topicName"
   override def schema(): StructType = GraftQueueTable.readSchema
@@ -142,7 +154,7 @@ class GraftQueueTable(props: util.Map[String, String])
         override def readSchema(): StructType = GraftQueueTable.readSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftQueueMicroBatchStream(topicName, nPartitions, group,
-            maxPoll, dirOpt)
+            maxPoll, dirOpt, retain)
       }
     }
 
@@ -179,10 +191,22 @@ object QueueOffset {
 }
 
 class GraftQueueMicroBatchStream(topicName: String, nPartitions: Int,
-    group: String, maxPoll: Int, dirOpt: Option[String] = None)
+    group: String, maxPoll: Int, dirOpt: Option[String] = None,
+    retain: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
   private def topic = QueueRegistry.topic(topicName, nPartitions, dirOpt)
+
+  // This group's DURABLE progress line, distinct from its planning-time
+  // ack (S4 ack-before-process): the ack runs one in-flight batch ahead
+  // of what has durably completed, so retention keyed on it could trim
+  // records a crash-replayed batch still needs. Seeded at every query
+  // (re)start so the group is never invisible to another reader's
+  // retention before its first completed batch; advanced only in
+  // commit(), i.e. only past batches Spark has durably finished.
+  private val durableGroup = group + ".durable"
+  if (topic.committed(durableGroup).isEmpty)
+    topic.commit(durableGroup, topic.beginningOffsets)
   // AvailableNow drain target, captured at query start: without
   // implementing SupportsTriggerAvailableNow, Spark's wrapper collapses
   // the drain into ONE batch and the poll bound never applies.
@@ -246,11 +270,27 @@ class GraftQueueMicroBatchStream(topicName: String, nPartitions: Int,
   override def createReaderFactory(): PartitionReaderFactory =
     new QueuePartitionReaderFactory
 
-  /** Micro-batch completed durably -> advance the GROUP commit (the S4
-    * "ack after the batch survives" contract).
+  /** Micro-batch completed durably -> advance the group's ack (the S4
+    * "ack after the batch survives" contract; max-merged no-op when the
+    * planning ack already covered `end`) AND its durable line — batch
+    * `end` has finished and entered Spark's commit log, so records
+    * below it will never be replanned. With `retain=committed` this is
+    * also the retention point — the broker-side log cleaner a
+    * deployment without an out-of-band admin needs, keeping disk
+    * bounded by consumer lag instead of stream lifetime. Retention
+    * trims to the min over every group's DURABLE line
+    * ([[QueueTopic.retentionLines]]), so neither this query's own
+    * in-flight batch (ack ahead of `end`) nor another crashed reader's
+    * replayed batch can lose records to the trim. The 0.5 fraction
+    * amortizes the file backend's tail rewrite (see
+    * [[QueueTopic.truncateToCommitted]]).
     */
-  override def commit(end: Offset): Unit =
-    topic.commit(group, end.asInstanceOf[QueueOffset].offs)
+  override def commit(end: Offset): Unit = {
+    val offs = end.asInstanceOf[QueueOffset].offs
+    topic.commit(group, offs)
+    topic.commit(durableGroup, offs)
+    if (retain) { topic.truncateToCommitted(0.5); () }
+  }
 
   override def deserializeOffset(json: String): Offset = QueueOffset.fromJson(json)
   override def stop(): Unit = ()

@@ -65,8 +65,17 @@ trait QueueTopic {
     * Offsets are NOT renumbered — the beginning moves up, ends stay —
     * so committed offsets, fences and in-flight batch ranges all stay
     * valid. Returns the new per-partition beginning offsets.
+    *
+    * `minFraction` amortizes REPEATED trims (a per-epoch retention
+    * policy): a partition only trims when its committed prefix is at
+    * least that fraction of its retained records. The file backend's
+    * trim rewrites the kept tail, so trimming on every commit would
+    * cost O(tail) per epoch; at 0.5 each trim rewrites no more records
+    * than it frees, keeping total compaction work linear in records
+    * ever produced. 0 (the default) trims whatever is trimmable — the
+    * exact one-shot `deleteRecords` call.
     */
-  def truncateToCommitted(): Map[Int, Long]
+  def truncateToCommitted(minFraction: Double = 0.0): Map[Int, Long]
   private[streaming] def read(p: Int, from: Long, max: Int): Seq[QueueRecord]
   /** Durable committed offsets per consumer group. */
   private[streaming] def committed(group: String): Map[Int, Long]
@@ -99,6 +108,30 @@ trait QueueTopic {
     */
   private[streaming] def produceFenced(queryId: String, epochId: Long,
       partitionId: Int, rows: Seq[(String, String)]): Boolean
+}
+
+object QueueTopic {
+  /** The per-group lines retention may trim to, with `<group>.durable`
+    * overrides applied. A connector reader ACKs at planning (the S4
+    * ack-before-process contract), so its plain group commit can run
+    * one IN-FLIGHT batch ahead of durable processing; it records the
+    * durably-completed line under `<group>.durable` (seeded at query
+    * start, advanced at each delivered micro-batch commit). Retention
+    * must trim to the durable line when one exists: trimming to the
+    * ack could delete records a crash-replayed batch still needs, and
+    * earliest-reset would then turn the replay into a silently EMPTY
+    * batch — reintroducing exactly the ack-before-process loss window
+    * the checkpoint upgrade closes. A durable line with no base group
+    * (seeded, nothing planned yet) bounds the trim by itself; a plain
+    * group with no durable line (a [[ContractConsumer]], which
+    * commits after processing) is its own durable line.
+    */
+  private[streaming] def retentionLines(
+      all: Map[String, Map[Int, Long]]): Iterable[Map[Int, Long]] =
+    all.map { case (g, offs) =>
+      if (g.endsWith(".durable")) offs
+      else all.getOrElse(g + ".durable", offs)
+    }
 }
 
 final class InMemoryTopic(val nPartitions: Int) extends QueueTopic {
@@ -139,17 +172,21 @@ final class InMemoryTopic(val nPartitions: Int) extends QueueTopic {
   def beginningOffsets: Map[Int, Long] =
     synchronized((0 until nPartitions).map(p => p -> base(p)).toMap)
 
-  def truncateToCommitted(): Map[Int, Long] = synchronized {
-    if (groupOffsets.nonEmpty) (0 until nPartitions).foreach { p =>
-      val target = groupOffsets.valuesIterator.map(_.getOrElse(p, 0L)).min
-      val cut = math.min(target, base(p) + logs(p).length)
-      if (cut > base(p)) {
-        logs(p).dropInPlace((cut - base(p)).toInt)
-        base(p) = cut
+  def truncateToCommitted(minFraction: Double): Map[Int, Long] =
+    synchronized {
+      val lines = QueueTopic.retentionLines(
+        groupOffsets.view.mapValues(_.toMap).toMap)
+      if (lines.nonEmpty) (0 until nPartitions).foreach { p =>
+        val target = lines.iterator.map(_.getOrElse(p, 0L)).min
+        val cut = math.min(target, base(p) + logs(p).length)
+        if (cut > base(p) &&
+            (cut - base(p)).toDouble >= minFraction * logs(p).length) {
+          logs(p).dropInPlace((cut - base(p)).toInt)
+          base(p) = cut
+        }
       }
+      beginningOffsets
     }
-    beginningOffsets
-  }
 
   private[streaming] def read(p: Int, from: Long, max: Int): Seq[QueueRecord] =
     synchronized {

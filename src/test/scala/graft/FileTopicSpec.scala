@@ -287,6 +287,35 @@ class FileTopicSpec extends AnyFunSuite {
     assert(c3.poll(100).map(_.value) == (5 until 10).map(i => s"tail:$i"))
   }
 
+  test("compaction race: a read pinned to a compacted-away generation " +
+      "throws for retry — never an empty result that hides live records") {
+    // the lock-free reader window: pointer read at generation g, then a
+    // concurrent compact flips to g+1 and deletes g's files before the
+    // reader touches them. readAt IS the post-pointer-read body, so
+    // calling it with the stale (gen, base) reproduces the race
+    // deterministically: it must throw (withGen then retries on the
+    // live pointer), because returning empty would silently drop the
+    // retained records for that poll.
+    val dir = Files.createTempDirectory("graft_ft_race")
+    val t = new FileTopic(dir, 1)
+    (0 until 10).foreach(i => t.produce("k", s"v$i"))
+    val c = new ContractConsumer(t, "g")
+    assert(c.poll(4).size == 4); c.commitSync()
+    t.truncateToCommitted() // gen 0 -> 1, p0.0.* deleted, 6 records live
+    intercept[java.nio.file.NoSuchFileException] {
+      t.readAt(0, gen = 0L, base = 0L, from = 4L, max = 100)
+    }
+    // the retrying public path sees the live generation: same offsets,
+    // same payloads
+    assert(c.poll(100).map(r => (r.offset, r.value)) ==
+      (4 until 10).map(i => (i.toLong, s"v$i")))
+    // an UNWRITTEN partition is the legitimate missing-index case and
+    // must stay readable-as-empty, not throw
+    val t2 = new FileTopic(Files.createTempDirectory("graft_ft_empty"), 1)
+    assert(t2.readAt(0, gen = 0L, base = 0L, from = 0L, max = 10).isEmpty)
+    assert(t2.endOffsets == Map(0 -> 0L))
+  }
+
   test("fsync policy: forced appends keep the same contract semantics") {
     val dir = Files.createTempDirectory("graft_ft_sync")
     val t = new FileTopic(dir, 1, fsync = true)
@@ -298,6 +327,42 @@ class FileTopicSpec extends AnyFunSuite {
     val t2 = new FileTopic(dir)
     t2.produce("k", "v5")
     assert(new ContractConsumer(t2, "g").poll(100).map(_.value) == Seq("v5"))
+  }
+
+  test("retain=committed: the reader trims consumed records as it goes; " +
+      "nothing is lost, disk shrinks, and the durable line gates the trim") {
+    import java.nio.file.{Files => F, Paths}
+    val base = F.createTempDirectory("graft_ft_retain").toString
+    val t = new FileTopic(Paths.get(base, "tret"), 2)
+    val pad = "x" * 500
+    (0 until 40).foreach(i => t.produce(s"k$i", s"$pad:$i"))
+    val q = spark.readStream.format("graftqueue")
+      .option("topic", "tret").option("dir", base).option("group", "gr")
+      .option("maxpoll", "5").option("retain", "committed")
+      .load()
+      .writeStream.format("memory").queryName("ft_retain")
+      .option("checkpointLocation",
+        F.createTempDirectory("graft_ft_retain_ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // every record reached the sink despite the mid-stream trims
+    val got = spark.table("ft_retain").collect().map(_.getString(3)).toSeq
+    assert(got.size == 40 && got.toSet == (0 until 40).map(i => s"$pad:$i").toSet)
+    // retention actually ran: the beginning advanced and log bytes shrank
+    val begins = t.beginningOffsets
+    assert(begins.values.sum > 0, s"no retention happened: $begins")
+    // the trim never passed the DURABLE line: a consumer resuming from
+    // <group>.durable still finds every record above it — the records a
+    // crash-replay of the last in-flight batch would need (the planning
+    // ack is at the end; durable lags it by at most one undelivered
+    // commit, i.e. maxpoll per partition)
+    val durLeft = new ContractConsumer(t, "gr.durable").poll(100)
+    assert(durLeft.size <= 2 * 5,
+      s"durable line lagged by more than one batch: ${durLeft.size}")
+    assert(durLeft.forall(r => r.offset >= begins(r.partition)),
+      "trim passed the durable line")
+    // the ack group itself is fully consumed
+    assert(new ContractConsumer(t, "gr").poll(100).isEmpty)
   }
 
   test("graftqueue connector over dir: streaming write + group-committed " +

@@ -135,6 +135,54 @@ class QueueContractSpec extends AnyFunSuite {
         .map(r => (r.offset, r.value)) == Seq((11L, "v11")))
     }
 
+    test(s"[$backend] amortized retention: minFraction defers the trim " +
+        "until the committed prefix is worth the rewrite, then trims " +
+        "everything committed") {
+      val t = mkTopic(1)
+      (0 until 10).foreach(i => t.produce("k", s"v$i"))
+      val c = new ContractConsumer(t, "g")
+      assert(c.poll(4).size == 4); c.commitSync()
+      // 4 of 10 < half: the amortized policy skips the rewrite
+      assert(t.truncateToCommitted(0.5) == Map(0 -> 0L))
+      assert(c.poll(2).size == 2); c.commitSync()
+      // 6 of 10 >= half: trims ALL committed, not just the threshold
+      assert(t.truncateToCommitted(0.5) == Map(0 -> 6L))
+      // the kept tail is intact for a fresh group
+      assert(new ContractConsumer(t, "gfresh").poll(100).map(_.value) ==
+        (6 until 10).map(i => s"v$i"))
+    }
+
+    test(s"[$backend] retention respects a reader's DURABLE line: the " +
+        "planning-time ack may run a batch ahead, the trim may not") {
+      // the connector acks at planning (S4 ack-before-process), so its
+      // plain group commit overstates durable progress by the in-flight
+      // batch; it records durable progress under <group>.durable. A trim
+      // keyed on the ack would delete records a crash-replayed batch
+      // still needs — and earliest-reset would turn that replay into a
+      // silently empty batch.
+      val t = mkTopic(1)
+      (0 until 10).foreach(i => t.produce("k", s"v$i"))
+      val ack = new ContractConsumer(t, "g")
+      assert(ack.poll(8).size == 8); ack.commitSync() // acked through 8
+      val dur = new ContractConsumer(t, "g.durable")
+      assert(dur.poll(5).size == 5); dur.commitSync() // durable through 5
+      assert(t.truncateToCommitted() == Map(0 -> 5L),
+        "trim must stop at the durable line, not the ack")
+      // the acked-but-not-durable records [5, 8) survive for replay
+      assert(new ContractConsumer(t, "gfresh2").poll(100).map(_.offset) ==
+        (5L until 10L))
+      // a durable line ALONE (seeded at query start, no batch planned
+      // yet) bounds the trim by itself
+      val t2 = mkTopic(1)
+      (0 until 4).foreach(i => t2.produce("k", s"v$i"))
+      val other = new ContractConsumer(t2, "done")
+      assert(other.poll(100).size == 4); other.commitSync()
+      val seed = new ContractConsumer(t2, "young.durable")
+      seed.commitSync() // empty commit: durable line at 0
+      assert(t2.truncateToCommitted() == Map(0 -> 0L),
+        "a seeded reader with no completed batch must block the trim")
+    }
+
     test(s"[$backend] produceFenced: replayed/older epochs append " +
         "nothing; data lands before the fence advances") {
       import graft.streaming.FileTopicChild.{fence, produceFenced}
