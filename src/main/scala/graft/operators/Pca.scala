@@ -66,16 +66,20 @@ object Pca {
     */
   private[graft] def quantizeElem(x: Column): Column = {
     val xd = x.cast("double")
-    val q = round(xd * lit(Scale)).cast("long")
-    // NaN/Infinity are checked on the DOUBLE, before q: a non-ANSI cast
-    // turns NaN into 0 (silent corruption) and -Infinity into
-    // Long.MinValue, whose abs overflows negative and slips past the
-    // range test; an ANSI cast would throw its generic error before
-    // raise_error could name the value. Or short-circuits in codegen,
-    // so the q branch never evaluates for those rows.
-    when(isnan(xd) ||
-        abs(xd) === lit(Double.PositiveInfinity) ||
-        abs(q) > lit(MaxAbsQ),
+    val qd = round(xd * lit(Scale)) // still a DOUBLE — see the guard
+    val q = qd.cast("long")
+    // The range test runs on the DOUBLE qd, never on q: the non-ANSI
+    // double->long cast SATURATES at Long.MinValue for any
+    // x <= ~-5.6e14 (not just -Infinity), and abs(Long.MinValue) wraps
+    // negative — a finite out-of-range value would slip past an
+    // abs(q)-based test and still overflow the aggregate. abs(qd) is
+    // saturation-free (doubles carry the magnitude), represents every
+    // in-domain value exactly (|qd| <= 2^15 << 2^53), and is Infinity
+    // for Infinity input. NaN is checked explicitly (NaN compares false
+    // against everything, so it would pass the > test and cast to 0 —
+    // silent corruption). `when` short-circuits in codegen, so the q
+    // branch never evaluates for raising rows.
+    when(isnan(xd) || abs(qd) > lit(MaxAbsQ.toDouble),
       raise_error(concat(
         lit(s"pca: embedding element outside fixed-point domain |x| <= 2 "
           + s"(|q| <= $MaxAbsQ at scale ${Scale.toLong}): x="),

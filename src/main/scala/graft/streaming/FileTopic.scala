@@ -16,10 +16,11 @@ import java.util.concurrent.ConcurrentHashMap
   * durable medium is the filesystem instead of a broker's log.
   *
   * Layout under `dir/`:
-  *  - `format`          — on-disk format version ("3": end-indexed,
-  *                        generation-compacted); an unmarked non-empty
-  *                        directory is refused at open rather than
-  *                        silently reinterpreted;
+  *  - `format`          — on-disk format version ("4": end-indexed,
+  *                        generation-compacted, %XX-encoded state-file
+  *                        names); an unmarked non-empty directory is
+  *                        refused at open rather than silently
+  *                        reinterpreted;
   *  - `meta`            — the topic's partition count, fixed at creation;
   *  - `pN.gen`          — partition N's current generation and base
   *                        offset ("g:base", absent = "0:0"): retention
@@ -142,12 +143,20 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4,
         case _ => ()
       }
     } finally s.close()
-    if (Files.exists(metaPath) && Files.size(metaPath) > 0)
-      new String(Files.readAllBytes(metaPath), UTF_8).trim.toInt
-    else {
-      writeAtomic(metaPath, requestedPartitions.toString.getBytes(UTF_8))
-      requestedPartitions
-    }
+    val n =
+      if (Files.exists(metaPath) && Files.size(metaPath) > 0)
+        new String(Files.readAllBytes(metaPath), UTF_8).trim.toInt
+      else {
+        writeAtomic(metaPath, requestedPartitions.toString.getBytes(UTF_8))
+        requestedPartitions
+      }
+    // Reconcile crash/power-loss debris at OPEN, not only on the append
+    // path: a consumer-only process (no producer alive) would otherwise
+    // hit the phantom-index EOF on every poll of a damaged partition
+    // until some producer appends. An empty append IS the reconciliation
+    // (torn index entry, phantom entries, un-indexed log bytes).
+    (0 until n).foreach(p => appendBatch(p, Seq.empty))
+    n
   }
 
   /** Partition `p`'s live (generation, base offset) — the `pN.gen`
@@ -166,9 +175,31 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4,
 
   private def logPath(p: Int, g: Long) = dir.resolve(s"p$p.$g.log")
   private def idxPath(p: Int, g: Long) = dir.resolve(s"p$p.$g.idx")
+  /** Collision-FREE file-name encoding for externally-chosen names
+    * (consumer groups, query ids): every byte outside [A-Za-z0-9-.] is
+    * `%XX`-escaped (uppercase hex over the UTF-8 bytes). Injective —
+    * '%' itself is escaped, so distinct names can never share a file
+    * (the old sanitizer mapped every special char to '_', silently
+    * merging e.g. groups `a/b` and `a_b` onto one commits_ file).
+    * ASCII '.' passes through so the retention pairing invariant holds
+    * byte-for-byte: enc(g + ".durable") == enc(g) + ".durable" (the
+    * connector REJECTS user groups that themselves end in ".durable",
+    * so the suffix is unambiguous). Never emits '_', so a literal '_'
+    * separator appended OUTSIDE enc (the fence's `_<partition>`) cannot
+    * collide with name content.
+    */
+  private def encName(s: String): String = {
+    val sb = new StringBuilder
+    s.getBytes(UTF_8).foreach { b =>
+      val c = b.toChar
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '-' || c == '.') sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
   private def fileName(prefix: String, s: String) =
-    dir.resolve(prefix + s.map(c =>
-      if (c.isLetterOrDigit || c == '-' || c == '.') c else '_'))
+    dir.resolve(prefix + encName(s))
 
   /** Replace-style writes (fence, rr, meta, commits) go through a
     * dot-prefixed temp file + ATOMIC_MOVE: a plain `Files.write`
@@ -197,14 +228,22 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4,
     writeAtomic(p, ByteBuffer.allocate(8).putLong(v).array())
 
   /** Index entry `i` of `ip` (8-byte big-endian record-END position);
-    * the caller guarantees `i < size/8`.
+    * the caller guarantees `i < size/8` AGAINST THE SIZE IT OBSERVED — a
+    * lock-free reader can still race a reconciliation truncate (or open
+    * a power-loss-shrunk index) and hit EOF mid-entry. That must THROW
+    * (so [[withGen]] retries against the then-consistent files), never
+    * spin: read() returns -1 forever at EOF, and the old
+    * `while (hasRemaining) read` loop would hang the poll.
     */
   private def readIdxEntry(ip: Path, i: Long): Long = {
     val ich = FileChannel.open(ip, StandardOpenOption.READ)
     try {
       val bb = ByteBuffer.allocate(8)
       ich.position(i * 8)
-      while (bb.hasRemaining) ich.read(bb)
+      while (bb.hasRemaining && ich.read(bb) >= 0) ()
+      if (bb.hasRemaining)
+        throw new java.io.EOFException(
+          s"$ip: entry $i extends past EOF (index truncated under us)")
       bb.flip(); bb.getLong
     } finally ich.close()
   }
@@ -306,10 +345,23 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4,
   }
 
   /** Route a batch to its partitions (arrival order kept per partition)
-    * and append partition-locally — must hold the lock.
+    * and append partition-locally — must hold the lock. The round-robin
+    * cursor for null keys is read ONCE and written back ONCE per batch:
+    * routing each null-key row through [[partitionFor]] would pay a
+    * read + temp-file + ATOMIC_MOVE of the `rr` file PER RECORD while
+    * holding the global append lock.
     */
   private def appendAll(rows: Seq[(String, String)]): Unit = {
-    val routed = rows.map { case (k, v) => (partitionFor(k), k, v) }
+    val rr = dir.resolve("rr")
+    var cur = if (rows.exists(_._1 == null)) readLongFile(rr, 0L) else -1L
+    val cur0 = cur
+    val routed = rows.map { case (k, v) =>
+      val p =
+        if (k == null) { val x = (cur % nPartitions).toInt; cur += 1; x }
+        else math.floorMod(k.hashCode, nPartitions)
+      (p, k, v)
+    }
+    if (cur != cur0) writeLongFile(rr, cur)
     routed.groupBy(_._1).foreach { case (p, rs) =>
       appendBatch(p, rs.map(t => (t._2, t._3)))
     }
@@ -348,7 +400,16 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4,
       val (g, base) = genAndBase(p)
       try return f(g, base)
       catch {
+        // NoSuchFile = compaction flipped the pointer and deleted our
+        // pinned generation; EOF = an appender's debris reconciliation
+        // truncated the index between our size read and the entry read.
+        // Both are transient under a live producer — retry re-reads the
+        // pointer and sizes; a PERSISTENT EOF (power-loss damage, no
+        // producer) is reconciled at open, so rethrowing after the
+        // retries surfaces only genuine corruption.
         case _: java.nio.file.NoSuchFileException if attempts < 5 =>
+          attempts += 1
+        case _: java.io.EOFException if attempts < 5 =>
           attempts += 1
       }
     }
@@ -439,9 +500,10 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4,
     parseCommits(fileName("commits_", group))
 
   def truncateToCommitted(minFraction: Double): Map[Int, Long] = withLock {
-    // keyed by the sanitized group name so `<group>.durable` pairs with
-    // its base group (the sanitizer preserves dots, so sanitize(g +
-    // ".durable") == sanitize(g) + ".durable")
+    // keyed by the ENCODED group name so `<group>.durable` pairs with
+    // its base group (encName passes '.' through, so enc(g + ".durable")
+    // == enc(g) + ".durable"; the connector rejects user groups ending
+    // in ".durable", so the pairing is unambiguous)
     val groups = {
       val s = Files.list(dir)
       try {
@@ -535,9 +597,15 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4,
       writeAtomic(fileName("commits_", group), body.getBytes(UTF_8))
     }
 
+  // queryId is encoded, the `_<partition>` separator stays literal —
+  // encName never emits '_', so the composite cannot be forged by a
+  // query id that happens to contain one
+  private def fencePath(queryId: String, partitionId: Int): Path =
+    dir.resolve("fence_" + encName(queryId) + "_" + partitionId)
+
   private[streaming] def beginTaskEpoch(queryId: String, epochId: Long,
       partitionId: Int): Boolean = withLock {
-    val f = fileName("fence_", s"${queryId}_$partitionId")
+    val f = fencePath(queryId, partitionId)
     val hw = readLongFile(f, Long.MinValue)
     if (epochId > hw) { writeLongFile(f, epochId); true } else false
   }
@@ -553,7 +621,7 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4,
     */
   private[streaming] def produceFenced(queryId: String, epochId: Long,
       partitionId: Int, rows: Seq[(String, String)]): Boolean = withLock {
-    val f = fileName("fence_", s"${queryId}_$partitionId")
+    val f = fencePath(queryId, partitionId)
     val hw = readLongFile(f, Long.MinValue)
     if (epochId > hw) {
       appendAll(rows)
@@ -564,11 +632,13 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4,
 }
 
 object FileTopic {
-  /** On-disk format version: "3" = end-indexed, generation-compacted.
-    * ("2" was end-indexed without generations; "1" start-indexed —
-    * both refused at open, never reinterpreted.)
+  /** On-disk format version: "4" = end-indexed, generation-compacted,
+    * %XX-encoded state-file names. ("3" sanitized commits_/fence_ names
+    * lossily — distinct groups could collide on one file; "2" was
+    * end-indexed without generations; "1" start-indexed — all refused
+    * at open, never reinterpreted.)
     */
-  val Format = "3"
+  val Format = "4"
 
   // one JVM-level mutex per topic directory: FileChannel.lock throws
   // OverlappingFileLockException on a second acquisition from the SAME

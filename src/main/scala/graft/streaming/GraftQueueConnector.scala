@@ -129,7 +129,17 @@ class GraftQueueTable(props: util.Map[String, String])
     t
   }
   private val nPartitions = opt("partitions", "4").toInt
-  private val group = opt("group", "default")
+  private val group = {
+    val g = opt("group", "default")
+    // `<group>.durable` is the reader's own durable-progress line in the
+    // topic's commit namespace (QueueTopic.retentionLines); a user group
+    // literally named that way would alias another group's durable line
+    // and corrupt retention decisions
+    require(!g.endsWith(".durable"),
+      s"graftqueue group '$g': the '.durable' suffix is reserved for the " +
+        "reader's durable-progress line")
+    g
+  }
   private val maxPoll = opt("maxpoll", "0").toInt
   // optional base directory: present -> file-backed multi-process topic
   private val dirOpt = Option(props.get("dir")).filter(_.nonEmpty)

@@ -158,6 +158,60 @@ class FileTopicSpec extends AnyFunSuite {
     assert(stray.isEmpty, s"leaked temp files: $stray")
   }
 
+  test("state-file names are collision-free: groups and query ids that " +
+      "the old sanitizer merged stay distinct, and '.durable' is rejected") {
+    val dir = Files.createTempDirectory("graft_ft_enc")
+    val t = new FileTopic(dir, 1)
+    t.produce("k", "v")
+    // 'a/b', 'a_b' and 'a%5Fb' all mapped to one commits_ file under the
+    // lossy sanitizer; each must keep its own offsets now
+    FileTopicChild.commit(t, "a/b", Map(0 -> 1L))
+    FileTopicChild.commit(t, "a_b", Map(0 -> 0L))
+    FileTopicChild.commit(t, "a%5Fb", Map(0 -> 1L))
+    assert(FileTopicChild.committed(t, "a/b") == Map(0 -> 1L))
+    assert(FileTopicChild.committed(t, "a_b") == Map(0 -> 0L))
+    assert(FileTopicChild.committed(t, "a%5Fb") == Map(0 -> 1L))
+    // fences: query ids containing '_' cannot forge another query's
+    // (query, partition) composite — 'a_b' part 0 vs 'a' part 0 vs
+    // 'a' part 10 are three independent fences
+    assert(FileTopicChild.fence(t, "a_b", 5L, 0))
+    assert(FileTopicChild.fence(t, "a", 5L, 0))
+    assert(FileTopicChild.fence(t, "a", 5L, 10))
+    assert(!FileTopicChild.fence(t, "a_b", 5L, 0))
+    // the reserved durable suffix is refused at the connector layer
+    val e = intercept[Exception] {
+      spark.readStream.format("graftqueue")
+        .option("topic", "tenc").option("dir", dir.toString)
+        .option("group", "g.durable").load()
+        .writeStream.format("memory").queryName("ft_enc_bad")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_ft_enc_ck").toString)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def msgs(x: Throwable): Seq[String] = Option(x).toSeq
+      .flatMap(y => Option(y.getMessage).toSeq ++ msgs(y.getCause))
+    assert(msgs(e).exists(_.contains(".durable")), s"wrong failure: $e")
+  }
+
+  test("a consumer-only process polls a power-loss-damaged partition: " +
+      "open-time reconciliation recovers it without any producer append") {
+    import java.nio.channels.FileChannel
+    import java.nio.file.{Files => F, StandardOpenOption => O}
+    val dir = F.createTempDirectory("graft_ft_conly")
+    val t = new FileTopic(dir, 1)
+    t.produce("k", "aa"); t.produce("k", "bb"); t.produce("k", "cc")
+    // index page flushed, last log page lost: chop mid-frame of "cc"
+    val log = dir.resolve("p0.0.log")
+    val ch = FileChannel.open(log, O.WRITE)
+    try ch.truncate(F.size(log) - 3) finally ch.close()
+    // a NEW instance (a consumer-only process) must reconcile at open:
+    // the phantom entry drops, the prefix reads cleanly, no append needed
+    val t2 = new FileTopic(dir)
+    assert(t2.endOffsets == Map(0 -> 2L), "phantom entry survived open")
+    assert(new ContractConsumer(t2, "gco").poll(100).map(_.value) ==
+      Seq("aa", "bb"))
+  }
+
   test("format marker: an unversioned data directory and a future format " +
       "are refused at open; a fresh directory is stamped") {
     import java.nio.charset.StandardCharsets.UTF_8

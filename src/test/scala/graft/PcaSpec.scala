@@ -73,6 +73,16 @@ class PcaSpec extends AnyFunSuite {
         assert(msgs(eb).exists(_.contains("fixed-point domain")),
           s"$bad escaped the domain guard: $eb")
       }
+    // FINITE saturation bypass: for x <= ~-5.6e14 the non-ANSI cast
+    // saturates at Long.MinValue, whose abs wraps negative — a guard on
+    // the cast result admits the row. The guard tests the DOUBLE, so
+    // these must raise the named diagnostic too.
+    Seq(-5.7e14, 5.7e14, -1e300, Long.MinValue.toDouble / Pca.Scale)
+      .foreach { bad =>
+        val eb = intercept[Exception] { q(Seq(1.0, bad)) }
+        assert(msgs(eb).exists(_.contains("fixed-point domain")),
+          s"finite out-of-range $bad escaped the domain guard: $eb")
+      }
   }
 
   test("covariance is symmetric positive-semidefinite-ish and matches " +
