@@ -349,10 +349,13 @@ object ApmStats {
     * windows sharing the frame.
     */
   def locfFill(spark: SparkSession, sfDir: String,
-      intervalMs: Long = 600000L): DataFrame = {
+      intervalMs: Long = 600000L): DataFrame =
+    locfFillFrom(Tables.txBase(spark, sfDir), intervalMs)
+
+  def locfFillFrom(tx: DataFrame, intervalMs: Long): DataFrame = {
     val w = Window.partitionBy("server", "service").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    denseBuckets(spark, sfDir, intervalMs)
+    denseBucketsFrom(tx, intervalMs)
       .withColumn("obs_avg",
         when(col("cnt") > 0, RefStats.arrayMean(col("vals"))))
       .withColumn("obs_bucket", when(col("cnt") > 0, col("bucket")))

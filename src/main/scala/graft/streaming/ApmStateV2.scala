@@ -409,6 +409,91 @@ object ApmStateV2 {
         TimeMode.None(), OutputMode.Append())
   }
 
+  // --------------------------- A11 LOCF gap-fill at ingest
+
+  /** One bucket's observations for a key — `vals` is the bucket's
+    * elapsed values; empty = a dense-scaffold quiet bucket (the stream
+    * may also simply ELIDE quiet buckets: the twin zero-fills gaps).
+    */
+  case class LocfIn(server: String, service: String, bucket: Long,
+      vals: Seq[Double])
+  /** NaN marks the batch frame's NULLs (obs_avg of a quiet bucket;
+    * filled_avg/fill_age before a key's first observation).
+    */
+  case class LocfOut(server: String, service: String, bucket: Long,
+      cnt: Long, obs_avg: Double, filled_avg: Double, is_filled: Int,
+      fill_age: Double)
+  /** lastAvg/lastObs = the key's most recent OBSERVED mean and its
+    * bucket (lastAvg NaN = never observed); last = highest folded
+    * bucket (the cross-batch ordering guard).
+    */
+  case class LocfState(lastAvg: Double, lastObs: Long, last: Long)
+
+  /** Streaming twin of [[graft.operators.ApmStats.locfFill]] (a11) —
+    * last-observation-carried-forward gap-fill AT INGEST. The batch
+    * operator's two `last(_, ignoreNulls)` windows collapse to the
+    * smallest state in the family: ONE (last-mean, last-bucket) pair
+    * per key. The per-bucket mean is the same ordered fold as the batch
+    * [[graft.functions.RefStats.arrayMean]] (left-to-right sum over the
+    * ASCENDING-sorted values, one divide), so stream == batch
+    * bit-for-bit (StateV2Spec pins it).
+    *
+    * Bucket discipline matches [[VolumeZProcessor]]: duplicate/late
+    * buckets are dropped observably ([[LateDrops]]); gaps are filled
+    * with empty buckets, each emitting its carried-forward row — the
+    * batch dense scaffold's rows. Batch-only seam divergence as in
+    * [[HistQuantileProcessor]]: the batch scaffold spans the GLOBAL
+    * bucket range, so keys quiet at corpus start/end get scaffold rows
+    * there that the stream only emits once bounded by that key's own
+    * observations.
+    */
+  class LocfProcessor(step: Long = 1L)
+      extends StatefulProcessor[(String, String), LocfIn, LocfOut] {
+    @transient private var st: ValueState[LocfState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[LocfState]("locf",
+        Encoders.product[LocfState], TTLConfig.NONE)
+    override def handleInputRows(key: (String, String), rows: Iterator[LocfIn],
+        tv: TimerValues): Iterator[LocfOut] = {
+      var s = if (st.exists()) st.get()
+        else LocfState(Double.NaN, 0L, Long.MinValue)
+      def fold(bucket: Long, vals: Seq[Double]): LocfOut = {
+        val cnt = vals.size.toLong
+        val obs =
+          if (cnt == 0L) Double.NaN
+          else vals.sorted.foldLeft(0.0)(_ + _) / cnt.toDouble
+        if (cnt > 0L) s = LocfState(obs, bucket, bucket)
+        else s = s.copy(last = bucket)
+        val never = s.lastAvg.isNaN
+        LocfOut(key._1, key._2, bucket, cnt, obs,
+          s.lastAvg,
+          if (cnt == 0L && !never) 1 else 0,
+          if (never) Double.NaN else (bucket - s.lastObs).toDouble)
+      }
+      val out = rows.toArray.sortBy(_.bucket).flatMap { r =>
+        if (s.last != Long.MinValue && r.bucket <= s.last) { // dup/late
+          LateDrops.record("LocfProcessor", key, r.bucket, s.last,
+            s"n=${r.vals.size}", hasData = r.vals.nonEmpty)
+          Nil
+        } else {
+          val gapFill =
+            if (s.last == Long.MinValue) Nil
+            else (s.last + step) until r.bucket by step
+          gapFill.map(fold(_, Nil)) :+ fold(r.bucket, r.vals)
+        }
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  def locfStreamV2(in: Dataset[LocfIn], step: Long = 1L): Dataset[LocfOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(r => (r.server, r.service))
+      .transformWithState(new LocfProcessor(step),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   // --------------------------- A12 seasonal decomposition at ingest
 
   case class SeasOut(server: String, service: String, bucket: Long,

@@ -368,6 +368,69 @@ class StateV2Spec extends AnyFunSuite {
     }
   }
 
+  test("LOCF gap-fill V2 == batch a11 frame on the same buckets " +
+      "(elided quiet buckets zero-filled, a replayed bucket dropped)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val interval = 1000L
+      val rnd = new scala.util.Random(41)
+      // per-key bucket series over the SAME global range (every key
+      // observes the min and max bucket, so the batch scaffold's row set
+      // equals the stream's own-bounds row set); quiet stretches differ
+      // per key, incl. multi-bucket gaps
+      val quiet = Map("s0" -> Set(2L, 3L, 7L), "s1" -> Set(5L, 9L, 10L, 11L))
+      val series = for {
+        srv <- Seq("s0", "s1"); b <- 0L until 14L
+      } yield ApmStateV2.LocfIn(srv, "svc", b,
+        if (quiet(srv).contains(b)) Nil
+        else Seq.fill(1 + rnd.nextInt(4))(rnd.nextDouble() * 100.0))
+      val fed = series.filter(_.vals.nonEmpty) // stream elides quiet buckets
+      val in = MemoryStream[ApmStateV2.LocfIn]
+      val out = ApmStateV2.locfStreamV2(in.toDS())
+      val q = out.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("locf_out").start()
+      try {
+        val (c1, c2) = fed.partition(_.bucket < 6L)
+        in.addData(c1); q.processAllAvailable()
+        // replay an already-folded DATA bucket: observable drop, no effect
+        ApmStateV2.LateDrops.reset()
+        in.addData(ApmStateV2.LocfIn("s0", "svc", 1L, Seq(999.0)))
+        q.processAllAvailable()
+        assert(ApmStateV2.LateDrops.droppedWithData.get() == 1L)
+        in.addData(c2); q.processAllAvailable()
+        val got = spark.table("locf_out").as[ApmStateV2.LocfOut].collect()
+          .map(o => (o.server, o.bucket) ->
+            ((o.cnt, o.obs_avg, o.filled_avg, o.is_filled, o.fill_age)))
+          .toMap
+
+        // batch a11 over the equivalent raw events
+        val raw = series.flatMap(r => r.vals.zipWithIndex.map { case (v, j) =>
+            (s"${r.server}${r.bucket}_$j", r.server, r.service,
+              r.bucket * interval + j, v)
+          }).toDF("log_id", "server", "service", "end_ms", "elapsed")
+        val exp = graft.operators.ApmStats.locfFillFrom(raw, interval)
+          .collect().map { r =>
+            def d(i: Int): Double =
+              if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
+            (r.getString(0), r.getLong(2) / interval) ->
+              ((r.getLong(3), d(4), d(5), r.getInt(6),
+                if (r.isNullAt(7)) Double.NaN else r.getLong(7).toDouble))
+          }.toMap
+        assert(exp.nonEmpty && got.size == exp.size,
+          s"row count ${got.size} != ${exp.size}")
+        def same(a: Double, b: Double) = (a.isNaN && b.isNaN) || a == b
+        exp.foreach { case (k, (eC, eO, eF, eI, eA)) =>
+          val (gC, gO, gF, gI, gA) = got(k)
+          assert(gC == eC && same(gO, eO) && same(gF, eF) && gI == eI &&
+            same(gA, eA), s"$k: got ${got(k)} exp ${(eC, eO, eF, eI, eA)}")
+        }
+        // the carry is real: at least one filled row inherits a value
+        assert(got.values.exists(v => v._4 == 1 && !v._3.isNaN))
+      } finally q.stop()
+    }
+  }
+
   test("seasonal decomposition V2 == prefix-batch windows; last phase " +
       "rows == the full a12 seasonal mean") {
     import spark.implicits._
