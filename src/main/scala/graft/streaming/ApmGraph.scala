@@ -213,6 +213,120 @@ object ApmGraph {
     await(w.start())
   }
 
+  /** Stage 1 variant producing STATS rows to a queue topic instead of a
+    * parquet directory — the first handoff of the fully-queued topology
+    * ([[runStageQueued]]): every stage boundary over the file-backed
+    * broker, one OS process per stage, the reference's actual
+    * deployment shape (six processes wired by a broker,
+    * config/apm_config.json:58-81). Rows are keyed by `server|service`
+    * so partition-local queue order preserves per-key order — the only
+    * ordering the downstream keyed folds need (and the only one a
+    * broker guarantees). The value is the JSON StatsRow.
+    */
+  def runStage1Queued(spark: SparkSession, logsGlob: String, workDir: String,
+      cfg: GraphCfg, topic: String, nPartitions: Int = 4,
+      queueDir: Option[String] = None): Unit = {
+    val lines = LogFileSource.stream(spark, logsGlob)
+    val parsed = Parsing.extractStdExit(
+        lines.filter(col("log_type") === "server_log"))
+      .select(col("server"), col("service"),
+        timestamp_millis(col("end_ms")).as("end_ts"), col("elapsed"))
+    val w = ApmStreaming.slidingStatsStream(
+        parsed, cfg.windowLen, cfg.slide, cfg.lateness)
+      .select(concat_ws("|", col("server"), col("service")).as("key"),
+        to_json(struct(col("*"))).as("value"))
+      .writeStream
+      .format("graftqueue")
+      .option("topic", topic)
+      .option("partitions", nPartitions)
+      .option("checkpointLocation", s"$workDir/ckpt_stats_q")
+      .trigger(Trigger.AvailableNow())
+    queueDir.foreach(d => w.option("dir", d))
+    await(w.start())
+  }
+
+  /** Stage 2 variant: consume stats from a queue topic, produce z-scored
+    * rows to another. Same key discipline as [[runStage1Queued]].
+    */
+  def runStage2Queued(spark: SparkSession, workDir: String, cfg: GraphCfg,
+      inTopic: String, outTopic: String, group: String = "stage2",
+      nPartitions: Int = 4, queueDir: Option[String] = None): Unit = {
+    import spark.implicits._
+    val r = spark.readStream.format("graftqueue")
+      .option("topic", inTopic).option("group", group)
+    queueDir.foreach(d => r.option("dir", d))
+    val stats = r.load()
+      .select(from_json(col("value"), statsSchema).as("r"))
+      .select(col("r.*"))
+    val z = ApmStreaming.zScoreStream(
+      ApmStreaming.fanOutLags(stats, Seq(cfg.lag)))
+    val w = z
+      .select(concat_ws("|", col("server"), col("service")).as("key"),
+        to_json(struct(col("*"))).as("value"))
+      .writeStream
+      .format("graftqueue")
+      .option("topic", outTopic)
+      .option("partitions", nPartitions)
+      .option("checkpointLocation", s"$workDir/ckpt_z_q")
+      .trigger(Trigger.AvailableNow())
+    queueDir.foreach(d => w.option("dir", d))
+    await(w.start())
+  }
+
+  /** Stage 3 variant: consume z-scored rows from a queue topic, produce
+    * fired rows to another (the queue-in flavor of [[runStage3Queued]],
+    * which reads a parquet zscore topic). Fired rows are keyed by
+    * SERVICE — the key the stage-4 cooldown fold is grouped on.
+    */
+  def runStage3FromQueue(spark: SparkSession, workDir: String, cfg: GraphCfg,
+      inTopic: String, outTopic: String, group: String = "stage3",
+      nPartitions: Int = 4, queueDir: Option[String] = None): Unit = {
+    import spark.implicits._
+    val r = spark.readStream.format("graftqueue")
+      .option("topic", inTopic).option("group", group)
+    queueDir.foreach(d => r.option("dir", d))
+    val z = r.load()
+      .select(from_json(col("value"), zOutSchema).as("r"))
+      .select(col("r.*"))
+    val cand = Alerts.candidates(z, cfg.alert)
+      .select(col("server"), col("service"), col("lag"), col("ts_ms"),
+        col("bad"), col("causes")).as[ApmStreaming.VoteIn]
+    val fired = ApmStreaming.voteStream(cand, cfg.alert)
+    val w = fired
+      .select(col("service").as("key"),
+        to_json(struct(col("server"), col("service"), col("lag"),
+          col("ts_ms"), col("causes"))).as("value"))
+      .writeStream
+      .format("graftqueue")
+      .option("topic", outTopic)
+      .option("partitions", nPartitions)
+      .option("checkpointLocation", s"$workDir/ckpt_fired_q")
+      .trigger(Trigger.AvailableNow())
+    queueDir.foreach(d => w.option("dir", d))
+    await(w.start())
+  }
+
+  /** One drain pass of stage `n` in the fully-queued topology (every
+    * handoff a file topic under `queueDir`): 1 tails `logsGlob`,
+    * 2 consumes `t_stats`, 3 consumes `t_z`, 4 consumes `t_fired` and
+    * lands `workDir/alerts`. Each stage keeps its own checkpoints under
+    * its own `workDir`; only `queueDir` (and, for 1, the log directory)
+    * is shared — which is exactly what makes the stages runnable as
+    * four separate OS processes (MultiProcessGraphSpec forks them).
+    */
+  def runStageQueued(spark: SparkSession, stage: Int, logsGlob: String,
+      workDir: String, queueDir: String, cfg: GraphCfg): Unit = stage match {
+    case 1 => runStage1Queued(spark, logsGlob, workDir, cfg, "t_stats",
+      queueDir = Some(queueDir))
+    case 2 => runStage2Queued(spark, workDir, cfg, "t_stats", "t_z",
+      queueDir = Some(queueDir))
+    case 3 => runStage3FromQueue(spark, workDir, cfg, "t_z", "t_fired",
+      queueDir = Some(queueDir))
+    case 4 => runStage4Queued(spark, workDir, cfg, "t_fired",
+      queueDir = Some(queueDir))
+    case other => sys.error(s"no stage $other")
+  }
+
   /** Stage 4 variant consuming fired rows from the queue topic. */
   def runStage4Queued(spark: SparkSession, workDir: String, cfg: GraphCfg,
       topic: String, group: String = "stage4",

@@ -1,0 +1,209 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Alerts, Parsing, ZScore}
+import graft.sources.LogFileSource
+import graft.streaming.{ApmGraph, ApmStreaming, ContractConsumer, FileTopic}
+
+/** The reference's COMPLETE process topology, reproduced: all four graph
+  * stages as four concurrently-running, separately-forked OS processes
+  * (child JVMs on FileTopicChild's `graphstage` mode), every stage
+  * boundary a file-backed queue topic (the broker fabric of
+  * config/apm_config.json:58-81) — no stage shares anything with another
+  * except the topic directory (and, for stage 1, the tailed log files).
+  *
+  * Live consumption, not replay: downstream stages are already running
+  * and draining while upstream stages are still producing — the spec
+  * proves it by asserting each downstream stage completed a drain
+  * BEFORE the corpus was complete (its liveness marker predates the
+  * second log wave). Mid-run, stage 2 (the stateful z-score process) is
+  * SIGKILLed and a fresh JVM is forked over the same checkpoint + topic
+  * directory. The final alert set must STILL equal the in-process batch
+  * chain over the same logs bit-exactly, and the z topic's full record
+  * set must equal the batch z-score fold — the cross-process version of
+  * GraphFaultSpec's exactly-once claim: file-backed group commits,
+  * idempotent producer fences and per-stage checkpoints survive a hard
+  * process death with no loss and no duplication.
+  */
+class MultiProcessGraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft_wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val fmt = DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss,SSS").withZone(ZoneOffset.UTC)
+  private def lt(ms: Long): String = fmt.format(Instant.ofEpochMilli(ms))
+  private val t0 = 1578391200000L // 2020-01-07T10:00:00Z
+
+  private def exitLine(id: Int, ms: Long, svc: String, elapsed: Long): String =
+    s"[$id] ${lt(ms)} [a:b:42] INFO CommonTiming::Stop $svc handled in time $elapsed"
+
+  private def writeLog(dir: String, server: String, name: String,
+      lines: Seq[String]): Unit = {
+    val p = Paths.get(dir, "net", server, name)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, lines.mkString("", "\n", "\n"))
+    ()
+  }
+
+  /** Fork one graph stage as a separate JVM; stdout/stderr tee to a file
+    * for post-mortem, handle returned for the kill.
+    */
+  private def forkStage(stage: Int, logsGlob: String, work: String,
+      qdir: String, stop: String, base: String): Process = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val pb = new ProcessBuilder(javaBin, "-Xmx3g", "-cp", cp,
+      "graft.streaming.FileTopicChild", "graphstage", stage.toString,
+      logsGlob, work, qdir, stop)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(Paths.get(base, s"stage$stage.out").toFile)
+    pb.start()
+  }
+
+  private def spinUntil(deadlineSec: Int, what: String)(cond: => Boolean): Unit = {
+    val deadline = System.nanoTime() + deadlineSec * 1000L * 1000 * 1000
+    while (!cond && System.nanoTime() < deadline) Thread.sleep(200)
+    assert(cond, s"timed out after $deadlineSec s waiting for: $what")
+  }
+
+  test("four forked JVMs over file topics, stage 2 SIGKILLed and " +
+      "re-forked mid-run: alerts and the z topic == the batch chain") {
+    val base = Files.createTempDirectory("graft_mp").toString
+    val logs = s"$base/logs"
+    val glob = s"$logs/net/*/*"
+    val qdir = s"$base/q"
+    val stop = s"$base/stop"
+    val works = (1 to 4).map(s => s"$base/work$s")
+    works.foreach(w => Files.createDirectories(Paths.get(w)))
+    val cfg = ApmGraph.GraphCfg()
+
+    // wave 1: quiet half (elapsed 100) — warms every stage's state
+    Seq("hostA", "hostB").foreach { srv =>
+      writeLog(logs, srv, "server.log", (0 until 10).map(i =>
+        exitLine(i, t0 + i * 10000L, "S:checkout", 100L)))
+    }
+
+    // fork ALL FOUR stages; they run concurrently from here on
+    val procs = scala.collection.mutable.Map(
+      (1 to 4).map(s => s -> forkStage(s, glob, works(s - 1), qdir, stop, base)): _*)
+    try {
+      // stage 2 must have CONSUMED live wave-1 records (produced its own
+      // output) before the corpus is complete — and before we kill it
+      val tz = Paths.get(qdir, "t_z")
+      spinUntil(120, "stage 2 to produce z rows from wave 1") {
+        Files.exists(tz) &&
+          new FileTopic(tz).endOffsets.values.sum > 0
+      }
+      val zAtKill = new FileTopic(tz).endOffsets.values.sum
+      val drainedDownstream = (2 to 4).map(s =>
+        s -> Files.exists(Paths.get(works(s - 1), s"drained_$s"))).toMap
+
+      // hard-kill the stateful z-score process mid-run
+      procs(2).destroyForcibly()
+      procs(2).waitFor()
+      assert(procs(2).exitValue() != 0, "stage 2 exited cleanly before the kill")
+
+      // wave 2 while stage 2 is DEAD: the slow half (elapsed 300) that
+      // trips the thresholds, plus the far-future sentinel that closes
+      // every real window
+      // a rotated-log name so the P1 router still classifies it
+      Seq("hostA", "hostB").foreach { srv =>
+        writeLog(logs, srv, "server.log.1", (10 until 19).map(i =>
+          exitLine(i, t0 + i * 10000L, "S:checkout", 300L)))
+      }
+      writeLog(logs, "zz", "server.log",
+        Seq(exitLine(999, t0 + 100000000L, "S:checkout", 1L)))
+
+      // re-fork stage 2 over the same checkpoint + topics
+      procs(2) = forkStage(2, glob, works(1), qdir, stop, base)
+
+      // ---- batch oracle over the same lines (sentinel filtered)
+      val parsedB = Parsing.extractStdExit(
+          LogFileSource.batch(spark, glob)
+            .filter(col("log_type") === "server_log"))
+        .select(col("server"), col("service"),
+          timestamp_millis(col("end_ms")).as("end_ts"), col("elapsed"))
+      val statsB = ApmStreaming.slidingStatsStream(
+          parsedB, cfg.windowLen, cfg.slide, cfg.lateness)
+        .filter(col("server") =!= "zz")
+      val zBatchDf = ZScore.zScoreFold(
+        statsB.select("server", "service", "ts_ms", "tpm",
+          "average", "per75", "per95"), Seq(cfg.lag))
+      val candB = Alerts.candidates(zBatchDf, cfg.alert)
+        .select("server", "service", "lag", "ts_ms", "bad", "causes")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3),
+          r.getInt(4) == 1, r.getString(5)))
+      val expAlerts = Alerts.alertsRef(candB.toIndexedSeq, cfg.alert)
+        .map(a => (a._1, a._2, a._3, a._4)).sorted.toList
+      assert(expAlerts.nonEmpty, "oracle produced no alerts — inert corpus")
+
+      // ---- convergence: the forked chain drains to the oracle's count
+      def gotAlerts(): List[(Long, String, String, Int)] =
+        try spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"${works(3)}/alerts")
+          .select("ts_ms", "server", "service", "lag").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+          .sorted.toList
+        catch { case _: Throwable => Nil }
+      spinUntil(300, s"the alert sink to reach ${expAlerts.size} rows " +
+        s"(last saw ${gotAlerts().size})") {
+        gotAlerts().size >= expAlerts.size
+      }
+      Files.createFile(Paths.get(stop))
+      procs.foreach { case (s, p) =>
+        assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+          s"stage $s did not stop")
+        assert(p.exitValue() == 0, s"stage $s crashed: see $base/stage$s.out")
+      }
+
+      // live, not replayed: downstream stages were draining before the
+      // corpus was complete
+      assert(zAtKill > 0, "stage 2 produced nothing before the kill")
+      assert(drainedDownstream.values.forall(identity),
+        s"a downstream stage never drained pre-kill: $drainedDownstream")
+
+      // end-to-end: the forked topology's alerts == the batch oracle
+      assert(gotAlerts() == expAlerts,
+        s"alerts diverge: got=${gotAlerts()} exp=$expAlerts")
+
+      // mid-chain: the z topic's records (all partitions, full history —
+      // no retention configured here) == the batch z-score fold, so the
+      // kill+re-fork lost nothing and duplicated nothing
+      val zSchema = Encoders.product[ApmStreaming.ZOut].schema
+      val zRecords = new ContractConsumer(new FileTopic(tz), "spec_audit")
+        .poll(1000000).map(_.value)
+      import spark.implicits._
+      val zCols = Seq("server", "service", "lag", "ts_ms",
+        "average_signal", "per75_signal", "per95_signal")
+      def zList(df: org.apache.spark.sql.DataFrame): List[Seq[Any]] =
+        df.select(zCols.map(col): _*).collect().map(_.toSeq)
+          .toList.sortBy(_.mkString("|"))
+      val zStream = zList(zRecords.toDF("value")
+        .select(from_json(col("value"), zSchema).as("r")).select(col("r.*")))
+      val zBatch = zList(zBatchDf)
+      assert(zStream.size == zBatch.size,
+        s"z topic row count ${zStream.size} != batch ${zBatch.size}")
+      assert(zStream == zBatch, "z topic diverges from the batch fold")
+    } finally {
+      // belt-and-braces: never leak child JVMs on a failed assert
+      try Files.createFile(Paths.get(stop)) catch { case _: Throwable => }
+      procs.values.foreach { p =>
+        if (!p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+          p.destroyForcibly()
+      }
+    }
+  }
+}

@@ -46,6 +46,21 @@ object FileTopicChild {
       val count = args(4).toInt
       (0 until count).foreach(i => t.produce(s"k${i % 8}", s"$prefix:$i"))
       println(s"PRODUCED=$count")
+    case "produce-for" =>
+      // produce-for <dir> <nPart> <prefix> <millis> [batch]: produce
+      // keyed records (`k<i%8>` -> `<prefix>:<i>`) until the deadline,
+      // in `batch`-row produceAll calls (default 100 — the task-buffer
+      // shape the connector's sink uses), printing PRODUCED=<n>.
+      val t = new FileTopic(Paths.get(args(1)), args(2).toInt)
+      val prefix = args(3)
+      val deadline = System.nanoTime() + args(4).toLong * 1000000L
+      val batch = if (args.length > 5) args(5).toInt else 100
+      var i = 0
+      while (System.nanoTime() < deadline) {
+        t.produceAll((i until i + batch).map(j => (s"k${j % 8}", s"$prefix:$j")))
+        i += batch
+      }
+      println(s"PRODUCED=$i")
     case "consume" =>
       val t = new FileTopic(Paths.get(args(1)))
       val c = new ContractConsumer(t, args(2))
@@ -74,6 +89,41 @@ object FileTopicChild {
         .parquet(args(1) + "/alerts").count()
       spark.stop()
       println(s"ALERTS=$n")
+    case "graphstage" =>
+      // graphstage <n> <logsGlob> <workDir> <queueDir> <stopFile> — run
+      // ONE stage of the fully-queued topology as THIS process, live:
+      // drain whatever is pending, sleep briefly, repeat until the stop
+      // file appears. Upstream stages produce concurrently into the
+      // shared file topics, so each iteration consumes records that did
+      // not exist when the previous one planned — genuine streaming
+      // consumption across process boundaries, not an after-the-fact
+      // replay. Checkpoints live under this stage's own workDir; ONLY
+      // the topic directory (and, for stage 1, the log files) is shared.
+      val stage = args(1).toInt
+      val (logsGlob, workDir, queueDir) = (args(2), args(3), args(4))
+      val stop = Paths.get(args(5))
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[3]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft_wh_child").toString)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val cfg = ApmGraph.GraphCfg()
+      var drains = 0
+      while (!java.nio.file.Files.exists(stop)) {
+        ApmGraph.runStageQueued(spark, stage, logsGlob, workDir, queueDir, cfg)
+        drains += 1
+        // liveness marker for the parent (see MultiProcessGraphSpec):
+        // proves this process completed a drain AFTER a given instant
+        java.nio.file.Files.writeString(
+          Paths.get(workDir, s"drained_$stage"), drains.toString)
+        Thread.sleep(150)
+      }
+      spark.stop()
+      println(s"STAGE$stage=$drains")
     case other => sys.error(s"unknown mode $other")
   }
 }
