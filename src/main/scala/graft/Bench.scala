@@ -42,6 +42,35 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val osBean = ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // Run-attribution context (round 6: the driver's run of identical
+    // code landed a uniform 1.19x slower than the builder's committed
+    // artifact — neither artifact carried anything to attribute the
+    // delta to). Two instruments, both in the FILE artifact:
+    //  - /proc/loadavg at start and end — names concurrent host load;
+    //  - a fixed-work single-thread calibration spin (pure JVM, no
+    //    Spark), timed at start and end: the ratio of two runs'
+    //    calib_sec is the host-speed scalar to normalize their query
+    //    times by (a stalled/oversubscribed box shows up here, a plan
+    //    regression does not).
+    def loadavg(): String =
+      try Files.readString(Paths.get("/proc/loadavg")).trim
+        .split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    def calibrate(): Double = {
+      def spin(): Double = {
+        val t0 = System.nanoTime()
+        var x = 88172645463325252L; var i = 0
+        while (i < 400000000) { // xorshift64, fixed work, ~0.5 s unloaded
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+        }
+        if (x == 42L) System.err.println("") // keep the loop live
+        (System.nanoTime() - t0) / 1e9
+      }
+      val xs = Seq(spin(), spin(), spin()).sorted
+      xs(1)
+    }
+    val loadStart = loadavg()
+    val calibStart = calibrate()
     // Warm the JVM (codegen, parquet reader, shuffle machinery) so the
     // first measured query doesn't absorb one-time init cost.
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -146,7 +175,8 @@ object Bench {
           frames.foreach(_.unpersist(blocking = true))
           System.gc() // let ContextCleaner reap the chain's broadcasts
         }
-      (name, median(passes.map(_._1).toSeq), median(passes.map(_._2).toSeq))
+      (name, median(passes.map(_._1).toSeq), median(passes.map(_._2).toSeq),
+        passes.map(_._1).toSeq)
     }
     // ---- Streaming throughput: the reference's only published number is
     // sustained derived-stats rows/s through its six-process chain
@@ -201,8 +231,13 @@ object Bench {
           "[a:b:42] INFO CommonTiming::Stop S:checkout handled in time 1\n")
         graft.streaming.ApmGraph.runStage1(spark, glob, work, cfg)
         graft.streaming.ApmGraph.runStage2(spark, work, cfg)
+        // stages 3+4 timed separately: the same boundary also runs over
+        // the FILE-BACKED queue transport below, and s34_sec is the
+        // parquet-handoff number it compares against
+        val s34t0 = System.nanoTime()
         graft.streaming.ApmGraph.runStage3(spark, work, cfg)
         graft.streaming.ApmGraph.runStage4(spark, work, cfg)
+        val s34Sec = (System.nanoTime() - s34t0) / 1e9
         val streamSec = (System.nanoTime() - s0) / 1e9
         def cnt(dir: String): Long =
           try spark.read.option("recursiveFileLookup", "true")
@@ -212,7 +247,26 @@ object Bench {
         val alertRows = cnt(s"$work/alerts")
         System.err.println(f"[bench] stream lines=$nLines sec=$streamSec%.1f " +
           f"stats=$statsRows alerts=$alertRows")
-        f""","stream":{"lines":$nLines,"sec":$streamSec%.1f,"lines_per_sec":${nLines / streamSec}%.0f,"stats_rows":$statsRows,"stats_rows_per_sec":${statsRows / streamSec}%.0f,"alerts":$alertRows}"""
+        // ---- The deployable transport's cost, measured: the SAME
+        // stage-3 -> stage-4 handoff again, but through the file-backed
+        // queue topic (graftqueue over `dir` — the multi-process
+        // transport MultiProcessGraphSpec forks JVMs over) instead of a
+        // parquet topic directory. Same zscore input (one writer, many
+        // consumers; this consumer brings its own checkpoints), fresh
+        // work dir, so stream_file.sec vs stream.s34_sec isolates the
+        // transport delta at identical data and identical stage code.
+        val workF = base.resolve("workf").toString
+        val f0 = System.nanoTime()
+        graft.streaming.ApmGraph.runStage3Queued(spark, workF, cfg,
+          "bench_fired", queueDir = Some(base.resolve("qdir").toString),
+          zscoreDir = Some(s"$work/zscore"))
+        graft.streaming.ApmGraph.runStage4Queued(spark, workF, cfg,
+          "bench_fired", queueDir = Some(base.resolve("qdir").toString))
+        val fileSec = (System.nanoTime() - f0) / 1e9
+        val alertsF = cnt(s"$workF/alerts")
+        System.err.println(f"[bench] stream_file s34=$fileSec%.1f s " +
+          f"(parquet s34=$s34Sec%.1f s) alerts=$alertsF")
+        f""","stream":{"lines":$nLines,"sec":$streamSec%.1f,"lines_per_sec":${nLines / streamSec}%.0f,"stats_rows":$statsRows,"stats_rows_per_sec":${statsRows / streamSec}%.0f,"alerts":$alertRows,"s34_sec":$s34Sec%.1f},"stream_file":{"s34_sec":$fileSec%.1f,"alerts":$alertsF}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream bench FAILED: ${e.getClass.getName}: ${e.getMessage}")
         errors("stream_graph") = e.getClass.getSimpleName
@@ -220,11 +274,22 @@ object Bench {
       }
     }
     def jnum(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, w, _) => s""""$k":${jnum(w)}""" }.mkString("{", ",", "}")
-    val cpu = results.map { case (k, _, c) => s""""$k":${jnum(c)}""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, w, _, _) => s""""$k":${jnum(w)}""" }.mkString("{", ",", "}")
+    val cpu = results.map { case (k, _, c, _) => s""""$k":${jnum(c)}""" }.mkString("{", ",", "}")
+    val passJson = results.map { case (k, _, _, ps) =>
+      s""""$k":${ps.map(jnum).mkString("[", ",", "]")}""" }.mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val loadEnd = loadavg()
+    val calibEnd = calibrate()
+    // run-attribution block: two runs of identical code divide their
+    // calib medians to get the host-speed scalar; loadavg names the
+    // concurrent load; per-query pass lists expose which passes a stall
+    // hit (median-only artifacts hid all of this in round 6)
+    val ctxJson = s""","calib_sec":{"start":${jnum(calibStart)},"end":${jnum(calibEnd)}}""" +
+      s""","loadavg":{"start":"$loadStart","end":"$loadEnd"}""" +
+      s""","passes":$passJson"""
     // `shared`: queries timed as INCREMENTAL work over a family frame
     // whose build cost is attributed to the family's unshared trainer
     // query (r2_candidates / e2_pq_codes / s7_ivfpq / d4) — pipeline-view
@@ -234,7 +299,7 @@ object Bench {
     // medians but means allocation-heavy queries don't pay their GC here.
     val sharedJson = sharedRan.toSeq.sorted
       .map(n => s""""$n"""").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cpu_sec":$cpu,"shared":$sharedJson,"gc_note":"per-query medians exclude inter-pass System.gc","errors":$errJson$streamJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cpu_sec":$cpu,"shared":$sharedJson,"gc_note":"per-query medians exclude inter-pass System.gc","errors":$errJson$streamJson$ctxJson,"sf":"$sfDir"}"""
     // Full artifact (per-query wall + cpu maps, ~4 KB) goes to FILES — a
     // repo-visible copy plus /tmp — because a 4 KB stdout line overflows
     // the driver's log-tail buffer (rounds 1 and 2 both lost the parsed
@@ -249,7 +314,7 @@ object Bench {
     // The stdout line carries only the headline scalars — total wall,
     // query count, error map, stream block, sf — and points at
     // bench_out.json for the per-query detail. Must stay under 400 B.
-    val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"errors":$errJson$streamJson,"sf":"$sfDir","detail":"bench_out.json"}"""
+    val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"errors":$errJson$streamJson,"calib":${jnum(calibEnd)},"sf":"$sfDir","detail":"bench_out.json"}"""
     spark.stop()
     // Bare, final stdout line (spark.stop() already happened so nothing
     // logs after it; run/outputStrategy passes it through un-prefixed).

@@ -310,19 +310,46 @@ case class QueueInputPartition(topicName: String, partition: Int,
     from: Long, to: Long, dir: Option[String] = None) extends InputPartition
 
 class QueuePartitionReaderFactory extends PartitionReaderFactory {
+  /** Rows per poll call while walking a planned range. Bounds task
+    * memory by the chunk, not the batch: an unbounded (`maxpoll=0`)
+    * trigger over a deep backlog plans one range per partition however
+    * large the lag is — materializing it in one `read` would hold the
+    * whole backlog on-heap (and `(to - from).toInt` would overflow past
+    * 2^31 records, silently planning an EMPTY read for the range: a
+    * completed batch with its data skipped). 64k keeps each refill one
+    * channel-open round while the iterator stays O(chunk).
+    */
+  private val Chunk = 1 << 16
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val qp = partition.asInstanceOf[QueueInputPartition]
-    // the takeWhile is load-bearing only for a range planned below a
-    // retention beginning (read resumes at the beginning — earliest
-    // reset — and could otherwise run past `to`); planned ranges start
-    // at max(committed, beginning), so normally it keeps everything
-    val recs = QueueRegistry.topic(qp.topicName, dir = qp.dir)
-      .read(qp.partition, qp.from, (qp.to - qp.from).toInt)
-      .takeWhile(_.offset < qp.to)
+    val topic = QueueRegistry.topic(qp.topicName, dir = qp.dir)
     new PartitionReader[InternalRow] {
-      private val it = recs.iterator
+      private var pos = qp.from
+      private var chunk: Iterator[QueueRecord] = Iterator.empty
       private var cur: QueueRecord = _
-      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      private def refill(): Boolean = {
+        while (!chunk.hasNext && pos < qp.to) {
+          val max = math.min(qp.to - pos, Chunk.toLong).toInt
+          val batch = topic.read(qp.partition, pos, max)
+          if (batch.isEmpty) pos = qp.to // range fully retention-trimmed
+          else {
+            // a read below a retention beginning resumes at the earliest
+            // retained record (offsets are the records' own), so advance
+            // by what the topic RETURNED and keep only what the plan
+            // covers — never spin on a trimmed prefix, never emit past
+            // `to`
+            pos = batch.last.offset + 1
+            chunk = batch.iterator.filter(_.offset < qp.to)
+          }
+        }
+        chunk.hasNext
+      }
+      override def next(): Boolean = {
+        val h = refill()
+        if (h) cur = chunk.next()
+        h
+      }
       override def get(): InternalRow = new GenericInternalRow(Array[Any](
         cur.partition, cur.offset,
         if (cur.key == null) null else UTF8String.fromString(cur.key),
