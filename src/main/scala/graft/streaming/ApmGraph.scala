@@ -87,8 +87,20 @@ object ApmGraph {
       .option("checkpointLocation", s"$workDir/ckpt_tee")
       .trigger(Trigger.AvailableNow())
       .start()
+    // Keyed-stage ordering contract (all four stage boundaries): the
+    // window agg's sink tasks are hashed by (key, window), so ONE
+    // epoch's rows for a key would span several tasks/files — a
+    // downstream admission boundary (maxFilesPerTrigger, a queue drain
+    // end) landing mid-epoch could then deliver a key's rows
+    // ts-misordered ACROSS micro-batches, which the keyed folds
+    // (within-batch sort only) cannot repair. Repartitioning by KEY
+    // before every stage sink puts each key's whole epoch in one task
+    // (one file / one atomic queue batch), so any split between files
+    // or task batches preserves per-key order; cross-epoch order is
+    // watermark-monotonic.
     val stats = ApmStreaming.slidingStatsStream(
         parsed, cfg.windowLen, cfg.slide, cfg.lateness)
+      .repartition(col("server"), col("service"))
       .writeStream
       .format("parquet")
       .option("path", s"$workDir/stats")
@@ -111,7 +123,10 @@ object ApmGraph {
     val stats = reader.parquet(s"$workDir/stats")
     val z = ApmStreaming.zScoreStream(
       ApmStreaming.fanOutLags(stats, Seq(cfg.lag)))
-    z.writeStream
+    // key-repartitioned before the sink: per-key epoch atomicity (see
+    // runStage1's ordering-contract note)
+    z.repartition(col("server"), col("service"))
+      .writeStream
       .format("parquet")
       .option("path", s"$workDir/zscore")
       .option("checkpointLocation", s"$workDir/ckpt_z")
@@ -130,7 +145,8 @@ object ApmGraph {
       .select(col("server"), col("service"), col("lag"), col("ts_ms"),
         col("bad"), col("causes")).as[ApmStreaming.VoteIn]
     val fired = ApmStreaming.voteStream(cand, cfg.alert)
-    await(fired.writeStream
+    await(fired.repartition(col("service")) // per-key epoch atomicity
+      .writeStream
       .format("parquet")
       .option("path", s"$workDir/fired")
       .option("checkpointLocation", s"$workDir/ckpt_fired")
@@ -203,6 +219,7 @@ object ApmGraph {
       .select(col("service").as("key"),
         to_json(struct(col("server"), col("service"), col("lag"),
           col("ts_ms"), col("causes"))).as("value"))
+      .repartition(col("key")) // per-key epoch atomicity (runStage1 note)
       .writeStream
       .format("graftqueue")
       .option("topic", topic)
@@ -235,6 +252,7 @@ object ApmGraph {
         parsed, cfg.windowLen, cfg.slide, cfg.lateness)
       .select(concat_ws("|", col("server"), col("service")).as("key"),
         to_json(struct(col("*"))).as("value"))
+      .repartition(col("key")) // per-key epoch atomicity (runStage1 note)
       .writeStream
       .format("graftqueue")
       .option("topic", topic)
@@ -263,6 +281,7 @@ object ApmGraph {
     val w = z
       .select(concat_ws("|", col("server"), col("service")).as("key"),
         to_json(struct(col("*"))).as("value"))
+      .repartition(col("key")) // per-key epoch atomicity (runStage1 note)
       .writeStream
       .format("graftqueue")
       .option("topic", outTopic)
@@ -296,6 +315,7 @@ object ApmGraph {
       .select(col("service").as("key"),
         to_json(struct(col("server"), col("service"), col("lag"),
           col("ts_ms"), col("causes"))).as("value"))
+      .repartition(col("key")) // per-key epoch atomicity (runStage1 note)
       .writeStream
       .format("graftqueue")
       .option("topic", outTopic)

@@ -416,10 +416,22 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4,
     throw new IllegalStateException("unreachable")
   }
 
-  def endOffsets: Map[Int, Long] =
+  /** Under the LOCK, deliberately: a lock-free size read could observe
+    * a produceAll mid-append (some partitions/entries of a task batch
+    * visible, others not), and a consumer that PLANS on such a torn end
+    * splits the task batch across two micro-batches — which breaks the
+    * per-key epoch atomicity the keyed-stage ordering contract builds
+    * on (ApmGraph: one task per key per epoch + within-batch sort).
+    * Locked ends always align to completed produceAll/appendBatch
+    * calls, so a planned range never tears a task batch. Planning-time
+    * only (once per trigger), so the contention cost is nil; `read`
+    * stays lock-free.
+    */
+  def endOffsets: Map[Int, Long] = withLock {
     (0 until nPartitions).map { p =>
       p -> withGen(p) { (g, base) => base + entriesAt(p, g) }
     }.toMap
+  }
 
   def beginningOffsets: Map[Int, Long] =
     (0 until nPartitions).map(p => p -> genAndBase(p)._2).toMap

@@ -89,10 +89,14 @@ class MultiProcessGraphSpec extends AnyFunSuite {
     works.foreach(w => Files.createDirectories(Paths.get(w)))
     val cfg = ApmGraph.GraphCfg()
 
-    // wave 1: quiet half (elapsed 100) — warms every stage's state
+    // wave 1: quiet half — warms every stage's state. Elapsed VARIES
+    // (100 + i%5): constant values would make per-key reordering
+    // invisible to the z fold, and the ordering contract (per-key epoch
+    // atomicity + within-batch sort, ApmGraph.runStage1 note) is one of
+    // the claims this spec exists to exercise.
     Seq("hostA", "hostB").foreach { srv =>
       writeLog(logs, srv, "server.log", (0 until 10).map(i =>
-        exitLine(i, t0 + i * 10000L, "S:checkout", 100L)))
+        exitLine(i, t0 + i * 10000L, "S:checkout", 100L + i % 5)))
     }
 
     // fork ALL FOUR stages; they run concurrently from here on
@@ -118,10 +122,11 @@ class MultiProcessGraphSpec extends AnyFunSuite {
       // wave 2 while stage 2 is DEAD: the slow half (elapsed 300) that
       // trips the thresholds, plus the far-future sentinel that closes
       // every real window
-      // a rotated-log name so the P1 router still classifies it
+      // a rotated-log name so the P1 router still classifies it;
+      // elapsed varies here too (order-sensitivity, see wave 1)
       Seq("hostA", "hostB").foreach { srv =>
         writeLog(logs, srv, "server.log.1", (10 until 19).map(i =>
-          exitLine(i, t0 + i * 10000L, "S:checkout", 300L)))
+          exitLine(i, t0 + i * 10000L, "S:checkout", 300L + (i % 7) * 3)))
       }
       writeLog(logs, "zz", "server.log",
         Seq(exitLine(999, t0 + 100000000L, "S:checkout", 1L)))
