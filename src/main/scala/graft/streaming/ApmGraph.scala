@@ -326,13 +326,49 @@ object ApmGraph {
     await(w.start())
   }
 
+  /** Stage 5 — the reference's DB-insert process
+    * (stream_insert_db.js:277-353): a SECOND consumer group on the z
+    * topic (the db pipeline and the alert pipeline both consume derived
+    * stats — exactly the reference's fan-out), shaping each row into
+    * the stats-table form (identity/measure columns + the 15 z fields
+    * as one json payload, S6) and batch-inserting into an embedded
+    * Derby via the requeue-on-failure JDBC sink. The Derby lives under
+    * this stage's OWN workDir — single-process like the reference's one
+    * DB writer; the parent asserts its contents after the process
+    * exits.
+    */
+  def runStage5DbQueued(spark: SparkSession, workDir: String, cfg: GraphCfg,
+      inTopic: String, group: String = "s6db",
+      queueDir: Option[String] = None): Unit = {
+    val r = spark.readStream.format("graftqueue")
+      .option("topic", inTopic).option("group", group)
+    queueDir.foreach(d => r.option("dir", d))
+    val z0 = r.load()
+      .select(from_json(col("value"), zOutSchema).as("r"))
+      .select(col("r.*"))
+    // The in-flight ZOut encodes the reference's `undefined` as NaN
+    // (a case-class Double has no null); the DB payload's convention is
+    // SQL NULL — what the batch chain emits and the registered
+    // s6_db_stats oracle pins — so warm-up/σ=0 fields are mapped back
+    // before the json shaping.
+    val z = Seq("average", "per75", "per95")
+      .flatMap(m => Seq(m, s"${m}_avg", s"${m}_lb", s"${m}_ub"))
+      .foldLeft(z0)((df, c) =>
+        df.withColumn(c, when(isnan(col(c)), lit(null)).otherwise(col(c))))
+    await(JdbcSink.sinkToJdbc(JdbcSink.statsTableRows(z),
+      s"jdbc:derby:$workDir/db;create=true", "stats_rows",
+      s"$workDir/ckpt_db", s"$workDir/park"))
+  }
+
   /** One drain pass of stage `n` in the fully-queued topology (every
     * handoff a file topic under `queueDir`): 1 tails `logsGlob`,
     * 2 consumes `t_stats`, 3 consumes `t_z`, 4 consumes `t_fired` and
-    * lands `workDir/alerts`. Each stage keeps its own checkpoints under
-    * its own `workDir`; only `queueDir` (and, for 1, the log directory)
-    * is shared — which is exactly what makes the stages runnable as
-    * four separate OS processes (MultiProcessGraphSpec forks them).
+    * lands `workDir/alerts`, 5 consumes `t_z` under its own group and
+    * inserts the stats-table rows into an embedded Derby. Each stage
+    * keeps its own checkpoints under its own `workDir`; only `queueDir`
+    * (and, for 1, the log directory) is shared — which is exactly what
+    * makes the stages runnable as separate OS processes
+    * (MultiProcessGraphSpec forks them).
     */
   def runStageQueued(spark: SparkSession, stage: Int, logsGlob: String,
       workDir: String, queueDir: String, cfg: GraphCfg): Unit = stage match {
@@ -343,6 +379,8 @@ object ApmGraph {
     case 3 => runStage3FromQueue(spark, workDir, cfg, "t_z", "t_fired",
       queueDir = Some(queueDir))
     case 4 => runStage4Queued(spark, workDir, cfg, "t_fired",
+      queueDir = Some(queueDir))
+    case 5 => runStage5DbQueued(spark, workDir, cfg, "t_z",
       queueDir = Some(queueDir))
     case other => sys.error(s"no stage $other")
   }

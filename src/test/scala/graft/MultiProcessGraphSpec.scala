@@ -11,7 +11,8 @@ import graft.sources.LogFileSource
 import graft.streaming.{ApmGraph, ApmStreaming, ContractConsumer, FileTopic}
 
 /** The reference's COMPLETE process topology, reproduced: all four graph
-  * stages as four concurrently-running, separately-forked OS processes
+  * stages plus the S6 DB-insert consumer as five concurrently-running,
+  * separately-forked OS processes
   * (child JVMs on FileTopicChild's `graphstage` mode), every stage
   * boundary a file-backed queue topic (the broker fabric of
   * config/apm_config.json:58-81) — no stage shares anything with another
@@ -78,14 +79,14 @@ class MultiProcessGraphSpec extends AnyFunSuite {
     assert(cond, s"timed out after $deadlineSec s waiting for: $what")
   }
 
-  test("four forked JVMs over file topics, stage 2 SIGKILLed and " +
+  test("five forked JVMs over file topics, stage 2 SIGKILLed and " +
       "re-forked mid-run: alerts and the z topic == the batch chain") {
     val base = Files.createTempDirectory("graft_mp").toString
     val logs = s"$base/logs"
     val glob = s"$logs/net/*/*"
     val qdir = s"$base/q"
     val stop = s"$base/stop"
-    val works = (1 to 4).map(s => s"$base/work$s")
+    val works = (1 to 5).map(s => s"$base/work$s")
     works.foreach(w => Files.createDirectories(Paths.get(w)))
     val cfg = ApmGraph.GraphCfg()
 
@@ -99,9 +100,10 @@ class MultiProcessGraphSpec extends AnyFunSuite {
         exitLine(i, t0 + i * 10000L, "S:checkout", 100L + i % 5)))
     }
 
-    // fork ALL FOUR stages; they run concurrently from here on
+    // fork ALL FIVE stages (the four graph stages + the S6 DB-insert
+    // consumer, a second group on the z topic); concurrent from here on
     val procs = scala.collection.mutable.Map(
-      (1 to 4).map(s => s -> forkStage(s, glob, works(s - 1), qdir, stop, base)): _*)
+      (1 to 5).map(s => s -> forkStage(s, glob, works(s - 1), qdir, stop, base)): _*)
     try {
       // stage 2 must have CONSUMED live wave-1 records (produced its own
       // output) before the corpus is complete — and before we kill it
@@ -111,7 +113,7 @@ class MultiProcessGraphSpec extends AnyFunSuite {
           new FileTopic(tz).endOffsets.values.sum > 0
       }
       val zAtKill = new FileTopic(tz).endOffsets.values.sum
-      val drainedDownstream = (2 to 4).map(s =>
+      val drainedDownstream = (2 to 5).map(s =>
         s -> Files.exists(Paths.get(works(s - 1), s"drained_$s"))).toMap
 
       // hard-kill the stateful z-score process mid-run
@@ -202,6 +204,23 @@ class MultiProcessGraphSpec extends AnyFunSuite {
       assert(zStream.size == zBatch.size,
         s"z topic row count ${zStream.size} != batch ${zBatch.size}")
       assert(zStream == zBatch, "z topic diverges from the batch fold")
+
+      // stage 5 (the DB-insert process): the embedded Derby it owned —
+      // readable now that the process exited — holds exactly the batch
+      // chain's stats-table rows (identity/measure columns + the json
+      // z payload, byte-equal: both sides are the same statsTableRows
+      // shape over the same values)
+      def dbSet(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+        df.select("ts_ms", "server", "service", "lag", "tpm", "stats_json")
+          .collect().map(_.toSeq).toSet
+      val gotDb = dbSet(spark.read.jdbc(s"jdbc:derby:${works(4)}/db",
+        "stats_rows", new java.util.Properties()))
+      val expDb = dbSet(graft.streaming.JdbcSink.statsTableRows(zBatchDf))
+      assert(gotDb.size == expDb.size,
+        s"db rows ${gotDb.size} != batch ${expDb.size}")
+      assert(gotDb == expDb, "db stats rows diverge from the batch chain; " +
+        s"db-only sample: ${(gotDb -- expDb).take(2)}; " +
+        s"batch-only sample: ${(expDb -- gotDb).take(2)}")
     } finally {
       // belt-and-braces: never leak child JVMs on a failed assert
       try Files.createFile(Paths.get(stop)) catch { case _: Throwable => }
