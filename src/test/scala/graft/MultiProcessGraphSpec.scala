@@ -62,12 +62,12 @@ class MultiProcessGraphSpec extends AnyFunSuite {
     * for post-mortem, handle returned for the kill.
     */
   private def forkStage(stage: Int, logsGlob: String, work: String,
-      qdir: String, stop: String, base: String): Process = {
+      qdir: String, stop: String, base: String, provider: String): Process = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val pb = new ProcessBuilder(javaBin, "-Xmx3g", "-cp", cp,
       "graft.streaming.FileTopicChild", "graphstage", stage.toString,
-      logsGlob, work, qdir, stop)
+      logsGlob, work, qdir, stop, provider)
     pb.redirectErrorStream(true)
     pb.redirectOutput(Paths.get(base, s"stage$stage.out").toFile)
     pb.start()
@@ -79,8 +79,10 @@ class MultiProcessGraphSpec extends AnyFunSuite {
     assert(cond, s"timed out after $deadlineSec s waiting for: $what")
   }
 
-  test("five forked JVMs over file topics, stage 2 SIGKILLed and " +
-      "re-forked mid-run: alerts and the z topic == the batch chain") {
+  /** The full scenario, parameterized by the children's state-store
+    * provider ("" = Spark's default HDFS-backed store).
+    */
+  private def fiveProcessScenario(provider: String): Unit = {
     val base = Files.createTempDirectory("graft_mp").toString
     val logs = s"$base/logs"
     val glob = s"$logs/net/*/*"
@@ -103,7 +105,7 @@ class MultiProcessGraphSpec extends AnyFunSuite {
     // fork ALL FIVE stages (the four graph stages + the S6 DB-insert
     // consumer, a second group on the z topic); concurrent from here on
     val procs = scala.collection.mutable.Map(
-      (1 to 5).map(s => s -> forkStage(s, glob, works(s - 1), qdir, stop, base)): _*)
+      (1 to 5).map(s => s -> forkStage(s, glob, works(s - 1), qdir, stop, base, provider)): _*)
     try {
       // stage 2 must have CONSUMED live wave-1 records (produced its own
       // output) before the corpus is complete — and before we kill it
@@ -134,7 +136,7 @@ class MultiProcessGraphSpec extends AnyFunSuite {
         Seq(exitLine(999, t0 + 100000000L, "S:checkout", 1L)))
 
       // re-fork stage 2 over the same checkpoint + topics
-      procs(2) = forkStage(2, glob, works(1), qdir, stop, base)
+      procs(2) = forkStage(2, glob, works(1), qdir, stop, base, provider)
 
       // ---- batch oracle over the same lines (sentinel filtered)
       val parsedB = Parsing.extractStdExit(
@@ -229,5 +231,15 @@ class MultiProcessGraphSpec extends AnyFunSuite {
           p.destroyForcibly()
       }
     }
+  }
+
+  test("five forked JVMs over file topics, stage 2 SIGKILLed and " +
+      "re-forked mid-run: alerts and the z topic == the batch chain") {
+    fiveProcessScenario("")
+  }
+
+  test("same five-process kill/re-fork scenario with the children on " +
+      "the RocksDB state store (changelog checkpointing)") {
+    fiveProcessScenario(graft.streaming.ApmStateV2.RocksDbProvider)
   }
 }

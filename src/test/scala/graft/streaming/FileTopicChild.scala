@@ -90,8 +90,9 @@ object FileTopicChild {
       spark.stop()
       println(s"ALERTS=$n")
     case "graphstage" =>
-      // graphstage <n> <logsGlob> <workDir> <queueDir> <stopFile> — run
-      // ONE stage of the fully-queued topology as THIS process, live:
+      // graphstage <n> <logsGlob> <workDir> <queueDir> <stopFile>
+      // [stateProvider] — run ONE stage of the fully-queued topology as
+      // THIS process, live:
       // drain whatever is pending, sleep briefly, repeat until the stop
       // file appears. Upstream stages produce concurrently into the
       // shared file topics, so each iteration consumes records that did
@@ -102,14 +103,22 @@ object FileTopicChild {
       val stage = args(1).toInt
       val (logsGlob, workDir, queueDir) = (args(2), args(3), args(4))
       val stop = Paths.get(args(5))
-      val spark = org.apache.spark.sql.SparkSession.builder()
+      val builder = org.apache.spark.sql.SparkSession.builder()
         .master("local[3]")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.warehouse.dir",
           java.nio.file.Files.createTempDirectory("graft_wh_child").toString)
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
+      // optional state-store provider (e.g. RocksDB + changelog), so the
+      // forked-topology spec can prove resume semantics per provider
+      if (args.length > 6 && args(6).nonEmpty) {
+        builder.config("spark.sql.streaming.stateStore.providerClass", args(6))
+        builder.config("spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled", "true")
+        ()
+      }
+      val spark = builder.getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       val cfg = ApmGraph.GraphCfg()
       var drains = 0
