@@ -368,6 +368,34 @@ object Parsing {
     * more robust than the reference, which breaks if a warning lands
     * between blocks). The flatten then reuses the verified F9 path.
     */
+  /** The keyed-doc normalization itself, factored so the live poller
+    * ([[graft.streaming.JmxPoller]]) runs the IDENTICAL expression over
+    * real exec output that the registered `s5_jmx_cli` oracle pins over
+    * synthesized output.
+    */
+  def cliDocCol(raw: org.apache.spark.sql.Column,
+      statNames: Seq[String]): org.apache.spark.sql.Column = {
+    val stripped = regexp_replace(raw, "(?m)^[A-Za-z][^\n]*\n?", "")
+    val commas = regexp_replace(stripped, "\\}\\n\\{", "},\n{")
+    val parts = split(commas, "(?m)^\\{")
+    concat(
+      lit("{"),
+      concat(statNames.zipWithIndex.map { case (nm, i) =>
+        concat(lit("\"" + nm + "\" : {"), element_at(parts, i + 2))
+      }: _*),
+      lit("}"))
+  }
+
+  /** The flattened stat columns over a [[cliDocCol]] doc — shared by the
+    * registered query and the live poller.
+    */
+  def cliStatCols(doc: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = Seq(
+    get_json_object(doc, "$.ds.InUseCount").cast("long").as("ds_in_use"),
+    get_json_object(doc, "$.ds.AvailableCount").cast("long").as("ds_available"),
+    get_json_object(doc, "$.heap.used").cast("long").as("heap_used"),
+    get_json_object(doc, "$.heap.max").cast("long").as("heap_max"),
+    get_json_object(doc, "$.threads.count").cast("long").as("thread_cnt"))
+
   def jmxCliNormalize(spark: SparkSession, sfDir: String): DataFrame = {
     val statNames = Seq("ds", "heap", "threads") // statCmdMap keys (config)
     val ev = Tables.loadSpread(spark, sfDir, "events")
@@ -380,23 +408,10 @@ object Parsing {
       lit(",\n\"max\" : "), col("user_id") * 2000, lit("\n}\n"),
       lit("{\n\"count\" : "), pmod(col("event_id"), lit(100)), lit("\n}"))
     // --- normalize (the operator under test)
-    val stripped = regexp_replace(col("raw"), "(?m)^[A-Za-z][^\n]*\n?", "")
-    val commas = regexp_replace(stripped, "\\}\\n\\{", "},\n{")
-    val parts = split(commas, "(?m)^\\{")
-    val keyed = concat(
-      lit("{"),
-      concat(statNames.zipWithIndex.map { case (nm, i) =>
-        concat(lit("\"" + nm + "\" : {"), element_at(parts, i + 2))
-      }: _*),
-      lit("}"))
     ev.select(col("event_id"), raw.as("raw"))
-      .select(col("event_id"), keyed.as("doc"))
       .select(col("event_id"),
-        get_json_object(col("doc"), "$.ds.InUseCount").cast("long").as("ds_in_use"),
-        get_json_object(col("doc"), "$.ds.AvailableCount").cast("long").as("ds_available"),
-        get_json_object(col("doc"), "$.heap.used").cast("long").as("heap_used"),
-        get_json_object(col("doc"), "$.heap.max").cast("long").as("heap_max"),
-        get_json_object(col("doc"), "$.threads.count").cast("long").as("thread_cnt"))
+        cliDocCol(col("raw"), statNames).as("doc"))
+      .select(col("event_id") +: cliStatCols(col("doc")): _*)
   }
 
   val jmxCliNormalizeSql: String =

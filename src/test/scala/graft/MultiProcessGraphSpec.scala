@@ -82,15 +82,31 @@ class MultiProcessGraphSpec extends AnyFunSuite {
   /** The full scenario, parameterized by the children's state-store
     * provider ("" = Spark's default HDFS-backed store).
     */
-  private def fiveProcessScenario(provider: String): Unit = {
+  private def sixProcessScenario(provider: String): Unit = {
     val base = Files.createTempDirectory("graft_mp").toString
     val logs = s"$base/logs"
     val glob = s"$logs/net/*/*"
     val qdir = s"$base/q"
     val stop = s"$base/stop"
-    val works = (1 to 5).map(s => s"$base/work$s")
+    val works = (1 to 6).map(s => s"$base/work$s")
     works.foreach(w => Files.createDirectories(Paths.get(w)))
     val cfg = ApmGraph.GraphCfg()
+
+    // the JMX poller's CLI stub: stands in for jboss-cli (no WildFly in
+    // this container) — prints the reference CLI's output shape (warning
+    // line + three anonymous JSON blocks) with host-derived values, so
+    // the poller's exec/normalize/publish loop is the real deployment
+    // shape with only the server binary stubbed
+    val cli = Paths.get(base, "cli.sh")
+    Files.writeString(cli,
+      """H=$1; N=$(printf %s "$H" | wc -c)
+        |echo "WFLYPROMPT: picked up client options"
+        |printf '{\n"InUseCount" : %d,\n"AvailableCount" : 50\n}\n' $((N % 50))
+        |printf '{\n"used" : %d,\n"max" : %d\n}\n' $((N * 1000)) $((N * 2000))
+        |printf '{\n"count" : %d\n}' $((N % 100))
+        |""".stripMargin)
+    val jmxHosts = Seq("hostA", "serverB")
+    val jmxArg = cli.toString + ";" + jmxHosts.mkString(",")
 
     // wave 1: quiet half — warms every stage's state. Elapsed VARIES
     // (100 + i%5): constant values would make per-key reordering
@@ -102,10 +118,13 @@ class MultiProcessGraphSpec extends AnyFunSuite {
         exitLine(i, t0 + i * 10000L, "S:checkout", 100L + i % 5)))
     }
 
-    // fork ALL FIVE stages (the four graph stages + the S6 DB-insert
-    // consumer, a second group on the z topic); concurrent from here on
+    // fork ALL SIX processes (four graph stages, the S6 DB-insert
+    // consumer — a second group on the z topic — and the S5 JMX
+    // poller); concurrent from here on
     val procs = scala.collection.mutable.Map(
-      (1 to 5).map(s => s -> forkStage(s, glob, works(s - 1), qdir, stop, base, provider)): _*)
+      (1 to 6).map(s => s -> forkStage(s,
+        if (s == 6) jmxArg else glob,
+        works(s - 1), qdir, stop, base, provider)): _*)
     try {
       // stage 2 must have CONSUMED live wave-1 records (produced its own
       // output) before the corpus is complete — and before we kill it
@@ -115,7 +134,7 @@ class MultiProcessGraphSpec extends AnyFunSuite {
           new FileTopic(tz).endOffsets.values.sum > 0
       }
       val zAtKill = new FileTopic(tz).endOffsets.values.sum
-      val drainedDownstream = (2 to 5).map(s =>
+      val drainedDownstream = (2 to 6).map(s =>
         s -> Files.exists(Paths.get(works(s - 1), s"drained_$s"))).toMap
 
       // hard-kill the stateful z-score process mid-run
@@ -223,6 +242,32 @@ class MultiProcessGraphSpec extends AnyFunSuite {
       assert(gotDb == expDb, "db stats rows diverge from the batch chain; " +
         s"db-only sample: ${(gotDb -- expDb).take(2)}; " +
         s"batch-only sample: ${(expDb -- gotDb).take(2)}")
+
+      // stage 6 (the JMX poller process): every published row is a real
+      // subprocess exec's output through the registered s5 normalization
+      // — values must match the stub's host-derived numbers exactly,
+      // every poll tick present (poll_ms = tick * 60000), and each
+      // host's samples on one partition (key affinity)
+      val jmx = new ContractConsumer(
+        new FileTopic(Paths.get(qdir, "t_jmx")), "spec_jmx").poll(1000000)
+      assert(jmx.size >= 2 * jmxHosts.size,
+        s"poller produced only ${jmx.size} rows — never looped")
+      jmxHosts.foreach { h =>
+        val rows = jmx.filter(_.key == h)
+        assert(rows.nonEmpty, s"no samples for $h")
+        assert(rows.map(_.partition).distinct.size == 1, s"$h split")
+        val n = h.length
+        val exp = s""""ds_in_use":${n % 50},"ds_available":50,""" +
+          s""""heap_used":${n * 1000},"heap_max":${n * 2000},""" +
+          s""""thread_cnt":${n % 100}"""
+        rows.foreach(r => assert(r.value.contains(exp),
+          s"bad normalization for $h: ${r.value}"))
+        // one row per tick, 60 s apart, in partition order
+        val ticks = rows.map(r =>
+          r.value.split("\"poll_ms\":")(1).split(",")(0).toLong)
+        assert(ticks == ticks.indices.map(_ * 60000L),
+          s"$h poll timeline broken: $ticks")
+      }
     } finally {
       // belt-and-braces: never leak child JVMs on a failed assert
       try Files.createFile(Paths.get(stop)) catch { case _: Throwable => }
@@ -233,13 +278,14 @@ class MultiProcessGraphSpec extends AnyFunSuite {
     }
   }
 
-  test("five forked JVMs over file topics, stage 2 SIGKILLed and " +
-      "re-forked mid-run: alerts and the z topic == the batch chain") {
-    fiveProcessScenario("")
+  test("six forked JVMs over file topics, stage 2 SIGKILLed and " +
+      "re-forked mid-run: alerts, the z topic, the stats DB and the " +
+      "JMX samples all == their oracles") {
+    sixProcessScenario("")
   }
 
-  test("same five-process kill/re-fork scenario with the children on " +
+  test("same six-process kill/re-fork scenario with the children on " +
       "the RocksDB state store (changelog checkpointing)") {
-    fiveProcessScenario(graft.streaming.ApmStateV2.RocksDbProvider)
+    sixProcessScenario(graft.streaming.ApmStateV2.RocksDbProvider)
   }
 }

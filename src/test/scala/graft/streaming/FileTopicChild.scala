@@ -123,7 +123,19 @@ object FileTopicChild {
       val cfg = ApmGraph.GraphCfg()
       var drains = 0
       while (!java.nio.file.Files.exists(stop)) {
-        ApmGraph.runStageQueued(spark, stage, logsGlob, workDir, queueDir, cfg)
+        if (stage == 6) {
+          // the JMX poller process (S5): the logsGlob slot carries
+          // "<cliCmd>;<host1,host2,...>"; each loop tick is one
+          // (compressed) 60 s poll — a real subprocess exec per host
+          val Array(cliCmd, hostsCsv) = logsGlob.split(";", 2)
+          JmxPoller.pollOnce(spark, hostsCsv.split(",").toSeq,
+            JmxPoller.shellExec(cliCmd),
+            QueueRegistry.topic("t_jmx", 4, Some(queueDir)),
+            pollMs = drains.toLong * 60000L)
+          ()
+        } else {
+          ApmGraph.runStageQueued(spark, stage, logsGlob, workDir, queueDir, cfg)
+        }
         drains += 1
         // liveness marker for the parent (see MultiProcessGraphSpec):
         // proves this process completed a drain AFTER a given instant
