@@ -193,6 +193,37 @@ class FileTopicSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains(".durable")), s"wrong failure: $e")
   }
 
+  test("property: randomly-drawn distinct group and query names never " +
+      "collide on state files (seeded, nasty alphabet)") {
+    val dir = Files.createTempDirectory("graft_ft_prop")
+    val t = new FileTopic(dir, 2)
+    val rnd = new scala.util.Random(97)
+    val alphabet = "ab_/%.-|:= \\é世" // the chars the old sanitizer merged
+    def name(): String =
+      (0 until 1 + rnd.nextInt(8)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    val groups = Iterator.continually(name()).distinct
+      .filterNot(_.endsWith(".durable")).take(40).toVector
+    // every group gets its own offset line; none clobbers another
+    groups.zipWithIndex.foreach { case (g, i) =>
+      FileTopicChild.commit(t, g, Map(0 -> i.toLong, 1 -> (100L + i)))
+    }
+    groups.zipWithIndex.foreach { case (g, i) =>
+      assert(FileTopicChild.committed(t, g) ==
+        Map(0 -> i.toLong, 1 -> (100L + i)),
+        s"group '$g' lost/merged its offsets")
+    }
+    // every (query, partition) fence is independent of every other
+    val queries = Iterator.continually(name()).distinct.take(15).toVector
+    val fences = for (q <- queries; p <- 0 to 1) yield (q, p)
+    fences.foreach { case (q, p) =>
+      assert(FileTopicChild.fence(t, q, 7L, p), s"fence ($q,$p) pre-taken")
+    }
+    fences.foreach { case (q, p) =>
+      assert(!FileTopicChild.fence(t, q, 7L, p), s"fence ($q,$p) not held")
+    }
+  }
+
   test("a consumer-only process polls a power-loss-damaged partition: " +
       "open-time reconciliation recovers it without any producer append") {
     import java.nio.channels.FileChannel
