@@ -250,7 +250,22 @@ object ApmStreaming {
       }
   }
 
-  /** R4 per-service cooldown dedup as keyed streaming state. */
+  /** R4 per-service cooldown dedup as keyed streaming state.
+    *
+    * Ordering caveat (reference-faithful): the SERVICE key is coarser
+    * than the upstream per-(server,service,lag) vote keys, so when two
+    * servers fire the same service near-simultaneously, which one wins
+    * the cooldown window depends on micro-batch arrival order — exactly
+    * as in the reference, whose cooldown folds bus ARRIVAL order
+    * (stream_process_alerts.js:420-447). Rows are sorted by
+    * (ts_ms, server, lag) WITHIN a batch, so same-batch ties are
+    * deterministic; cross-batch merge order across different upstream
+    * keys is not a guarantee any per-key ordering contract can give
+    * (ApmGraph's per-key epoch atomicity covers each key chain, not
+    * their interleave). A batch formulation imposes global ts order —
+    * strictly stronger; MultiProcessGraphSpec documents and sidesteps
+    * the difference.
+    */
   def cooldownStream(fired: Dataset[VoteOut], cfg: Alerts.AlertCfg): Dataset[VoteOut] = {
     import fired.sparkSession.implicits._
     fired.groupByKey(_.service)

@@ -142,15 +142,24 @@ class MultiProcessGraphSpec extends AnyFunSuite {
       procs(2).waitFor()
       assert(procs(2).exitValue() != 0, "stage 2 exited cleanly before the kill")
 
-      // wave 2 while stage 2 is DEAD: the slow half (elapsed 300) that
-      // trips the thresholds, plus the far-future sentinel that closes
-      // every real window
-      // a rotated-log name so the P1 router still classifies it;
-      // elapsed varies here too (order-sensitivity, see wave 1)
-      Seq("hostA", "hostB").foreach { srv =>
-        writeLog(logs, srv, "server.log.1", (10 until 19).map(i =>
-          exitLine(i, t0 + i * 10000L, "S:checkout", 300L + (i % 7) * 3)))
-      }
+      // wave 2 while stage 2 is DEAD: hostA turns slow (elapsed ~300,
+      // varying — trips the thresholds), hostB stays quiet; plus the
+      // far-future sentinel that closes every real window. Only ONE
+      // server fires deliberately: the per-SERVICE cooldown's input
+      // comes from per-(server,service) upstream chains, so when two
+      // servers fire the same service near-simultaneously the winner is
+      // ARRIVAL-dependent — in the reference exactly as here (its
+      // cooldown folds bus arrival order, stream_process_alerts.js:
+      // 420-447) — while the batch oracle imposes global ts order. The
+      // ordering contract guarantees per-key order, not cross-key
+      // merge order; a single firing server keeps the alert leg
+      // deterministic while BOTH servers still flow through the z topic
+      // and DB comparisons (which are per-server-keyed and bit-exact).
+      // (Rotated-log name so the P1 router still classifies it.)
+      writeLog(logs, "hostA", "server.log.1", (10 until 19).map(i =>
+        exitLine(i, t0 + i * 10000L, "S:checkout", 300L + (i % 7) * 3)))
+      writeLog(logs, "hostB", "server.log.1", (10 until 19).map(i =>
+        exitLine(i, t0 + i * 10000L, "S:checkout", 100L + i % 5)))
       writeLog(logs, "zz", "server.log",
         Seq(exitLine(999, t0 + 100000000L, "S:checkout", 1L)))
 
