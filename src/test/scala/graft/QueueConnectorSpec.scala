@@ -119,6 +119,55 @@ class QueueConnectorSpec extends AnyFunSuite {
     assert(got.size == 9, s"got ${got.size}")
   }
 
+  test("the chunked reader walks a planned range larger than its 64k " +
+      "refill: all rows delivered once, offsets dense") {
+    // 150k rows into one unbounded (maxpoll=0) drain: the planned range
+    // spans 3 refill chunks per partition — the path that used to
+    // materialize everything in one read (and overflow past 2^31)
+    val topic = "t_bigrange"
+    val t = graft.streaming.QueueRegistry.topic(topic, 4)
+    val n = 150000
+    t.produceAll((0 until n).map(i => (s"k${i % 16}", s"v$i")))
+    val got = consume(topic, "gbig", ckpt(), "q_bigrange")
+    assert(got.size == n, s"delivered ${got.size} of $n")
+    assert(got.map(_._4).toSet.size == n, "duplicates in the range walk")
+    got.groupBy(_._1).foreach { case (p, rs) =>
+      assert(rs.map(_._2).sorted == (0L until rs.size.toLong),
+        s"offset gap in p$p")
+    }
+  }
+
+  test("the chunked reader over a retention-trimmed prefix: advances by " +
+      "what the topic returns, never spins, never re-reads trimmed rows") {
+    import java.nio.file.Paths
+    // file-backed so the trim physically rewrites; group g consumes+
+    // commits half, retention trims it, then a SECOND group's fresh
+    // checkpoint plans from the beginning — its range starts below the
+    // retained prefix and the reader must land exactly the survivors
+    val base = Files.createTempDirectory("graft_q_trim").toString
+    val t = graft.streaming.QueueRegistry.topic("t_trim", 2, Some(base))
+    (0 until 40).foreach(i => t.produce(s"k$i", s"v$i"))
+    val half = new graft.streaming.ContractConsumer(t, "ghalf")
+    val taken = half.poll(10) // 10 per partition = 20 rows
+    half.commitSync()
+    t.truncateToCommitted()
+    assert(t.beginningOffsets.values.sum > 0, "trim did not run")
+    val got = spark.readStream
+      .format("graftqueue")
+      .option("topic", "t_trim").option("dir", base).option("group", "gnew")
+      .load()
+      .writeStream.format("memory").queryName("q_trim")
+      .option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    got.awaitTermination()
+    val vals = spark.table("q_trim").collect().map(_.getString(3)).toSet
+    val expected = (0 until 40).map(i => s"v$i").toSet -- taken.map(_.value)
+    assert(vals == expected,
+      s"survivor mismatch: missing=${expected -- vals} extra=${vals -- expected}")
+    graft.streaming.QueueRegistry.drop("t_trim")
+  }
+
   test("a replayed sink epoch appends exactly once, per partition") {
     val topic = "t_epoch"
     QueueRegistry.drop(topic)
