@@ -47,11 +47,13 @@ object FileTopicChild {
       (0 until count).foreach(i => t.produce(s"k${i % 8}", s"$prefix:$i"))
       println(s"PRODUCED=$count")
     case "produce-for" =>
-      // produce-for <dir> <nPart> <prefix> <millis> [batch]: produce
-      // keyed records (`k<i%8>` -> `<prefix>:<i>`) until the deadline,
-      // in `batch`-row produceAll calls (default 100 — the task-buffer
-      // shape the connector's sink uses), printing PRODUCED=<n>.
-      val t = new FileTopic(Paths.get(args(1)), args(2).toInt)
+      // produce-for <dir> <nPart> <prefix> <millis> [batch] [fsync]:
+      // produce keyed records (`k<i%8>` -> `<prefix>:<i>`) until the
+      // deadline, in `batch`-row produceAll calls (default 100 — the
+      // task-buffer shape the connector's sink uses), printing
+      // PRODUCED=<n>. `fsync` forces every append (flush.messages=1).
+      val t = new FileTopic(Paths.get(args(1)), args(2).toInt,
+        fsync = args.length > 6 && args(6) == "fsync")
       val prefix = args(3)
       val deadline = System.nanoTime() + args(4).toLong * 1000000L
       val batch = if (args.length > 5) args(5).toInt else 100

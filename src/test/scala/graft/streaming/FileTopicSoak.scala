@@ -6,7 +6,9 @@ import scala.jdk.CollectionConverters._
 
 /** Contention soak for the file-backed queue transport (test-classpath
   * main; run with `sbt "Test/runMain graft.streaming.FileTopicSoak
-  * [baseDir] [secondsPerPhase]"`). For each producer count in {1, 2, 4}:
+  * [baseDir] [secondsPerPhase]"`). For each phase — producer counts
+  * {1, 2, 4} plus a 1-producer fsync=true phase (the flush.messages=1
+  * durability price):
   *
   *  - fork that many PRODUCER JVMs (FileTopicChild `produce-for`), each
   *    appending 100-row batches flat-out for the phase duration — the
@@ -47,8 +49,11 @@ object FileTopicSoak {
     val base = if (args.nonEmpty) args(0)
       else Files.createTempDirectory("graft_soak").toString
     val phaseMs = (if (args.length > 1) args(1).toInt else 20) * 1000L
-    val results = Seq(1, 2, 4).map { nProd =>
-      val dir = Paths.get(base, s"soak_p$nProd")
+    // (producers, fsync): the fourth phase prices the flush.messages=1
+    // durability knob against the same single-producer baseline
+    val results = Seq((1, false), (2, false), (4, false), (1, true))
+      .map { case (nProd, fsync) =>
+      val dir = Paths.get(base, s"soak_p$nProd${if (fsync) "f" else ""}")
       val topic = new FileTopic(dir, 4)
       val producersDone = new AtomicBoolean(false)
       val diskHwm = new AtomicLong(0L)
@@ -93,7 +98,9 @@ object FileTopicSoak {
       consumers.foreach(_.start())
       val t0 = System.nanoTime()
       val procs = (0 until nProd).map(p =>
-        fork("produce-for", dir.toString, "4", s"pr$p", phaseMs.toString))
+        fork(Seq("produce-for", dir.toString, "4", s"pr$p",
+          phaseMs.toString) ++
+          (if (fsync) Seq("100", "fsync") else Nil): _*))
       val produced = procs.map { pr =>
         val out = new String(pr.getInputStream.readAllBytes())
         pr.waitFor()
@@ -126,16 +133,16 @@ object FileTopicSoak {
       // ~11 B value + 8 B index entry
       val bytesWritten = total * 29L
       val hwmRatio = diskHwm.get().toDouble / math.max(bytesWritten, 1L)
-      println(f"[soak] producers=$nProd wall=$wallSec%.1f s " +
+      println(f"[soak] producers=$nProd fsync=$fsync wall=$wallSec%.1f s " +
         f"records=$total rate=${total / wallSec}%.0f rec/s " +
         f"disk_hwm=${diskHwm.get()} B (~${hwmRatio * 100}%.0f%% of bytes " +
         f"written) trims=${trims.get()}")
-      (nProd, total, total / wallSec, diskHwm.get(), hwmRatio)
+      (nProd, fsync, total / wallSec)
     }
     val r1 = results.head._3
     println("[soak] append-rate scaling vs 1 producer: " +
-      results.map { case (n, _, r, _, _) => f"${n}p=${r / r1}%.2fx" }
-        .mkString(" "))
+      results.map { case (n, f, r) =>
+        f"${n}p${if (f) "+fsync" else ""}=${r / r1}%.2fx" }.mkString(" "))
     println("SOAK=ok")
   }
 }
