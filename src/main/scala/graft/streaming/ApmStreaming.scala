@@ -334,6 +334,13 @@ object ApmStreaming {
     * under checkpoint replay; the retry path is at-least-once across a
     * crash between write-success and park-delete — the same contract as
     * the reference (a re-consumed message after an un-acked insert).
+    *
+    * Order is STRICT, like the reference's queue: the first parked
+    * batch that still fails BLOCKS the line — later parked batches are
+    * not attempted and the current batch parks behind them without a
+    * write attempt. A flaky sink that recovers mid-window can therefore
+    * never insert batch N+1 before a still-stuck batch N (the
+    * overtaking a per-batch try/ignore loop would allow).
     */
   class RequeueWriter(parkDir: String,
       write: (DataFrame, Long) => Unit) extends Serializable {
@@ -348,15 +355,21 @@ object ApmStreaming {
         .sortBy(_.getName).toSeq
     def apply(batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
       val spark = batch.sparkSession
+      var blocked = false
       parkedBatches().foreach { d =>
-        val replay = spark.read.parquet(d.getPath)
-        try { write(replay, batchId); deleteRec(d) }
-        catch { case _: Exception => () } // still down: stays parked
+        if (!blocked) {
+          val replay = spark.read.parquet(d.getPath)
+          try { write(replay, batchId); deleteRec(d) }
+          catch { case _: Exception => blocked = true } // head of line stuck
+        }
       }
-      try write(batch.toDF(), batchId)
-      catch { case _: Exception =>
+      if (blocked)
         batch.write.mode("overwrite").parquet(f"$parkDir/park_$batchId%012d")
-      }
+      else
+        try write(batch.toDF(), batchId)
+        catch { case _: Exception =>
+          batch.write.mode("overwrite").parquet(f"$parkDir/park_$batchId%012d")
+        }
     }
   }
 

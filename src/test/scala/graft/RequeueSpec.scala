@@ -54,4 +54,39 @@ class RequeueSpec extends AnyFunSuite {
       assert(w.parkedBatches().isEmpty, "park dir must drain")
     } finally q.stop()
   }
+
+  test("a still-stuck head-of-line batch blocks later writes: nothing " +
+      "overtakes, strict order holds through a flaky recovery") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rq2").toString
+    val target = s"$dir/target"
+    // the sink rejects any frame containing value 1 for the first two
+    // attempts (a poison-then-recovers head batch), accepts otherwise
+    var headRejections = 0
+    var seq = 0
+    val write: (DataFrame, Long) => Unit = (df, _) => {
+      if (df.as[Int].collect().contains(1) && headRejections < 2) {
+        headRejections += 1
+        throw new RuntimeException("head batch still failing")
+      }
+      seq += 1
+      df.withColumn("arrival", org.apache.spark.sql.functions.lit(seq))
+        .write.mode("append").parquet(target)
+    }
+    val w = new ApmStreaming.RequeueWriter(s"$dir/park", write)
+    w(Seq(1).toDF("v"), 0L)  // rejected -> parks as head
+    // batch 2 COULD write (no poison) but must park behind the stuck
+    // head instead of overtaking it
+    w(Seq(2).toDF("v"), 1L)  // head replay fails (attempt 2) -> 2 parks
+    assert(w.parkedBatches().size == 2,
+      s"expected both parked: ${w.parkedBatches()}")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(target)),
+      "a later batch overtook the stuck head")
+    // head recovers: everything drains in original order
+    w(Seq(3).toDF("v"), 2L)
+    val got = spark.read.parquet(target).as[(Int, Int)].collect().toList
+      .sortBy(_._2)
+    assert(got == List((1, 1), (2, 2), (3, 3)), s"order broken: $got")
+    assert(w.parkedBatches().isEmpty, "park dir must drain")
+  }
 }
