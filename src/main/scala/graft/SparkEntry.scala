@@ -161,6 +161,8 @@ object SparkEntry {
     "w4_transitions"   -> ((s, dir) => Sessionize.transitions(s, dir)),
     "d3_dedup_minhash" -> ((s, dir) => Dedup.minhash(s, dir)),
     "d4_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
+    // measured LSH recall vs the exact n-gram Jaccard truth, per decile
+    "d4_lsh_recall"    -> ((s, dir) => Dedup.lshRecall(s, dir)),
     "d5_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "d5_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "s1_knn_brute"     -> ((s, dir) => Similarity.knnBrute(s, dir)),
@@ -399,6 +401,7 @@ object SparkEntry {
     "w4_transitions"   -> Sessionize.transitionsSql,
     "d3_dedup_minhash" -> Dedup.minhashSql,
     "d4_dedup_minhash_lsh" -> Dedup.minhashLshSql(),
+    "d4_lsh_recall"    -> Dedup.lshRecallSql(),
     "d5_dedup_simhash" -> Dedup.simhashSql,
     "d5_simhash_pairs" -> Dedup.simhashPairsSql(),
     "s1_knn_brute"     -> Similarity.knnBruteSql(),

@@ -326,6 +326,62 @@ object Dedup {
             p -> p[1] = p[2])) AS DOUBLE) / $MinhashK >= $threshold"""
   }
 
+  /** Measured RECALL of the MinHash-LSH pipeline against the exact
+    * n-gram Jaccard truth — the text-dedup twin of the embedding
+    * family's recall measurements (d6_embed_recall, s4/s6/s8): every
+    * approximate retrieval structure in this engine ships with its
+    * recall measured against the exact baseline, and until this query
+    * the d-family's was only argued from banding theory. Truth = the
+    * exact inverted-index pairs at the threshold ([[ngramJaccard]]);
+    * found = the banded+signature-estimated pairs ([[minhashLsh]]).
+    * Reported per exact-jaccard decile bucket, so the expected recall
+    * cliff just above the threshold (signature estimation error +
+    * band-collision probability (1-(1-s^r)^b) both bite hardest there)
+    * is visible rather than averaged away. Counts are exact integers;
+    * recall is the one terminal division; the bucket key floors a
+    * double both engines derive from identical integer ratios.
+    *
+    * Scale: both inputs are the already-blocked shapes (inverted index
+    * with DF cap + size filter; banded equi-join) — the recall JOIN
+    * itself is pair-keyed on longs, linear in the truth set. Truth is
+    * [[ngramJaccard]]'s within-source pairs (its blocking key); LSH
+    * finds a superset universe, so the join direction measures recall
+    * of exactly the pairs the exact operator defines. Data note: the
+    * driver's synthetic corpus has no mid-jaccard near-dups — its
+    * seeded pairs sit in the >= 0.9 bucket, where the banding math
+    * (1-(1-s^r)^b = 0.995 at s = 0.9, r = 3, b = 4) predicts the
+    * measured recall 1.0; a real corpus populates the cliff buckets
+    * just above the threshold.
+    */
+  def lshRecall(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val truth = ngramJaccard(spark, sfDir, threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val found = minhashLsh(spark, sfDir, threshold)
+      .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+    truth.join(found, Seq("id_a", "id_b"), "left")
+      .select(col("jaccard"), coalesce(col("hit"), lit(0)).as("hit"))
+      .groupBy(floor(col("jaccard") * 10).cast("long").as("j_bucket"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(col("hit")).cast("long").as("n_found"))
+      .select(col("j_bucket"), col("n_true"), col("n_found"),
+        (col("n_found").cast("double") / col("n_true").cast("double"))
+          .as("recall"))
+  }
+
+  def lshRecallSql(threshold: Double = 0.4): String =
+    s"""WITH truth AS (${ngramJaccardSql(threshold)}),
+        found AS (SELECT id_a, id_b, 1 AS hit
+                  FROM (${minhashLshSql(threshold)})),
+        j AS (SELECT t.jaccard, coalesce(f.hit, 0) AS hit
+              FROM truth t LEFT JOIN found f
+                ON t.id_a = f.id_a AND t.id_b = f.id_b)
+        SELECT CAST(floor(jaccard * 10) AS BIGINT) AS j_bucket,
+          CAST(count(*) AS BIGINT) AS n_true,
+          CAST(sum(hit) AS BIGINT) AS n_found,
+          CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+        FROM j GROUP BY 1"""
+
   // ------------------------------------------------------------- clustering
 
   /** Connected components by min-label propagation with pointer jumping.
