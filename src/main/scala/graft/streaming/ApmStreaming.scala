@@ -341,9 +341,26 @@ object ApmStreaming {
     * write attempt. A flaky sink that recovers mid-window can therefore
     * never insert batch N+1 before a still-stuck batch N (the
     * overtaking a per-batch try/ignore loop would allow).
+    *
+    * The park is BOUNDED the way the reference bounds its queues
+    * (alarm thresholds at 10⁶ msgs / 150 MB per queue,
+    * config/apm_config.json:41-42): every park updates a
+    * batches/bytes [[ParkGauge]]; crossing `alarmBatches` OR
+    * `alarmBytes` fires `onAlarm` (default: a log WARN) on every
+    * subsequent park, and crossing `maxParkedBatches` — the optional
+    * hard stop — throws AFTER the batch has parked durably, halting
+    * the query with the backlog intact for replay on restart (data
+    * safety first, then operator attention; silently parking forever
+    * would fill the disk instead of a pager).
     */
+  final case class ParkGauge(batches: Int, bytes: Long)
+
   class RequeueWriter(parkDir: String,
-      write: (DataFrame, Long) => Unit) extends Serializable {
+      write: (DataFrame, Long) => Unit,
+      alarmBatches: Int = 64,
+      alarmBytes: Long = 150L * 1024 * 1024,
+      onAlarm: ParkGauge => Unit = ApmStreaming.warnParkAlarm,
+      maxParkedBatches: Int = Int.MaxValue) extends Serializable {
     private def deleteRec(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
       f.delete(); ()
@@ -353,6 +370,27 @@ object ApmStreaming {
         .getOrElse(Array.empty[java.io.File])
         .filter(f => f.isDirectory && f.getName.startsWith("park_"))
         .sortBy(_.getName).toSeq
+    private def dirBytes(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .map(dirBytes).sum
+    /** Current park backlog — the queue-depth gauge a deployment
+      * monitors (mirrors the reference's per-queue size/bytes alarm).
+      */
+    def gauge(): ParkGauge = {
+      val ds = parkedBatches()
+      ParkGauge(ds.size, ds.map(dirBytes).sum)
+    }
+    private def afterPark(): Unit = {
+      val g = gauge()
+      if (g.batches >= alarmBatches || g.bytes >= alarmBytes) onAlarm(g)
+      if (g.batches > maxParkedBatches)
+        throw new IllegalStateException(
+          s"requeue park exceeded maxParkedBatches=$maxParkedBatches " +
+            s"(${g.batches} batches, ${g.bytes} bytes): the head batch " +
+            s"keeps failing; backlog is parked durably under $parkDir " +
+            "and replays in order on restart")
+    }
     def apply(batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
       val spark = batch.sparkSession
       var blocked = false
@@ -363,15 +401,25 @@ object ApmStreaming {
           catch { case _: Exception => blocked = true } // head of line stuck
         }
       }
-      if (blocked)
+      if (blocked) {
         batch.write.mode("overwrite").parquet(f"$parkDir/park_$batchId%012d")
-      else
+        afterPark()
+      } else
         try write(batch.toDF(), batchId)
         catch { case _: Exception =>
           batch.write.mode("overwrite").parquet(f"$parkDir/park_$batchId%012d")
+          afterPark()
         }
     }
   }
+
+  /** Default park alarm: one WARN per park past the threshold. */
+  private def warnParkAlarm(g: ParkGauge): Unit =
+    org.slf4j.LoggerFactory.getLogger(classOf[RequeueWriter]).warn(
+      s"requeue park backlog past alarm threshold: ${g.batches} batches, " +
+        s"${g.bytes} bytes — the head batch is failing and everything " +
+        "behind it is parking (reference analogue: queue alarm at 1e6 " +
+        "msgs / 150 MB)")
 
   /** [[sinkToParquet]] with the re-queue wrapper around an arbitrary
     * batch writer (parquet append here; JDBC `df.write.jdbc` on a real

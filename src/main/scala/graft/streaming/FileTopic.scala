@@ -183,21 +183,51 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4,
     * merging e.g. groups `a/b` and `a_b` onto one commits_ file).
     * ASCII '.' passes through so the retention pairing invariant holds
     * byte-for-byte: enc(g + ".durable") == enc(g) + ".durable" (the
-    * connector REJECTS user groups that themselves end in ".durable",
+    * CONTRACT rejects user groups that themselves end in ".durable",
     * so the suffix is unambiguous). Never emits '_', so a literal '_'
     * separator appended OUTSIDE enc (the fence's `_<partition>`) cannot
     * collide with name content.
     */
-  private def encName(s: String): String = {
-    val sb = new StringBuilder
-    s.getBytes(UTF_8).foreach { b =>
-      val c = b.toChar
-      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-          (c >= '0' && c <= '9') || c == '-' || c == '.') sb.append(c)
-      else sb.append(f"%%${b & 0xff}%02X")
+  private def encName(s: String): String =
+    // ".durable" is all passthrough chars, so for short names this arm
+    // is an identity rewrite — it exists for the CAP below: capping
+    // enc(g + ".durable") directly would break the retention pairing
+    // invariant enc(g + ".durable") == enc(g) + ".durable" for overlong
+    // g (the suffix would land inside the truncated-away tail). Capping
+    // the BASE and re-appending keeps it structural. Only commitDurable
+    // can produce the suffix (the contract rejects user groups ending
+    // in it), so at most one suffix layer ever arrives here.
+    if (s.endsWith(".durable"))
+      encName(s.dropRight(".durable".length)) + ".durable"
+    else {
+      val sb = new StringBuilder
+      s.getBytes(UTF_8).foreach { b =>
+        val c = b.toChar
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+            (c >= '0' && c <= '9') || c == '-' || c == '.') sb.append(c)
+        else sb.append(f"%%${b & 0xff}%02X")
+      }
+      val raw = sb.toString
+      // %XX expansion is 3x per escaped byte, so a long externally-
+      // chosen name (group, query id) could push a commits_/fence_
+      // component past the filesystem's 255-byte limit and fail the
+      // commit with an opaque FileSystemException. Overlong names keep
+      // a readable prefix and get a SHA-256 tail; '~' marks the capped
+      // form — the escape loop never emits it (escaped to %7E), so a
+      // capped name cannot collide with any uncapped one, and two
+      // capped names collide only on a 64-bit hash prefix collision.
+      // Cap + '~' + 16 hex + the longest literal decorations
+      // ("commits_" / "fence_…_<partition>" / ".durable") stays well
+      // under 255. Never emits '_', preserving the fence-separator
+      // invariant.
+      if (raw.length <= FileTopic.MaxEncodedName) raw
+      else {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val h = md.digest(s.getBytes(UTF_8)).take(8)
+          .map(b => f"${b & 0xff}%02x").mkString
+        raw.take(FileTopic.MaxEncodedName) + "~" + h
+      }
     }
-    sb.toString
-  }
   private def fileName(prefix: String, s: String) =
     dir.resolve(prefix + encName(s))
 
@@ -508,13 +538,13 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4,
         pp.toInt -> oo.toLong
       }.toMap
 
-  private[streaming] def committed(group: String): Map[Int, Long] =
+  protected def committedRaw(group: String): Map[Int, Long] =
     parseCommits(fileName("commits_", group))
 
   def truncateToCommitted(minFraction: Double): Map[Int, Long] = withLock {
     // keyed by the ENCODED group name so `<group>.durable` pairs with
     // its base group (encName passes '.' through, so enc(g + ".durable")
-    // == enc(g) + ".durable"; the connector rejects user groups ending
+    // == enc(g) + ".durable"; the contract rejects user groups ending
     // in ".durable", so the pairing is unambiguous)
     val groups = {
       val s = Files.list(dir)
@@ -597,9 +627,9 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4,
     ()
   }
 
-  private[streaming] def commit(group: String, offs: Map[Int, Long]): Unit =
+  protected def commitRaw(group: String, offs: Map[Int, Long]): Unit =
     withLock {
-      val merged = (committed(group).toSeq ++ offs.toSeq)
+      val merged = (committedRaw(group).toSeq ++ offs.toSeq)
         .groupMapReduce(_._1)(_._2)(math.max)
       val body = merged.toSeq.sorted.map { case (p, o) => s"$p:$o" }
         .mkString("", "\n", "\n")
@@ -651,6 +681,13 @@ object FileTopic {
     * at open, never reinterpreted.)
     */
   val Format = "4"
+
+  /** Longest un-capped encoded name (see `encName`): 180 + '~' + 16
+    * hash hex + "commits_"/"fence_" + "_NNNN"/".durable" decorations
+    * stays under the universal 255-byte filename-component limit even
+    * when every decoration applies.
+    */
+  val MaxEncodedName = 180
 
   // one JVM-level mutex per topic directory: FileChannel.lock throws
   // OverlappingFileLockException on a second acquisition from the SAME

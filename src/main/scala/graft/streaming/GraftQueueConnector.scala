@@ -214,9 +214,8 @@ class GraftQueueMicroBatchStream(topicName: String, nPartitions: Int,
   // (re)start so the group is never invisible to another reader's
   // retention before its first completed batch; advanced only in
   // commit(), i.e. only past batches Spark has durably finished.
-  private val durableGroup = group + ".durable"
-  if (topic.committed(durableGroup).isEmpty)
-    topic.commit(durableGroup, topic.beginningOffsets)
+  if (topic.committedDurable(group).isEmpty)
+    topic.commitDurable(group, topic.beginningOffsets)
   // AvailableNow drain target, captured at query start: without
   // implementing SupportsTriggerAvailableNow, Spark's wrapper collapses
   // the drain into ONE batch and the poll bound never applies.
@@ -298,7 +297,7 @@ class GraftQueueMicroBatchStream(topicName: String, nPartitions: Int,
   override def commit(end: Offset): Unit = {
     val offs = end.asInstanceOf[QueueOffset].offs
     topic.commit(group, offs)
-    topic.commit(durableGroup, offs)
+    topic.commitDurable(group, offs)
     if (retain) { topic.truncateToCommitted(0.5); () }
   }
 

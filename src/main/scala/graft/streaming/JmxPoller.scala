@@ -32,7 +32,11 @@ object JmxPoller {
     */
   def shellExec(cliCmd: String)(host: String): String = {
     val pb = new ProcessBuilder("sh", cliCmd, host)
-    pb.redirectErrorStream(false)
+    // Discard stderr like the reference (execSync stdio
+    // ['pipe','pipe','ignore']): leaving the pipe unread deadlocks the
+    // tick once a chatty CLI fills the ~64 KB pipe buffer while we block
+    // in readAllBytes on stdout.
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
     val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes())
     val code = p.waitFor()

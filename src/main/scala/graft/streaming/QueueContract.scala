@@ -78,8 +78,33 @@ trait QueueTopic {
   def truncateToCommitted(minFraction: Double = 0.0): Map[Int, Long]
   private[streaming] def read(p: Int, from: Long, max: Int): Seq[QueueRecord]
   /** Durable committed offsets per consumer group. */
-  private[streaming] def committed(group: String): Map[Int, Long]
-  private[streaming] def commit(group: String, offs: Map[Int, Long]): Unit
+  private[streaming] final def committed(group: String): Map[Int, Long] =
+    committedRaw(group)
+  /** Commit a USER-chosen group's offsets. The reserved `.durable`
+    * suffix is rejected HERE — at the contract, not only in the
+    * connector — so no path into the commit namespace (a
+    * [[ContractConsumer]], a test harness, a future caller) can alias
+    * another group's durable-progress line and skew retention
+    * decisions; the only way to write under the suffix is
+    * [[commitDurable]].
+    */
+  private[streaming] final def commit(group: String, offs: Map[Int, Long]): Unit = {
+    QueueTopic.requireUnreserved(group)
+    commitRaw(group, offs)
+  }
+  /** Advance `group`'s durable-progress line (`<group>.durable`) — the
+    * connector's post-batch-commit write that retention trims to
+    * instead of the planning-time ack ([[QueueTopic.retentionLines]]).
+    */
+  private[streaming] final def commitDurable(group: String,
+      offs: Map[Int, Long]): Unit = {
+    QueueTopic.requireUnreserved(group)
+    commitRaw(group + ".durable", offs)
+  }
+  private[streaming] final def committedDurable(group: String): Map[Int, Long] =
+    committedRaw(group + ".durable")
+  protected def committedRaw(group: String): Map[Int, Long]
+  protected def commitRaw(group: String, offs: Map[Int, Long]): Unit
   /** Idempotent-producer fence primitive: returns true iff this
     * (query, epoch, write-partition) is ABOVE the partition's
     * high-water mark, and advances the mark. Epochs of a streaming
@@ -111,6 +136,16 @@ trait QueueTopic {
 }
 
 object QueueTopic {
+  /** Every commit-namespace write validates here (see
+    * [[QueueTopic.commit]]): `<group>.durable` is the connector
+    * reader's durable-progress line, and a user group literally named
+    * that way would alias another group's line.
+    */
+  private[streaming] def requireUnreserved(group: String): Unit =
+    require(!group.endsWith(".durable"),
+      s"queue group '$group': the '.durable' suffix is reserved for the " +
+        "reader's durable-progress line (written via commitDurable)")
+
   /** The per-group lines retention may trim to, with `<group>.durable`
     * overrides applied. A connector reader ACKs at planning (the S4
     * ack-before-process contract), so its plain group commit can run
@@ -202,9 +237,9 @@ final class InMemoryTopic(val nPartitions: Int) extends QueueTopic {
     */
   private val groupOffsets =
     mutable.Map.empty[String, mutable.Map[Int, Long]]
-  private[streaming] def committed(group: String): Map[Int, Long] =
+  protected def committedRaw(group: String): Map[Int, Long] =
     synchronized(groupOffsets.getOrElse(group, mutable.Map.empty).toMap)
-  private[streaming] def commit(group: String, offs: Map[Int, Long]): Unit =
+  protected def commitRaw(group: String, offs: Map[Int, Long]): Unit =
     synchronized {
       val g = groupOffsets.getOrElseUpdate(group, mutable.Map.empty)
       offs.foreach { case (p, o) => g(p) = math.max(o, g.getOrElse(p, 0L)) }

@@ -89,4 +89,47 @@ class RequeueSpec extends AnyFunSuite {
     assert(got == List((1, 1), (2, 2), (3, 3)), s"order broken: $got")
     assert(w.parkedBatches().isEmpty, "park dir must drain")
   }
+
+  test("the park is bounded: the gauge alarms past the batches threshold " +
+      "while strict order still holds, and the hard stop throws only " +
+      "AFTER the batch parked durably") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rq3").toString
+    val target = s"$dir/target"
+    val down = new AtomicBoolean(true)
+    var seq = 0
+    val write: (DataFrame, Long) => Unit = (df, _) => {
+      if (down.get) throw new RuntimeException("sink down")
+      seq += 1
+      df.withColumn("arrival", org.apache.spark.sql.functions.lit(seq))
+        .write.mode("append").parquet(target)
+    }
+    val alarms = scala.collection.mutable.ArrayBuffer.empty[ApmStreaming.ParkGauge]
+    val w = new ApmStreaming.RequeueWriter(s"$dir/park", write,
+      alarmBatches = 2, onAlarm = alarms += _, maxParkedBatches = 3)
+    w(Seq(1).toDF("v"), 0L) // parks (1 of threshold 2): silent
+    assert(alarms.isEmpty, s"premature alarm: $alarms")
+    w(Seq(2).toDF("v"), 1L) // parks: gauge hits the threshold -> WARN
+    assert(alarms.map(_.batches) == Seq(2), s"alarm cadence: $alarms")
+    assert(alarms.head.bytes > 0, "bytes gauge empty for parked parquet")
+    w(Seq(3).toDF("v"), 2L) // still down: alarms again (3 parked)
+    assert(alarms.map(_.batches) == Seq(2, 3), s"alarm cadence: $alarms")
+    // hard stop: the 4th park crosses maxParkedBatches=3 — it must THROW
+    // (halting the query for operator attention)...
+    val e = intercept[IllegalStateException] { w(Seq(4).toDF("v"), 3L) }
+    assert(e.getMessage.contains("maxParkedBatches"), e.getMessage)
+    // ...but only after batch 4 parked durably: nothing is lost
+    assert(w.parkedBatches().size == 4, s"hard stop lost the batch")
+    assert(w.gauge() == ApmStreaming.ParkGauge(4, w.gauge().bytes))
+    // recovery (a "restart" after the stop): the full backlog replays in
+    // original order ahead of the live batch — the alarm never broke
+    // ordering
+    down.set(false)
+    w(Seq(5).toDF("v"), 4L)
+    val got = spark.read.parquet(target).as[(Int, Int)].collect().toList
+      .sortBy(_._2)
+    assert(got == List((1, 1), (2, 2), (3, 3), (4, 4), (5, 5)),
+      s"order broken across the alarm/stop: $got")
+    assert(w.parkedBatches().isEmpty, "park dir must drain after recovery")
+  }
 }

@@ -39,6 +39,14 @@ object FileTopicChild {
   def committed(t: QueueTopic, group: String): Map[Int, Long] =
     t.committed(group)
 
+  /** Same, for the connector's durable-progress line (the only write
+    * path into the reserved `.durable` namespace).
+    */
+  def commitDurable(t: QueueTopic, group: String, offs: Map[Int, Long]): Unit =
+    t.commitDurable(group, offs)
+  def committedDurable(t: QueueTopic, group: String): Map[Int, Long] =
+    t.committedDurable(group)
+
   def main(args: Array[String]): Unit = args(0) match {
     case "produce" =>
       val t = new FileTopic(Paths.get(args(1)), args(2).toInt)
