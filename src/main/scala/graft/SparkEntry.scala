@@ -163,6 +163,8 @@ object SparkEntry {
     "d4_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     // measured LSH recall vs the exact n-gram Jaccard truth, per decile
     "d4_lsh_recall"    -> ((s, dir) => Dedup.lshRecall(s, dir)),
+    // recall CLIFF over the controlled-mutation fixture (0.3-0.8 buckets)
+    "d4_recall_cliff"  -> ((s, dir) => Dedup.recallCliff(s, dir)),
     "d5_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "d5_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "s1_knn_brute"     -> ((s, dir) => Similarity.knnBrute(s, dir)),
@@ -402,6 +404,7 @@ object SparkEntry {
     "d3_dedup_minhash" -> Dedup.minhashSql,
     "d4_dedup_minhash_lsh" -> Dedup.minhashLshSql(),
     "d4_lsh_recall"    -> Dedup.lshRecallSql(),
+    "d4_recall_cliff"  -> Dedup.recallCliffSql,
     "d5_dedup_simhash" -> Dedup.simhashSql,
     "d5_simhash_pairs" -> Dedup.simhashPairsSql(),
     "s1_knn_brute"     -> Similarity.knnBruteSql(),

@@ -337,7 +337,11 @@ object Dedup {
     * Reported per exact-jaccard decile bucket, so the expected recall
     * cliff just above the threshold (signature estimation error +
     * band-collision probability (1-(1-s^r)^b) both bite hardest there)
-    * is visible rather than averaged away. Counts are exact integers;
+    * is visible rather than averaged away; the corpus's own near-dups
+    * all sit >= 0.9, so the cliff range itself is populated by the
+    * controlled-mutation fixture ([[recallCliff]], d4_recall_cliff)
+    * and its theory-tolerance assertion (LshRecallCliffSpec).
+    * Counts are exact integers;
     * recall is the one terminal division; the bucket key floors a
     * double both engines derive from identical integer ratios.
     *
@@ -381,6 +385,153 @@ object Dedup {
           CAST(sum(hit) AS BIGINT) AS n_found,
           CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
         FROM j GROUP BY 1"""
+
+  // --------------------------------------------------- recall cliff fixture
+
+  /** Controlled-mutation rates for the recall-CLIFF measurement: each
+    * (variant id, drop cut) deletes tokens where a deterministic hash of
+    * (doc_id, 1-based token index, variant) mod 997 falls below the cut
+    * — i.e. drop probabilities ~3/6/10/15/22 %. A token deletion kills
+    * up to 3 word-3-gram shingles and mints bridge shingles across the
+    * gap, so these rates land the (orig, mutant) exact Jaccard spread
+    * across roughly the 0.3–1.0 range — populating the buckets where
+    * the banding probability 1-(1-s^r)^b actually bends, which the
+    * corpus's own seeded near-dups (all >= 0.9) cannot.
+    */
+  val CliffRates: Seq[(Int, Int)] =
+    Seq(1 -> 30, 2 -> 60, 3 -> 100, 4 -> 150, 5 -> 220)
+  private val CliffMinWords = 20
+
+  /** Deterministic keep-condition shared bit-for-bit with the oracle:
+    * positive i64 arithmetic only (doc_id, idx, v all positive), so %
+    * agrees across engines without pmod gymnastics.
+    */
+  private def cliffKeep(docId: Column, idx1: Column, v: Int, cut: Int): Column =
+    (docId * lit(73856093L) + idx1.cast("long") * lit(19349663L) +
+      lit(v.toLong * 83492791L)) % lit(997L) >= lit(cut.toLong)
+
+  private def sigOf(hs: Column): Column =
+    min_hash_sig(hs, (0 until MinhashK).map(aConst),
+      (0 until MinhashK).map(bConst), P)
+
+  /** One row per seeded (orig, mutant) pair: the pair's EXACT shingle
+    * Jaccard, whether the banded LSH pipeline would surface it (the
+    * pipeline's join condition — some band's `rows` minima all equal —
+    * evaluated pairwise), and the per-pair banding theory. Linear in
+    * docs x |CliffRates|: the fixture knows its pairs by construction,
+    * so no candidate join is needed — this is what makes the cliff
+    * measurable at any scale (the corpus-discovery leg, d4_lsh_recall,
+    * stays the production-shaped measurement).
+    */
+  private[graft] def recallCliffPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docs(spark, sfDir)
+      .select(col("doc_id"), split(normText, " ").as("w"))
+      .filter(size(col("w")) >= CliffMinWords)
+    val orig = base
+      .select(col("doc_id"),
+        shingle_hashes(array_join(col("w"), " "), 3).as("hs0"))
+      .select(col("doc_id"), col("hs0"), sigOf(col("hs0")).as("sig0"))
+    val variantArr = array(CliffRates.map { case (v, cut) =>
+      struct(lit(v).as("v"),
+        filter(col("w"), (x, i) =>
+          cliffKeep(col("doc_id"), i + 1, v, cut)).as("kept"))
+    }: _*)
+    val muts = base
+      .select(col("doc_id"), explode(variantArr).as("m"))
+      .select(col("doc_id"), col("m.v").as("v"),
+        array_join(col("m.kept"), " ").as("txt"))
+      .select(col("doc_id"), col("v"),
+        shingle_hashes(col("txt"), 3).as("hs"))
+      .select(col("doc_id"), col("v"), col("hs"), sigOf(col("hs")).as("sig"))
+    val rows = MinhashK / MinhashBands
+    val bandHit = (0 until MinhashBands).map { b =>
+      (0 until rows).map { r =>
+        element_at(col("sig0"), b * rows + r + 1) ===
+          element_at(col("sig"), b * rows + r + 1)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    val inter = size(array_intersect(col("hs0"), col("hs")))
+    muts.join(orig, Seq("doc_id"))
+      .select(col("doc_id"), col("v"),
+        (inter.cast("double") /
+          (size(col("hs0")) + size(col("hs")) - inter).cast("double"))
+          .as("jaccard"),
+        bandHit.cast("int").as("hit"))
+  }
+
+  /** Measured per-bucket recall of the banded-LSH candidate step over
+    * the controlled-mutation fixture, beside the banding theory
+    * 1-(1-s^r)^b at the bucket midpoint. The corpus-discovery recall
+    * query (d4_lsh_recall) verifies the >= 0.9 bucket the synthetic
+    * corpus populates; THIS query populates the 0.3–0.8 cliff buckets
+    * by construction — together they trace the whole curve. The theory
+    * column uses only IEEE-exact ops (integer-derived doubles,
+    * multiplication, one division), so it hash-matches across engines;
+    * the statistical recall-vs-theory tolerance assertion lives in
+    * LshRecallCliffSpec (a hash gate cannot express "within 4 sigma").
+    */
+  def recallCliff(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = (col("j_bucket").cast("double") + lit(0.5)) / lit(10.0)
+    val s3 = m * m * m
+    val d = lit(1.0) - s3
+    recallCliffPairs(spark, sfDir)
+      .select(floor(col("jaccard") * 10).cast("long").as("j_bucket"),
+        col("hit"))
+      .groupBy("j_bucket")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("hit")).cast("long").as("n_found"))
+      .select(col("j_bucket"), col("n_pairs"), col("n_found"),
+        (col("n_found").cast("double") / col("n_pairs").cast("double"))
+          .as("recall"),
+        (lit(1.0) - d * d * d * d).as("theory_mid"))
+  }
+
+  def recallCliffSql: String = {
+    val w = s"string_split($normTextSql, ' ')"
+    val variants = CliffRates.map { case (v, cut) => s"($v, $cut)" }
+      .mkString(", ")
+    val sigs = (0 until MinhashK).map { i =>
+      s"list_min(list_transform(hs, h -> (h*${aConst(i)} + ${bConst(i)}) % $P))"
+    }.mkString("[", ", ", "]")
+    val rows = MinhashK / MinhashBands
+    val bandHit = (0 until MinhashBands).map { b =>
+      (0 until rows).map { r =>
+        s"sig0[${b * rows + r + 1}] = sig[${b * rows + r + 1}]"
+      }.mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    s"""WITH base AS (
+          SELECT doc_id, $w AS w FROM documents WHERE len($w) >= $CliffMinWords),
+        orig AS (
+          SELECT doc_id, hs AS hs0, $sigs AS sig0 FROM (
+            SELECT doc_id, ${shingleHashesSql("w")} AS hs FROM base)),
+        kept AS (
+          SELECT doc_id, mv.v AS v,
+            list_filter(w, (x, i) ->
+              (doc_id*73856093 + i*19349663 + mv.v*83492791) % 997 >= mv.cut)
+              AS w2
+          FROM base, (VALUES $variants) AS mv(v, cut)),
+        muts AS (
+          SELECT doc_id, v, hs, $sigs AS sig FROM (
+            SELECT doc_id, v, ${shingleHashesSql("w2")} AS hs FROM kept)),
+        pairs AS (
+          SELECT CAST(floor((CAST(len(list_intersect(hs0, hs)) AS DOUBLE) /
+              CAST(len(hs0) + len(hs) - len(list_intersect(hs0, hs))
+                   AS DOUBLE)) * 10) AS BIGINT) AS j_bucket,
+            CAST($bandHit AS INT) AS hit
+          FROM muts JOIN orig USING (doc_id)),
+        agg AS (
+          SELECT j_bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(hit) AS BIGINT) AS n_found
+          FROM pairs GROUP BY 1),
+        thry AS (
+          SELECT j_bucket, n_pairs, n_found,
+            CAST(n_found AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS recall,
+            (CAST(j_bucket AS DOUBLE) + 0.5) / 10.0 AS m
+          FROM agg)
+        SELECT j_bucket, n_pairs, n_found, recall,
+          1.0 - (1.0 - m*m*m)*(1.0 - m*m*m)*(1.0 - m*m*m)*(1.0 - m*m*m)
+            AS theory_mid
+        FROM thry"""
+  }
 
   // ------------------------------------------------------------- clustering
 
