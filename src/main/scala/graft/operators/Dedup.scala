@@ -404,10 +404,14 @@ object Dedup {
 
   /** Deterministic keep-condition shared bit-for-bit with the oracle:
     * positive i64 arithmetic only (doc_id, idx, v all positive), so %
-    * agrees across engines without pmod gymnastics.
+    * agrees across engines without pmod gymnastics. doc_id is reduced
+    * mod 1e8 BEFORE the multiply — replicated corpora (ScaleUp) mint
+    * doc_ids ~1e12, and 1e12 * 73856093 overflows i64; the reduction
+    * is the identity at test scales, so oracle hashes are unchanged.
     */
   private def cliffKeep(docId: Column, idx1: Column, v: Int, cut: Int): Column =
-    (docId * lit(73856093L) + idx1.cast("long") * lit(19349663L) +
+    ((docId % lit(100000000L)) * lit(73856093L) +
+      idx1.cast("long") * lit(19349663L) +
       lit(v.toLong * 83492791L)) % lit(997L) >= lit(cut.toLong)
 
   private def sigOf(hs: Column): Column =
@@ -506,7 +510,7 @@ object Dedup {
         kept AS (
           SELECT doc_id, mv.v AS v,
             list_filter(w, (x, i) ->
-              (doc_id*73856093 + i*19349663 + mv.v*83492791) % 997 >= mv.cut)
+              ((doc_id % 100000000)*73856093 + i*19349663 + mv.v*83492791) % 997 >= mv.cut)
               AS w2
           FROM base, (VALUES $variants) AS mv(v, cut)),
         muts AS (
