@@ -43,6 +43,13 @@ import graft.sources.LogFileSource
   */
 object ApmGraph {
 
+  /** `orderedCooldown` opts stage 4 into the DETERMINISTIC cooldown
+    * ([[ApmStateV2.cooldownStreamOrdered]]): fired candidates fold in
+    * event-time order across servers (the batch oracle's semantics)
+    * instead of the reference-faithful arrival order, at the price of a
+    * watermark delay (`orderedDelay` — the cross-chain skew budget) and
+    * the RocksDB state store (transformWithState requires it).
+    */
   case class GraphCfg(
       windowLen: String = "60 seconds",
       slide: String = "10 seconds",
@@ -50,7 +57,9 @@ object ApmGraph {
       lag: ZScore.LagCfg = ZScore.LagCfg(3, 1.0, 0.5),
       alert: Alerts.AlertCfg = Alerts.AlertCfg(
         hardMaxMs = 150.0, hardMinMs = 0.0, hardMinTpm = 0.0,
-        windowSz = 5, voteThreshold = 2, cooldownMs = 30000L))
+        windowSz = 5, voteThreshold = 2, cooldownMs = 30000L),
+      orderedCooldown: Boolean = false,
+      orderedDelay: String = "10 seconds")
 
   val statsSchema: StructType = Encoders.product[StatsRow].schema
   case class StatsRow(server: String, service: String, ts_ms: Long,
@@ -398,7 +407,10 @@ object ApmGraph {
     val fired = r.load()
       .select(from_json(col("value"), voteOutSchema).as("r"))
       .select(col("r.*")).as[ApmStreaming.VoteOut]
-    val alerts = ApmStreaming.cooldownStream(fired, cfg.alert)
+    val alerts =
+      if (cfg.orderedCooldown)
+        ApmStateV2.cooldownStreamOrdered(fired, cfg.alert, cfg.orderedDelay)
+      else ApmStreaming.cooldownStream(fired, cfg.alert)
     await(ApmStreaming.sinkToParquet(alerts.toDF(), s"$workDir/alerts",
       s"$workDir/ckpt_alerts_q", orderCol = Some("ts_ms"),
       availableNow = true))

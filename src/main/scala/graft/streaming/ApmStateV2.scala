@@ -155,6 +155,119 @@ object ApmStateV2 {
       .transformWithState(new CooldownProcessor(cfg), TimeMode.None(), OutputMode.Append())
   }
 
+  // ------------------------------- R4 ordered (deterministic) cooldown
+
+  /** VoteOut plus the event-time column the watermark rides on. */
+  private type OrdRow = (String, String, Int, Long, String, java.sql.Timestamp)
+
+  /** R4 cooldown, DETERMINISTIC opt-in variant: folds fired candidates
+    * in EVENT-TIME order across keys instead of arrival order.
+    *
+    * The arrival-order cooldown ([[CooldownProcessor]],
+    * [[ApmStreaming.cooldownStream]]) is reference-faithful — the
+    * reference folds bus ARRIVAL order
+    * (stream_process_alerts.js:420-447), so when two servers fire the
+    * same service near-simultaneously the winner depends on which
+    * upstream per-(server,service,lag) chain reaches the consumer
+    * first. Per-key ordering contracts cannot fix that: the service key
+    * is coarser than the upstream keys, and no broker orders ACROSS
+    * partitions. This processor offers what the reference cannot: it
+    * buffers fired rows per service and folds them only once the
+    * event-time watermark has passed them, sorted by
+    * (ts_ms, server, lag) — exactly the batch oracle's global order
+    * ([[graft.operators.Alerts.alertsRef]]) — so multi-server firings
+    * are reproducible and stream == batch bit-for-bit.
+    *
+    * Determinism contract (the standard watermark trade): the output is
+    * a pure function of the input SET provided every row arrives before
+    * the watermark passes its event time (within the `withWatermark`
+    * delay of the max event time seen). A row later than that is
+    * DROPPED — never folded, deterministically — and surfaced through
+    * [[LateDrops]]; the arrival-order mode would instead have folded it
+    * at whatever position it happened to arrive.
+    *
+    * State per service: the not-yet-ripe buffered rows (bounded by
+    * alert volume within one watermark delay — R3 fires at most one row
+    * per upstream key per stats window), the last-emit timestamp, the
+    * flushed-watermark high-water mark, and a single registered
+    * event-time timer at the earliest buffered ts (re-aimed as earlier
+    * rows arrive; the flush itself re-arms for whatever stays held).
+    */
+  class OrderedCooldownProcessor(cfg: Alerts.AlertCfg)
+      extends StatefulProcessor[String, OrdRow, VoteOut] {
+    @transient private var buf: ListState[VoteOut] = _
+    @transient private var lastSt: ValueState[Long] = _  // last emit ts
+    @transient private var wmSt: ValueState[Long] = _    // flushed watermark
+    @transient private var timerSt: ValueState[Long] = _ // armed timer (0 = none)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[VoteOut]("buf",
+        Encoders.product[VoteOut], TTLConfig.NONE)
+      lastSt = getHandle.getValueState[Long]("lastFired",
+        Encoders.scalaLong, TTLConfig.NONE)
+      wmSt = getHandle.getValueState[Long]("flushedWm",
+        Encoders.scalaLong, TTLConfig.NONE)
+      timerSt = getHandle.getValueState[Long]("timerAt",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(svc: String, rows: Iterator[OrdRow],
+        tv: TimerValues): Iterator[VoteOut] = {
+      val flushedWm = if (wmSt.exists()) wmSt.get() else Long.MinValue
+      val (late, fresh) = rows
+        .map(r => VoteOut(r._1, r._2, r._3, r._4, r._5)).toArray
+        .partition(_.ts_ms <= flushedWm)
+      late.foreach(r => LateDrops.record("orderedCooldown",
+        (r.server, svc), r.ts_ms, flushedWm, r.causes, hasData = true))
+      if (fresh.nonEmpty) {
+        buf.appendList(fresh)
+        val minTs = fresh.map(_.ts_ms).min
+        val prev = if (timerSt.exists()) timerSt.get() else 0L
+        if (prev == 0L || minTs < prev) {
+          if (prev != 0L) getHandle.deleteTimer(prev)
+          getHandle.registerTimer(minTs)
+          timerSt.update(minTs)
+        }
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(svc: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[VoteOut] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      val (ripe, hold) = buf.get().toArray.partition(_.ts_ms <= wm)
+      var last = if (lastSt.exists()) lastSt.get() else Long.MinValue
+      val out = ripe.sortBy(r => (r.ts_ms, r.server, r.lag)).flatMap { r =>
+        val emit = last == Long.MinValue ||
+          (r.ts_ms - last) / 1000.0 > cfg.cooldownMs / 1000.0
+        if (emit) { last = r.ts_ms; Some(r) } else None
+      }
+      lastSt.update(last)
+      wmSt.update(wm)
+      buf.clear()
+      if (hold.nonEmpty) {
+        buf.appendList(hold)
+        val minTs = hold.map(_.ts_ms).min // > wm: a future re-arm
+        getHandle.registerTimer(minTs)
+        timerSt.update(minTs)
+      } else timerSt.update(0L)
+      out.iterator
+    }
+  }
+
+  /** The watermark delay is the determinism budget: cross-chain skew up
+    * to `delay` behind the max fired event time is reordered correctly;
+    * anything later is dropped-and-counted (see processor scaladoc).
+    */
+  def cooldownStreamOrdered(fired: Dataset[VoteOut], cfg: Alerts.AlertCfg,
+      delay: String = "10 seconds"): Dataset[VoteOut] = {
+    import fired.sparkSession.implicits._
+    fired
+      .withColumn("ev_ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ev_ts", delay)
+      .as[OrdRow]
+      .groupByKey(_._2)
+      .transformWithState(new OrderedCooldownProcessor(cfg),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   // -------------------------------------------------- J2 park-and-expire
 
   private type ERow = (Long, String, String, Long, Double, String, java.sql.Timestamp)

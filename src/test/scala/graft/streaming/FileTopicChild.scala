@@ -130,7 +130,10 @@ object FileTopicChild {
       }
       val spark = builder.getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
-      val cfg = ApmGraph.GraphCfg()
+      // optional 8th arg: "ordered" opts stage 4 into the deterministic
+      // event-time cooldown (requires the RocksDB provider in arg 7)
+      val cfg = ApmGraph.GraphCfg(
+        orderedCooldown = args.length > 7 && args(7) == "ordered")
       var drains = 0
       while (!java.nio.file.Files.exists(stop)) {
         if (stage == 6) {
