@@ -186,7 +186,11 @@ object Bench {
     // handoffs) over a synthesized log corpus, end to end. One pass —
     // the run is long enough (~10^5 input lines) to dominate startup.
     // Skipped under the dev-only SPARK_GRAFT_ONLY filter.
-    val streamJson: String = if (only.nonEmpty) "" else {
+    // (full-artifact variant, compact-stdout variant): the whole-graph
+    // file-transport detail goes to the FILE only; the stdout line gets
+    // a single g_lps scalar (the ~400 B driver log-tail clip).
+    val streamPair: (String, String) =
+      if (only.nonEmpty) ("", "") else {
       try {
         val fmt = java.time.format.DateTimeFormatter
           .ofPattern("yyyy-MM-dd HH:mm:ss,SSS")
@@ -266,13 +270,42 @@ object Bench {
         val alertsF = cnt(s"$workF/alerts")
         System.err.println(f"[bench] stream_file s34=$fileSec%.1f s " +
           f"(parquet s34=$s34Sec%.1f s) alerts=$alertsF")
-        f""","stream":{"lines":$nLines,"sec":$streamSec%.1f,"lines_per_sec":${nLines / streamSec}%.0f,"stats_rows":$statsRows,"stats_rows_per_sec":${statsRows / streamSec}%.0f,"alerts":$alertRows,"s34_sec":$s34Sec%.1f},"stream_file":{"s34_sec":$fileSec%.1f,"alerts":$alertsF}"""
+        // ---- The WHOLE graph over the file transport: all four stages
+        // with EVERY boundary a FileTopic (the fabric the forked
+        // topology runs on), drained sequentially in this JVM over the
+        // same corpus (the sentinel file already exists, so one extra
+        // stage-1 drain plays the window-close no-data pass). vs the
+        // `stream` block above this prices the end-to-end transport
+        // cost, not just the stage-3->4 handoff.
+        val workG = base.resolve("workg").toString
+        val qdirG = Some(base.resolve("qdirg").toString)
+        val g0 = System.nanoTime()
+        Seq(1, 1, 2, 3, 4).foreach(s => graft.streaming.ApmGraph
+          .runStageQueued(spark, s, glob, workG, qdirG.get, cfg))
+        val graphSec = (System.nanoTime() - g0) / 1e9
+        val alertsG = cnt(s"$workG/alerts")
+        val statsG = {
+          val t = new graft.streaming.FileTopic(
+            Paths.get(qdirG.get, "t_stats"))
+          t.endOffsets.values.sum
+        }
+        System.err.println(f"[bench] stream_file WHOLE graph sec=" +
+          f"$graphSec%.1f lines/s=${nLines / graphSec}%.0f " +
+          f"stats=$statsG alerts=$alertsG (in-mem sec=$streamSec%.1f)")
+        val streamCore =
+          f""","stream":{"lines":$nLines,"sec":$streamSec%.1f,"lines_per_sec":${nLines / streamSec}%.0f,"stats_rows":$statsRows,"stats_rows_per_sec":${statsRows / streamSec}%.0f,"alerts":$alertRows,"s34_sec":$s34Sec%.1f}"""
+        (streamCore +
+          f""","stream_file":{"s34_sec":$fileSec%.1f,"alerts":$alertsF,"graph_sec":$graphSec%.1f,"graph_lines_per_sec":${nLines / graphSec}%.0f,"graph_stats_rows":$statsG,"graph_stats_rows_per_sec":${statsG / graphSec}%.0f,"graph_alerts":$alertsG}""",
+         streamCore +
+          f""","stream_file":{"s34_sec":$fileSec%.1f,"g_lps":${nLines / graphSec}%.0f}""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream bench FAILED: ${e.getClass.getName}: ${e.getMessage}")
         errors("stream_graph") = e.getClass.getSimpleName
-        ""
+        ("", "")
       }
     }
+    val streamJson = streamPair._1
+    val streamJsonCompact = streamPair._2
     def jnum(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, w, _, _) => s""""$k":${jnum(w)}""" }.mkString("{", ",", "}")
     val cpu = results.map { case (k, _, c, _) => s""""$k":${jnum(c)}""" }.mkString("{", ",", "}")
@@ -314,7 +347,7 @@ object Bench {
     // The stdout line carries only the headline scalars — total wall,
     // query count, error map, stream block, sf — and points at
     // bench_out.json for the per-query detail. Must stay under 400 B.
-    val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"errors":$errJson$streamJson,"calib":${jnum(calibEnd)},"sf":"$sfDir","detail":"bench_out.json"}"""
+    val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"errors":$errJson$streamJsonCompact,"calib":${jnum(calibEnd)},"sf":"$sfDir","detail":"bench_out.json"}"""
     spark.stop()
     // Bare, final stdout line (spark.stop() already happened so nothing
     // logs after it; run/outputStrategy passes it through un-prefixed).

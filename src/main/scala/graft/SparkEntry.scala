@@ -84,6 +84,7 @@ object SparkEntry {
       Alerts.dbStatsRoundtrip(Alerts.candidates(zWin(s, dir), alertCfg))),
     "d6_dedup_embed"   -> ((s, dir) => Similarity.embedNearDup(s, dir)),
     "d6_embed_recall"  -> ((s, dir) => Similarity.embedRecall(s, dir)),
+    "d6_recall_sampled" -> ((s, dir) => Similarity.embedRecallSampled(s, dir)),
     "c9_semdedup"      -> ((s, dir) => Similarity.semDedup(s, dir)),
     "t11_kmv_distinct" -> ((s, dir) => TextAnalysis.kmvDistinct(s, dir)),
     "t12_len_quantile" -> ((s, dir) => TextAnalysis.lenQuantile(s, dir)),
@@ -326,6 +327,7 @@ object SparkEntry {
       Alerts.candidatesSql(zWinSql, alertCfg)),
     "d6_dedup_embed"   -> Similarity.embedNearDupSql(),
     "d6_embed_recall"  -> Similarity.embedRecallSql(),
+    "d6_recall_sampled" -> Similarity.embedRecallSampledSql(),
     "c9_semdedup"      -> Similarity.semDedupSql(),
     "t11_kmv_distinct" -> TextAnalysis.kmvDistinctSql(),
     "t12_len_quantile" -> TextAnalysis.lenQuantileSql(),

@@ -604,6 +604,32 @@ object Alerts {
         FROM p"""
   }
 
+  /** The R3 FIRE SET of [[alertsRef]]'s one-pass fold: every row the
+    * cooldown stage consumes (fire == true BEFORE cooldown suppression),
+    * in the oracle's global (ts, server, lag) order. Same counter loop
+    * as [[alertsRef]] so specs that need the cooldown's exact input
+    * (the ordered-cooldown equivalence tests, the forked topology's
+    * sentinel staging) stay in lockstep with the oracle.
+    */
+  def firedRef(
+      rows: Seq[(String, String, Int, Long, Boolean, String)],
+      cfg: AlertCfg = default): Seq[(Long, String, String, Int, String)] = {
+    val counts = mutable.Map.empty[(String, String, Int), Int]
+    val out = mutable.Buffer.empty[(Long, String, String, Int, String)]
+    rows.sortBy(r => (r._4, r._1, r._3)).foreach { case (srv, svc, lag, ts, bad, causes) =>
+      val k = (srv, svc, lag)
+      var c = counts.getOrElse(k, 0)
+      var fire = false
+      if (bad) {
+        if (c <= cfg.windowSz) c += 1
+        fire = c >= cfg.voteThreshold
+      } else if (c > 0) c -= 1
+      counts(k) = c
+      if (fire) out += ((ts, srv, svc, lag, causes))
+    }
+    out.toSeq
+  }
+
   /** Pure-Scala reference fold for tests (mirrors reference processFSEntry
     * control flow directly — one pass, interleaved counter + cooldown).
     */

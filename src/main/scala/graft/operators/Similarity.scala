@@ -253,6 +253,70 @@ object Similarity {
         (col("n_found").cast("double") / col("n_true")).as("recall"))
   }
 
+  /** [[embedRecall]] with a SAMPLED query side — the 100 TB shape of
+    * the measurement. The full-recall query's truth leg is the suite's
+    * one deliberate all-pairs O(N²) nested loop (fine at test scale,
+    * impossible at corpus scale); here the truth is computed only for a
+    * deterministic 1-in-`k` hash sample of vectors, EXACT over the full
+    * base — O(N²/k) with the same expected recall (each found LSH pair
+    * is checked from each sampled endpoint, directed, so the estimate
+    * is the recall over sampled queries). The sample predicate is pure
+    * i64 arithmetic (Knuth multiplicative hash over a mod-1e8-reduced
+    * id — the reduction keeps the product far from i64 overflow at any
+    * corpus scale), identical in Spark and the DuckDB oracle.
+    */
+  def embedRecallSampled(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3, k: Int = 4): DataFrame = {
+    val vecs = vecsDouble(spark, sfDir)
+    // take HIGH bits of the product (>> 16): the product mod a small k
+    // would reduce to id mod k (any odd multiplier is 1 mod small 2^m),
+    // i.e. not a hash at all
+    def sampled(id: Column): Column =
+      pmod(shiftright(pmod(id, lit(100000000L)) * lit(2654435761L), 16),
+        lit(k.toLong)) === 0L
+    val q = vecs.filter(sampled(col("vec_id")))
+      .select(col("vec_id").as("id_q"), col("v").as("vq"))
+    val base = vecs.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    val truth = broadcast(q).join(base, col("id_q") =!= col("id_b"))
+      .withColumn("cos", dot(col("vq"), col("vb")) /
+        (norm(col("vq")) * norm(col("vb"))))
+      .filter(col("cos") >= threshold)
+      .agg(count(lit(1)).as("n_true"))
+    // each undirected LSH pair, re-read from each SAMPLED endpoint
+    val found = embedNearDup(spark, sfDir, threshold)
+      .select(explode(array(
+        struct(col("id_a").as("id_q"), col("id_b").as("id_x")),
+        struct(col("id_b").as("id_q"), col("id_a").as("id_x")))).as("p"))
+      .filter(sampled(col("p.id_q")))
+      .agg(count(lit(1)).as("n_found"))
+    truth.crossJoin(found)
+      .select(col("n_true"), col("n_found"),
+        (col("n_found").cast("double") / col("n_true")).as("recall"))
+  }
+
+  def embedRecallSampledSql(threshold: Double = 0.3, k: Int = 4): String = {
+    def sampled(id: String): String =
+      s"(((($id % 100000000) * 2654435761) >> 16) % $k + $k) % $k = 0"
+    s"""WITH vecs AS ($vecsDoubleSql),
+        truep AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_true
+          FROM vecs a JOIN vecs b ON a.vec_id <> b.vec_id
+          WHERE ${sampled("a.vec_id")}
+            AND ${dotSql("a.v", "b.v")} /
+              (${normSql("a.v")} * ${normSql("b.v")}) >= $threshold),
+        found AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_found
+          FROM (
+            SELECT * FROM (
+              SELECT id_a AS id_q FROM (${embedNearDupSql(threshold)})
+              UNION ALL
+              SELECT id_b AS id_q FROM (${embedNearDupSql(threshold)}))
+            WHERE ${sampled("id_q")}))
+        SELECT n_true, n_found,
+          CAST(n_found AS DOUBLE) / n_true AS recall
+        FROM truep CROSS JOIN found"""
+  }
+
   def embedRecallSql(threshold: Double = 0.3): String =
     s"""WITH vecs AS ($vecsDoubleSql),
         truep AS (

@@ -411,8 +411,41 @@ object ApmGraph {
       if (cfg.orderedCooldown)
         ApmStateV2.cooldownStreamOrdered(fired, cfg.alert, cfg.orderedDelay)
       else ApmStreaming.cooldownStream(fired, cfg.alert)
-    await(ApmStreaming.sinkToParquet(alerts.toDF(), s"$workDir/alerts",
+    val q = ApmStreaming.sinkToParquet(alerts.toDF(), s"$workDir/alerts",
       s"$workDir/ckpt_alerts_q", orderCol = Some("ts_ms"),
-      availableNow = true))
+      availableNow = true)
+    await(q)
+    publishDropMetrics(q, "stage4", queueDir)
+  }
+
+  /** Drop observability ACROSS processes: the ordered cooldown's
+    * determinism contract drops too-late rows, but its two drop records
+    * are process-local — Spark's `numRowsDroppedByWatermark` lives in
+    * this JVM's StreamingQueryProgress and the residual-band
+    * [[ApmStateV2.LateDrops]] ledger is an in-JVM counter, both
+    * invisible to an operator (or a topology spec) watching a forked
+    * stage from outside. After each drain, any NONZERO drop delta is
+    * published as one JSON record on the `t_ops` queue topic — the
+    * queue-alarm shape the reference uses for operational signals
+    * (config/apm_config.json:41-42) — keyed by stage so one partition
+    * carries each stage's alarm stream in order. Zero-drop drains
+    * publish nothing (an alarm channel, not a heartbeat).
+    */
+  private val ledgerPublished = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val ledgerDataPublished = new java.util.concurrent.atomic.AtomicLong(0L)
+  def publishDropMetrics(q: org.apache.spark.sql.streaming.StreamingQuery,
+      stage: String, queueDir: Option[String]): Unit = {
+    val wmDropped = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    val led = ApmStateV2.LateDrops.dropped.get()
+    val ledData = ApmStateV2.LateDrops.droppedWithData.get()
+    val dLed = led - ledgerPublished.getAndSet(led)
+    val dLedData = ledData - ledgerDataPublished.getAndSet(ledData)
+    if (wmDropped > 0 || dLed > 0) {
+      val rec = s"""{"stage":"$stage","wm_dropped":$wmDropped,""" +
+        s""""ledger_dropped":$dLed,"ledger_dropped_with_data":$dLedData}"""
+      QueueRegistry.topic("t_ops", 1, queueDir).produce(stage, rec)
+      ()
+    }
   }
 }

@@ -182,9 +182,27 @@ object ApmStateV2 {
     * a pure function of the input SET provided every row arrives before
     * the watermark passes its event time (within the `withWatermark`
     * delay of the max event time seen). A row later than that is
-    * DROPPED — never folded, deterministically — and surfaced through
-    * [[LateDrops]]; the arrival-order mode would instead have folded it
-    * at whatever position it happened to arrive.
+    * DROPPED — never folded, deterministically — and observably:
+    * Spark's stateful-operator late-record filter discards it BEFORE
+    * this processor runs (counted in the query progress's
+    * `numRowsDroppedByWatermark` — the primary channel,
+    * OrderedCooldownSpec pins it); the in-processor [[LateDrops]]
+    * ledger guards only the residual boundary band (a row the late
+    * filter admits — it uses the PREVIOUS batch's watermark — but whose
+    * ts is at or below the watermark of the last flush). The
+    * arrival-order mode would instead have folded such a row at
+    * whatever position it happened to arrive.
+    *
+    * TAIL HOLDBACK (the flip side of the same trade): rows within
+    * `delay` of the max event time seen are still in the `buf`
+    * ListState when an AvailableNow drain finishes — the watermark
+    * never passes them, so the final tail of a bounded run is withheld
+    * (a batch fold over the same input would include it). Harness
+    * comparisons must either advance the watermark past the last real
+    * event with a far-future sentinel row (OrderedCooldownSpec and the
+    * topology spec's firing sentinel do this) or compare only up to
+    * `max_event_time - delay`. On a live unbounded stream the holdback
+    * is just the normal watermark lag.
     *
     * State per service: the not-yet-ripe buffered rows (bounded by
     * alert volume within one watermark delay — R3 fires at most one row

@@ -225,7 +225,17 @@ final class FileTopic(val dir: Path, requestedPartitions: Int = 4,
         val md = java.security.MessageDigest.getInstance("SHA-256")
         val h = md.digest(s.getBytes(UTF_8)).take(8)
           .map(b => f"${b & 0xff}%02x").mkString
-        raw.take(FileTopic.MaxEncodedName) + "~" + h
+        // a blind take() could cut a %XX escape mid-sequence, leaving a
+        // dangling '%' or '%X' before the '~' marker — harmless while
+        // the prefix stays opaque, but fragile if anything ever decodes
+        // it. Trim back to the previous escape boundary: a '%' at
+        // position cap-1 or cap-2 started an escape that got cut.
+        val cut = raw.take(FileTopic.MaxEncodedName)
+        val safe =
+          if (cut.length >= 2 && cut(cut.length - 2) == '%') cut.dropRight(2)
+          else if (cut.nonEmpty && cut.last == '%') cut.dropRight(1)
+          else cut
+        safe + "~" + h
       }
     }
   private def fileName(prefix: String, s: String) =

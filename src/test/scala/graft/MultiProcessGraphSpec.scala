@@ -59,15 +59,20 @@ class MultiProcessGraphSpec extends AnyFunSuite {
   }
 
   /** Fork one graph stage as a separate JVM; stdout/stderr tee to a file
-    * for post-mortem, handle returned for the kill.
+    * for post-mortem, handle returned for the kill. `ordered` passes the
+    * child's 8th arg, opting stage 4 into the deterministic event-time
+    * cooldown (a GraphCfg flag — harmless on the other stages).
     */
   private def forkStage(stage: Int, logsGlob: String, work: String,
-      qdir: String, stop: String, base: String, provider: String): Process = {
+      qdir: String, stop: String, base: String, provider: String,
+      ordered: Boolean = false): Process = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
-    val pb = new ProcessBuilder(javaBin, "-Xmx3g", "-cp", cp,
+    val args = Seq(javaBin, "-Xmx3g", "-cp", cp,
       "graft.streaming.FileTopicChild", "graphstage", stage.toString,
-      logsGlob, work, qdir, stop, provider)
+      logsGlob, work, qdir, stop, provider) ++
+      (if (ordered) Seq("ordered") else Nil)
+    val pb = new ProcessBuilder(args: _*)
     pb.redirectErrorStream(true)
     pb.redirectOutput(Paths.get(base, s"stage$stage.out").toFile)
     pb.start()
@@ -80,9 +85,21 @@ class MultiProcessGraphSpec extends AnyFunSuite {
   }
 
   /** The full scenario, parameterized by the children's state-store
-    * provider ("" = Spark's default HDFS-backed store).
+    * provider ("" = Spark's default HDFS-backed store) and the stage-4
+    * cooldown mode. `ordered = true` is the leg the arrival-order mode
+    * CANNOT run deterministically: BOTH servers turn slow in wave 2, so
+    * both fire the same service at identical window-end timestamps, and
+    * the per-service cooldown winner is decided by the event-time order
+    * (ts, server, lag) — the batch oracle's — rather than by whichever
+    * upstream chain reaches the consumer first. A far-future sentinel
+    * must then itself FIRE (slow zzf wave, closed by a later quiet zz2
+    * event) so stage 4's watermark passes every real alert and the
+    * ordered cooldown's tail holdback releases; it is STAGED after all
+    * real fired rows are appended (see the staging comment in the body)
+    * so it cannot overtake them across micro-batches.
     */
-  private def sixProcessScenario(provider: String): Unit = {
+  private def sixProcessScenario(provider: String,
+      ordered: Boolean = false): Unit = {
     val base = Files.createTempDirectory("graft_mp").toString
     val logs = s"$base/logs"
     val glob = s"$logs/net/*/*"
@@ -90,7 +107,8 @@ class MultiProcessGraphSpec extends AnyFunSuite {
     val stop = s"$base/stop"
     val works = (1 to 6).map(s => s"$base/work$s")
     works.foreach(w => Files.createDirectories(Paths.get(w)))
-    val cfg = ApmGraph.GraphCfg()
+    val cfg = ApmGraph.GraphCfg(orderedCooldown = ordered)
+    val sentinelServers = Seq("zz", "zzf", "zz2")
 
     // the JMX poller's CLI stub: stands in for jboss-cli (no WildFly in
     // this container) — prints the reference CLI's output shape (warning
@@ -124,7 +142,7 @@ class MultiProcessGraphSpec extends AnyFunSuite {
     val procs = scala.collection.mutable.Map(
       (1 to 6).map(s => s -> forkStage(s,
         if (s == 6) jmxArg else glob,
-        works(s - 1), qdir, stop, base, provider)): _*)
+        works(s - 1), qdir, stop, base, provider, ordered)): _*)
     try {
       // stage 2 must have CONSUMED live wave-1 records (produced its own
       // output) before the corpus is complete — and before we kill it
@@ -143,8 +161,8 @@ class MultiProcessGraphSpec extends AnyFunSuite {
       assert(procs(2).exitValue() != 0, "stage 2 exited cleanly before the kill")
 
       // wave 2 while stage 2 is DEAD: hostA turns slow (elapsed ~300,
-      // varying — trips the thresholds), hostB stays quiet; plus the
-      // far-future sentinel that closes every real window. Only ONE
+      // varying — trips the thresholds); plus the far-future sentinel
+      // that closes every real window. In ARRIVAL-order mode only ONE
       // server fires deliberately: the per-SERVICE cooldown's input
       // comes from per-(server,service) upstream chains, so when two
       // servers fire the same service near-simultaneously the winner is
@@ -155,16 +173,21 @@ class MultiProcessGraphSpec extends AnyFunSuite {
       // merge order; a single firing server keeps the alert leg
       // deterministic while BOTH servers still flow through the z topic
       // and DB comparisons (which are per-server-keyed and bit-exact).
+      // In ORDERED mode hostB turns slow TOO — every firing window is a
+      // cross-server tie, and the deterministic cooldown must still
+      // reproduce the batch oracle bit-exactly.
       // (Rotated-log name so the P1 router still classifies it.)
       writeLog(logs, "hostA", "server.log.1", (10 until 19).map(i =>
         exitLine(i, t0 + i * 10000L, "S:checkout", 300L + (i % 7) * 3)))
       writeLog(logs, "hostB", "server.log.1", (10 until 19).map(i =>
-        exitLine(i, t0 + i * 10000L, "S:checkout", 100L + i % 5)))
+        exitLine(i, t0 + i * 10000L, "S:checkout",
+          if (ordered) 300L + (i % 5) * 7 else 100L + i % 5)))
       writeLog(logs, "zz", "server.log",
         Seq(exitLine(999, t0 + 100000000L, "S:checkout", 1L)))
 
       // re-fork stage 2 over the same checkpoint + topics
-      procs(2) = forkStage(2, glob, works(1), qdir, stop, base, provider)
+      procs(2) = forkStage(2, glob, works(1), qdir, stop, base, provider,
+        ordered)
 
       // ---- batch oracle over the same lines (sentinel filtered)
       val parsedB = Parsing.extractStdExit(
@@ -174,7 +197,7 @@ class MultiProcessGraphSpec extends AnyFunSuite {
           timestamp_millis(col("end_ms")).as("end_ts"), col("elapsed"))
       val statsB = ApmStreaming.slidingStatsStream(
           parsedB, cfg.windowLen, cfg.slide, cfg.lateness)
-        .filter(col("server") =!= "zz")
+        .filter(!col("server").isin(sentinelServers: _*))
       val zBatchDf = ZScore.zScoreFold(
         statsB.select("server", "service", "ts_ms", "tpm",
           "average", "per75", "per95"), Seq(cfg.lag))
@@ -186,11 +209,54 @@ class MultiProcessGraphSpec extends AnyFunSuite {
       val expAlerts = Alerts.alertsRef(candB.toIndexedSeq, cfg.alert)
         .map(a => (a._1, a._2, a._3, a._4)).sorted.toList
       assert(expAlerts.nonEmpty, "oracle produced no alerts — inert corpus")
+      if (ordered) {
+        // the contested case must actually exist: every bad window of
+        // hostA is also a bad window of hostB (identical window-end ts),
+        // so each firing is a cross-server tie the event-time order
+        // (ts, server, lag) — not arrival — must resolve
+        val badTs = candB.filter(_._5).groupBy(_._1)
+          .view.mapValues(_.map(_._4).toSet).toMap
+        assert(badTs.getOrElse("hostA", Set.empty).nonEmpty &&
+          badTs.getOrElse("hostA", Set.empty) == badTs.getOrElse("hostB", Set.empty),
+          s"wave 2 did not produce cross-server ties: " +
+            s"${badTs.view.mapValues(_.size).toMap}")
+      }
+
+      if (ordered) {
+        // DETERMINISTIC SENTINEL STAGING. The ordered cooldown's
+        // watermark rides fired-row event times, so a far-future firing
+        // row reaching stage 4 in an EARLIER batch than a real fired row
+        // would late-drop the real one. All fired rows share one t_fired
+        // partition (service key), so append order is consumption order:
+        // write the firing sentinel only after every real fired row is
+        // already appended, and no interleaving can invert them. (The
+        // real wave's own cross-server skew is covered by the child's
+        // 600 s recovery-sized delay budget — see FileTopicChild.)
+        val expFired = Alerts.firedRef(candB.toIndexedSeq, cfg.alert)
+        assert(expFired.nonEmpty, "oracle fired set empty — inert corpus")
+        val tf = Paths.get(qdir, "t_fired")
+        spinUntil(240, s"t_fired to hold all ${expFired.size} real fired " +
+          "rows before the firing sentinel is written") {
+          Files.exists(tf) &&
+            new FileTopic(tf).endOffsets.values.sum >= expFired.size
+        }
+        // the firing sentinel wave (event times past the quiet closer's
+        // watermark), itself closed by the even-later quiet zz2 event —
+        // its fired rows advance stage 4's watermark past every real
+        // alert, releasing the ordered tail holdback
+        writeLog(logs, "zzf", "server.log", (0 until 9).map(i =>
+          exitLine(900 + i, t0 + 200000000L + i * 10000L, "S:checkout", 300L)))
+        writeLog(logs, "zz2", "server.log",
+          Seq(exitLine(999, t0 + 300000000L, "S:checkout", 1L)))
+      }
 
       // ---- convergence: the forked chain drains to the oracle's count
+      // (the firing sentinel's own alerts are filtered — they exist only
+      // to advance the stage-4 watermark in ordered mode)
       def gotAlerts(): List[(Long, String, String, Int)] =
         try spark.read.option("recursiveFileLookup", "true")
           .parquet(s"${works(3)}/alerts")
+          .filter(!col("server").isin(sentinelServers: _*))
           .select("ts_ms", "server", "service", "lag").collect()
           .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
           .sorted.toList
@@ -198,6 +264,30 @@ class MultiProcessGraphSpec extends AnyFunSuite {
       spinUntil(300, s"the alert sink to reach ${expAlerts.size} rows " +
         s"(last saw ${gotAlerts().size})") {
         gotAlerts().size >= expAlerts.size
+      }
+
+      if (ordered) {
+        // drop visibility END-TO-END: inject a fired row from the
+        // flushed past directly into t_fired (stage 4's watermark is
+        // ~t0+1e8 after the firing sentinel, so this row is genuinely
+        // late). The forked stage-4 JVM must drop it — never fold it —
+        // and PUBLISH the drop on the t_ops alarm topic, where this
+        // parent process (standing in for production monitoring) can
+        // see it; the final bit-equality assert below proves the row
+        // never leaked into the fold.
+        new FileTopic(Paths.get(qdir, "t_fired")).produce("late-probe",
+          s"""{"server":"hostA","service":"S:checkout","lag":3,""" +
+            s""""ts_ms":${t0 + 300000L},"causes":"late-probe"}""")
+        val ops = Paths.get(qdir, "t_ops")
+        spinUntil(120, "the forked stage 4 to publish the late-drop " +
+          "alarm on t_ops") {
+          Files.exists(ops) && new FileTopic(ops).endOffsets.values.sum > 0
+        }
+        val alarms = new ContractConsumer(new FileTopic(ops), "spec_ops")
+          .poll(1000).map(_.value)
+        assert(alarms.exists(v => v.contains("\"stage\":\"stage4\"") &&
+          (v.contains("\"wm_dropped\":") && !v.contains("\"wm_dropped\":0"))),
+          s"no watermark-drop alarm published: $alarms")
       }
       Files.createFile(Paths.get(stop))
       procs.foreach { case (s, p) =>
@@ -226,7 +316,8 @@ class MultiProcessGraphSpec extends AnyFunSuite {
       val zCols = Seq("server", "service", "lag", "ts_ms",
         "average_signal", "per75_signal", "per95_signal")
       def zList(df: org.apache.spark.sql.DataFrame): List[Seq[Any]] =
-        df.select(zCols.map(col): _*).collect().map(_.toSeq)
+        df.filter(!col("server").isin(sentinelServers: _*))
+          .select(zCols.map(col): _*).collect().map(_.toSeq)
           .toList.sortBy(_.mkString("|"))
       val zStream = zList(zRecords.toDF("value")
         .select(from_json(col("value"), zSchema).as("r")).select(col("r.*")))
@@ -240,9 +331,13 @@ class MultiProcessGraphSpec extends AnyFunSuite {
       // chain's stats-table rows (identity/measure columns + the json
       // z payload, byte-equal: both sides are the same statsTableRows
       // shape over the same values)
+      // sentinel filter client-side: a Column filter on the JDBC frame
+      // would push down to Derby, whose CLOB string columns (Spark's
+      // StringType mapping there) reject comparisons
       def dbSet(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
         df.select("ts_ms", "server", "service", "lag", "tpm", "stats_json")
-          .collect().map(_.toSeq).toSet
+          .collect().map(_.toSeq)
+          .filterNot(r => sentinelServers.contains(r(1))).toSet
       val gotDb = dbSet(spark.read.jdbc(s"jdbc:derby:${works(4)}/db",
         "stats_rows", new java.util.Properties()))
       val expDb = dbSet(graft.streaming.JdbcSink.statsTableRows(zBatchDf))
@@ -296,5 +391,13 @@ class MultiProcessGraphSpec extends AnyFunSuite {
   test("same six-process kill/re-fork scenario with the children on " +
       "the RocksDB state store (changelog checkpointing)") {
     sixProcessScenario(graft.streaming.ApmStateV2.RocksDbProvider)
+  }
+
+  test("ordered-cooldown leg: BOTH servers fire the same service at " +
+      "identical window ends across forked processes, and stage 4's " +
+      "deterministic event-time cooldown still == the batch oracle " +
+      "bit-exactly (RocksDB provider — transformWithState)") {
+    sixProcessScenario(graft.streaming.ApmStateV2.RocksDbProvider,
+      ordered = true)
   }
 }

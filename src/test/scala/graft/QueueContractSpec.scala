@@ -304,5 +304,26 @@ class FileTopicConformance extends QueueTopicConformance("file",
     assert(FileTopicChild.fence(t, longA, 1L, 0))
     assert(!FileTopicChild.fence(t, longA, 1L, 0))
     assert(FileTopicChild.fence(t, longA, 1L, 1))
+
+    // the cap must not cut a %XX escape mid-sequence: these two groups
+    // land the cap 5 and 4 chars into an escape ('a'/'aa' prefix shifts
+    // the 6-char %C3%A9 lattice), so a blind take() would leave a
+    // dangling '%A' or '%' before the '~' marker
+    val offA = "a" + "é" * 150
+    val offB = "aa" + "é" * 150
+    FileTopicChild.commit(t, offA, Map(0 -> 1L))
+    FileTopicChild.commit(t, offB, Map(0 -> 1L))
+    assert(FileTopicChild.committed(t, offA) == Map(0 -> 1L))
+    val s2 = Files.list(dir)
+    val capped = try s2.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.contains("~")).toVector
+      finally s2.close()
+    assert(capped.nonEmpty, "no capped names were produced")
+    capped.foreach { n =>
+      val pre = n.substring(0, n.indexOf('~'))
+      assert(!pre.endsWith("%") && !(pre.length >= 2 &&
+        pre(pre.length - 2) == '%'),
+        s"capped prefix ends mid-escape: ...${pre.takeRight(6)}~")
+    }
   }
 }
