@@ -234,7 +234,9 @@ object Similarity {
     * true and recall = n_found/n_true). The all-pairs side is the
     * MEASUREMENT baseline, same role as [[knnBrute]] for the ANN recall
     * queries — the trade the multi-band construction makes is measured,
-    * not assumed.
+    * not assumed. TEST-SCALE ONLY by design: the truth leg is O(N²);
+    * the corpus-scale path is [[embedRecallSampled]], whose hash-sampled
+    * query side holds the exact-truth cost at O(N²/k).
     */
   def embedRecall(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3): DataFrame = {

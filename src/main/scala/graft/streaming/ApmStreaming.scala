@@ -37,6 +37,9 @@ import graft.operators.{Alerts, ZScore}
   */
 object ApmStreaming {
 
+  private[streaming] val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** A1-A5: sliding 5-min/10-s window stats over a streaming tx frame
     * with event-time column `end_ts` (TimestampType) — emits per closed
     * window once the 1-minute watermark passes (A4 lateness buffer).
@@ -398,7 +401,14 @@ object ApmStreaming {
         if (!blocked) {
           val replay = spark.read.parquet(d.getPath)
           try { write(replay, batchId); deleteRec(d) }
-          catch { case _: Exception => blocked = true } // head of line stuck
+          catch { case e: Exception => // head of line stuck
+            blocked = true
+            // name the CAUSE, not just the backlog: the park gauge says
+            // how much is stuck, this says why (a silent catch left
+            // operators diagnosing a growing park dir blind)
+            ApmStreaming.log.warn(s"requeue head batch ${d.getName} " +
+              s"still failing: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
         }
       }
       if (blocked) {
@@ -406,7 +416,9 @@ object ApmStreaming {
         afterPark()
       } else
         try write(batch.toDF(), batchId)
-        catch { case _: Exception =>
+        catch { case e: Exception =>
+          ApmStreaming.log.warn(s"sink write failed for batch $batchId, " +
+            s"parking: ${e.getClass.getSimpleName}: ${e.getMessage}")
           batch.write.mode("overwrite").parquet(f"$parkDir/park_$batchId%012d")
           afterPark()
         }

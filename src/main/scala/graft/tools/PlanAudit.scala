@@ -55,6 +55,10 @@ object PlanAudit {
     "t9_lm_score" -> 1, "t11_kmv_distinct" -> 1, "t12_len_quantile" -> 1,
     "t17_bm25" -> 1, "t19_rank_select" -> 2, "w2_funnel" -> 2,
     "w5_cooccur" -> 1, "d6_dedup_embed" -> 1, "d6_embed_recall" -> 3,
+    // d6_recall_sampled: the hash-sampled truth side broadcast against
+    // the full base (the O(N^2/k) scale dial), embedNearDup's broadcast
+    // plane table, and the two 1-row recall aggregates crossed
+    "d6_recall_sampled" -> 3,
     "e3_matryoshka" -> 4,
     // trained-model broadcast: centroids / codebooks / PageRank mass —
     // model-scale rows, never the corpus
