@@ -269,7 +269,11 @@ object ApmGraph {
       .option("checkpointLocation", s"$workDir/ckpt_stats_q")
       .trigger(Trigger.AvailableNow())
     queueDir.foreach(d => w.option("dir", d))
-    await(w.start())
+    val q = w.start()
+    await(q)
+    // the stats window's lateness bound is the graph's OTHER silent
+    // watermark drop point — same t_ops alarm channel as stage 4
+    publishDropMetrics(q, "stage1", queueDir)
   }
 
   /** Stage 2 variant: consume stats from a queue topic, produce z-scored
@@ -415,13 +419,15 @@ object ApmGraph {
       s"$workDir/ckpt_alerts_q", orderCol = Some("ts_ms"),
       availableNow = true)
     await(q)
-    publishDropMetrics(q, "stage4", queueDir)
+    publishDropMetrics(q, "stage4", queueDir, includeLedger = true)
   }
 
-  /** Drop observability ACROSS processes: the ordered cooldown's
-    * determinism contract drops too-late rows, but its two drop records
-    * are process-local — Spark's `numRowsDroppedByWatermark` lives in
-    * this JVM's StreamingQueryProgress and the residual-band
+  /** Drop observability ACROSS processes: watermark-gated stages drop
+    * too-late rows by design (the stats window's lateness bound at
+    * stage 1, the ordered cooldown's determinism contract at stage 4),
+    * but the drop records are process-local — Spark's
+    * `numRowsDroppedByWatermark` lives in this JVM's
+    * StreamingQueryProgress and the residual-band
     * [[ApmStateV2.LateDrops]] ledger is an in-JVM counter, both
     * invisible to an operator (or a topology spec) watching a forked
     * stage from outside. After each drain, any NONZERO drop delta is
@@ -430,17 +436,25 @@ object ApmGraph {
     * (config/apm_config.json:41-42) — keyed by stage so one partition
     * carries each stage's alarm stream in order. Zero-drop drains
     * publish nothing (an alarm channel, not a heartbeat).
+    * `includeLedger` is set only by the stage that OWNS the in-JVM
+    * ledger (stage 4's ordered cooldown) so an in-process multi-stage
+    * run cannot double-report the same ledger delta.
     */
   private val ledgerPublished = new java.util.concurrent.atomic.AtomicLong(0L)
   private val ledgerDataPublished = new java.util.concurrent.atomic.AtomicLong(0L)
   def publishDropMetrics(q: org.apache.spark.sql.streaming.StreamingQuery,
-      stage: String, queueDir: Option[String]): Unit = {
+      stage: String, queueDir: Option[String],
+      includeLedger: Boolean = false): Unit = {
     val wmDropped = q.recentProgress
       .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
-    val led = ApmStateV2.LateDrops.dropped.get()
-    val ledData = ApmStateV2.LateDrops.droppedWithData.get()
-    val dLed = led - ledgerPublished.getAndSet(led)
-    val dLedData = ledData - ledgerDataPublished.getAndSet(ledData)
+    val (dLed, dLedData) =
+      if (!includeLedger) (0L, 0L)
+      else {
+        val led = ApmStateV2.LateDrops.dropped.get()
+        val ledData = ApmStateV2.LateDrops.droppedWithData.get()
+        (led - ledgerPublished.getAndSet(led),
+          ledData - ledgerDataPublished.getAndSet(ledData))
+      }
     if (wmDropped > 0 || dLed > 0) {
       val rec = s"""{"stage":"$stage","wm_dropped":$wmDropped,""" +
         s""""ledger_dropped":$dLed,"ledger_dropped_with_data":$dLedData}"""
