@@ -630,32 +630,23 @@ object Alerts {
     out.toSeq
   }
 
-  /** Pure-Scala reference fold for tests (mirrors reference processFSEntry
-    * control flow directly — one pass, interleaved counter + cooldown).
+  /** Pure-Scala reference fold for tests (reference processFSEntry
+    * semantics): the R4 per-service cooldown applied over [[firedRef]]'s
+    * fire set in the same global (ts, server, lag) order. The two-phase
+    * form is output-identical to the reference's interleaved loop — the
+    * vote counter never reads cooldown state — and keeps the R3 fire
+    * rule in ONE place (firedRef), so the specs that stage on the fire
+    * set cannot drift from the oracle they claim lockstep with.
     */
   def alertsRef(
       rows: Seq[(String, String, Int, Long, Boolean, String)],
       cfg: AlertCfg = default): Seq[(Long, String, String, Int, String)] = {
-    val counts = mutable.Map.empty[(String, String, Int), Int]
     val lastAlert = mutable.Map.empty[String, Long]
-    val out = mutable.Buffer.empty[(Long, String, String, Int, String)]
-    rows.sortBy(r => (r._4, r._1, r._3)).foreach { case (srv, svc, lag, ts, bad, causes) =>
-      val k = (srv, svc, lag)
-      var c = counts.getOrElse(k, 0)
-      var fire = false
-      if (bad) {
-        if (c <= cfg.windowSz) c += 1
-        fire = c >= cfg.voteThreshold
-      } else if (c > 0) c -= 1
-      counts(k) = c
-      if (fire) {
-        val emit = lastAlert.get(svc) match {
-          case None => true
-          case Some(last) => (ts - last) / 1000.0 > cfg.cooldownMs / 1000.0
-        }
-        if (emit) { lastAlert(svc) = ts; out += ((ts, srv, svc, lag, causes)) }
-      }
+    firedRef(rows, cfg).filter { case (ts, _, svc, _, _) =>
+      val emit = lastAlert.get(svc)
+        .forall(last => (ts - last) / 1000.0 > cfg.cooldownMs / 1000.0)
+      if (emit) lastAlert(svc) = ts
+      emit
     }
-    out.toSeq
   }
 }

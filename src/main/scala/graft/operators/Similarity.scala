@@ -272,9 +272,12 @@ object Similarity {
     val vecs = vecsDouble(spark, sfDir)
     // take HIGH bits of the product (>> 16): the product mod a small k
     // would reduce to id mod k (any odd multiplier is 1 mod small 2^m),
-    // i.e. not a hash at all
+    // i.e. not a hash at all. Sign-preserving % (not pmod) for the id
+    // reduction so the arithmetic matches DuckDB's % on a hypothetical
+    // negative id (the d4 mutation hash's convention); the final bucket
+    // pmod == the SQL's ((x % k) + k) % k guard on any sign.
     def sampled(id: Column): Column =
-      pmod(shiftright(pmod(id, lit(100000000L)) * lit(2654435761L), 16),
+      pmod(shiftright((id % lit(100000000L)) * lit(2654435761L), 16),
         lit(k.toLong)) === 0L
     val q = vecs.filter(sampled(col("vec_id")))
       .select(col("vec_id").as("id_q"), col("v").as("vq"))
@@ -306,13 +309,14 @@ object Similarity {
           WHERE ${sampled("a.vec_id")}
             AND ${dotSql("a.v", "b.v")} /
               (${normSql("a.v")} * ${normSql("b.v")}) >= $threshold),
+        pairs AS MATERIALIZED (${embedNearDupSql(threshold)}),
         found AS (
           SELECT CAST(count(*) AS BIGINT) AS n_found
           FROM (
             SELECT * FROM (
-              SELECT id_a AS id_q FROM (${embedNearDupSql(threshold)})
+              SELECT id_a AS id_q FROM pairs
               UNION ALL
-              SELECT id_b AS id_q FROM (${embedNearDupSql(threshold)}))
+              SELECT id_b AS id_q FROM pairs)
             WHERE ${sampled("id_q")}))
         SELECT n_true, n_found,
           CAST(n_found AS DOUBLE) / n_true AS recall

@@ -269,11 +269,9 @@ object ApmGraph {
       .option("checkpointLocation", s"$workDir/ckpt_stats_q")
       .trigger(Trigger.AvailableNow())
     queueDir.foreach(d => w.option("dir", d))
-    val q = w.start()
-    await(q)
     // the stats window's lateness bound is the graph's OTHER silent
     // watermark drop point — same t_ops alarm channel as stage 4
-    publishDropMetrics(q, "stage1", queueDir)
+    awaitWithDropMetrics(spark, w.start(), "stage1", queueDir)
   }
 
   /** Stage 2 variant: consume stats from a queue topic, produce z-scored
@@ -415,11 +413,11 @@ object ApmGraph {
       if (cfg.orderedCooldown)
         ApmStateV2.cooldownStreamOrdered(fired, cfg.alert, cfg.orderedDelay)
       else ApmStreaming.cooldownStream(fired, cfg.alert)
-    val q = ApmStreaming.sinkToParquet(alerts.toDF(), s"$workDir/alerts",
-      s"$workDir/ckpt_alerts_q", orderCol = Some("ts_ms"),
-      availableNow = true)
-    await(q)
-    publishDropMetrics(q, "stage4", queueDir, includeLedger = true)
+    awaitWithDropMetrics(spark,
+      ApmStreaming.sinkToParquet(alerts.toDF(), s"$workDir/alerts",
+        s"$workDir/ckpt_alerts_q", orderCol = Some("ts_ms"),
+        availableNow = true),
+      "stage4", queueDir, includeLedger = true)
   }
 
   /** Drop observability ACROSS processes: watermark-gated stages drop
@@ -442,11 +440,60 @@ object ApmGraph {
     */
   private val ledgerPublished = new java.util.concurrent.atomic.AtomicLong(0L)
   private val ledgerDataPublished = new java.util.concurrent.atomic.AtomicLong(0L)
-  def publishDropMetrics(q: org.apache.spark.sql.streaming.StreamingQuery,
+
+  /** EXACT per-query watermark-drop accumulator. `recentProgress` is a
+    * ring buffer capped at `numRecentProgressUpdates` (default 100), so
+    * summing it after a long recovery drain (>100 micro-batches) would
+    * silently lose the early batches' drops — the exact blindness this
+    * channel exists to remove. A listener sees every progress event.
+    */
+  private class DropListener(runId: java.util.UUID)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    val wmDropped = new java.util.concurrent.atomic.AtomicLong(0L)
+    val maxBatchId = new java.util.concurrent.atomic.AtomicLong(-1L)
+    override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+      if (e.progress.runId == runId) {
+        wmDropped.addAndGet(
+          e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+        maxBatchId.updateAndGet(m => math.max(m, e.progress.batchId))
+        ()
+      }
+    override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+
+  /** Run `start` to completion with an exact drop accumulator attached,
+    * then publish any nonzero drop delta (see [[publishDropMetrics]]).
+    * The listener is registered right after start (progress events are
+    * async and runId-matched, so nothing from batch 0 is missed as long
+    * as registration precedes event DELIVERY — and the post-termination
+    * drain below waits until the last batch's event has arrived).
+    */
+  private def awaitWithDropMetrics(spark: SparkSession,
+      start: => org.apache.spark.sql.streaming.StreamingQuery,
       stage: String, queueDir: Option[String],
       includeLedger: Boolean = false): Unit = {
-    val wmDropped = q.recentProgress
-      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    val q = start
+    val l = new DropListener(q.runId)
+    spark.streams.addListener(l)
+    try {
+      q.awaitTermination()
+      // the listener bus is async: wait (bounded) until the event for
+      // the final completed batch has been delivered
+      val lastBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (l.maxBatchId.get() < lastBatch && System.nanoTime() < deadline)
+        Thread.sleep(20)
+    } finally spark.streams.removeListener(l)
+    publishDropMetrics(l.wmDropped.get(), stage, queueDir, includeLedger)
+  }
+
+  def publishDropMetrics(wmDropped: Long,
+      stage: String, queueDir: Option[String],
+      includeLedger: Boolean = false): Unit = {
     val (dLed, dLedData) =
       if (!includeLedger) (0L, 0L)
       else {

@@ -18,7 +18,7 @@ import graft.streaming.{ApmStateV2, ApmStreaming}
   * depends on which upstream per-(server,service,lag) chain lands
   * first; reference folds bus order, stream_process_alerts.js:420-447).
   */
-class OrderedCooldownSpec extends AnyFunSuite {
+class OrderedCooldownSpec extends AnyFunSuite with RocksDbSupport {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -28,22 +28,6 @@ class OrderedCooldownSpec extends AnyFunSuite {
       java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
-
-  /** transformWithState needs the RocksDB provider (same scoping as
-    * StateV2Spec — suites run sequentially under Test/fork).
-    */
-  private def withRocksDb[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val chg = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, ApmStateV2.RocksDbProvider)
-    spark.conf.set(chg, "true")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key); spark.conf.unset(chg)
-    }
-  }
 
   /** [[Alerts.firedRef]] mapped to the streaming row type — the exact
     * input the oracle's cooldown stage consumed.

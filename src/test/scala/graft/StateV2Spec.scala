@@ -11,7 +11,7 @@ import graft.operators.{Alerts, ZScore}
   * the RocksDB state store must agree with the V1 flatMapGroupsWithState
   * folds and the batch/reference ports on the same data.
   */
-class StateV2Spec extends AnyFunSuite {
+class StateV2Spec extends AnyFunSuite with RocksDbSupport {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -21,23 +21,6 @@ class StateV2Spec extends AnyFunSuite {
       java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
-
-  /** transformWithState requires the RocksDB provider; scope it to this
-    * suite's queries and restore afterwards (other suites' fMGWS queries
-    * run on the default HDFS-backed store).
-    */
-  private def withRocksDb[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val chg = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, ApmStateV2.RocksDbProvider)
-    spark.conf.set(chg, "true")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key); spark.conf.unset(chg)
-    }
-  }
 
   test("z-score V2 == batch fold on same data") {
     import spark.implicits._
