@@ -396,16 +396,21 @@ object ApmGraph {
     case other => sys.error(s"no stage $other")
   }
 
-  /** Stage 4 variant consuming fired rows from the queue topic. */
+  /** Stage 4 variant consuming fired rows from the queue topic.
+    * `maxPoll` bounds records per micro-batch (the connector's
+    * admission option) — production leaves it unbounded; the drop-
+    * exactness spec uses it to force a >100-batch drain.
+    */
   def runStage4Queued(spark: SparkSession, workDir: String, cfg: GraphCfg,
       topic: String, group: String = "stage4",
-      queueDir: Option[String] = None): Unit = {
+      queueDir: Option[String] = None, maxPoll: Option[Int] = None): Unit = {
     import spark.implicits._
     val r = spark.readStream
       .format("graftqueue")
       .option("topic", topic)
       .option("group", group)
     queueDir.foreach(d => r.option("dir", d))
+    maxPoll.foreach(m => r.option("maxpoll", m.toString))
     val fired = r.load()
       .select(from_json(col("value"), voteOutSchema).as("r"))
       .select(col("r.*")).as[ApmStreaming.VoteOut]

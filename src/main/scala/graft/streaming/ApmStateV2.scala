@@ -188,10 +188,14 @@ object ApmStateV2 {
     * `numRowsDroppedByWatermark` — the primary channel,
     * OrderedCooldownSpec pins it); the in-processor [[LateDrops]]
     * ledger guards only the residual boundary band (a row the late
-    * filter admits — it uses the PREVIOUS batch's watermark — but whose
-    * ts is at or below the watermark of the last flush). The
-    * arrival-order mode would instead have folded such a row at
-    * whatever position it happened to arrive.
+    * filter admits — `watermarkForLateEvents` LAGS ONE BATCH behind
+    * the eviction watermark, so a row arriving in the batch right
+    * after the one that advanced the watermark is still admitted,
+    * buffered, and folded at its event-time position; the ring-buffer
+    * exactness spec pins this admit-then-fold case — but whose ts is
+    * at or below the watermark of the last flush). The arrival-order
+    * mode would instead have folded such a row at whatever position
+    * it happened to arrive.
     *
     * TAIL HOLDBACK (the flip side of the same trade): rows within
     * `delay` of the max event time seen are still in the `buf`

@@ -127,6 +127,50 @@ class OrderedCooldownSpec extends AnyFunSuite with RocksDbSupport {
         """"ledger_dropped_with_data":0}""", s"got $r3")
   }
 
+  test("drop accounting stays EXACT past the recentProgress ring: a " +
+      ">100-micro-batch drain with all drops in the early batches still " +
+      "publishes the full count on t_ops") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.{ApmGraph, ContractConsumer, FileTopic}
+    withRocksDb {
+      val base = Files.createTempDirectory("graft_dropx").toString
+      val qdir = s"$base/q"
+      Files.createDirectories(Paths.get(qdir))
+      val t = new FileTopic(Paths.get(qdir, "t_fired"), 1)
+      def fired(ts: Long): String =
+        s"""{"server":"s0","service":"svc","lag":3,"ts_ms":$ts,"causes":"c"}"""
+      // batch 1 advances the watermark to 1_000_000 - 10_000; batches
+      // 2-31 each deliver ONE old-timestamped row; batches 32+ are
+      // ~150 fresh rows. Spark's late-event filter LAGS ONE BATCH
+      // (watermarkForLateEvents = the previous batch's eviction wm),
+      // so the FIRST old row — batch 2, filter wm still 0 — is
+      // ADMITTED, buffered, and deterministically folded first in
+      // event-time order; the remaining 29 are dropped. With maxpoll=1
+      // the single drain runs >180 micro-batches, so the 100-entry
+      // recentProgress ring has long evicted the dropping batches by
+      // termination — summing it (the old implementation) would report
+      // 0; the listener must report exactly 29.
+      t.produce("k", fired(1000000L))
+      (0 until 30).foreach(i => t.produce("k", fired(1000L + i)))
+      (0 until 150).foreach(i => t.produce("k", fired(2000000L + i * 20000L)))
+      val cfg = ApmGraph.GraphCfg(orderedCooldown = true)
+      ApmGraph.runStage4Queued(spark, s"$base/work", cfg, "t_fired",
+        queueDir = Some(qdir), maxPoll = Some(1))
+      val alarms = new ContractConsumer(
+        new FileTopic(Paths.get(qdir, "t_ops")), "spec_dropx")
+        .poll(1000).map(_.value)
+      assert(alarms.exists(_.contains("\"wm_dropped\":29")),
+        s"exact drop count missing (ring-buffer undercount?): $alarms")
+      // the one-batch-lag-admitted row folded deterministically FIRST
+      // (event-time order), not at its arrival position
+      val alerts = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$base/work/alerts")
+        .select("ts_ms").collect().map(_.getLong(0)).sorted
+      assert(alerts.headOption.contains(1000L),
+        s"admitted late row missing or misordered: ${alerts.take(3).toSeq}")
+    }
+  }
+
   test("ordered cooldown: a genuinely-late row is dropped " +
       "deterministically and observably, never folded") {
     import spark.implicits._
