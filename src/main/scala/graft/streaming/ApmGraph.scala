@@ -451,20 +451,44 @@ object ApmGraph {
     * summing it after a long recovery drain (>100 micro-batches) would
     * silently lose the early batches' drops — the exact blindness this
     * channel exists to remove. A listener sees every progress event.
+    *
+    * Registered BEFORE the query starts: the run id does not exist yet,
+    * so events that arrive before [[bind]] are buffered and replayed
+    * (runId-filtered) once the id is known — a listener registered
+    * after `start()` could miss batch 0's event outright, undercounting
+    * drops AND leaving `maxBatchId` forever short so the bounded
+    * post-termination drain always spins its full deadline.
     */
-  private class DropListener(runId: java.util.UUID)
+  private class DropListener
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     val wmDropped = new java.util.concurrent.atomic.AtomicLong(0L)
     val maxBatchId = new java.util.concurrent.atomic.AtomicLong(-1L)
+    private var runId: java.util.UUID = null
+    private val early = scala.collection.mutable.Buffer
+      .empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
+    private def record(
+        p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit = {
+      wmDropped.addAndGet(p.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+      maxBatchId.updateAndGet(m => math.max(m, p.batchId))
+      ()
+    }
+    /** Attach the started query's run id and replay buffered events for
+      * it. Synchronized against [[onQueryProgress]] so a concurrent
+      * event can neither be double-counted nor slip between the buffer
+      * drain and the runId publish.
+      */
+    def bind(id: java.util.UUID): Unit = synchronized {
+      runId = id
+      early.foreach(p => if (p.runId == id) record(p))
+      early.clear()
+    }
     override def onQueryStarted(
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
-      if (e.progress.runId == runId) {
-        wmDropped.addAndGet(
-          e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum)
-        maxBatchId.updateAndGet(m => math.max(m, e.progress.batchId))
-        ()
+      synchronized {
+        if (runId == null) { early += e.progress; () }
+        else if (e.progress.runId == runId) record(e.progress)
       }
     override def onQueryTerminated(
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -472,18 +496,21 @@ object ApmGraph {
 
   /** Run `start` to completion with an exact drop accumulator attached,
     * then publish any nonzero drop delta (see [[publishDropMetrics]]).
-    * The listener is registered right after start (progress events are
-    * async and runId-matched, so nothing from batch 0 is missed as long
-    * as registration precedes event DELIVERY — and the post-termination
-    * drain below waits until the last batch's event has arrived).
+    * The listener is registered BEFORE start and bound to the query's
+    * run id right after (buffering any events delivered in between), so
+    * batch 0's progress event can never be missed; the post-termination
+    * drain below then waits until the last batch's event has arrived.
     */
   private def awaitWithDropMetrics(spark: SparkSession,
       start: => org.apache.spark.sql.streaming.StreamingQuery,
       stage: String, queueDir: Option[String],
       includeLedger: Boolean = false): Unit = {
-    val q = start
-    val l = new DropListener(q.runId)
+    val l = new DropListener
     spark.streams.addListener(l)
+    val q = try start catch {
+      case t: Throwable => spark.streams.removeListener(l); throw t
+    }
+    l.bind(q.runId)
     try {
       q.awaitTermination()
       // the listener bus is async: wait (bounded) until the event for

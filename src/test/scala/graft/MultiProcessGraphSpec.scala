@@ -108,7 +108,10 @@ class MultiProcessGraphSpec extends AnyFunSuite {
     val works = (1 to 6).map(s => s"$base/work$s")
     works.foreach(w => Files.createDirectories(Paths.get(w)))
     val cfg = ApmGraph.GraphCfg(orderedCooldown = ordered)
-    val sentinelServers = Seq("zz", "zzf", "zz2")
+    // zzl is the stage-1 late-probe server (ordered leg): its one line is
+    // watermark-dropped INSIDE stage 1, so it must be invisible to every
+    // batch-side oracle recomputed after the injection
+    val sentinelServers = Seq("zz", "zzf", "zz2", "zzl")
 
     // the JMX poller's CLI stub: stands in for jboss-cli (no WildFly in
     // this container) — prints the reference CLI's output shape (warning
@@ -278,16 +281,39 @@ class MultiProcessGraphSpec extends AnyFunSuite {
         new FileTopic(Paths.get(qdir, "t_fired")).produce("late-probe",
           s"""{"server":"hostA","service":"S:checkout","lag":3,""" +
             s""""ts_ms":${t0 + 300000L},"causes":"late-probe"}""")
+        // the spin's predicate IS the assertion: poll inside it and
+        // accumulate across polls, so another stage's alarm landing
+        // first (or the stage-4 record arriving between an
+        // existence-check and a single poll) can't fail the leg
+        // spuriously
         val ops = Paths.get(qdir, "t_ops")
+        val alarms = scala.collection.mutable.Buffer.empty[String]
+        var opsConsumer: ContractConsumer = null
         spinUntil(120, "the forked stage 4 to publish the late-drop " +
-          "alarm on t_ops") {
-          Files.exists(ops) && new FileTopic(ops).endOffsets.values.sum > 0
+          s"alarm on t_ops (saw so far: $alarms)") {
+          if (opsConsumer == null && Files.exists(ops))
+            opsConsumer = new ContractConsumer(new FileTopic(ops), "spec_ops")
+          if (opsConsumer != null) alarms ++= opsConsumer.poll(1000).map(_.value)
+          alarms.exists(v => v.contains("\"stage\":\"stage4\"") &&
+            (v.contains("\"wm_dropped\":") && !v.contains("\"wm_dropped\":0")))
         }
-        val alarms = new ContractConsumer(new FileTopic(ops), "spec_ops")
-          .poll(1000).map(_.value)
-        assert(alarms.exists(v => v.contains("\"stage\":\"stage4\"") &&
-          (v.contains("\"wm_dropped\":") && !v.contains("\"wm_dropped\":0"))),
-          s"no watermark-drop alarm published: $alarms")
+
+        // stage 1's OWN silent drop point, end-to-end (the stats
+        // window's lateness bound, A4 — stream_calc_stats.js:103-113):
+        // a tx line far older than the advanced watermark (zz2 pushed it
+        // to ~t0+3e8) lands in a fresh rotated log; the forked stage-1
+        // JVM must window-drop it and publish the {"stage":"stage1"}
+        // record on the same cross-process t_ops channel the stage-4
+        // probe above used. Same discipline: accumulate across polls,
+        // the predicate is the assertion.
+        writeLog(logs, "zzl", "server.log",
+          Seq(exitLine(555, t0 + 5000L, "S:checkout", 100L)))
+        spinUntil(120, "the forked stage 1 to publish its watermark-drop " +
+          s"alarm on t_ops (saw so far: $alarms)") {
+          alarms ++= opsConsumer.poll(1000).map(_.value)
+          alarms.exists(v => v.contains("\"stage\":\"stage1\"") &&
+            (v.contains("\"wm_dropped\":") && !v.contains("\"wm_dropped\":0")))
+        }
       }
       Files.createFile(Paths.get(stop))
       procs.foreach { case (s, p) =>
