@@ -71,17 +71,29 @@ object QueueRegistry {
   // (name, dir) -> file-backed topic instance cache (state lives on disk;
   // the cache only avoids re-opening per call)
   private val fileTopics = mutable.Map.empty[(String, String), FileTopic]
+  // (name, url) -> broker client cache (state lives in the broker; the
+  // cache keeps one connection per topic per JVM instead of per call)
+  private val brokerTopics = mutable.Map.empty[(String, String), BrokerTopic]
 
   /** Resolve a topic: `dir = None` is the JVM-local in-memory registry
     * (standing in for broker addressing in local[n]); `dir = Some(base)`
     * is the file-backed transport at `base/name`, shared across
-    * PROCESSES — the idempotence fence and group commits live with the
-    * topic either way (QueueTopic.beginTaskEpoch keeps one high-water
-    * epoch per (query, write-partition), bounded for the query's life).
+    * PROCESSES; `dir = Some("broker://host:port")` is a [[BrokerTopic]]
+    * client of the [[SocketBroker]] at that address — state lives in
+    * the broker daemon, shared across any number of client processes
+    * over TCP (the reference's actual fabric, queue.js:73-78). The
+    * idempotence fence and group commits live with the topic in every
+    * backend (QueueTopic.beginTaskEpoch keeps one high-water epoch per
+    * (query, write-partition), bounded for the query's life).
     */
   def topic(name: String, nPartitions: Int = 4,
       dir: Option[String] = None): QueueTopic = synchronized {
     dir match {
+      case Some(url) if url.startsWith("broker://") =>
+        brokerTopics.getOrElseUpdate((name, url), {
+          val hp = url.stripPrefix("broker://").split(":", 2)
+          new BrokerTopic(hp(0), hp(1).toInt, name, nPartitions)
+        })
       case Some(base) => fileTopics.getOrElseUpdate((name, base),
         new FileTopic(java.nio.file.Paths.get(base, name), nPartitions))
       case None =>
@@ -98,6 +110,7 @@ object QueueRegistry {
   def drop(name: String): Unit = synchronized {
     topics.remove(name)
     fileTopics.filterInPlace { case ((n, _), _) => n != name }
+    brokerTopics.filterInPlace { case ((n, _), _) => n != name }
   }
 }
 

@@ -284,5 +284,34 @@ class QueueConnectorSpec extends AnyFunSuite {
       s"child JVM reported $reported alerts, expected ${viaParquet.size}")
     assert(alerts(workG) == viaParquet,
       "cross-JVM stage 4 diverged from the parquet handoff")
+
+    // and a FOURTH handoff over a real broker boundary (SocketBroker /
+    // BrokerTopic): stage 3 produces over TCP into the broker-owned
+    // topic, stage 4 runs in ANOTHER Spark JVM sharing nothing with
+    // this process — not even a directory — but the broker's address.
+    // The stage code is unchanged; only the `dir` option string differs
+    // (exactly how a Kafka deployment would differ). Fences, group
+    // commits and offsets all live broker-side, so the alerts must
+    // still be bit-identical to the parquet handoff.
+    val broker = new graft.streaming.SocketBroker()
+    try {
+      val workB = s"$base/workb"
+      ApmGraph.runStage3Queued(spark, workB, cfg, "t_graph_fired_b",
+        queueDir = Some(broker.url), zscoreDir = Some(s"$work/zscore"))
+      val bOffs = QueueRegistry.topic("t_graph_fired_b",
+        dir = Some(broker.url)).endOffsets
+      assert(bOffs.values.sum > 0,
+        s"stage 3 produced nothing to the broker: $bOffs")
+      val workB4 = s"$base/workb4"
+      val outB = collection.mutable.Buffer.empty[String]
+      val codeB = scala.sys.process.Process(Seq(java, "-Xmx4g", "-cp", cp,
+        "graft.streaming.FileTopicChild", "stage4", workB4, broker.url,
+        "t_graph_fired_b", "stage4_broker_jvm"))
+        .!(scala.sys.process.ProcessLogger(outB += _, _ => ()))
+      assert(codeB == 0,
+        s"broker child JVM failed:\n${outB.takeRight(30).mkString("\n")}")
+      assert(alerts(workB4) == viaParquet,
+        "cross-JVM broker handoff diverged from the parquet handoff")
+    } finally broker.close()
   }
 }
