@@ -76,6 +76,47 @@ class JdbcSinkSpec extends AnyFunSuite {
     cand.unpersist(); ()
   }
 
+  test("postgres dialect: the stats table is created with a JSONB " +
+      "payload column and inserted with ?::jsonb placeholder casts " +
+      "(recording pgjdbc-shaped driver double)") {
+    // No Postgres server or driver jar exists in this container, so the
+    // dialect is pinned at the JDBC wire surface: a recording driver
+    // double registered under jdbc:postgresql: captures the DDL, the
+    // prepared INSERT text and every batched parameter row.
+    import scala.jdk.CollectionConverters._
+    PgDriverDouble.ensureRegistered()
+    PgDriverDouble.reset()
+    val url = "jdbc:postgresql://dbhost:5432/apm"
+    // the REAL shaping function feeds the writer: statsTableRows' output
+    // order must match the dialect's declaration order
+    val cand = SparkEntry.entry(spark).limit(50).cache()
+    val shaped = JdbcSink.statsTableRows(cand).cache()
+    assert(shaped.columns.toSeq == JdbcSink.PgStats.columns.map(_._1))
+    JdbcSink.writeBatch(shaped, url, "stats")
+    // DDL: jsonb payload column (entries.js:120-151 / stream_insert_db
+    // .js:153), idempotent create
+    assert(PgDriverDouble.ddl.asScala.toList == List(
+      "CREATE TABLE IF NOT EXISTS stats (ts_ms BIGINT, " +
+        "server VARCHAR(256), service VARCHAR(256), lag INT, " +
+        "tpm DOUBLE PRECISION, stats_json JSONB)"))
+    // INSERT: explicit jsonb cast on the payload placeholder (the
+    // pg-promise `:json` ColumnSet equivalent)
+    assert(PgDriverDouble.insertSqls.asScala.toSet == Set(
+      "INSERT INTO stats (ts_ms, server, service, lag, tpm, stats_json) " +
+        "VALUES (?, ?, ?, ?, ?, ?::jsonb)"))
+    // every row arrived batched, values exact, transactions committed
+    val got = PgDriverDouble.rows.asScala.map(_.toList).toSet
+    val exp = shaped.collect().map(r =>
+      (0 until 6).map(i => if (r.isNullAt(i)) null else r.get(i)).toList)
+      .toSet
+    assert(got.size == shaped.count())
+    assert(got == exp, s"param rows diverge; double-only sample: " +
+      s"${(got -- exp).take(2)}; frame-only: ${(exp -- got).take(2)}")
+    assert(PgDriverDouble.commits.get() >= 1,
+      "batched inserts were never committed")
+    cand.unpersist(); shaped.unpersist(); ()
+  }
+
   test("flush policy: count-bound batches and time-bound trickle flushes") {
     // The reference flushes its insert buffer at 1000 rows OR 5 s idle
     // (config/apm_config.json:230-231). Spark-side the micro-batch IS
@@ -154,4 +195,90 @@ class JdbcSinkSpec extends AnyFunSuite {
       assert(w.parkedBatches().isEmpty, "park dir must drain")
     } finally q.stop()
   }
+}
+
+/** A recording JDBC driver double registered under `jdbc:postgresql:`
+  * (no Postgres driver jar exists in this container): reflection proxies
+  * over the java.sql interfaces capture executed DDL, prepared INSERT
+  * text, batched parameter rows and commits — the complete wire surface
+  * [[graft.streaming.JdbcSink.PgStats]] touches. Unhandled interface
+  * methods return type defaults (Spark's writer never reaches them on
+  * this path; the dialect writer uses plain JDBC).
+  */
+object PgDriverDouble {
+  import java.lang.reflect.{InvocationHandler, Method, Proxy}
+
+  val ddl = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  val insertSqls = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  val rows = new java.util.concurrent.CopyOnWriteArrayList[Vector[Any]]()
+  val commits = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def reset(): Unit = {
+    ddl.clear(); insertSqls.clear(); rows.clear(); commits.set(0)
+  }
+
+  private def dflt(m: Method): AnyRef = m.getReturnType match {
+    case java.lang.Boolean.TYPE => java.lang.Boolean.FALSE
+    case java.lang.Integer.TYPE => Integer.valueOf(0)
+    case java.lang.Long.TYPE => java.lang.Long.valueOf(0L)
+    case _ => null
+  }
+
+  private def proxy[T](cls: Class[T])(
+      pf: PartialFunction[(String, Array[AnyRef]), AnyRef]): T =
+    Proxy.newProxyInstance(cls.getClassLoader, Array[Class[_]](cls),
+      new InvocationHandler {
+        def invoke(p: AnyRef, m: Method, args: Array[AnyRef]): AnyRef = {
+          val a = if (args == null) Array.empty[AnyRef] else args
+          pf.applyOrElse((m.getName, a),
+            (_: (String, Array[AnyRef])) => dflt(m))
+        }
+      }).asInstanceOf[T]
+
+  private def prepared(sql: String): java.sql.PreparedStatement = {
+    val params = scala.collection.mutable.Map.empty[Int, Any]
+    val pending = scala.collection.mutable.Buffer.empty[Vector[Any]]
+    proxy(classOf[java.sql.PreparedStatement]) {
+      case ("setObject", a) =>
+        params(a(0).asInstanceOf[Integer].intValue) = a(1); null
+      case ("addBatch", _) =>
+        val w = if (params.isEmpty) 0 else params.keys.max
+        pending += (1 to w).map(params.getOrElse(_, null)).toVector
+        null
+      case ("executeBatch", _) =>
+        insertSqls.add(sql)
+        pending.foreach(rows.add)
+        val r = new Array[Int](pending.size)
+        java.util.Arrays.fill(r, 1)
+        pending.clear()
+        r
+    }
+  }
+
+  private def statement(): java.sql.Statement =
+    proxy(classOf[java.sql.Statement]) {
+      case ("executeUpdate", a) =>
+        ddl.add(a(0).asInstanceOf[String]); Integer.valueOf(0)
+    }
+
+  private def connection(): java.sql.Connection =
+    proxy(classOf[java.sql.Connection]) {
+      case ("createStatement", a) if a.isEmpty => statement()
+      case ("prepareStatement", a) => prepared(a(0).asInstanceOf[String])
+      case ("commit", _) => commits.incrementAndGet(); null
+    }
+
+  private lazy val registered: Unit = {
+    val d = proxy(classOf[java.sql.Driver]) {
+      case ("acceptsURL", a) => java.lang.Boolean.valueOf(
+        a(0).asInstanceOf[String].startsWith("jdbc:postgresql:"))
+      case ("connect", a) =>
+        if (a(0).asInstanceOf[String].startsWith("jdbc:postgresql:"))
+          connection()
+        else null
+    }
+    java.sql.DriverManager.registerDriver(d)
+  }
+
+  def ensureRegistered(): Unit = registered
 }
