@@ -50,6 +50,19 @@ object ApmGraph {
     * watermark delay (`orderedDelay` — the cross-chain skew budget) and
     * the RocksDB state store (transformWithState requires it).
     */
+  /** `stage1MaxFiles` is stage 1's per-micro-batch file admission bound
+    * (LogFileSource's `maxFilesPerTrigger`). It interacts with the
+    * stats window's GLOBAL watermark on a COLD BACKFILL: rotated log
+    * files from many hosts cover the same time range, so admitting them
+    * across several micro-batches advances the watermark past the
+    * still-unadmitted files' whole span and silently window-drops them
+    * (alarmed on `t_ops`, but dropped). Live tailing is immune — new
+    * files carry only recent event times — but a backfill must either
+    * admit the backlog in one batch (raise this above the backlog's
+    * file count; StreamScaleProbe's hosts axis measures that shape) or
+    * size `lateness` to the backlog's event-time span, the same
+    * recovery-skew discipline the ordered cooldown documents.
+    */
   case class GraphCfg(
       windowLen: String = "60 seconds",
       slide: String = "10 seconds",
@@ -59,7 +72,8 @@ object ApmGraph {
         hardMaxMs = 150.0, hardMinMs = 0.0, hardMinTpm = 0.0,
         windowSz = 5, voteThreshold = 2, cooldownMs = 30000L),
       orderedCooldown: Boolean = false,
-      orderedDelay: String = "10 seconds")
+      orderedDelay: String = "10 seconds",
+      stage1MaxFiles: Int = 10)
 
   val statsSchema: StructType = Encoders.product[StatsRow].schema
   case class StatsRow(server: String, service: String, ts_ms: Long,
@@ -84,7 +98,7 @@ object ApmGraph {
     */
   def runStage1(spark: SparkSession, logsGlob: String, workDir: String,
       cfg: GraphCfg): Unit = {
-    val lines = LogFileSource.stream(spark, logsGlob)
+    val lines = LogFileSource.stream(spark, logsGlob, cfg.stage1MaxFiles)
     val parsed = Parsing.extractStdExit(
         lines.filter(col("log_type") === "server_log"))
       .select(col("server"), col("service"),
@@ -252,7 +266,7 @@ object ApmGraph {
   def runStage1Queued(spark: SparkSession, logsGlob: String, workDir: String,
       cfg: GraphCfg, topic: String, nPartitions: Int = 4,
       queueDir: Option[String] = None): Unit = {
-    val lines = LogFileSource.stream(spark, logsGlob)
+    val lines = LogFileSource.stream(spark, logsGlob, cfg.stage1MaxFiles)
     val parsed = Parsing.extractStdExit(
         lines.filter(col("log_type") === "server_log"))
       .select(col("server"), col("service"),

@@ -110,7 +110,11 @@ object QueueRegistry {
   def drop(name: String): Unit = synchronized {
     topics.remove(name)
     fileTopics.filterInPlace { case ((n, _), _) => n != name }
-    brokerTopics.filterInPlace { case ((n, _), _) => n != name }
+    brokerTopics.filterInPlace { case ((n, _), t) =>
+      val keep = n != name
+      if (!keep) t.close() // don't leak the fd + broker handler thread
+      keep
+    }
   }
 }
 

@@ -53,6 +53,7 @@ final class SocketBroker(port0: Int = 0,
   def url: String = s"broker://127.0.0.1:$port"
 
   private val topics = new ConcurrentHashMap[String, QueueTopic]()
+  private val conns = ConcurrentHashMap.newKeySet[Socket]()
   @volatile private var closed = false
 
   private def topicFor(name: String, nPartitions: Int): QueueTopic =
@@ -65,22 +66,36 @@ final class SocketBroker(port0: Int = 0,
     while (!closed) {
       try {
         val s = server.accept()
+        conns.add(s)
         val h = new Thread(() => handle(s), s"graft-broker-conn-$port")
         h.setDaemon(true)
         h.start()
       } catch {
         case _: IOException if closed => () // close() unblocked accept
-        case _: IOException => () // one bad accept must not kill the broker
+        case _: IOException =>
+          // one bad accept must not kill the broker — but a PERSISTENT
+          // accept failure (fd exhaustion) must not busy-spin a core
+          // either; back off briefly before retrying
+          try Thread.sleep(50) catch { case _: InterruptedException => () }
       }
     }
   }, s"graft-broker-$port")
   acceptor.setDaemon(true)
   acceptor.start()
 
-  /** One connection's request loop. Errors in an operation are returned
-    * to the client as status-1 frames (the connection survives — a bad
-    * request is the client's problem, not the broker's); only a broken
-    * stream ends the loop.
+  /** One connection's request loop, two phases per request:
+    *
+    *  1. PARSE the whole request off the stream. A parse failure (torn
+    *     frame, oversized string) leaves unconsumed body bytes that
+    *     would be misread as new operations, so it DROPS the connection
+    *     (propagates out of the loop) — never answered in-band.
+    *  2. EXECUTE against the delegate, with the response payload fully
+    *     materialized BEFORE the status byte is written — a delegate
+    *     exception therefore becomes a clean status-1 frame, never a
+    *     success byte followed by an error body (which would desync the
+    *     client's protocol position). The connection survives delegate
+    *     errors: a failed operation is the client's problem, not the
+    *     broker's.
     */
   private def handle(sock: Socket): Unit = {
     sock.setTcpNoDelay(true)
@@ -91,62 +106,72 @@ final class SocketBroker(port0: Int = 0,
       while (true) {
         val op = in.readByte()
         val name = readStr(in)
-        // OPEN carries the width hint; every other op joins the pinned
-        // topic (first reference pins, like FileTopic's meta / the
-        // registry) with the contract's default width
-        val t =
-          if (op == OpOpen) topicFor(name, math.max(1, in.readInt()))
-          else topicFor(name, 4)
+        // ---- phase 1: parse the full request body (no delegate calls)
+        val body: Request = op match {
+          case OpOpen => ReqOpen(math.max(1, in.readInt()))
+          case OpProduce => ReqProduce(readStr(in), readStr(in))
+          case OpProduceAll => ReqProduceAll(readRows(in))
+          case OpRead => ReqRead(in.readInt(), in.readLong(), in.readInt())
+          case OpEnd | OpBeginning => ReqNoBody(op)
+          case OpTruncate => ReqTruncate(in.readDouble())
+          case OpCommitted => ReqCommitted(readStr(in))
+          case OpCommit => ReqCommit(readStr(in), readOffs(in))
+          case OpFence =>
+            ReqFence(fused = false, readStr(in), in.readLong(), in.readInt(),
+              Nil)
+          case OpProduceFenced =>
+            ReqFence(fused = true, readStr(in), in.readLong(), in.readInt(),
+              readRows(in))
+          case other => throw new IOException(s"unknown op $other")
+        }
+        // ---- phase 2: execute, then respond (payload before status)
         try {
-          op match {
-            case OpOpen =>
-              out.writeByte(0); out.writeInt(t.nPartitions)
-            case OpProduce =>
-              val (k, v) = (readStr(in), readStr(in))
+          // OPEN carries the width hint; every other op joins the pinned
+          // topic (first reference pins, like FileTopic's meta / the
+          // registry) with the contract's default width
+          val t = body match {
+            case ReqOpen(n) => topicFor(name, n)
+            case _ => topicFor(name, 4)
+          }
+          body match {
+            case ReqOpen(_) =>
+              val n = t.nPartitions
+              out.writeByte(0); out.writeInt(n)
+            case ReqProduce(k, v) =>
               val (p, o) = t.produce(k, v)
               out.writeByte(0); out.writeInt(p); out.writeLong(o)
-            case OpProduceAll =>
-              val rows = readRows(in)
+            case ReqProduceAll(rows) =>
               t.produceAll(rows)
               out.writeByte(0)
-            case OpRead =>
-              val (p, from, max) = (in.readInt(), in.readLong(), in.readInt())
+            case ReqRead(p, from, max) =>
               val recs = t.read(p, from, max)
               out.writeByte(0); out.writeInt(recs.size)
               recs.foreach { r =>
                 out.writeInt(r.partition); out.writeLong(r.offset)
                 writeStr(out, r.key); writeStr(out, r.value)
               }
-            case OpEnd =>
-              out.writeByte(0); writeOffs(out, t.endOffsets)
-            case OpBeginning =>
-              out.writeByte(0); writeOffs(out, t.beginningOffsets)
-            case OpTruncate =>
-              val f = in.readDouble()
+            case ReqNoBody(OpEnd) =>
+              val m = t.endOffsets
+              out.writeByte(0); writeOffs(out, m)
+            case ReqNoBody(_) =>
+              val m = t.beginningOffsets
+              out.writeByte(0); writeOffs(out, m)
+            case ReqTruncate(f) =>
               val r = t.truncateToCommitted(f)
               out.writeByte(0); writeOffs(out, r)
-            case OpCommitted =>
-              val g = readStr(in)
-              out.writeByte(0); writeOffs(out, committedAny(t, g))
-            case OpCommit =>
-              val g = readStr(in)
-              val offs = readOffs(in)
+            case ReqCommitted(g) =>
+              val m = committedAny(t, g)
+              out.writeByte(0); writeOffs(out, m)
+            case ReqCommit(g, offs) =>
               commitAny(t, g, offs)
               out.writeByte(0)
-            case OpFence =>
-              val (q, e, p) = (readStr(in), in.readLong(), in.readInt())
-              val took = t.beginTaskEpoch(q, e, p)
+            case ReqFence(fused, q, e, p, rows) =>
+              val took =
+                if (fused) t.produceFenced(q, e, p, rows)
+                else t.beginTaskEpoch(q, e, p)
               out.writeByte(0); out.writeBoolean(took)
-            case OpProduceFenced =>
-              val (q, e, p) = (readStr(in), in.readLong(), in.readInt())
-              val rows = readRows(in)
-              val took = t.produceFenced(q, e, p, rows)
-              out.writeByte(0); out.writeBoolean(took)
-            case other =>
-              out.writeByte(1); writeStr(out, s"unknown op $other")
           }
         } catch {
-          case e: EOFException => throw e // torn frame: drop the conn
           case scala.util.control.NonFatal(e) =>
             out.writeByte(1)
             writeStr(out, s"${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -154,17 +179,48 @@ final class SocketBroker(port0: Int = 0,
         out.flush()
       }
     } catch {
-      case _: EOFException | _: IOException => () // client hung up
-    } finally sock.close()
+      // client hung up, torn frame, oversized frame: drop the connection
+      case _: EOFException | _: IOException |
+           _: IllegalArgumentException => ()
+    } finally {
+      conns.remove(sock)
+      sock.close()
+    }
   }
 
   override def close(): Unit = {
     closed = true
     server.close()
+    // a "down" broker must not keep serving connected clients (the
+    // restart test replaces it over the same dataDir): drop live
+    // connections so their handler loops end
+    conns.forEach(s => try s.close() catch { case _: IOException => () })
+    conns.clear()
   }
 }
 
 object SocketBroker {
+  /** A fully-parsed request body — materialized BEFORE any delegate
+    * call so parse errors and execution errors get distinct handling
+    * (drop-connection vs in-band status-1; see [[SocketBroker.handle]]).
+    */
+  private sealed trait Request
+  private final case class ReqOpen(nPartitions: Int) extends Request
+  private final case class ReqProduce(key: String, value: String)
+    extends Request
+  private final case class ReqProduceAll(rows: Seq[(String, String)])
+    extends Request
+  private final case class ReqRead(p: Int, from: Long, max: Int)
+    extends Request
+  private final case class ReqNoBody(op: Byte) extends Request
+  private final case class ReqTruncate(minFraction: Double) extends Request
+  private final case class ReqCommitted(group: String) extends Request
+  private final case class ReqCommit(group: String, offs: Map[Int, Long])
+    extends Request
+  private final case class ReqFence(fused: Boolean, queryId: String,
+      epochId: Long, partitionId: Int, rows: Seq[(String, String)])
+    extends Request
+
   private[streaming] val OpOpen: Byte = 1
   private[streaming] val OpProduce: Byte = 2
   private[streaming] val OpProduceAll: Byte = 3
@@ -258,9 +314,20 @@ final class BrokerTopic(host: String, port: Int, name: String,
   private[this] var out: DataOutputStream = null
   private[this] var pinned: Int = -1
 
+  // must hold mutex: any failed exchange tears the connection down so
+  // the NEXT call redials from scratch — `sock` is therefore either
+  // null or usable, never a dead-but-present handle (a socket's
+  // isConnected stays true forever once connected, so it can't gate
+  // this)
+  private def teardown(): Unit = {
+    if (sock != null)
+      try sock.close() catch { case _: IOException => () }
+    sock = null; in = null; out = null
+  }
+
   // must hold mutex
   private def ensureConnected(): Unit =
-    if (sock == null || !sock.isConnected || sock.isClosed) {
+    if (sock == null) {
       val s = new Socket(host, port)
       s.setTcpNoDelay(true)
       sock = s
@@ -293,18 +360,27 @@ final class BrokerTopic(host: String, port: Int, name: String,
       checkStatus()
       readBody(in)
     } catch {
-      case e: IOException =>
+      case e: Exception =>
         // tear down so the NEXT call redials; never silently resend a
-        // possibly-applied mutation
-        try if (sock != null) sock.close() catch { case _: IOException => () }
-        sock = null
+        // possibly-applied mutation (EOF mid-handshake would otherwise
+        // leave a dead socket that later calls mistake for connected)
+        teardown()
         throw e
     }
   }
 
   def nPartitions: Int = mutex.synchronized {
-    ensureConnected(); pinned
+    try { ensureConnected(); pinned }
+    catch { case e: Exception => teardown(); throw e }
   }
+
+  /** Drop the client connection (state lives broker-side, so a closed
+    * client is just a hung-up consumer; the next call on this instance
+    * would redial). [[QueueRegistry.drop]] closes evicted clients so a
+    * topic-cycling JVM doesn't leak one fd + broker handler thread per
+    * drop.
+    */
+  def close(): Unit = mutex.synchronized(teardown())
 
   def produce(key: String, value: String): (Int, Long) =
     call(OpProduce) { o => writeStr(o, key); writeStr(o, value) } { i =>

@@ -78,7 +78,10 @@ class MultiProcessGraphSpec extends AnyFunSuite {
     pb.start()
   }
 
-  private def spinUntil(deadlineSec: Int, what: String)(cond: => Boolean): Unit = {
+  // `what` is BY-NAME: failure messages interpolate live state (e.g.
+  // the alarm buffer accumulated during the spin), which a strict
+  // parameter would freeze at its pre-spin contents
+  private def spinUntil(deadlineSec: Int, what: => String)(cond: => Boolean): Unit = {
     val deadline = System.nanoTime() + deadlineSec * 1000L * 1000 * 1000
     while (!cond && System.nanoTime() < deadline) Thread.sleep(200)
     assert(cond, s"timed out after $deadlineSec s waiting for: $what")
