@@ -203,35 +203,15 @@ object Bench {
     val streamPair: (String, String) =
       if (only.nonEmpty) ("", "") else {
       try {
-        val fmt = java.time.format.DateTimeFormatter
-          .ofPattern("yyyy-MM-dd HH:mm:ss,SSS")
-          .withZone(java.time.ZoneOffset.UTC)
-        val t0 = 1578391200000L
         val base = Files.createTempDirectory("graft_stream_bench")
         val logs = base.resolve("logs").toString
         val work = base.resolve("work").toString
-        val services = Seq("S:checkout", "S:search", "S:cart", "S:login")
-        var nLines = 0L
-        (0 until 8).foreach { s =>
-          val sb = new StringBuilder
-          var id = 0
-          (0 until 1200).foreach { i =>   // 1200 x 10 s intervals
-            services.foreach { svc =>
-              (0 until 3).foreach { j =>
-                val ms = t0 + i * 10000L + j * 3000L
-                // elapsed drifts into the 150 ms hard-max band late in
-                // the range so the vote/cooldown stages do real work
-                val elapsed = 100L + (if (i > 900 && j == 0) 200L else (i + j) % 40)
-                sb.append(s"[$id] ${fmt.format(java.time.Instant.ofEpochMilli(ms))} " +
-                  s"[a:b:42] INFO CommonTiming::Stop $svc handled in time $elapsed\n")
-                id += 1; nLines += 1
-              }
-            }
-          }
-          val p = Paths.get(logs, "net", s"host$s", "server.log")
-          Files.createDirectories(p.getParent)
-          Files.writeString(p, sb.toString)
-        }
+        // the bench-shaped corpus (8 hosts x 1200 10-s intervals;
+        // elapsed drifts into the hard-max band late in the range so
+        // the vote/cooldown stages do real work) — ONE generator shared
+        // with tools.StreamScaleProbe so scaling rows stay comparable
+        val nLines = StreamCorpus.writeHosts(logs, nHosts = 8,
+          nIntervals = 1200)
         val cfg = graft.streaming.ApmGraph.GraphCfg()
         val glob = s"$logs/net/*/*"
         val s0 = System.nanoTime()
@@ -239,11 +219,7 @@ object Bench {
         // advances the watermark so every real window closes in drain 2
         // (same recipe GraphSpec pins for stream==batch equality).
         graft.streaming.ApmGraph.runStage1(spark, glob, work, cfg)
-        val sentinel = Paths.get(logs, "net", "zz", "server.log")
-        Files.createDirectories(sentinel.getParent)
-        Files.writeString(sentinel, s"[999999] ${fmt.format(
-          java.time.Instant.ofEpochMilli(t0 + 100000000L))} " +
-          "[a:b:42] INFO CommonTiming::Stop S:checkout handled in time 1\n")
+        StreamCorpus.writeSentinel(logs, offsetMs = 100000000L)
         graft.streaming.ApmGraph.runStage1(spark, glob, work, cfg)
         graft.streaming.ApmGraph.runStage2(spark, work, cfg)
         // stages 3+4 timed separately: the same boundary also runs over

@@ -49,8 +49,8 @@ object ApmGraph {
     * instead of the reference-faithful arrival order, at the price of a
     * watermark delay (`orderedDelay` — the cross-chain skew budget) and
     * the RocksDB state store (transformWithState requires it).
-    */
-  /** `stage1MaxFiles` is stage 1's per-micro-batch file admission bound
+    *
+    * `stage1MaxFiles` is stage 1's per-micro-batch file admission bound
     * (LogFileSource's `maxFilesPerTrigger`). It interacts with the
     * stats window's GLOBAL watermark on a COLD BACKFILL: rotated log
     * files from many hosts cover the same time range, so admitting them

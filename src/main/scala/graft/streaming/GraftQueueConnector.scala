@@ -107,14 +107,19 @@ object QueueRegistry {
     * which live on the instance) and evict file-topic cache entries for
     * the name (their on-disk state is the test's temp dir to clean).
     */
-  def drop(name: String): Unit = synchronized {
-    topics.remove(name)
-    fileTopics.filterInPlace { case ((n, _), _) => n != name }
-    brokerTopics.filterInPlace { case ((n, _), t) =>
-      val keep = n != name
-      if (!keep) t.close() // don't leak the fd + broker handler thread
-      keep
+  def drop(name: String): Unit = {
+    // evict under the monitor, close OUTSIDE it: close() waits on the
+    // client's own mutex, which a thread blocked in a network read can
+    // hold indefinitely — holding the registry lock across that would
+    // stall every topic() lookup in the JVM behind one dead broker
+    val evicted = synchronized {
+      topics.remove(name)
+      fileTopics.filterInPlace { case ((n, _), _) => n != name }
+      val out = brokerTopics.collect { case ((n, _), t) if n == name => t }
+      brokerTopics.filterInPlace { case ((n, _), _) => n != name }
+      out.toSeq
     }
+    evicted.foreach(_.close()) // don't leak the fd + broker handler thread
   }
 }
 

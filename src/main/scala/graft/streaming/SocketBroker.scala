@@ -67,9 +67,15 @@ final class SocketBroker(port0: Int = 0,
       try {
         val s = server.accept()
         conns.add(s)
-        val h = new Thread(() => handle(s), s"graft-broker-conn-$port")
-        h.setDaemon(true)
-        h.start()
+        // close() may have run between accept returning and the add: a
+        // connection registered after the close-time sweep would keep
+        // serving a "down" broker, so re-check and refuse it
+        if (closed) { conns.remove(s); s.close() }
+        else {
+          val h = new Thread(() => handle(s), s"graft-broker-conn-$port")
+          h.setDaemon(true)
+          h.start()
+        }
       } catch {
         case _: IOException if closed => () // close() unblocked accept
         case _: IOException =>
@@ -274,8 +280,16 @@ object SocketBroker {
       o.writeInt(p); o.writeLong(off)
     }
   }
+  // element-count guard, like readStr's byte guard: a desynced or
+  // hostile frame with a garbage count must fail the parse (dropping
+  // the connection) BEFORE it can drive unbounded heap growth building
+  // a collection from whatever bytes follow
+  private def checkCount(n: Int): Int = {
+    require(n >= 0 && n <= (1 << 24), s"unreasonable element count: $n")
+    n
+  }
   private[streaming] def readOffs(i: DataInputStream): Map[Int, Long] = {
-    val n = i.readInt()
+    val n = checkCount(i.readInt())
     (0 until n).map(_ => i.readInt() -> i.readLong()).toMap
   }
   private[streaming] def writeRows(o: DataOutputStream,
@@ -284,7 +298,7 @@ object SocketBroker {
     rows.foreach { case (k, v) => writeStr(o, k); writeStr(o, v) }
   }
   private[streaming] def readRows(i: DataInputStream): Seq[(String, String)] = {
-    val n = i.readInt()
+    val n = checkCount(i.readInt())
     (0 until n).map(_ => (readStr(i), readStr(i)))
   }
 }

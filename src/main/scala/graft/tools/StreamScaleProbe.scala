@@ -49,49 +49,21 @@ object StreamScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val fmt = java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd HH:mm:ss,SSS")
-      .withZone(java.time.ZoneOffset.UTC)
-    val t0 = 1578391200000L
-    val services = Seq("S:checkout", "S:search", "S:cart", "S:login")
-
     factors.foreach { factor =>
       val (nHosts, nIntervals) =
         if (axis == "hosts") (8 * factor, 1200) else (8, 1200 * factor)
       val base = Files.createTempDirectory(s"graft_sscale_$factor")
       val logs = base.resolve("logs").toString
-      // the bench stream leg's corpus shape (Bench.scala stream block),
-      // scaled along the chosen axis; the slow band repeats per 1200
-      // intervals so the alert-side work mix stays factor-invariant
-      var nLines = 0L
-      (0 until nHosts).foreach { s =>
-        val sb = new StringBuilder
-        var id = 0
-        (0 until nIntervals).foreach { i =>
-          services.foreach { svc =>
-            (0 until 3).foreach { j =>
-              val ms = t0 + i * 10000L + j * 3000L
-              val elapsed = 100L +
-                (if (i % 1200 > 900 && j == 0) 200L else (i + j) % 40)
-              sb.append(s"[$id] ${fmt.format(
-                java.time.Instant.ofEpochMilli(ms))} " +
-                s"[a:b:42] INFO CommonTiming::Stop $svc handled in time $elapsed\n")
-              id += 1; nLines += 1
-            }
-          }
-        }
-        val p = Paths.get(logs, "net", s"host$s", "server.log")
-        Files.createDirectories(p.getParent)
-        Files.writeString(p, sb.toString)
-        ()
-      }
-      // far-future sentinel closes every real window on the second
-      // stage-1 drain (the bench leg's recipe)
-      val sentinel = Paths.get(logs, "net", "zz", "server.log")
-      Files.createDirectories(sentinel.getParent)
-      Files.writeString(sentinel, s"[999999] ${fmt.format(
-        java.time.Instant.ofEpochMilli(t0 + 1000000000L))} " +
-        "[a:b:42] INFO CommonTiming::Stop S:checkout handled in time 1\n")
+      // the bench stream leg's corpus, scaled along the chosen axis —
+      // ONE generator shared with Bench (graft.StreamCorpus), so these
+      // rows stay comparable to the bench's by construction; its
+      // per-1200-interval slow band keeps the alert-side work mix
+      // factor-invariant. Sentinel offset must clear a time-scaled
+      // corpus's whole span (nIntervals * 10 s), hence 1e9 not the
+      // bench's 1e8. Written up front: drain 1 ingests corpus AND
+      // sentinel in one batch, drain 2 plays the window-close pass.
+      val nLines = graft.StreamCorpus.writeHosts(logs, nHosts, nIntervals)
+      graft.StreamCorpus.writeSentinel(logs, offsetMs = 1000000000L)
 
       // hosts axis = cold backfill: admit the whole backlog in one
       // micro-batch (see scaladoc); time axis keeps the default
@@ -106,10 +78,15 @@ object StreamScaleProbe {
       val sec = (System.nanoTime() - g0) / 1e9
       val stats = new graft.streaming.FileTopic(
         Paths.get(qdirG, "t_stats")).endOffsets.values.sum
+      // a legitimately alert-free corpus leaves no alerts directory
+      // (AnalysisException on read) — that is the ONLY swallowed case;
+      // a real stage failure must propagate, or a broken run would
+      // print a plausible row with alerts=0 and get transcribed into
+      // SCALING.md as a measurement
       val alerts =
         try spark.read.option("recursiveFileLookup", "true")
           .parquet(s"$workG/alerts").count()
-        catch { case _: Throwable => 0L }
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
       println(f"STREAMSCALE axis=$axis factor=$factor lines=$nLines " +
         f"sec=$sec%.1f lps=${nLines / sec}%.0f stats_rows=$stats " +
         f"srps=${stats / sec}%.0f alerts=$alerts")

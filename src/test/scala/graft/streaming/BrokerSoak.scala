@@ -33,22 +33,34 @@ object BrokerSoak {
       Seq(1, 2, 4).foreach { nClients =>
         val topicName = s"soak_${label}_$nClients"
         val produced = new AtomicLong(0L)
+        // a producer failure must surface as ITSELF, not corrupt the
+        // exactness assert below into a phantom loss/tearing report: the
+        // count of batches that DID land is recorded in finally (a
+        // produceAll that threw did not land — the client never resends),
+        // the connection always closes, and the first error is rethrown
+        val firstError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
         val deadline = System.nanoTime() + phaseMs * 1000000L
         val t0 = System.nanoTime()
         val threads = (0 until nClients).map { c =>
           new Thread(() => {
             val t = new BrokerTopic("127.0.0.1", broker.port, topicName, 4)
             var i = 0
-            while (System.nanoTime() < deadline) {
-              t.produceAll((i until i + 100).map(j =>
-                (s"k${j % 8}", s"c$c:$j:payload-abcdefghijklmnopqrstuv")))
-              i += 100
+            try {
+              while (System.nanoTime() < deadline) {
+                t.produceAll((i until i + 100).map(j =>
+                  (s"k${j % 8}", s"c$c:$j:payload-abcdefghijklmnopqrstuv")))
+                i += 100
+              }
+            } catch {
+              case e: Throwable => firstError.compareAndSet(null, e); ()
+            } finally {
+              produced.addAndGet(i.toLong)
+              t.close()
             }
-            produced.addAndGet(i.toLong)
-            t.close()
           })
         }
         threads.foreach(_.start()); threads.foreach(_.join())
+        if (firstError.get() != null) throw firstError.get()
         val appendSec = (System.nanoTime() - t0) / 1e9
         // one consumer drains everything; count must be exact
         val reader = new BrokerTopic("127.0.0.1", broker.port, topicName, 4)
