@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Alerts, Parsing, ZScore}
 import graft.sources.LogFileSource
-import graft.streaming.{ApmGraph, ApmStreaming, ContractConsumer, FileTopic}
+import graft.streaming.{ApmGraph, ApmStreaming, ContractConsumer, FileTopic, QueueRegistry, QueueTopic}
 
 /** The reference's COMPLETE process topology, reproduced: all four graph
   * stages plus the S6 DB-insert consumer as five concurrently-running,
@@ -102,11 +102,15 @@ class MultiProcessGraphSpec extends AnyFunSuite {
     * so it cannot overtake them across micro-batches.
     */
   private def sixProcessScenario(provider: String,
-      ordered: Boolean = false): Unit = {
+      ordered: Boolean = false,
+      qdirOverride: Option[String] = None): Unit = {
     val base = Files.createTempDirectory("graft_mp").toString
     val logs = s"$base/logs"
     val glob = s"$logs/net/*/*"
-    val qdir = s"$base/q"
+    // qdirOverride carries a broker URL for the over-the-broker leg:
+    // the children's stage code and the parent's probes all resolve
+    // topics through QueueRegistry, so the transport is ONLY this string
+    val qdir = qdirOverride.getOrElse(s"$base/q")
     val stop = s"$base/stop"
     val works = (1 to 6).map(s => s"$base/work$s")
     works.foreach(w => Files.createDirectories(Paths.get(w)))
@@ -115,6 +119,20 @@ class MultiProcessGraphSpec extends AnyFunSuite {
     // watermark-dropped INSIDE stage 1, so it must be invisible to every
     // batch-side oracle recomputed after the injection
     val sentinelServers = Seq("zz", "zzf", "zz2", "zzl")
+
+    // parent-side topic probes, transport-agnostic: resolve through the
+    // registry exactly like the stage code does. File mode must NOT
+    // create a topic the children haven't made yet (existence is part of
+    // some spin conditions, and constructing a FileTopic creates its
+    // dir), so an absent file topic reads as None; the broker
+    // auto-creates empty topics, which reads as sum 0 — same predicate.
+    def topicOf(name: String): Option[QueueTopic] =
+      if (qdir.startsWith("broker://") ||
+          Files.exists(Paths.get(qdir, name)))
+        Some(QueueRegistry.topic(name, 4, Some(qdir)))
+      else None
+    def topicSum(name: String): Long =
+      topicOf(name).map(_.endOffsets.values.sum).getOrElse(0L)
 
     // the JMX poller's CLI stub: stands in for jboss-cli (no WildFly in
     // this container) — prints the reference CLI's output shape (warning
@@ -152,12 +170,10 @@ class MultiProcessGraphSpec extends AnyFunSuite {
     try {
       // stage 2 must have CONSUMED live wave-1 records (produced its own
       // output) before the corpus is complete — and before we kill it
-      val tz = Paths.get(qdir, "t_z")
       spinUntil(120, "stage 2 to produce z rows from wave 1") {
-        Files.exists(tz) &&
-          new FileTopic(tz).endOffsets.values.sum > 0
+        topicSum("t_z") > 0
       }
-      val zAtKill = new FileTopic(tz).endOffsets.values.sum
+      val zAtKill = topicSum("t_z")
       val drainedDownstream = (2 to 6).map(s =>
         s -> Files.exists(Paths.get(works(s - 1), s"drained_$s"))).toMap
 
@@ -240,11 +256,9 @@ class MultiProcessGraphSpec extends AnyFunSuite {
         // 600 s recovery-sized delay budget — see FileTopicChild.)
         val expFired = Alerts.firedRef(candB.toIndexedSeq, cfg.alert)
         assert(expFired.nonEmpty, "oracle fired set empty — inert corpus")
-        val tf = Paths.get(qdir, "t_fired")
         spinUntil(240, s"t_fired to hold all ${expFired.size} real fired " +
           "rows before the firing sentinel is written") {
-          Files.exists(tf) &&
-            new FileTopic(tf).endOffsets.values.sum >= expFired.size
+          topicSum("t_fired") >= expFired.size
         }
         // the firing sentinel wave (event times past the quiet closer's
         // watermark), itself closed by the even-later quiet zz2 event —
@@ -281,7 +295,7 @@ class MultiProcessGraphSpec extends AnyFunSuite {
         // parent process (standing in for production monitoring) can
         // see it; the final bit-equality assert below proves the row
         // never leaked into the fold.
-        new FileTopic(Paths.get(qdir, "t_fired")).produce("late-probe",
+        topicOf("t_fired").get.produce("late-probe",
           s"""{"server":"hostA","service":"S:checkout","lag":3,""" +
             s""""ts_ms":${t0 + 300000L},"causes":"late-probe"}""")
         // the spin's predicate IS the assertion: poll inside it and
@@ -289,13 +303,13 @@ class MultiProcessGraphSpec extends AnyFunSuite {
         // first (or the stage-4 record arriving between an
         // existence-check and a single poll) can't fail the leg
         // spuriously
-        val ops = Paths.get(qdir, "t_ops")
         val alarms = scala.collection.mutable.Buffer.empty[String]
         var opsConsumer: ContractConsumer = null
         spinUntil(120, "the forked stage 4 to publish the late-drop " +
           s"alarm on t_ops (saw so far: $alarms)") {
-          if (opsConsumer == null && Files.exists(ops))
-            opsConsumer = new ContractConsumer(new FileTopic(ops), "spec_ops")
+          if (opsConsumer == null)
+            topicOf("t_ops").foreach(t =>
+              opsConsumer = new ContractConsumer(t, "spec_ops"))
           if (opsConsumer != null) alarms ++= opsConsumer.poll(1000).map(_.value)
           alarms.exists(v => v.contains("\"stage\":\"stage4\"") &&
             (v.contains("\"wm_dropped\":") && !v.contains("\"wm_dropped\":0")))
@@ -339,7 +353,7 @@ class MultiProcessGraphSpec extends AnyFunSuite {
       // no retention configured here) == the batch z-score fold, so the
       // kill+re-fork lost nothing and duplicated nothing
       val zSchema = Encoders.product[ApmStreaming.ZOut].schema
-      val zRecords = new ContractConsumer(new FileTopic(tz), "spec_audit")
+      val zRecords = new ContractConsumer(topicOf("t_z").get, "spec_audit")
         .poll(1000000).map(_.value)
       import spark.implicits._
       val zCols = Seq("server", "service", "lag", "ts_ms",
@@ -382,7 +396,7 @@ class MultiProcessGraphSpec extends AnyFunSuite {
       // every poll tick present (poll_ms = tick * 60000), and each
       // host's samples on one partition (key affinity)
       val jmx = new ContractConsumer(
-        new FileTopic(Paths.get(qdir, "t_jmx")), "spec_jmx").poll(1000000)
+        topicOf("t_jmx").get, "spec_jmx").poll(1000000)
       assert(jmx.size >= 2 * jmxHosts.size,
         s"poller produced only ${jmx.size} rows — never looped")
       jmxHosts.foreach { h =>
@@ -428,5 +442,21 @@ class MultiProcessGraphSpec extends AnyFunSuite {
       "bit-exactly (RocksDB provider — transformWithState)") {
     sixProcessScenario(graft.streaming.ApmStateV2.RocksDbProvider,
       ordered = true)
+  }
+
+  test("same topology over the TCP broker daemon: six forked JVMs dial " +
+      "the parent-hosted SocketBroker for every stage boundary (the " +
+      "reference's processes-plus-broker-daemon shape), stage 2 " +
+      "SIGKILLed and re-forked mid-run; alerts, z records, DB and JMX " +
+      "samples all == their oracles") {
+    // the ONLY thing that changes vs the file-transport scenario is the
+    // qdir string — stage code, probes, kill/recovery discipline all
+    // identical. Topic state (offsets, group commits, fences) lives in
+    // the parent-hosted daemon, so the SIGKILLed stage-2 client loses
+    // nothing it hadn't committed — the exactly-once story the broker
+    // contract exists to carry.
+    val broker = new graft.streaming.SocketBroker()
+    try sixProcessScenario("", qdirOverride = Some(broker.url))
+    finally broker.close()
   }
 }
