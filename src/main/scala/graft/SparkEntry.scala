@@ -121,6 +121,7 @@ object SparkEntry {
     "c12_source_cap"   -> ((s, dir) => Curation.sourceCap(s, dir)),
     "c13_mix_apply"    -> ((s, dir) => Curation.mixApply(s, dir)),
     "c14_fuzzy_decon"  -> ((s, dir) => Curation.fuzzyDecon(s, dir)),
+    "c23_bloom_decon"  -> ((s, dir) => Curation.bloomDecon(s, dir)),
     "c15_quality_attrib" -> ((s, dir) => Curation.qualityAttribution(s, dir)),
     "c17_pps_sample"   -> ((s, dir) => Curation.ppsSample(s, dir)),
     // Leakage-aware train/val split over near-dup clusters.
@@ -376,6 +377,7 @@ object SparkEntry {
     "c12_source_cap"   -> Curation.sourceCapSql(),
     "c13_mix_apply"    -> Curation.mixApplySql(),
     "c14_fuzzy_decon"  -> Curation.fuzzyDeconSql(),
+    "c23_bloom_decon"  -> Curation.bloomDeconSql(),
     "c15_quality_attrib" -> Curation.qualityAttributionSql,
     "c17_pps_sample"   -> Curation.ppsSampleSql(),
     "c19_shuffle_shards" -> Curation.shuffleShardsSql(),

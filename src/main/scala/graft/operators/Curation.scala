@@ -104,6 +104,101 @@ object Curation {
         FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id"""
   }
 
+  /** BLOOM-FILTER decontamination — the 100-TB shape of benchmark
+    * leakage removal. [[decontaminate]] (c3) broadcasts the benchmark's
+    * whole distinct shingle SET and runs every corpus shingle through a
+    * broadcast hash join; at pretraining scale even the map-side build
+    * of that hash table per task is real cost, and the join's output
+    * still aggregates corpus-wide. This variant is the pattern Spark's
+    * own runtime row-level filtering (InjectRuntimeFilter) uses, made
+    * explicit and EXACT:
+    *
+    *  1. BUILD a Bloom filter over the benchmark's distinct
+    *     `spanWords`-word span hashes, declaratively: k probe positions
+    *     per span (`xxhash64(h, seed_i) mod m`), positions packed into
+    *     `m/64` words with a `bit_or` aggregate — the only corpus-side
+    *     state is m bits however large the benchmark is.
+    *  2. COLLECT the words as one bounded array literal (`m/64` longs —
+    *     2 KiB at the default m=2^17, FIXED-size like the BPE argmax
+    *     collect, independent of corpus scale) and PROBE it as a pure
+    *     whole-stage-codegen expression over the corpus spans: bit
+    *     tests against an array literal — no join, no hash-table build,
+    *     no shuffle touches the corpus-scale span stream.
+    *  3. EXACT-CONFIRM only the bloom-positive spans (expected
+    *     fraction: true leaks + ~(1-e^(-kn/m))^k false positives)
+    *     against the benchmark set — the bloom can't miss (no false
+    *     negatives), so the final answer equals the exact semi-join the
+    *     DuckDB oracle computes, while the joins and the per-doc count
+    *     shuffle see only the tiny positive set. The final doc-keyed
+    *     left join is the one corpus-scale shuffle, same as c3.
+    *
+    * Output per corpus doc: distinct span count, leaked-span count,
+    * leak fraction, and the any-leak contamination flag.
+    */
+  def bloomDecon(spark: SparkSession, sfDir: String, benchMod: Long = 47,
+      spanWords: Int = 16, mBits: Int = 1 << 17, k: Int = 5): DataFrame = {
+    require(mBits % 64 == 0)
+    val d = Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        array_distinct(Dedup.spanHashes(spanWords)).as("sp"))
+    val bench = d.filter(col("doc_id") % benchMod === 0)
+      .select(explode(col("sp")).as("h")).distinct()
+    val corpus = d.filter(col("doc_id") % benchMod =!= 0)
+    def positions(h: org.apache.spark.sql.Column) =
+      (0 until k).map(i => pmod(xxhash64(h, lit(i)), lit(mBits.toLong)))
+    // build: position -> (word, bit), OR'd into m/64 words
+    val words = bench
+      .select(explode(array(positions(col("h")): _*)).as("pos"))
+      .select((col("pos") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int"))
+          .as("m"))
+      .groupBy("w").agg(bit_or(col("m")).as("bits"))
+    // bounded collect: exactly mBits/64 longs at most, regardless of
+    // corpus or benchmark size — the runtime-filter broadcast, as a
+    // plan literal
+    val arr = new Array[Long](mBits / 64)
+    words.collect().foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    val bloom = typedLit(arr.toSeq)
+    val probe = positions(col("h")).map { pos =>
+      (call_function("shiftright",
+        element_at(bloom, (pos / 64).cast("int") + 1),
+        (pos % 64).cast("int")).bitwiseAND(lit(1L))) === 1L
+    }.reduce(_ && _)
+    val positive = corpus
+      .select(col("doc_id"), explode(col("sp")).as("h"))
+      .filter(probe)
+    // exact confirm (kills bloom false positives; no hint — the bench
+    // side's size is the benchmark's, AQE picks the strategy)
+    val leaked = positive.join(bench, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_leaked"))
+    val nLeaked = coalesce(col("n_leaked"), lit(0L))
+    corpus.select(col("doc_id"), size(col("sp")).cast("long").as("n_spans"))
+      .join(leaked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"), nLeaked.as("n_leaked"),
+        (nLeaked.cast("double") / col("n_spans")).as("leak_frac"),
+        (nLeaked > 0).cast("int").as("is_contaminated"))
+  }
+
+  /** The oracle computes the EXACT semi-join (a bloom with the confirm
+    * step is exact, so the SQL needs no bloom).
+    */
+  def bloomDeconSql(benchMod: Long = 47, spanWords: Int = 16): String = {
+    val sp = Dedup.shingleHashesSqlK(
+      "string_split(" + Dedup.normTextSql + ", ' ')", spanWords)
+    s"""WITH d AS (SELECT doc_id, list_distinct($sp) AS sp FROM documents),
+        bench AS (SELECT DISTINCT unnest(sp) AS h FROM d
+                  WHERE doc_id % $benchMod = 0),
+        corpus AS (SELECT doc_id, sp FROM d WHERE doc_id % $benchMod <> 0),
+        cs AS (SELECT doc_id, unnest(sp) AS h FROM corpus),
+        hits AS (SELECT doc_id, count(*) AS n_leaked
+                 FROM cs JOIN bench USING (h) GROUP BY doc_id)
+        SELECT c.doc_id, CAST(len(c.sp) AS BIGINT) AS n_spans,
+          coalesce(h.n_leaked, 0) AS n_leaked,
+          CAST(coalesce(h.n_leaked, 0) AS DOUBLE) / len(c.sp) AS leak_frac,
+          CAST(coalesce(h.n_leaked, 0) > 0 AS INT) AS is_contaminated
+        FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id"""
+  }
+
   /** Data-mixture weights — per-source token budgeting: each source's
     * token share of the corpus, and the resampling weight that would
     * equalize sources (`uniform_weight` > 1 ⇒ upsample). One groupBy on

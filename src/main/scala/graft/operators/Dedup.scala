@@ -718,7 +718,8 @@ object Dedup {
   /** Generalized k-word shingle oracle fragment (the k=3 helper above
     * special-cases the Jaccard family's gram size).
     */
-  private def shingleHashesSqlK(w: String, k: Int): String = {
+  private[operators] def spanHashes(k: Int): Column = shingle_hashes(normText, k)
+  private[operators] def shingleHashesSqlK(w: String, k: Int): String = {
     val gram = (0 until k).map(j => s"$w[i+$j]").mkString(" || ' ' || ")
     s"""list_distinct(CASE WHEN len($w) >= $k
         THEN list_transform(range(1, len($w)-${k - 2}),
