@@ -119,8 +119,9 @@ object Curation {
     *     `m/64` words with a `bit_or` aggregate — the only corpus-side
     *     state is m bits however large the benchmark is.
     *  2. COLLECT the words as one bounded array literal (`m/64` longs —
-    *     2 KiB at the default m=2^17, FIXED-size like the BPE argmax
-    *     collect, independent of corpus scale) and PROBE it as a pure
+    *     2048 longs = 16 KiB at the default m=2^17, FIXED-size like the
+    *     BPE argmax collect, independent of corpus scale) and PROBE it
+    *     as a pure
     *     whole-stage-codegen expression over the corpus spans: bit
     *     tests against an array literal — no join, no hash-table build,
     *     no shuffle touches the corpus-scale span stream.
@@ -138,9 +139,10 @@ object Curation {
   def bloomDecon(spark: SparkSession, sfDir: String, benchMod: Long = 47,
       spanWords: Int = 16, mBits: Int = 1 << 17, k: Int = 5): DataFrame = {
     require(mBits % 64 == 0)
+    // spanHashes (ShingleHashes) emits DISTINCT hashes by contract (d8
+    // relies on the same), so sp needs no extra dedup pass
     val d = Tables.loadSpread(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        array_distinct(Dedup.spanHashes(spanWords)).as("sp"))
+      .select(col("doc_id"), Dedup.spanHashes(spanWords).as("sp"))
     val bench = d.filter(col("doc_id") % benchMod === 0)
       .select(explode(col("sp")).as("h")).distinct()
     val corpus = d.filter(col("doc_id") % benchMod =!= 0)
@@ -185,7 +187,7 @@ object Curation {
   def bloomDeconSql(benchMod: Long = 47, spanWords: Int = 16): String = {
     val sp = Dedup.shingleHashesSqlK(
       "string_split(" + Dedup.normTextSql + ", ' ')", spanWords)
-    s"""WITH d AS (SELECT doc_id, list_distinct($sp) AS sp FROM documents),
+    s"""WITH d AS (SELECT doc_id, $sp AS sp FROM documents),
         bench AS (SELECT DISTINCT unnest(sp) AS h FROM d
                   WHERE doc_id % $benchMod = 0),
         corpus AS (SELECT doc_id, sp FROM d WHERE doc_id % $benchMod <> 0),
