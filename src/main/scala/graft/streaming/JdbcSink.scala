@@ -98,6 +98,16 @@ object JdbcSink {
       * (stream_insert_db.js:295-327), executor-parallel. The caller
       * ([[JdbcSink.writeBatch]]) has already capped the partition count,
       * which bounds the connection fan-in.
+      *
+      * Delivery semantics: AT-LEAST-ONCE under task retry, the same
+      * contract as Spark's own `df.write.jdbc` append — each partition
+      * commits independently, so a task that fails AFTER its commit
+      * re-inserts that partition's rows when Spark retries it. A failed
+      * (uncommitted) batch is explicitly rolled back before the
+      * connection closes. Exactly-once belongs to the layer above: the
+      * streaming requeue wrapper replays whole micro-batches, and the
+      * reference accepts the same duplicate window
+      * (stream_insert_db.js:295-327 has no dedup key either).
       */
     def writeBatch(df: DataFrame, url: String, table: String): Unit = {
       require(df.columns.toSeq == columns.map(_._1),
@@ -128,6 +138,13 @@ object JdbcSink {
               }
               ps.executeBatch()
               c.commit()
+            } catch {
+              case e: Throwable =>
+                // explicit rollback rather than relying on close() to
+                // discard the open transaction — drivers differ on
+                // close-with-pending-tx behavior
+                try c.rollback() catch { case _: java.sql.SQLException => () }
+                throw e
             } finally ps.close()
           } finally c.close()
         }

@@ -112,9 +112,23 @@ final class SocketBroker(port0: Int = 0,
       while (true) {
         val op = in.readByte()
         val name = readStr(in)
+        // the name becomes a path component under dataDir (FileTopic
+        // state dir) — a wire-supplied separator or '..' would escape
+        // the broker's data directory, so it fails the PARSE phase
+        // (dropping the connection) like any other hostile frame
+        require(name != null && name.nonEmpty && name.length <= 255 &&
+          !name.contains('/') && !name.contains('\\') &&
+          !name.contains(".."), s"illegal topic name: $name")
         // ---- phase 1: parse the full request body (no delegate calls)
         val body: Request = op match {
-          case OpOpen => ReqOpen(math.max(1, in.readInt()))
+          // partition width sizes O(n) arrays in the topic impls — an
+          // unguarded 2^31 width from a desynced/hostile frame would
+          // OOM the daemon, so it gets the same parse-phase bound as
+          // readStr/checkCount (real topologies use single digits)
+          case OpOpen =>
+            val w = in.readInt()
+            require(w >= 1 && w <= 4096, s"unreasonable partition width: $w")
+            ReqOpen(w)
           case OpProduce => ReqProduce(readStr(in), readStr(in))
           case OpProduceAll => ReqProduceAll(readRows(in))
           case OpRead => ReqRead(in.readInt(), in.readLong(), in.readInt())

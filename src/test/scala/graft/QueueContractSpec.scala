@@ -424,6 +424,45 @@ class BrokerTopicConformance extends QueueTopicConformance("broker",
     assert(t2.endOffsets == t1.endOffsets)
   }
 
+  test("broker topic: hostile OPEN frames (garbage partition width, " +
+      "path-traversal topic name) are dropped at the parse phase and the " +
+      "daemon keeps serving good clients") {
+    import java.io.{DataInputStream, DataOutputStream}
+    import java.net.Socket
+    import java.nio.charset.StandardCharsets.UTF_8
+    // raw frame writer: byte op, str name, int width (the OPEN shape)
+    def rawOpen(name: String, width: Int): Unit = {
+      val s = new Socket("127.0.0.1", BrokerTopicConformance.broker.port)
+      try {
+        val o = new DataOutputStream(s.getOutputStream)
+        o.writeByte(1) // OpOpen
+        val b = name.getBytes(UTF_8)
+        o.writeInt(b.length); o.write(b)
+        o.writeInt(width)
+        o.flush()
+        // parse failure = dropped connection: the read sees EOF, never a
+        // status byte
+        val in = new DataInputStream(s.getInputStream)
+        s.setSoTimeout(5000)
+        intercept[java.io.IOException] {
+          val st = in.readByte()
+          fail(s"hostile OPEN answered with status $st instead of a drop")
+        }
+      } finally s.close()
+    }
+    rawOpen("t_evil_width", Int.MaxValue) // would size a 2^31-entry topic
+    rawOpen("t_evil_width", 0)
+    rawOpen("t_evil_width", -7)
+    rawOpen("../escape", 1)     // would resolve outside dataDir
+    rawOpen("a/b", 1)
+    rawOpen("..", 1)
+    rawOpen("", 1)
+    // the daemon survived all of it: a fresh legitimate client round-trips
+    val t = BrokerTopicConformance.mkTopic(2)
+    t.produce("k", "v")
+    assert(new ContractConsumer(t, "g").poll(10).size == 1)
+  }
+
   test("broker topic: a FILE-BACKED broker's topics survive a broker " +
       "restart (the broker persists its own log segments; clients never " +
       "touch the filesystem)") {
