@@ -180,6 +180,8 @@ object SparkEntry {
     "s7_ivfpq"         -> ((s, dir) => Similarity.ivfPq(s, dir)),
     "s8_ivfpq_recall"  -> ((s, dir) => Similarity.ivfPqRecall(s, dir)),
     "s9_ivf_stats"     -> ((s, dir) => Similarity.ivfStats(s, dir)),
+    // 1-bit sign codes + Hamming shortlist + exact-cosine rerank
+    "s11_hamming_rerank" -> ((s, dir) => Similarity.hammingRerank(s, dir)),
     "e3_matryoshka"    -> ((s, dir) => Similarity.matryoshkaRecall(s, dir)),
     "e4_pca_cov"       -> ((s, dir) => Pca.pcaCov(s, dir)),
     "e5_pca_component" -> ((s, dir) => Pca.pcaComponent(s, dir)),
@@ -422,6 +424,7 @@ object SparkEntry {
     "s7_ivfpq"         -> Similarity.ivfPqSql(),
     "s8_ivfpq_recall"  -> Similarity.ivfPqRecallSql(),
     "s9_ivf_stats"     -> Similarity.ivfStatsSql(),
+    "s11_hamming_rerank" -> Similarity.hammingRerankSql(),
     "e3_matryoshka"    -> Similarity.matryoshkaRecallSql(),
     "e4_pca_cov"       -> Pca.pcaCovSql,
     "e5_pca_component" -> Pca.pcaComponentSql,

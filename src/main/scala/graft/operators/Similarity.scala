@@ -609,6 +609,126 @@ object Similarity {
             (acc, e) -> acc + e) / CAST(len(v) AS DOUBLE) AS mse
         FROM q"""
 
+  /** Words are 32-bit so every shift stays in 0..31 — DuckDB's BIGINT
+    * `<<` range-checks (1::BIGINT << 63 is an overflow error), and the
+    * general ceil(dim/W)-word layout is what real binary indexes use for
+    * arbitrary dimension anyway.
+    */
+  val BinWordBits = 32
+
+  /** 1-bit sign quantization: bit i of the code is set iff v[i] > 0,
+    * packed little-endian into ceil(dim/[[BinWordBits]]) integer words.
+    * Pure integer construction — bit-identical across engines.
+    */
+  private def signCode(v: Column): Column = {
+    val w = lit(BinWordBits)
+    val bits = transform(v, (x, i) =>
+      when(x > lit(0.0), call_function("shiftleft", lit(1L), i % w))
+        .otherwise(lit(0L)))
+    val nWords = floor((size(v) + lit(BinWordBits - 1)) / w).cast("int")
+    transform(sequence(lit(0), nWords - lit(1)), wi =>
+      aggregate(slice(bits, wi * w + lit(1), w), lit(0L),
+        (acc, b) => acc.bitwiseOR(b)))
+  }
+
+  /** popcount(a XOR b) summed over the code words — two integer
+    * instructions per word inside whole-stage codegen, vs dim
+    * multiply-adds for the float cosine it approximates.
+    */
+  private def hammingDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, h) => acc + h)
+
+  /** s11: binary-quantize-then-rerank retrieval — the 1-bit compression
+    * pattern of binary passage retrieval / BinaryEmbedding search: pack
+    * each embedding's coordinate signs into [[BinWordBits]]-bit words
+    * (dim 64 -> 8 bytes, a 32x scan-size cut vs float32), shortlist each
+    * query's top-`m` by exact Hamming distance over the codes, then
+    * rerank ONLY the shortlist with the exact float cosine and emit the
+    * top-`k` (sign-projection cosine estimate: Charikar 2002, the same
+    * SRP identity [[knnLsh]] buckets with — here used as a distance, not
+    * a bucket).
+    *
+    * Scale shape: the Hamming scan touches an (id, 2-word code) relation
+    * — 100 TB of float vectors is ~3 TB of codes, and the per-candidate
+    * cost is 2 XOR+popcounts in codegen; the float vectors are read
+    * again only for the m rows/query that survive (shortlist hinted
+    * broadcast, id-equi-joined back to the vector table). Composes with
+    * [[knnIvf]]'s cell routing the way PQ's ADC leg does — the code scan
+    * replaces the ADC table walk.
+    */
+  def hammingRerank(spark: SparkSession, sfDir: String,
+      k: Int = 5, m: Int = 20, nQueries: Int = 20): DataFrame = {
+    val vecs = vecsDouble(spark, sfDir)
+    val codes = vecs.select(col("vec_id"), signCode(col("v")).as("code"))
+    val q = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("code").as("qc"))
+    val c = codes.select(col("vec_id").as("n_id"), col("code").as("cc"))
+    val wH = Window.partitionBy("q_id").orderBy(col("ham").asc, col("n_id").asc)
+    val short = q.join(c, col("q_id") =!= col("n_id"))
+      .withColumn("ham", hammingDist(col("qc"), col("cc")))
+      .withColumn("hrank", row_number().over(wH))
+      .filter(col("hrank") <= m)
+      .select("q_id", "n_id", "ham")
+    val qv = vecs.select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val nv = vecs.select(col("vec_id").as("n_id"), col("v").as("nv"))
+    val wC = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    broadcast(broadcast(short).join(qv, "q_id")).join(nv, "n_id")
+      .withColumn("cos",
+        dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
+      .withColumn("rank", row_number().over(wC).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "ham", "cos", "rank")
+  }
+
+  def hammingRerankSql(k: Int = 5, m: Int = 20, nQueries: Int = 20): String = {
+    val W = BinWordBits
+    s"""WITH vecs AS ($vecsDoubleSql),
+        bits AS (
+          SELECT vec_id, list_transform(range(1, len(v)+1), i ->
+            CASE WHEN v[i] > 0 THEN 1::BIGINT << ((i-1) % $W)
+                 ELSE 0::BIGINT END) AS b
+          FROM vecs),
+        codes AS (
+          SELECT vec_id,
+            list_transform(range(0, CAST(floor((len(b) + ${W - 1}) / ${W}.0) AS INT)), w ->
+              list_reduce(list_prepend(0::BIGINT,
+                list_transform(range(1, ${W + 1}), j ->
+                  CASE WHEN w*$W + j <= len(b) THEN b[w*$W + j]
+                       ELSE 0::BIGINT END)),
+                (x, y) -> x | y)) AS code
+          FROM bits),
+        ham AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+            list_reduce(list_prepend(0::BIGINT,
+              list_transform(range(1, len(q.code)+1), w ->
+                bit_count(xor(q.code[w], c.code[w]))::BIGINT)),
+              (x, y) -> x + y) AS ham
+          FROM codes q JOIN codes c
+            ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
+        short AS (
+          SELECT q_id, n_id, ham,
+            row_number() OVER (PARTITION BY q_id ORDER BY ham ASC, n_id ASC)
+              AS hrank
+          FROM ham),
+        rer AS (
+          SELECT s.q_id, s.n_id, s.ham, qt.v AS qv, nt.v AS nv
+          FROM short s
+            JOIN vecs qt ON qt.vec_id = s.q_id
+            JOIN vecs nt ON nt.vec_id = s.n_id
+          WHERE s.hrank <= $m),
+        scored AS (
+          SELECT q_id, n_id, ham,
+            ${dotSql("qv", "nv")} / (${normSql("qv")} * ${normSql("nv")}) AS cos
+          FROM rer),
+        ranked AS (
+          SELECT q_id, n_id, ham, cos,
+            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC)
+              AS rank
+          FROM scored)
+        SELECT q_id, n_id, ham, cos, rank FROM ranked WHERE rank <= $k"""
+  }
+
   /** SemDeDup — SEMANTIC deduplication over the embedding space (cf.
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication", Abbas et al. 2023, arXiv:2303.09540): k-means

@@ -67,7 +67,10 @@ object PlanAudit {
     // probe/query-point broadcast (a handful of vectors) and the exact
     // top-k frame a recall measurement joins back in
     "s1_knn_brute" -> 1, "s4_ivf_recall" -> 3, "s6_pq_recall" -> 1,
-    "s8_ivfpq_recall" -> 4, "s10_pq_refine" -> 1)
+    "s8_ivfpq_recall" -> 4, "s10_pq_refine" -> 1,
+    // s11: the 20-row query-code frame broadcast across the candidate
+    // code scan (the Hamming shortlist pass; rerank joins are equi BHJ)
+    "s11_hamming_rerank" -> 1)
 
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
     val direct = p.collect { case n => n }
