@@ -182,6 +182,8 @@ object SparkEntry {
     "s9_ivf_stats"     -> ((s, dir) => Similarity.ivfStats(s, dir)),
     // 1-bit sign codes + Hamming shortlist + exact-cosine rerank
     "s11_hamming_rerank" -> ((s, dir) => Similarity.hammingRerank(s, dir)),
+    // hybrid retrieval: BM25 leg + dense cosine leg, RRF-fused
+    "s12_rrf_fusion"   -> ((s, dir) => Similarity.rrfFusion(s, dir)),
     "e3_matryoshka"    -> ((s, dir) => Similarity.matryoshkaRecall(s, dir)),
     "e4_pca_cov"       -> ((s, dir) => Pca.pcaCov(s, dir)),
     "e5_pca_component" -> ((s, dir) => Pca.pcaComponent(s, dir)),
@@ -425,6 +427,7 @@ object SparkEntry {
     "s8_ivfpq_recall"  -> Similarity.ivfPqRecallSql(),
     "s9_ivf_stats"     -> Similarity.ivfStatsSql(),
     "s11_hamming_rerank" -> Similarity.hammingRerankSql(),
+    "s12_rrf_fusion"   -> Similarity.rrfFusionSql(),
     "e3_matryoshka"    -> Similarity.matryoshkaRecallSql(),
     "e4_pca_cov"       -> Pca.pcaCovSql,
     "e5_pca_component" -> Pca.pcaComponentSql,

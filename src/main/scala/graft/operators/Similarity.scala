@@ -1461,4 +1461,194 @@ object Similarity {
         brute AS (SELECT q_id, n_id FROM (${knnBruteSql(k, nQueries)}))
         $per"""
   }
+
+  /** s12: HYBRID retrieval — a lexical BM25 leg and a dense cosine leg
+    * fused with Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009:
+    * score = Σ 1/(K + rank_leg), K = 60). The query set is the first
+    * `nQ` documents: `documents.doc_id` q is the lexical query (its
+    * distinct whitespace tokens are the BM25 terms) and the row-aligned
+    * `embeddings.vec_id` q is the dense query — the synthetic tables
+    * model "embedding of document i" (TESTDATA.md). Each leg ranks the
+    * corpus (self excluded), keeps its top `n`, and the fused score sums
+    * the legs' reciprocal ranks; a document found by only one leg
+    * contributes only that leg's term — the standard RRF treatment.
+    *
+    * RRF is the exactness trick here: fusion consumes only INTEGER ranks
+    * (1/(60+r) from int r is the same IEEE double in any engine), so
+    * cross-engine parity holds even though the legs' raw scores are
+    * doubles — the legs themselves reuse the parity disciplines already
+    * proven by [[knnBrute]] (ordered dot fold) and
+    * [[TextAnalysis.bm25]] (odds-form idf, sorted-term score fold;
+    * formula restated here for the per-query term sets).
+    *
+    * Scale shape: queries are a tiny relation (every broadcast below is
+    * O(|q-terms|) or O(nQ·n)). The corpus makes exactly two passes —
+    * one tokenize→semi-join→(doc,term) count keyed by the broadcast term
+    * universe (the 100 TB cost, one shuffle on doc_id), one code-free
+    * cosine scan on the dense side — and the fusion full-outer join is
+    * over two nQ·n-row toplists. No leg materializes q×N anywhere except
+    * the dense scan itself, which is the [[knnBrute]] baseline shape and
+    * swaps for any of the s2-s11 ANN legs unchanged (rank in, rank out).
+    *
+    * Term selection bounds the lexical join: each query keeps only its
+    * `t` RAREST terms by document frequency (df asc, term asc — the
+    * highest-idf terms, the ones that dominate any BM25 sum; the same
+    * impact-ordered pruning family as WAND/max-score). Without it the
+    * per-term join is Σ_w df(w)·|queries containing w| — a stopword
+    * shared by every query and every document costs Q·N rows for near-
+    * zero score mass. With it the join is ≤ nQ·t·df rows and the worst
+    * terms kept are the informative ones.
+    */
+  def rrfFusion(spark: SparkSession, sfDir: String,
+      nQ: Int = 8, n: Int = 30, k: Int = 10, t: Int = 24,
+      k1: Double = 1.2, b: Double = 0.75, rrfK: Int = 60): DataFrame = {
+    val docs = Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        size(col("ws")).cast("long").as("dl"))
+    val qTerms = docs.filter(col("doc_id") < nQ)
+      .select(col("doc_id").as("q_id"), explode(col("ws")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val termU = qTerms.select("w").distinct()
+    val stats = docs.agg(count(lit(1)).as("nd"), sum("dl").as("toktot"))
+      .select(col("nd"),
+        (col("toktot").cast("double") / col("nd")).as("avgdl"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
+      .join(broadcast(termU), Seq("w"), "left_semi")
+      .groupBy("doc_id", "dl", "w")
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val wT = Window.partitionBy("q_id").orderBy(col("df").asc, col("w").asc)
+    // df >= 2: a df=1 term lives only in the (self-excluded) query doc —
+    // maximal idf, zero candidate matches; keeping it would spend the
+    // term budget on no-op terms.
+    val qSel = qTerms.join(broadcast(dfT), Seq("w"))
+      .filter(col("df") >= 2)
+      .withColumn("trank", row_number().over(wT))
+      .filter(col("trank") <= t)
+      .select("q_id", "w")
+    val perTerm = tf.join(broadcast(qSel), Seq("w"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(dfT), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"), col("w"),
+        (((col("nd") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)) *
+          (col("tf") * lit(k1 + 1) /
+            (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * col("dl") / col("avgdl"))))).as("s"))
+    val wLex = Window.partitionBy("q_id")
+      .orderBy(col("lex_s").desc, col("doc_id").asc)
+    val lex = perTerm.groupBy("q_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("w"), col("s")))).as("ts"))
+      .select(col("q_id"), col("doc_id"),
+        aggregate(col("ts"), lit(0.0), (a, x) => a + x("s")).as("lex_s"))
+      .withColumn("lex_rank", row_number().over(wLex).cast("long"))
+      .filter(col("lex_rank") <= n)
+      .select("q_id", "doc_id", "lex_rank")
+    val vecs = vecsDouble(spark, sfDir)
+    val qv = vecs.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val cv = vecs.select(col("vec_id").as("doc_id"), col("v").as("nv"))
+    val wDen = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    val dense = qv.join(cv, col("q_id") =!= col("doc_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
+      .withColumn("dense_rank", row_number().over(wDen).cast("long"))
+      .filter(col("dense_rank") <= n)
+      .select("q_id", "doc_id", "dense_rank")
+    val wF = Window.partitionBy("q_id")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)))
+      .withColumn("rank", row_number().over(wF).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "doc_id", "lex_rank", "dense_rank", "rrf", "rank")
+  }
+
+  def rrfFusionSql(nQ: Int = 8, n: Int = 30, k: Int = 10, t: Int = 24,
+      k1: Double = 1.2, b: Double = 0.75, rrfK: Int = 60): String =
+    s"""WITH d AS (
+          SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl
+          FROM (SELECT doc_id,
+                  string_split_regex(trim(lower(text)), '\\s+') AS ws
+                FROM documents)),
+        qterms AS (
+          SELECT DISTINCT doc_id AS q_id, w
+          FROM (SELECT doc_id, unnest(ws) AS w FROM d WHERE doc_id < $nQ)
+          WHERE w <> ''),
+        termu AS (SELECT DISTINCT w FROM qterms),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS nd,
+            CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl
+          FROM d),
+        tf AS (
+          SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, dl, unnest(ws) AS w FROM d)
+          WHERE w IN (SELECT w FROM termu)
+          GROUP BY doc_id, dl, w),
+        dft AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        qsel AS (
+          SELECT q_id, w FROM (
+            SELECT q_id, w, row_number() OVER (
+                PARTITION BY q_id ORDER BY df ASC, w ASC) AS trank
+            FROM qterms JOIN dft USING (w)
+            WHERE df >= 2)
+          WHERE trank <= $t),
+        perterm AS (
+          SELECT q_id, doc_id, w,
+            ((nd - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) *
+              (tf * CAST(${k1 + 1} AS DOUBLE) /
+                (tf + CAST($k1 AS DOUBLE) *
+                  (CAST(1.0 AS DOUBLE) - CAST($b AS DOUBLE) +
+                   CAST($b AS DOUBLE) * dl / avgdl))) AS s
+          FROM tf JOIN qsel USING (w) JOIN dft USING (w)
+            CROSS JOIN stats
+          WHERE doc_id <> q_id),
+        lexs AS (
+          SELECT q_id, doc_id,
+            list_reduce(list_prepend(0.0,
+              list_transform(ts, x -> x.s)), (a, x) -> a + x) AS lex_s
+          FROM (SELECT q_id, doc_id, list({'w': w, 's': s} ORDER BY w, s) AS ts
+                FROM perterm GROUP BY q_id, doc_id)),
+        lex AS (
+          SELECT q_id, doc_id, lex_rank FROM (
+            SELECT q_id, doc_id, CAST(row_number() OVER (
+                PARTITION BY q_id ORDER BY lex_s DESC, doc_id ASC)
+              AS BIGINT) AS lex_rank
+            FROM lexs)
+          WHERE lex_rank <= $n),
+        vecs AS ($vecsDoubleSql),
+        dens AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+            ${dotSql("q.v", "c.v")} / (${normSql("q.v")} * ${normSql("c.v")})
+              AS cos
+          FROM vecs q JOIN vecs c
+            ON q.vec_id < $nQ AND q.vec_id <> c.vec_id),
+        dense AS (
+          SELECT q_id, doc_id, dense_rank FROM (
+            SELECT q_id, doc_id, CAST(row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, doc_id ASC)
+              AS BIGINT) AS dense_rank
+            FROM dens)
+          WHERE dense_rank <= $n),
+        fused AS (
+          SELECT coalesce(l.q_id, e.q_id) AS q_id,
+            coalesce(l.doc_id, e.doc_id) AS doc_id,
+            l.lex_rank, e.dense_rank,
+            coalesce(CAST(1.0 AS DOUBLE) / ($rrfK + l.lex_rank),
+              CAST(0 AS DOUBLE)) +
+            coalesce(CAST(1.0 AS DOUBLE) / ($rrfK + e.dense_rank),
+              CAST(0 AS DOUBLE)) AS rrf
+          FROM lex l FULL JOIN dense e
+            ON l.q_id = e.q_id AND l.doc_id = e.doc_id)
+        SELECT q_id, doc_id, lex_rank, dense_rank, rrf, rank FROM (
+          SELECT *, CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC)
+            AS BIGINT) AS rank
+          FROM fused)
+        WHERE rank <= $k"""
 }

@@ -70,7 +70,11 @@ object PlanAudit {
     "s8_ivfpq_recall" -> 4, "s10_pq_refine" -> 1,
     // s11: the 20-row query-code frame broadcast across the candidate
     // code scan (the Hamming shortlist pass; rerank joins are equi BHJ)
-    "s11_hamming_rerank" -> 1)
+    "s11_hamming_rerank" -> 1,
+    // s12: the nQ-row query-vector broadcast of the dense leg (the
+    // knnBrute baseline shape) and the 1-row corpus-stats frame the
+    // BM25 leg crosses in (t17's idiom); every lexical join is equi BHJ
+    "s12_rrf_fusion" -> 2)
 
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
     val direct = p.collect { case n => n }
