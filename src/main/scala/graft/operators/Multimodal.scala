@@ -415,6 +415,175 @@ object Multimodal {
           .as("frame_fp"))
   }
 
+  /** One image's perceptual hash, split into two 32-bit words (DuckDB's
+    * BIGINT `<<` range-checks shift 63, the same constraint that shaped
+    * [[graft.operators.Similarity.BinWordBits]]).
+    */
+  case class ImagePHash(doc_id: Long, width: Int, height: Int,
+      phash_lo: Long, phash_hi: Long)
+
+  /** m6: perceptual-hash IMAGE near-dup — the visual-dedup step of a
+    * multimodal training pipeline (aHash family: resize to an 8x8 grid,
+    * threshold each cell's luma against the image mean, 64-bit
+    * fingerprint; near-dups = small Hamming distance). The decode is the
+    * real one: width/height/row stride parsed from the BMP header bytes,
+    * grid cells sampled from the actual bottom-up padded pixel array
+    * (nearest-neighbor resize — one pixel per cell, the cheap-and-
+    * standard variant), luma = b+g+r kept as an INTEGER so the
+    * threshold compare (64*luma > total) is division-free and
+    * engine-exact. The corpus is the image containers plus, for
+    * doc_id < `variantCut`, a noise-perturbed copy (+1 on every 97th
+    * payload byte, re-keyed +10^6) — planted near-duplicates with a
+    * closed form the oracle can recompute, so the JOIN's recall is
+    * oracle-checked, not asserted.
+    *
+    * Candidate generation is banded, never all-pairs: the 64-bit hash
+    * splits into 4 16-bit bands and images meet only inside an equal
+    * (band_idx, band_val) bucket — by pigeonhole any pair at Hamming <=
+    * 3 shares at least one exact band, so recall at the tau=3 cut is
+    * EXACT while the join stays equi-keyed (the [[graft.operators.Dedup]]
+    * SimHash discipline applied to pixels). Scale shape: payload bytes
+    * never shuffle (hashing is a narrow typed map, same as
+    * [[audioFeatures]]); only (id, 8-byte hash, band) rows reach the
+    * exchange, and the verify step is bit_count over two words per
+    * candidate pair.
+    */
+  /** The per-image aHash: grid row gy indexes from the image TOP (the
+    * `h-1-py` flip undoes BMP's bottom-up row storage), so bit g of the
+    * (lo, hi) pair is grid cell (gy = g/8 from top, gx = g%8 from left).
+    */
+  def pHashOf(b: Array[Byte]): (Long, Long) = {
+    val w = MediaCodec.rdU32(b, 18).toInt
+    val h = MediaCodec.rdU32(b, 22).toInt
+    val rs = ((3 * w + 3) / 4) * 4
+    val luma = new Array[Long](64)
+    var total = 0L
+    var g = 0
+    while (g < 64) {
+      val px = ((2 * (g % 8) + 1) * w) / 16
+      val py = ((2 * (g / 8) + 1) * h) / 16
+      val off = 54 + (h - 1 - py) * rs + 3 * px
+      luma(g) = (b(off) & 0xff).toLong + (b(off + 1) & 0xff) +
+        (b(off + 2) & 0xff)
+      total += luma(g)
+      g += 1
+    }
+    var lo = 0L; var hi = 0L
+    g = 0
+    while (g < 64) {
+      if (64L * luma(g) > total) {
+        if (g < 32) lo |= 1L << g else hi |= 1L << (g - 32)
+      }
+      g += 1
+    }
+    (lo, hi)
+  }
+
+  def imagePHash(spark: SparkSession, sfDir: String,
+      variantCut: Long = 30L, tau: Int = 3): DataFrame = {
+    import spark.implicits._
+    val hashes: Dataset[ImagePHash] = mediaContainers(spark, sfDir)
+      .filter(col("kind") === "image").as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        val variant = if (r.doc_id < variantCut) {
+          val p = r.payload.clone()
+          var i = 0
+          while (54 + i < p.length) {
+            if (i % 97 == 0) p(54 + i) = (p(54 + i) + 1).toByte
+            i += 1
+          }
+          Seq(MediaRecord(r.doc_id + 1000000L, r.kind, p))
+        } else Nil
+        (Seq(r) ++ variant).map { rec =>
+          val w = MediaCodec.rdU32(rec.payload, 18).toInt
+          val h = MediaCodec.rdU32(rec.payload, 22).toInt
+          val (lo, hi) = pHashOf(rec.payload)
+          ImagePHash(rec.doc_id, w, h, lo, hi)
+        }
+      })
+    val bands = hashes.toDF.select(col("doc_id"), col("phash_lo"),
+      col("phash_hi"),
+      posexplode(array(
+        col("phash_lo").bitwiseAND(lit(0xffffL)),
+        shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xffffL)),
+        col("phash_hi").bitwiseAND(lit(0xffffL)),
+        shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xffffL))))
+        .as(Seq("band_idx", "band_val")))
+    val a = bands.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("id_a"), col("phash_lo").as("la"),
+      col("phash_hi").as("ha"))
+    val bSide = bands.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("id_b"), col("phash_lo").as("lb"),
+      col("phash_hi").as("hb"))
+    a.join(bSide, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "la", "ha", "lb", "hb").distinct()
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("la").bitwiseXOR(col("lb"))) +
+          bit_count(col("ha").bitwiseXOR(col("hb")))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= tau)
+  }
+
+  def imagePHashSql(variantCut: Long = 30L, tau: Int = 3): String = {
+    // pixel byte i of seed's BMP payload (synthesis closed form), with
+    // the variant's +1 perturbation on every 97th byte
+    def pix(e: String) =
+      s"((seed*31 + ($e)) % 251 + CASE WHEN pert = 1 AND ($e) % 97 = 0 THEN 1 ELSE 0 END)"
+    val off = "((h-1-(((2*(g//8)+1)*h)//16))*rs + 3*(((2*(g%8)+1)*w)//16))"
+    s"""WITH img AS (
+          SELECT doc_id, doc_id AS seed, 0 AS pert
+          FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, doc_id AS seed, 1 AS pert
+          FROM documents WHERE doc_id % 3 = 0 AND doc_id < $variantCut),
+        geom AS (
+          SELECT doc_id, seed, pert, seed % 64 + 1 AS w, seed % 48 + 1 AS h,
+            ((3*(seed % 64 + 1) + 3) // 4) * 4 AS rs
+          FROM img),
+        lum AS (
+          SELECT doc_id, list_transform(range(0, 64), g ->
+              ${pix(s"$off + 0")} + ${pix(s"$off + 1")} + ${pix(s"$off + 2")})
+            AS ls
+          FROM geom),
+        tot AS (
+          SELECT doc_id, ls,
+            list_reduce(list_prepend(CAST(0 AS BIGINT), ls),
+              (a, b) -> a + b) AS total
+          FROM lum),
+        ph AS (
+          SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(0, 32), g ->
+                CASE WHEN 64*ls[g+1] > total
+                     THEN CAST(1 AS BIGINT) << g ELSE CAST(0 AS BIGINT) END)),
+              (a, b) -> a | b) AS lo,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(32, 64), g ->
+                CASE WHEN 64*ls[g+1] > total
+                     THEN CAST(1 AS BIGINT) << (g-32)
+                     ELSE CAST(0 AS BIGINT) END)),
+              (a, b) -> a | b) AS hi
+          FROM tot),
+        bands AS (
+          SELECT doc_id, lo, hi,
+            unnest([0, 1, 2, 3]) AS band_idx,
+            unnest([lo % 65536, (lo // 65536) % 65536,
+                    hi % 65536, (hi // 65536) % 65536]) AS band_val
+          FROM ph),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            a.lo AS la, a.hi AS ha, b.lo AS lb, b.hi AS hb
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+          CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT)
+            AS hamming
+        FROM cand
+        WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= $tau"""
+  }
+
   def frameSampleSql(frameLen: Int = 64, sampleEvery: Int = 4): String = {
     import graft.functions.PolyHash.{sql => polySql}
     s"""WITH d AS (

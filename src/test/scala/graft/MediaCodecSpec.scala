@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
 import graft.operators.Multimodal.MediaCodec
 
 /** Pins [[MediaCodec]]'s parse to the PUBLIC container layouts with
@@ -97,6 +98,63 @@ class MediaCodecSpec extends AnyFunSuite {
           assert(d.n_bytes ==
             hdr.toLong + d.n_frames * (6L + d.width * d.height * 3 / 2))
       }
+    }
+  }
+
+  /** A half-bright/half-dark 16x16 BMP has a KNOWN aHash: sampled rows
+    * 0-3 (image top, bright) sit above the global mean, rows 4-7 below —
+    * bits 0-31 set, 32-63 clear. Exercises the bottom-up row flip: a
+    * decoder that forgot `h-1-py` would return the complement.
+    */
+  test("aHash: top-bright gradient fixture has the exact expected bits") {
+    val w = 16; val h = 16
+    val rs = ((3 * w + 3) / 4) * 4
+    val b = new Array[Byte](54 + rs * h)
+    b(0) = 'B'; b(1) = 'M'
+    def le32(off: Int, v: Long): Unit =
+      (0 until 4).foreach(i => b(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+    le32(2, b.length.toLong); le32(10, 54); le32(14, 40)
+    le32(18, w.toLong); le32(22, h.toLong)
+    b(26) = 1; b(28) = 24
+    le32(34, (rs * h).toLong)
+    // stored bottom-up: first rs*8 bytes are image rows 15..8 (bottom,
+    // dark = 10), last rs*8 bytes are rows 7..0 (top, bright = 200)
+    (0 until rs * h).foreach { i =>
+      b(54 + i) = (if (i < rs * 8) 10 else 200.toByte)
+    }
+    val (lo, hi) = Multimodal.pHashOf(b)
+    assert(lo == 0xffffffffL && hi == 0L)
+  }
+
+  /** The planted-variant discipline m6 relies on, as a pure-JVM property
+    * over the synthesized corpus: a +1-every-97th-byte perturbation stays
+    * within Hamming 3 of the original (so the tau=3 cut keeps it), and
+    * any pair at Hamming <= 3 shares at least one of the four 16-bit
+    * bands (pigeonhole), so the banded equi-join has EXACT recall at the
+    * cut — the join can never miss a pair the threshold admits.
+    */
+  test("aHash: perturbed variants stay near; Hamming<=3 implies a shared band") {
+    def bands(lo: Long, hi: Long): Seq[Long] =
+      Seq(lo & 0xffffL, (lo >> 16) & 0xffffL, hi & 0xffffL, (hi >> 16) & 0xffffL)
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val imgs = (0L until 300L by 3L).map { id =>
+      id -> MediaCodec.bmp((id % 64).toInt + 1, (id % 48).toInt + 1, id)
+    }
+    val hashes = imgs.map { case (id, p) => id -> Multimodal.pHashOf(p) }.toMap
+    imgs.filter(_._1 < 30L).foreach { case (id, p) =>
+      val v = p.clone()
+      (0 until v.length - 54).foreach { i =>
+        if (i % 97 == 0) v(54 + i) = (v(54 + i) + 1).toByte
+      }
+      assert(ham(hashes(id), Multimodal.pHashOf(v)) <= 3,
+        s"variant of $id drifted past tau")
+    }
+    for (Seq((ia, ha), (ib, hb)) <- hashes.toSeq.sortBy(_._1).combinations(2)
+         if ham(ha, hb) <= 3) {
+      val shared = bands(ha._1, ha._2).zip(bands(hb._1, hb._2))
+        .exists { case (x, y) => x == y }
+      assert(shared, s"pair ($ia,$ib) at Hamming<=3 shares no band")
     }
   }
 }
