@@ -122,6 +122,8 @@ object SparkEntry {
     "c13_mix_apply"    -> ((s, dir) => Curation.mixApply(s, dir)),
     "c14_fuzzy_decon"  -> ((s, dir) => Curation.fuzzyDecon(s, dir)),
     "c23_bloom_decon"  -> ((s, dir) => Curation.bloomDecon(s, dir)),
+    // DSIR-style importance selection: hashed-bigram target/raw ratios
+    "c24_dsir_select"  -> ((s, dir) => Curation.dsirSelect(s, dir)),
     "c15_quality_attrib" -> ((s, dir) => Curation.qualityAttribution(s, dir)),
     "c17_pps_sample"   -> ((s, dir) => Curation.ppsSample(s, dir)),
     // Leakage-aware train/val split over near-dup clusters.
@@ -384,6 +386,7 @@ object SparkEntry {
     "c13_mix_apply"    -> Curation.mixApplySql(),
     "c14_fuzzy_decon"  -> Curation.fuzzyDeconSql(),
     "c23_bloom_decon"  -> Curation.bloomDeconSql(),
+    "c24_dsir_select"  -> Curation.dsirSelectSql(),
     "c15_quality_attrib" -> Curation.qualityAttributionSql,
     "c17_pps_sample"   -> Curation.ppsSampleSql(),
     "c19_shuffle_shards" -> Curation.shuffleShardsSql(),

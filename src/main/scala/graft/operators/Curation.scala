@@ -987,4 +987,119 @@ object Curation {
             AS n_kept
         FROM flags GROUP BY source"""
   }
+
+  /** c24: DSIR-style data selection — score every out-of-target document
+    * by how target-like its hashed n-gram profile is, keep the top k
+    * (cf. "Data Selection for Language Models via Importance
+    * Resampling", Xie et al. 2023, arXiv:2302.03169: hashed n-gram
+    * bag-of-words importance estimators over a target and a raw
+    * distribution). Features are word bigrams hashed into `buckets`
+    * buckets (the paper's hashing trick; the fused
+    * [[graft.functions.BigramHashes]] expression from [[TextAnalysis
+    * .lmScore]] so string bytes never leave the map side); the target
+    * estimator counts buckets over `lang = targetLang` docs, the raw
+    * estimator over the rest, both add-1 smoothed.
+    *
+    * Parity variant, same discipline as [[TextAnalysis.lmScore]]: the
+    * paper's per-doc log-likelihood-ratio sum Σ n_b·(log p̂_b − log q̂_b)
+    * is replaced by the RATIO-SPACE mean Σ n_b·(p̂_b/q̂_b) / Σ n_b —
+    * `ln`'s last ulp differs between libm and the JVM while these are
+    * exact-integer divisions and an order-pinned double fold, so the
+    * score (not just the selection) is oracle-exact. Monotone in each
+    * bucket ratio; the selection it induces is the top-k of a
+    * legitimate importance estimate, documented as the variant it is.
+    *
+    * Scale shape: the corpus makes ONE pass into (doc, bucket, n) rows
+    * keyed by 8-byte hashes; both estimators aggregate those same rows
+    * map-side-combinably into ≤`buckets` cells; the weight table is
+    * model-scale (1024 rows — broadcast), so scoring is a broadcast
+    * join + one doc-keyed aggregation, and the global top-k is
+    * orderBy+limit (TakeOrdered: per-partition heaps, never a full
+    * sort). The totals live in a window over the 1024-row weight table,
+    * not a corpus-side cross join.
+    */
+  def dsirSelect(spark: SparkSession, sfDir: String,
+      targetLang: String = "en", buckets: Int = 1024,
+      k: Int = 40): DataFrame = {
+    import graft.functions.BigramHashes.{bigram_hashes, Pack}
+    val normed = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val perDoc = Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(bigram_hashes(normed)).as("h"))
+      .select(col("doc_id"), col("lang"),
+        (col("h").bitwiseAND(lit(Pack - 1)) % buckets.toLong).as("b"))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
+    val ct = perDoc.filter(col("lang") === targetLang)
+      .groupBy("b").agg(sum("n").as("ct"))
+    val cq = perDoc.filter(col("lang") =!= targetLang)
+      .groupBy("b").agg(sum("n").as("cq"))
+    val whole = Window.partitionBy()
+    val weights = ct.join(cq, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cq"), lit(0L)).as("cq"))
+      .withColumn("st", sum("ct").over(whole))
+      .withColumn("sq", sum("cq").over(whole))
+      .select(col("b"),
+        ((col("ct") + 1).cast("double") / (col("cq") + 1).cast("double") *
+          ((col("sq") + buckets.toLong).cast("double") /
+            (col("st") + buckets.toLong).cast("double"))).as("w"))
+    val scored = perDoc.filter(col("lang") =!= targetLang)
+      .join(broadcast(weights), Seq("b"))
+      .select(col("doc_id"), col("lang"), col("b"), col("n"),
+        (col("n").cast("double") * col("w")).as("c"))
+      .groupBy("doc_id", "lang")
+      .agg(sort_array(collect_list(struct(col("b"), col("c")))).as("cs"),
+        sum("n").as("n_bigrams"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        (aggregate(col("cs"), lit(0.0), (a, x) => a + x("c")) /
+          col("n_bigrams")).as("dsir_score"))
+    scored.orderBy(col("dsir_score").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("dsir_score").desc, col("doc_id").asc))
+        .cast("long"))
+  }
+
+  def dsirSelectSql(targetLang: String = "en", buckets: Int = 1024,
+      k: Int = 40): String =
+    s"""WITH d AS (
+          SELECT doc_id, lang,
+            string_split_regex(trim(lower(text)), '\\s+') AS ws
+          FROM documents),
+        perdoc AS (
+          SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT doc_id, lang, ${polySql("g")} % $buckets AS b
+                FROM (SELECT doc_id, lang,
+                        unnest(list_transform(range(1, len(ws)),
+                          i -> ws[i] || ' ' || ws[i+1])) AS g
+                      FROM d))
+          GROUP BY doc_id, lang, b),
+        ct AS (SELECT b, sum(n) AS ct FROM perdoc
+               WHERE lang = '$targetLang' GROUP BY b),
+        cq AS (SELECT b, sum(n) AS cq FROM perdoc
+               WHERE lang <> '$targetLang' GROUP BY b),
+        wt AS (
+          SELECT b, coalesce(ct, 0) AS ct, coalesce(cq, 0) AS cq,
+            sum(coalesce(ct, 0)) OVER () AS st,
+            sum(coalesce(cq, 0)) OVER () AS sq
+          FROM ct FULL JOIN cq USING (b)),
+        w AS (
+          SELECT b,
+            CAST(ct + 1 AS DOUBLE) / CAST(cq + 1 AS DOUBLE) *
+              (CAST(sq + $buckets AS DOUBLE) /
+               CAST(st + $buckets AS DOUBLE)) AS w
+          FROM wt),
+        scored AS (
+          SELECT doc_id, lang, CAST(sum(n) AS BIGINT) AS n_bigrams,
+            list_reduce(list_prepend(0.0, list_transform(
+              list({'b': b, 'c': c} ORDER BY b, c), x -> x.c)),
+              (a, x) -> a + x) / CAST(sum(n) AS BIGINT) AS dsir_score
+          FROM (SELECT doc_id, lang, b, n, CAST(n AS DOUBLE) * w AS c
+                FROM perdoc JOIN w USING (b)
+                WHERE lang <> '$targetLang')
+          GROUP BY doc_id, lang)
+        SELECT doc_id, lang, n_bigrams, dsir_score, rank FROM (
+          SELECT *, CAST(row_number() OVER (
+              ORDER BY dsir_score DESC, doc_id ASC) AS BIGINT) AS rank
+          FROM scored)
+        WHERE rank <= $k"""
 }
