@@ -77,4 +77,59 @@ object DedupStreaming {
           out.result().iterator
         })
   }
+
+  case class PHashBand(band_idx: Int, band_val: Long, doc_id: Long,
+      lo: Long, hi: Long)
+  case class PHashMatch(doc_id: Long, canonical_id: Long, hamming: Int)
+  case class PHashBucketState(docs: List[(Long, Long, Long)])
+
+  /** Streaming twin of [[graft.operators.Multimodal.imagePHash]]'s banded
+    * near-dup join — perceptual IMAGE dedup at ingest: as image hashes
+    * arrive, each is checked against everything already ingested in its
+    * four 16-bit band buckets and flagged when a prior image sits at
+    * Hamming <= `tau`. Pigeonhole gives the same exactness the batch
+    * join has: any pair within tau=3 of 64 bits shares at least one
+    * band, so a qualifying prior can never be missed. The hash itself is
+    * computed upstream (a stateless typed map over the payload bytes —
+    * [[graft.operators.Multimodal.pHashOf]] works unchanged on a
+    * streaming frame); only (id, 8-byte hash) rows reach this stateful
+    * stage, never pixels.
+    *
+    * Same contracts as [[nearDupStream]]: within-batch determinism via
+    * the doc_id sort, first-seen canonical via the `cid < doc_id` guard,
+    * a pair sharing several bands emits once per shared band (downstream
+    * dedups, e.g. min-canonical per doc), and production ingest bounds
+    * the per-bucket state list with an event-time timeout.
+    */
+  def pHashDupStream(hashes: DataFrame, tau: Int = 3): Dataset[PHashMatch] = {
+    import hashes.sparkSession.implicits._
+    val banded = hashes.select(
+      posexplode(array(
+        col("phash_lo").bitwiseAND(lit(0xffffL)),
+        shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xffffL)),
+        col("phash_hi").bitwiseAND(lit(0xffffL)),
+        shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xffffL))))
+        .as(Seq("band_idx", "band_val")),
+      col("doc_id"), col("phash_lo").as("lo"), col("phash_hi").as("hi"))
+      .as[PHashBand]
+    banded.groupByKey(d => (d.band_idx, d.band_val))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), rows: Iterator[PHashBand],
+            state: GroupState[PHashBucketState]) => {
+          var seen = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = List.newBuilder[PHashMatch]
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            seen.foreach { case (cid, clo, chi) =>
+              if (cid < d.doc_id) {
+                val h = java.lang.Long.bitCount(clo ^ d.lo) +
+                  java.lang.Long.bitCount(chi ^ d.hi)
+                if (h <= tau) out += PHashMatch(d.doc_id, cid, h)
+              }
+            }
+            seen = (d.doc_id, d.lo, d.hi) :: seen
+          }
+          state.update(PHashBucketState(seen))
+          out.result().iterator
+        })
+  }
 }

@@ -92,4 +92,63 @@ class DedupStreamingSpec extends AnyFunSuite {
         "fixture must exercise a cross-batch dup")
     } finally q.stop()
   }
+
+  /** The image twin: streaming pHash dedup-at-ingest == the batch banded
+    * pair relation of m6 (shared 16-bit band AND Hamming <= tau, lower
+    * id canonical), across micro-batches, over the same synthesized BMP
+    * corpus + planted variants m6 uses.
+    */
+  test("stream pHash dedup == batch banded Hamming pair relation") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaCodec
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tau = 3
+    // images 0,3,...,147 with perturbed variants of ids < 30 (re-keyed
+    // +1e6), hashed through the same pure-JVM path as the operator
+    val imgs: Seq[(Long, Array[Byte])] =
+      (0L until 150L by 3L).map { id =>
+        id -> MediaCodec.bmp((id % 64).toInt + 1, (id % 48).toInt + 1, id)
+      } ++ (0L until 30L by 3L).map { id =>
+        val p = MediaCodec.bmp((id % 64).toInt + 1, (id % 48).toInt + 1, id)
+        (0 until p.length - 54).foreach { i =>
+          if (i % 97 == 0) p(54 + i) = (p(54 + i) + 1).toByte
+        }
+        (id + 1000000L) -> p
+      }
+    val hashes: Seq[(Long, Long, Long)] = imgs.map { case (id, p) =>
+      val (lo, hi) = Multimodal.pHashOf(p)
+      (id, lo, hi)
+    }.sortBy(_._1)
+    def bandsOf(lo: Long, hi: Long): Seq[Long] =
+      Seq(lo & 0xffffL, (lo >> 16) & 0xffffL, hi & 0xffffL, (hi >> 16) & 0xffffL)
+    val expected = (for {
+      Seq((a, la, ha), (b, lb, hb)) <- hashes.combinations(2)
+      if bandsOf(la, ha).zip(bandsOf(lb, hb)).exists { case (x, y) => x == y }
+      h = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+      if h <= tau
+    } yield (b, a, h)).toSet // (later id, canonical, hamming)
+    assert(expected.nonEmpty, "fixture must contain image near-dups")
+
+    val in = MemoryStream[(Long, Long, Long)]
+    val out = DedupStreaming.pHashDupStream(
+      in.toDF.toDF("doc_id", "phash_lo", "phash_hi"), tau)
+    val q = out.writeStream.format("memory").queryName("phash_ingest")
+      .outputMode("append").start()
+    try {
+      // originals first, variants second: every planted pair crosses
+      // the micro-batch boundary
+      val (orig, variants) = hashes.partition(_._1 < 1000000L)
+      in.addData(orig)
+      q.processAllAvailable()
+      in.addData(variants)
+      q.processAllAvailable()
+      val got = spark.table("phash_ingest").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected, s"got ${got.toSeq.sorted}\n" +
+        s"expected ${expected.toSeq.sorted}")
+      assert(expected.exists { case (d, c, _) => d >= 1000000L && c < 1000000L },
+        "fixture must exercise a cross-batch planted pair")
+    } finally q.stop()
+  }
 }
