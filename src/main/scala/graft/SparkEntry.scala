@@ -186,6 +186,8 @@ object SparkEntry {
     "s11_hamming_rerank" -> ((s, dir) => Similarity.hammingRerank(s, dir)),
     // hybrid retrieval: BM25 leg + dense cosine leg, RRF-fused
     "s12_rrf_fusion"   -> ((s, dir) => Similarity.rrfFusion(s, dir)),
+    // Matryoshka funnel: prefix-8 shortlist -> prefix-32 -> full rerank
+    "s13_mrl_funnel"   -> ((s, dir) => Similarity.mrlFunnel(s, dir)),
     "e3_matryoshka"    -> ((s, dir) => Similarity.matryoshkaRecall(s, dir)),
     "e4_pca_cov"       -> ((s, dir) => Pca.pcaCov(s, dir)),
     "e5_pca_component" -> ((s, dir) => Pca.pcaComponent(s, dir)),
@@ -433,6 +435,7 @@ object SparkEntry {
     "s9_ivf_stats"     -> Similarity.ivfStatsSql(),
     "s11_hamming_rerank" -> Similarity.hammingRerankSql(),
     "s12_rrf_fusion"   -> Similarity.rrfFusionSql(),
+    "s13_mrl_funnel"   -> Similarity.mrlFunnelSql(),
     "e3_matryoshka"    -> Similarity.matryoshkaRecallSql(),
     "e4_pca_cov"       -> Pca.pcaCovSql,
     "e5_pca_component" -> Pca.pcaComponentSql,

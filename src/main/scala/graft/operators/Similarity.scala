@@ -1462,6 +1462,93 @@ object Similarity {
         $per"""
   }
 
+  /** s13: Matryoshka FUNNEL retrieval — the adaptive-retrieval serving
+    * pattern of Matryoshka Representation Learning (Kusupati et al.
+    * 2022, arXiv:2205.13147 §4: shortlist with a cheap PREFIX of the
+    * embedding, rerank the shortlist with progressively longer
+    * prefixes): stage 1 scores the whole corpus on the first `p1` dims
+    * and keeps `m1` per query, stage 2 rescores those on `p2` dims and
+    * keeps `m2`, stage 3 reranks the survivors with the full vector and
+    * emits the top `k`. [[matryoshkaRecall]] (e3) measures what each
+    * prefix length loses; this is the operator that SPENDS that
+    * knowledge.
+    *
+    * Scale shape: the only corpus-wide pass touches p1/dim of the
+    * vector bytes (dim 64 -> 8: an 8x scan cut, same lever as s11's
+    * sign codes — column-pruned storage would lay the prefix out as its
+    * own column), and every later stage is an m1- or m2-row shortlist
+    * broadcast equi-joined back to the vector table. Each stage is
+    * deterministic (id tie-breaks), so the funnel is a pure function of
+    * the data and the oracle replays it stage by stage.
+    */
+  def mrlFunnel(spark: SparkSession, sfDir: String,
+      k: Int = 5, m1: Int = 60, m2: Int = 20, nQueries: Int = 20,
+      p1: Int = 8, p2: Int = 32): DataFrame = {
+    val vecs = vecsDouble(spark, sfDir)
+    def pref(c: Column, p: Int): Column = slice(c, 1, p)
+    def cosP(a: Column, b: Column, p: Int): Column =
+      dot(pref(a, p), pref(b, p)) / (norm(pref(a, p)) * norm(pref(b, p)))
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = vecs.select(col("vec_id").as("n_id"), col("v").as("nv"))
+    val w1 = Window.partitionBy("q_id").orderBy(col("cos1").desc, col("n_id").asc)
+    val s1 = q.join(c, col("q_id") =!= col("n_id"))
+      .withColumn("cos1", cosP(col("qv"), col("nv"), p1))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= m1)
+      .select("q_id", "n_id")
+    val qv = vecs.select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val nv = vecs.select(col("vec_id").as("n_id"), col("v").as("nv"))
+    val w2 = Window.partitionBy("q_id").orderBy(col("cos2").desc, col("n_id").asc)
+    val s2 = broadcast(broadcast(s1).join(qv, "q_id")).join(nv, "n_id")
+      .withColumn("cos2", cosP(col("qv"), col("nv"), p2))
+      .withColumn("r2", row_number().over(w2))
+      .filter(col("r2") <= m2)
+      .select("q_id", "n_id", "qv", "nv")
+    val w3 = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    s2.withColumn("cos",
+        dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
+      .withColumn("rank", row_number().over(w3).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "cos", "rank")
+  }
+
+  def mrlFunnelSql(k: Int = 5, m1: Int = 60, m2: Int = 20,
+      nQueries: Int = 20, p1: Int = 8, p2: Int = 32): String = {
+    def cosP(a: String, b: String, p: Int): String = {
+      val (sa, sb) = (s"list_slice($a, 1, $p)", s"list_slice($b, 1, $p)")
+      s"${dotSql(sa, sb)} / (${normSql(sa)} * ${normSql(sb)})"
+    }
+    s"""WITH vecs AS ($vecsDoubleSql),
+        s1 AS (
+          SELECT q_id, n_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${cosP("q.v", "c.v", p1)} DESC, c.vec_id ASC) AS r1
+            FROM vecs q JOIN vecs c
+              ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id)
+          WHERE r1 <= $m1),
+        s2 AS (
+          SELECT q_id, n_id, qv, nv FROM (
+            SELECT s.q_id, s.n_id, qt.v AS qv, nt.v AS nv,
+              row_number() OVER (PARTITION BY s.q_id
+                ORDER BY ${cosP("qt.v", "nt.v", p2)} DESC, s.n_id ASC) AS r2
+            FROM s1 s
+              JOIN vecs qt ON qt.vec_id = s.q_id
+              JOIN vecs nt ON nt.vec_id = s.n_id)
+          WHERE r2 <= $m2)
+        SELECT q_id, n_id, cos, rank FROM (
+          SELECT q_id, n_id,
+            ${dotSql("qv", "nv")} / (${normSql("qv")} * ${normSql("nv")})
+              AS cos,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY ${dotSql("qv", "nv")} /
+                (${normSql("qv")} * ${normSql("nv")}) DESC, n_id ASC)
+              AS BIGINT) AS rank
+          FROM s2)
+        WHERE rank <= $k"""
+  }
+
   /** s12: HYBRID retrieval — a lexical BM25 leg and a dense cosine leg
     * fused with Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009:
     * score = Σ 1/(K + rank_leg), K = 60). The query set is the first

@@ -74,7 +74,10 @@ object PlanAudit {
     // s12: the nQ-row query-vector broadcast of the dense leg (the
     // knnBrute baseline shape) and the 1-row corpus-stats frame the
     // BM25 leg crosses in (t17's idiom); every lexical join is equi BHJ
-    "s12_rrf_fusion" -> 2)
+    "s12_rrf_fusion" -> 2,
+    // s13: the nQ-row query broadcast of the prefix-8 funnel mouth (the
+    // one corpus-wide stage); stages 2/3 are shortlist equi BHJs
+    "s13_mrl_funnel" -> 1)
 
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
     val direct = p.collect { case n => n }
