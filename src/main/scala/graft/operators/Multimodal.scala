@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -419,8 +419,24 @@ object Multimodal {
     * BIGINT `<<` range-checks shift 63, the same constraint that shaped
     * [[graft.operators.Similarity.BinWordBits]]).
     */
-  case class ImagePHash(doc_id: Long, width: Int, height: Int,
-      phash_lo: Long, phash_hi: Long)
+  case class ImagePHash(doc_id: Long, phash_lo: Long, phash_hi: Long)
+
+  /** The (band_idx, band_val) split of the 64-bit hash into
+    * [[PHashBands]] 16-bit bands — SHARED by the batch join and the
+    * streaming ingest twin ([[graft.streaming.DedupStreaming
+    * .pHashDupStream]]), the same stream==batch-by-construction
+    * discipline as `Dedup.bandStructsCol`. Pigeonhole: any pair within
+    * Hamming [[PHashBands]]-1 shares at least one exact band, so a
+    * banded equi-join has exact recall at that cut — callers must keep
+    * tau <= [[PHashBands]]-1 (enforced where tau enters).
+    */
+  val PHashBands = 4
+  def pHashBandsCol(lo: Column, hi: Column): Column =
+    posexplode(array(
+      lo.bitwiseAND(lit(0xffffL)),
+      shiftright(lo, 16).bitwiseAND(lit(0xffffL)),
+      hi.bitwiseAND(lit(0xffffL)),
+      shiftright(hi, 16).bitwiseAND(lit(0xffffL))))
 
   /** m6: perceptual-hash IMAGE near-dup — the visual-dedup step of a
     * multimodal training pipeline (aHash family: resize to an 8x8 grid,
@@ -482,6 +498,8 @@ object Multimodal {
   def imagePHash(spark: SparkSession, sfDir: String,
       variantCut: Long = 30L, tau: Int = 3): DataFrame = {
     import spark.implicits._
+    require(tau >= 0 && tau <= PHashBands - 1,
+      s"banded recall is exact only for tau <= ${PHashBands - 1}, got $tau")
     val hashes: Dataset[ImagePHash] = mediaContainers(spark, sfDir)
       .filter(col("kind") === "image").as[MediaRecord]
       .mapPartitions(_.flatMap { r =>
@@ -495,19 +513,13 @@ object Multimodal {
           Seq(MediaRecord(r.doc_id + 1000000L, r.kind, p))
         } else Nil
         (Seq(r) ++ variant).map { rec =>
-          val w = MediaCodec.rdU32(rec.payload, 18).toInt
-          val h = MediaCodec.rdU32(rec.payload, 22).toInt
           val (lo, hi) = pHashOf(rec.payload)
-          ImagePHash(rec.doc_id, w, h, lo, hi)
+          ImagePHash(rec.doc_id, lo, hi)
         }
       })
     val bands = hashes.toDF.select(col("doc_id"), col("phash_lo"),
       col("phash_hi"),
-      posexplode(array(
-        col("phash_lo").bitwiseAND(lit(0xffffL)),
-        shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xffffL)),
-        col("phash_hi").bitwiseAND(lit(0xffffL)),
-        shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xffffL))))
+      pHashBandsCol(col("phash_lo"), col("phash_hi"))
         .as(Seq("band_idx", "band_val")))
     val a = bands.select(col("band_idx"), col("band_val"),
       col("doc_id").as("id_a"), col("phash_lo").as("la"),

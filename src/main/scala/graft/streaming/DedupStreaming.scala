@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import graft.operators.Dedup
+import graft.operators.{Dedup, Multimodal}
 
 /** Streaming near-duplicate DEDUP-AT-INGEST — the streaming twin of the
   * batch MinHash-LSH pass ([[Dedup.minhashLsh]]): as documents arrive,
@@ -95,20 +95,24 @@ object DedupStreaming {
     * streaming frame); only (id, 8-byte hash) rows reach this stateful
     * stage, never pixels.
     *
-    * Same contracts as [[nearDupStream]]: within-batch determinism via
-    * the doc_id sort, first-seen canonical via the `cid < doc_id` guard,
-    * a pair sharing several bands emits once per shared band (downstream
-    * dedups, e.g. min-canonical per doc), and production ingest bounds
-    * the per-bucket state list with an event-time timeout.
+    * Same contracts as [[nearDupStream]] with one deliberate widening:
+    * the canonical is the FIRST-INGESTED bucket-mate, not the lower id —
+    * a doc is checked against every state prior regardless of id, so a
+    * near-dup whose "original" arrives in a later micro-batch with a
+    * SMALLER id is still caught (under in-id-order ingest, where ids
+    * track arrival, the two contracts coincide and stream == batch pair
+    * relation exactly; the spec pins both). Within-batch determinism via
+    * the doc_id sort, a pair sharing several bands emits once per shared
+    * band (downstream dedups, e.g. min-canonical per doc), and
+    * production ingest bounds the per-bucket state list with an
+    * event-time timeout.
     */
   def pHashDupStream(hashes: DataFrame, tau: Int = 3): Dataset[PHashMatch] = {
     import hashes.sparkSession.implicits._
+    require(tau >= 0 && tau <= Multimodal.PHashBands - 1,
+      s"banded recall is exact only for tau <= ${Multimodal.PHashBands - 1}, got $tau")
     val banded = hashes.select(
-      posexplode(array(
-        col("phash_lo").bitwiseAND(lit(0xffffL)),
-        shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xffffL)),
-        col("phash_hi").bitwiseAND(lit(0xffffL)),
-        shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xffffL))))
+      Multimodal.pHashBandsCol(col("phash_lo"), col("phash_hi"))
         .as(Seq("band_idx", "band_val")),
       col("doc_id"), col("phash_lo").as("lo"), col("phash_hi").as("hi"))
       .as[PHashBand]
@@ -120,11 +124,9 @@ object DedupStreaming {
           val out = List.newBuilder[PHashMatch]
           rows.toSeq.sortBy(_.doc_id).foreach { d =>
             seen.foreach { case (cid, clo, chi) =>
-              if (cid < d.doc_id) {
-                val h = java.lang.Long.bitCount(clo ^ d.lo) +
-                  java.lang.Long.bitCount(chi ^ d.hi)
-                if (h <= tau) out += PHashMatch(d.doc_id, cid, h)
-              }
+              val h = java.lang.Long.bitCount(clo ^ d.lo) +
+                java.lang.Long.bitCount(chi ^ d.hi)
+              if (h <= tau) out += PHashMatch(d.doc_id, cid, h)
             }
             seen = (d.doc_id, d.lo, d.hi) :: seen
           }

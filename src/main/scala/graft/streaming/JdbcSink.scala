@@ -142,8 +142,12 @@ object JdbcSink {
               case e: Throwable =>
                 // explicit rollback rather than relying on close() to
                 // discard the open transaction — drivers differ on
-                // close-with-pending-tx behavior
-                try c.rollback() catch { case _: java.sql.SQLException => () }
+                // close-with-pending-tx behavior; swallow ANY rollback
+                // failure (suppressed, not just SQLException) so the
+                // original batch error is what the task reports
+                try c.rollback() catch {
+                  case scala.util.control.NonFatal(r) => e.addSuppressed(r)
+                }
                 throw e
             } finally ps.close()
           } finally c.close()

@@ -116,9 +116,11 @@ final class SocketBroker(port0: Int = 0,
         // state dir) — a wire-supplied separator or '..' would escape
         // the broker's data directory, so it fails the PARSE phase
         // (dropping the connection) like any other hostile frame
+        // ("." would resolve the topic dir onto dataDir ITSELF, splaying
+        // meta/lock/segment files among the sibling topic dirs)
         require(name != null && name.nonEmpty && name.length <= 255 &&
           !name.contains('/') && !name.contains('\\') &&
-          !name.contains(".."), s"illegal topic name: $name")
+          !name.contains("..") && name != ".", s"illegal topic name: $name")
         // ---- phase 1: parse the full request body (no delegate calls)
         val body: Request = op match {
           // partition width sizes O(n) arrays in the topic impls — an

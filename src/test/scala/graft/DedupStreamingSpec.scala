@@ -151,4 +151,38 @@ class DedupStreamingSpec extends AnyFunSuite {
         "fixture must exercise a cross-batch planted pair")
     } finally q.stop()
   }
+
+  /** Out-of-ID-order ingest: the canonical is the first-INGESTED
+    * bucket-mate, so a near-dup whose twin arrives in a later
+    * micro-batch with a SMALLER id is still caught (the id guard the
+    * MinHash twin inherits from batch would miss it).
+    */
+  test("pHash ingest catches a later-arriving lower-id near-dup") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaCodec
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = MediaCodec.bmp(33, 25, 7L)
+    val near = base.clone()
+    (0 until near.length - 54).foreach { i =>
+      if (i % 97 == 0) near(54 + i) = (near(54 + i) + 1).toByte
+    }
+    val (blo, bhi) = Multimodal.pHashOf(base)
+    val (nlo, nhi) = Multimodal.pHashOf(near)
+    val in = MemoryStream[(Long, Long, Long)]
+    val out = DedupStreaming.pHashDupStream(
+      in.toDF.toDF("doc_id", "phash_lo", "phash_hi"))
+    val q = out.writeStream.format("memory").queryName("phash_ooo")
+      .outputMode("append").start()
+    try {
+      in.addData((500L, blo, bhi)) // the "original", big id, first batch
+      q.processAllAvailable()
+      in.addData((7L, nlo, nhi)) // near-dup, SMALLER id, later batch
+      q.processAllAvailable()
+      val got = spark.table("phash_ooo").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((7L, 500L)),
+        s"expected the late lower-id doc flagged against the prior: $got")
+    } finally q.stop()
+  }
 }

@@ -456,6 +456,7 @@ class BrokerTopicConformance extends QueueTopicConformance("broker",
     rawOpen("../escape", 1)     // would resolve outside dataDir
     rawOpen("a/b", 1)
     rawOpen("..", 1)
+    rawOpen(".", 1)             // would resolve onto dataDir ITSELF
     rawOpen("", 1)
     // the daemon survived all of it: a fresh legitimate client round-trips
     val t = BrokerTopicConformance.mkTopic(2)
