@@ -204,6 +204,8 @@ object SparkEntry {
     "m5_frame_extract" -> ((s, dir) => Multimodal.frameExtract(s, dir).toDF()),
     // perceptual-hash image near-dup over real BMP bytes, banded join
     "m6_image_phash"   -> ((s, dir) => Multimodal.imagePHash(s, dir)),
+    // SAD scene-cut detection over real Y4M frames, planted cuts
+    "m7_scene_cuts"    -> ((s, dir) => Multimodal.sceneCuts(s, dir).toDF()),
     "q1_agg"           -> ((s, dir) => tpchQ1(s, dir)),
     "q3_join"          -> ((s, dir) => tpchQ3(s, dir)),
     "q6_scan"          -> ((s, dir) => tpchQ6(s, dir)),
@@ -453,6 +455,7 @@ object SparkEntry {
     "m4_audio_features" -> Multimodal.audioFeaturesSql,
     "m5_frame_extract" -> Multimodal.frameExtractSql(),
     "m6_image_phash"   -> Multimodal.imagePHashSql(),
+    "m7_scene_cuts"    -> Multimodal.sceneCutsSql(),
     // Rounding note: whole-table float sums accumulate order-dependent
     // error ~1e-5 at sf0.01, so compare at 2 decimals (inputs are 2-dp
     // money values -> true sum is a 2-dp value, 0.005 from any boundary).

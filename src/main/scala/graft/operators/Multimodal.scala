@@ -596,6 +596,134 @@ object Multimodal {
         WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= $tau"""
   }
 
+  case class SceneCuts(doc_id: Long, n_frames: Long, n_cuts: Long,
+      first_cut: Long)
+
+  /** m7: scene-CUT detection over the real Y4M payloads — the shot-
+    * boundary step of a video curation pipeline (sample frames per shot,
+    * dedup per shot, caption per shot): consecutive frames are compared
+    * by the sum of absolute byte differences (SAD, the classic
+    * pixel-domain cut detector) and a boundary is a cut when its
+    * per-byte mean exceeds `thresh` — kept DIVISION-FREE as the integer
+    * compare `sad > thresh·frameBytes` (the [[imagePHash]] discipline).
+    * Frame offsets come from the PARSED container ([[frameExtract]]'s
+    * header walk); the corpus is the video containers plus, for
+    * doc_id < `variantCut`, a copy whose second half of frames is
+    * content-shifted (+97 mod 251 per byte, re-keyed +2·10^6) — a
+    * planted one-cut video the oracle recomputes in closed form.
+    *
+    * The thresholds are PROVABLE on the synthesized fill, not tuned:
+    * consecutive natural frames sit 17 apart on the mod-251 byte circle,
+    * so a natural boundary's per-byte SAD is 17 plus the wrap band's
+    * contribution, bounded by 17 + 217·17·ceil(fb/251)/fb ≤ 31.7 +
+    * 3689/fb — under 100 for every frame of at least `minFb` = 45 bytes
+    * (and that bound is the REASON for minFb: a 2x2 thumbnail's window
+    * can be mostly wrap band, where SAD says nothing — real shot
+    * detectors impose minimum frame areas for the same
+    * statistics-starvation reason). The planted boundary composes the
+    * circle shifts 17+97 = 114, so its per-byte SAD is in [114, 137] at
+    * ANY alignment, while boundaries inside the shifted half keep the
+    * natural 17-shift statistics. thresh = 100 therefore separates with
+    * a proved margin on both sides: exactly one cut per variant, zero
+    * on every unperturbed video — and the oracle checks the whole
+    * relation, including that silence.
+    *
+    * Scale shape: a narrow typed map over the scan — each video's
+    * payload is walked once per boundary pair within its input split,
+    * emits one 4-long summary row, and NOTHING shuffles (the output
+    * aggregation happens inside the per-document loop, not in a
+    * groupBy). Videos with a single frame have no boundary; they and
+    * sub-minFb frames are excluded, same filter in the oracle.
+    */
+  def sceneCuts(spark: SparkSession, sfDir: String,
+      variantCut: Long = 30L, thresh: Int = 100,
+      minFb: Int = 45): Dataset[SceneCuts] = {
+    import spark.implicits._
+    mediaContainers(spark, sfDir)
+      .filter(col("kind") === "video").as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        val d = MediaCodec.decode(r.doc_id, r.payload)
+        val hdr = r.payload.indexOf('\n'.toByte) + 1
+        val fb = d.width * d.height * 3 / 2
+        val nf = d.n_frames.toInt
+        val variant = if (r.doc_id < variantCut) {
+          val p = r.payload.clone()
+          var f = nf / 2
+          while (f < nf) {
+            val off = hdr + f * (6 + fb) + 6
+            var j = 0
+            while (j < fb) {
+              p(off + j) = (((p(off + j) & 0xff) + 97) % 251).toByte
+              j += 1
+            }
+            f += 1
+          }
+          Seq(MediaRecord(r.doc_id + 2000000L, r.kind, p))
+        } else Nil
+        (Seq(r) ++ variant).flatMap { rec =>
+          if (nf < 2 || fb < minFb) Nil
+          else {
+            var nCuts = 0L
+            var firstCut = 0L
+            var f = 1
+            while (f < nf) {
+              val offA = hdr + (f - 1) * (6 + fb) + 6
+              val offB = hdr + f * (6 + fb) + 6
+              var sad = 0L
+              var j = 0
+              while (j < fb) {
+                val a = rec.payload(offA + j) & 0xff
+                val b = rec.payload(offB + j) & 0xff
+                sad += math.abs(a - b)
+                j += 1
+              }
+              if (sad > thresh.toLong * fb) {
+                nCuts += 1
+                if (firstCut == 0L) firstCut = f.toLong
+              }
+              f += 1
+            }
+            Seq(SceneCuts(rec.doc_id, nf.toLong, nCuts, firstCut))
+          }
+        }
+      })
+  }
+
+  def sceneCutsSql(variantCut: Long = 30L, thresh: Int = 100,
+      minFb: Int = 45): String = {
+    // frame f, byte j of seed's Y4M payload (synthesis closed form,
+    // frameExtract's (seed + f*17 + j) % 251 fill), with the variant's
+    // +97 mod-251 content shift on the second half of frames
+    def pix(fe: String) =
+      s"""(seed + ($fe)*17 + j + CASE WHEN pert = 1 AND ($fe) >= nf // 2
+            THEN 97 ELSE 0 END) % 251"""
+    s"""WITH vids AS (
+          SELECT doc_id, doc_id AS seed, 0 AS pert, doc_id % 24 + 1 AS nf,
+            2*(doc_id % 16 + 1) * 2*(doc_id % 12 + 1) * 3 // 2 AS fb
+          FROM documents WHERE doc_id % 3 = 2
+          UNION ALL
+          SELECT doc_id + 2000000 AS doc_id, doc_id AS seed, 1 AS pert,
+            doc_id % 24 + 1 AS nf,
+            2*(doc_id % 16 + 1) * 2*(doc_id % 12 + 1) * 3 // 2 AS fb
+          FROM documents WHERE doc_id % 3 = 2 AND doc_id < $variantCut),
+        bnd AS (
+          SELECT doc_id, seed, pert, nf, fb, unnest(range(1, nf)) AS f
+          FROM vids WHERE nf >= 2 AND fb >= $minFb),
+        sad AS (
+          SELECT doc_id, nf, fb, f,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(0, fb), j ->
+                CAST(abs((${pix("f")}) - (${pix("f - 1")})) AS BIGINT))),
+              (a, x) -> a + x) AS sad
+          FROM bnd)
+        SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+          CAST(count(CASE WHEN sad > $thresh * fb THEN 1 END) AS BIGINT)
+            AS n_cuts,
+          CAST(coalesce(min(CASE WHEN sad > $thresh * fb THEN f END), 0)
+            AS BIGINT) AS first_cut
+        FROM sad GROUP BY doc_id, nf"""
+  }
+
   def frameSampleSql(frameLen: Int = 64, sampleEvery: Int = 4): String = {
     import graft.functions.PolyHash.{sql => polySql}
     s"""WITH d AS (
