@@ -206,6 +206,8 @@ object SparkEntry {
     "m6_image_phash"   -> ((s, dir) => Multimodal.imagePHash(s, dir)),
     // SAD scene-cut detection over real Y4M frames, planted cuts
     "m7_scene_cuts"    -> ((s, dir) => Multimodal.sceneCuts(s, dir).toDF()),
+    // digital-silence zero-run profiling over real WAV samples
+    "m8_silence"       -> ((s, dir) => Multimodal.silenceProfile(s, dir).toDF()),
     "q1_agg"           -> ((s, dir) => tpchQ1(s, dir)),
     "q3_join"          -> ((s, dir) => tpchQ3(s, dir)),
     "q6_scan"          -> ((s, dir) => tpchQ6(s, dir)),
@@ -456,6 +458,7 @@ object SparkEntry {
     "m5_frame_extract" -> Multimodal.frameExtractSql(),
     "m6_image_phash"   -> Multimodal.imagePHashSql(),
     "m7_scene_cuts"    -> Multimodal.sceneCutsSql(),
+    "m8_silence"       -> Multimodal.silenceProfileSql(),
     // Rounding note: whole-table float sums accumulate order-dependent
     // error ~1e-5 at sf0.01, so compare at 2 decimals (inputs are 2-dp
     // money values -> true sum is a 2-dp value, 0.005 from any boundary).

@@ -724,6 +724,99 @@ object Multimodal {
         FROM sad GROUP BY doc_id, nf"""
   }
 
+  case class SilenceProfile(doc_id: Long, n_samples: Long, n_zeros: Long,
+      max_zero_run: Long, lead_zeros: Long, trail_zeros: Long)
+
+  /** m8: digital-silence profiling over the real WAV payloads — the
+    * silence-trim step of an audio curation pipeline (strip zero padding
+    * before ASR/training; flag zero-padded uploads): one pass over the
+    * PCM samples read back out of the container bytes ([[audioFeatures]]'
+    * offsets) computing the zero-run structure — total zeros, longest
+    * run, leading and trailing pad lengths. The corpus is the audio
+    * containers plus, for doc_id < `variantCut`, a copy whose last
+    * max(2, n/3) samples are zeroed (re-keyed +3·10^6) — planted digital
+    * trailing pad.
+    *
+    * Provable, not tuned: consecutive synthesized samples differ by 37,
+    * which is invertible mod 2^16, so a natural zero sample recurs only
+    * every 65 536 samples — with n <= 1000 a natural run is NEVER longer
+    * than 1, while every planted pad is >= 2. `max_zero_run >= 2` is
+    * therefore an exact padded-audio detector on this corpus, and the
+    * oracle (a gaps-and-islands run reconstruction over the closed-form
+    * samples) checks the full run structure, including the case where
+    * the one natural zero happens to touch the pad and extends it.
+    *
+    * Scale shape: [[sceneCuts]]' — a narrow typed map, one summary row
+    * per audio file, zero shuffles; payload bytes never leave the scan.
+    */
+  def silenceProfile(spark: SparkSession, sfDir: String,
+      variantCut: Long = 30L): Dataset[SilenceProfile] = {
+    import spark.implicits._
+    mediaContainers(spark, sfDir)
+      .filter(col("kind") === "audio").as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        val d = MediaCodec.decode(r.doc_id, r.payload)
+        val n = d.n_frames.toInt
+        val variant = if (r.doc_id < variantCut) {
+          val p = r.payload.clone()
+          val pad = math.max(2, n / 3)
+          var i = math.max(0, n - pad)
+          while (i < n) { p(44 + 2 * i) = 0; p(44 + 2 * i + 1) = 0; i += 1 }
+          Seq(MediaRecord(r.doc_id + 3000000L, r.kind, p))
+        } else Nil
+        (Seq(r) ++ variant).map { rec =>
+          var nZeros = 0L; var maxRun = 0L; var lead = 0L; var trail = 0L
+          var run = 0L
+          var i = 0
+          while (i < n) {
+            val z = rec.payload(44 + 2 * i) == 0 &&
+              rec.payload(44 + 2 * i + 1) == 0
+            if (z) {
+              nZeros += 1; run += 1
+              if (run > maxRun) maxRun = run
+              if (run == i + 1) lead = run // run touches sample 0
+              if (i == n - 1) trail = run // run touches the last sample
+            } else run = 0
+            i += 1
+          }
+          SilenceProfile(rec.doc_id, n.toLong, nZeros, maxRun, lead, trail)
+        }
+      })
+  }
+
+  def silenceProfileSql(variantCut: Long = 30L): String =
+    s"""WITH a AS (
+          SELECT doc_id, doc_id AS seed, 0 AS pert, doc_id % 1000 + 1 AS n
+          FROM documents WHERE doc_id % 3 = 1
+          UNION ALL
+          SELECT doc_id + 3000000 AS doc_id, doc_id AS seed, 1 AS pert,
+            doc_id % 1000 + 1 AS n
+          FROM documents WHERE doc_id % 3 = 1 AND doc_id < $variantCut),
+        s AS (
+          SELECT doc_id, n, unnest(range(0, n)) AS i, seed, pert
+          FROM a),
+        z AS (
+          SELECT doc_id, n, i
+          FROM s
+          WHERE CASE WHEN pert = 1 AND i >= n - greatest(2, n // 3) THEN 0
+                     ELSE (seed + i*37) % 65536 END = 0),
+        g AS (
+          SELECT doc_id, n, i,
+            i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+          FROM z),
+        runs AS (
+          SELECT doc_id, n, min(i) AS rs, max(i) AS re,
+            CAST(count(*) AS BIGINT) AS len
+          FROM g GROUP BY doc_id, n, grp)
+        SELECT a.doc_id, CAST(a.n AS BIGINT) AS n_samples,
+          coalesce(CAST(sum(len) AS BIGINT), 0) AS n_zeros,
+          coalesce(max(len), 0) AS max_zero_run,
+          coalesce(max(CASE WHEN rs = 0 THEN len END), 0) AS lead_zeros,
+          coalesce(max(CASE WHEN re = a.n - 1 THEN len END), 0)
+            AS trail_zeros
+        FROM a LEFT JOIN runs ON a.doc_id = runs.doc_id
+        GROUP BY a.doc_id, a.n"""
+
   def frameSampleSql(frameLen: Int = 64, sampleEvery: Int = 4): String = {
     import graft.functions.PolyHash.{sql => polySql}
     s"""WITH d AS (
