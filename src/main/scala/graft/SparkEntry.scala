@@ -158,6 +158,8 @@ object SparkEntry {
     "s10_pq_refine"    -> ((s, dir) => Similarity.pqRefineRecall(s, dir)),
     // Q21-style double correlation: EXISTS + NOT EXISTS on one table.
     "q29_waiting_supplier" -> ((s, dir) => Relational.q29WaitingSupplier(s, dir)),
+    // Z-order vs linear clustering: per-file 2-D bounding boxes + pruning
+    "q30_zorder"       -> ((s, dir) => Layout.zorderLayout(s, dir)),
     // Set algebra as keyed joins: INTERSECT/EXCEPT/UNION cohorts.
     "q28_set_ops"      -> ((s, dir) => Relational.q28SetOps(s, dir)),
     // One-pass analytic window-function family per customer.
@@ -419,6 +421,7 @@ object SparkEntry {
     "q27_window_suite" -> Relational.q27WindowSuiteSql,
     "q28_set_ops"      -> Relational.q28SetOpsSql,
     "q29_waiting_supplier" -> Relational.q29WaitingSupplierSql,
+    "q30_zorder"       -> Layout.zorderLayoutSql(),
     "w4_transitions"   -> Sessionize.transitionsSql,
     "d3_dedup_minhash" -> Dedup.minhashSql,
     "d4_dedup_minhash_lsh" -> Dedup.minhashLshSql(),

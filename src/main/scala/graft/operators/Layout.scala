@@ -69,4 +69,98 @@ object Layout {
       .select(col(column), input_file_name().as("f"))
       .groupBy("f")
       .agg(min(column).as("lo"), max(column).as("hi"))
+
+  /** Z-ORDER vs linear clustering, measured — the multi-dimensional
+    * data-skipping lever (Morton-curve clustering, the OPTIMIZE ZORDER
+    * of Delta/Iceberg tables): interleaving the bits of two filter
+    * dimensions gives every file a small square-ish footprint in
+    * (x, y) space, so a 2-D box predicate prunes to O(box area) files,
+    * where a linear (x, y) sort gives files that are thin full-width
+    * stripes in y — perfect x pruning, zero y pruning.
+    *
+    * The query models the layout assignment exactly and emits the
+    * evidence: events mapped to x = user_id (10 bits) and y = hour
+    * index from the corpus start, zkey = bit-interleave(x, y), rows
+    * ntile'd into `files` range-buckets under each ordering (ntile
+    * over a total order is the deterministic stand-in for
+    * `repartitionByRange(zkey)` — which is how [[compactDir]] would
+    * apply it at scale with a sampled, parallel range shuffle), then
+    * per-file (x, y) bounding boxes aggregated into the two numbers
+    * that matter: files touched by a fixed box query and mean per-file
+    * span on each dimension. The hour-origin min is a 1-row broadcast
+    * (the scalar-aggregate cross idiom).
+    */
+  def zorderLayout(spark: SparkSession, sfDir: String, files: Int = 64,
+      x0: Long = 32, x1: Long = 96, y0: Long = 120,
+      y1: Long = 360): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.Tables
+    val ev = Tables.load(spark, sfDir, "events")
+    val ms = Tables.colMillis(ev, "ts")
+    val base = ev.select(col("event_id"),
+      (col("user_id") % 1024).as("x"),
+      floor(ms / lit(3600000L)).cast("long").as("h"))
+    val hmin = base.agg(min("h").as("hmin"))
+    val zkey = (0 until 10).map { b =>
+      shiftright(col("x"), b).bitwiseAND(lit(1L)) * lit(1L << (2 * b)) +
+        shiftright(col("y"), b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1))
+    }.reduce(_ + _)
+    val d = base.crossJoin(broadcast(hmin))
+      .select(col("event_id"), col("x"),
+        ((col("h") - col("hmin")) % 1024).as("y"))
+      .withColumn("zkey", zkey)
+    def summarize(name: String, order: Seq[Column]): DataFrame =
+      d.withColumn("file_id",
+          ntile(files).over(Window.orderBy(order: _*)).cast("long"))
+        .groupBy("file_id")
+        .agg(min("x").as("x_lo"), max("x").as("x_hi"),
+          min("y").as("y_lo"), max("y").as("y_hi"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("x_lo") < x1 && col("x_hi") >= x0 &&
+            col("y_lo") < y1 && col("y_hi") >= y0, 1L).otherwise(0L))
+            .as("files_touched"),
+          (sum(col("x_hi") - col("x_lo")).cast("double") / files)
+            .as("avg_x_span"),
+          (sum(col("y_hi") - col("y_lo")).cast("double") / files)
+            .as("avg_y_span"))
+        .select(lit(name).as("layout"), col("n_files"),
+          col("files_touched"), col("avg_x_span"), col("avg_y_span"))
+    summarize("zorder", Seq(col("zkey"), col("event_id")))
+      .unionAll(summarize("linear",
+        Seq(col("x"), col("y"), col("event_id"))))
+  }
+
+  def zorderLayoutSql(files: Int = 64, x0: Long = 32, x1: Long = 96,
+      y0: Long = 120, y1: Long = 360): String = {
+    val zterms = (0 until 10).map { b =>
+      s"((x // ${1L << b}) % 2) * ${1L << (2 * b)} + " +
+        s"((y // ${1L << b}) % 2) * ${1L << (2 * b + 1)}"
+    }.mkString(" + ")
+    def leg(name: String, order: String) =
+      s"""SELECT '$name' AS layout,
+            CAST(count(*) AS BIGINT) AS n_files,
+            CAST(sum(CASE WHEN x_lo < $x1 AND x_hi >= $x0
+                AND y_lo < $y1 AND y_hi >= $y0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS files_touched,
+            CAST(sum(x_hi - x_lo) AS DOUBLE) / $files AS avg_x_span,
+            CAST(sum(y_hi - y_lo) AS DOUBLE) / $files AS avg_y_span
+          FROM (
+            SELECT file_id, min(x) AS x_lo, max(x) AS x_hi,
+              min(y) AS y_lo, max(y) AS y_hi
+            FROM (SELECT x, y,
+                    ntile($files) OVER (ORDER BY $order) AS file_id
+                  FROM z)
+            GROUP BY file_id)"""
+    s"""WITH e AS (
+          SELECT event_id, user_id % 1024 AS x,
+            epoch_ms(ts) // 3600000 AS h
+          FROM events),
+        hm AS (SELECT min(h) AS hmin FROM e),
+        d AS (SELECT event_id, x, (h - hmin) % 1024 AS y
+              FROM e CROSS JOIN hm),
+        z AS (SELECT event_id, x, y, $zterms AS zkey FROM d)
+        ${leg("zorder", "zkey, event_id")}
+        UNION ALL
+        ${leg("linear", "x, y, event_id")}"""
+  }
 }

@@ -345,9 +345,42 @@ class MultiProcessGraphSpec extends AnyFunSuite {
       assert(drainedDownstream.values.forall(identity),
         s"a downstream stage never drained pre-kill: $drainedDownstream")
 
-      // end-to-end: the forked topology's alerts == the batch oracle
-      assert(gotAlerts() == expAlerts,
-        s"alerts diverge: got=${gotAlerts()} exp=$expAlerts")
+      // end-to-end: the forked topology's alerts == the batch oracle.
+      // In ORDERED mode this is bit-exact — that determinism is the
+      // mode's contract. In DEFAULT (arrival-order) mode the alert
+      // TIMES are deterministic (the per-SERVICE cooldown suppresses
+      // the same windows whichever server's row wins) but the SERVER
+      // attribution of a cross-server tie follows bus arrival, exactly
+      // as in the reference (stream_process_alerts.js folds arrival
+      // order) — wave 2's warm-up windows DO produce real ties (the
+      // quiet server's UB is sigma-tight after the uniform wave 1;
+      // batch firedRef fires both servers at those window ends), so
+      // the contract assertion is: same (ts, service, lag) sequence,
+      // and each emitted server is one the batch fired set admits at
+      // that window — exact where the window is uncontested. The
+      // round-9 "unexplained 1-of-N failure" was this over-assertion;
+      // adjudicated from the captured run-4 log + surviving topics
+      // (test-logs/README.md round-11 note).
+      val gotA = gotAlerts()
+      if (ordered) {
+        assert(gotA == expAlerts,
+          s"alerts diverge: got=$gotA exp=$expAlerts")
+      } else {
+        assert(gotA.map(a => (a._1, a._3, a._4)) ==
+          expAlerts.map(a => (a._1, a._3, a._4)),
+          s"alert times diverge: got=$gotA exp=$expAlerts")
+        val firedAt = Alerts.firedRef(candB.toIndexedSeq, cfg.alert)
+          .groupBy(f => (f._1, f._3, f._4))
+          .view.mapValues(_.map(_._2).toSet).toMap
+        gotA.zip(expAlerts).foreach { case (g, e) =>
+          val admissible = firedAt.getOrElse((g._1, g._3, g._4), Set.empty)
+          assert(admissible.contains(g._2),
+            s"alert $g names a server the batch fired set " +
+              s"$admissible does not admit")
+          if (admissible.size == 1)
+            assert(g == e, s"uncontested window diverged: got=$g exp=$e")
+        }
+      }
 
       // mid-chain: the z topic's records (all partitions, full history —
       // no retention configured here) == the batch z-score fold, so the
