@@ -77,7 +77,10 @@ object PlanAudit {
     "s12_rrf_fusion" -> 2,
     // s13: the nQ-row query broadcast of the prefix-8 funnel mouth (the
     // one corpus-wide stage); stages 2/3 are shortlist equi BHJs
-    "s13_mrl_funnel" -> 1)
+    "s13_mrl_funnel" -> 1,
+    // q30: the 1-row hour-origin scalar aggregate crossed onto the
+    // events scan, once per layout leg of the union
+    "q30_zorder" -> 2)
 
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
     val direct = p.collect { case n => n }
