@@ -615,12 +615,14 @@ object Multimodal {
     * The thresholds are PROVABLE on the synthesized fill, not tuned:
     * consecutive natural frames sit 17 apart on the mod-251 byte circle,
     * so a natural boundary's per-byte SAD is 17 plus the wrap band's
-    * contribution, bounded by 17 + 217·17·ceil(fb/251)/fb ≤ 31.7 +
-    * 3689/fb — under 100 for every frame of at least `minFb` = 45 bytes
-    * (and that bound is the REASON for minFb: a 2x2 thumbnail's window
-    * can be mostly wrap band, where SAD says nothing — real shot
-    * detectors impose minimum frame areas for the same
-    * statistics-starvation reason). The planted boundary composes the
+    * contribution — at most 17 of every 251 consecutive bytes wrap,
+    * each adding 234-17 = 217, so per-byte SAD <= 17 +
+    * 217·17·ceil(fb/251)/fb, which for fb <= 251 is 17 + 3689/fb: 99.0
+    * at `minFb` = 45, strictly under 100 (for fb > 251 the bound only
+    * tightens toward 31.7). That inequality is the REASON for minFb: a
+    * 2x2 thumbnail's window can be mostly wrap band, where SAD says
+    * nothing — real shot detectors impose minimum frame areas for the
+    * same statistics-starvation reason. The planted boundary composes the
     * circle shifts 17+97 = 114, so its per-byte SAD is in [114, 137] at
     * ANY alignment, while boundaries inside the shifted half keep the
     * natural 17-shift statistics. thresh = 100 therefore separates with
@@ -646,6 +648,8 @@ object Multimodal {
         val hdr = r.payload.indexOf('\n'.toByte) + 1
         val fb = d.width * d.height * 3 / 2
         val nf = d.n_frames.toInt
+        if (nf < 2 || fb < minFb) Nil
+        else {
         val variant = if (r.doc_id < variantCut) {
           val p = r.payload.clone()
           var f = nf / 2
@@ -660,31 +664,29 @@ object Multimodal {
           }
           Seq(MediaRecord(r.doc_id + 2000000L, r.kind, p))
         } else Nil
-        (Seq(r) ++ variant).flatMap { rec =>
-          if (nf < 2 || fb < minFb) Nil
-          else {
-            var nCuts = 0L
-            var firstCut = 0L
-            var f = 1
-            while (f < nf) {
-              val offA = hdr + (f - 1) * (6 + fb) + 6
-              val offB = hdr + f * (6 + fb) + 6
-              var sad = 0L
-              var j = 0
-              while (j < fb) {
-                val a = rec.payload(offA + j) & 0xff
-                val b = rec.payload(offB + j) & 0xff
-                sad += math.abs(a - b)
-                j += 1
-              }
-              if (sad > thresh.toLong * fb) {
-                nCuts += 1
-                if (firstCut == 0L) firstCut = f.toLong
-              }
-              f += 1
+        (Seq(r) ++ variant).map { rec =>
+          var nCuts = 0L
+          var firstCut = 0L
+          var f = 1
+          while (f < nf) {
+            val offA = hdr + (f - 1) * (6 + fb) + 6
+            val offB = hdr + f * (6 + fb) + 6
+            var sad = 0L
+            var j = 0
+            while (j < fb) {
+              val a = rec.payload(offA + j) & 0xff
+              val b = rec.payload(offB + j) & 0xff
+              sad += math.abs(a - b)
+              j += 1
             }
-            Seq(SceneCuts(rec.doc_id, nf.toLong, nCuts, firstCut))
+            if (sad > thresh.toLong * fb) {
+              nCuts += 1
+              if (firstCut == 0L) firstCut = f.toLong
+            }
+            f += 1
           }
+          SceneCuts(rec.doc_id, nf.toLong, nCuts, firstCut)
+        }
         }
       })
   }

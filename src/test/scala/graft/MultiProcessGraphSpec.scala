@@ -118,7 +118,7 @@ class MultiProcessGraphSpec extends AnyFunSuite {
     // zzl is the stage-1 late-probe server (ordered leg): its one line is
     // watermark-dropped INSIDE stage 1, so it must be invisible to every
     // batch-side oracle recomputed after the injection
-    val sentinelServers = Seq("zz", "zzf", "zz2", "zzl")
+    val sentinelServers = TopologyOracle.sentinelServers
 
     // parent-side topic probes, transport-agnostic: resolve through the
     // registry exactly like the stage code does. File mode must NOT
@@ -212,22 +212,8 @@ class MultiProcessGraphSpec extends AnyFunSuite {
         ordered)
 
       // ---- batch oracle over the same lines (sentinel filtered)
-      val parsedB = Parsing.extractStdExit(
-          LogFileSource.batch(spark, glob)
-            .filter(col("log_type") === "server_log"))
-        .select(col("server"), col("service"),
-          timestamp_millis(col("end_ms")).as("end_ts"), col("elapsed"))
-      val statsB = ApmStreaming.slidingStatsStream(
-          parsedB, cfg.windowLen, cfg.slide, cfg.lateness)
-        .filter(!col("server").isin(sentinelServers: _*))
-      val zBatchDf = ZScore.zScoreFold(
-        statsB.select("server", "service", "ts_ms", "tpm",
-          "average", "per75", "per95"), Seq(cfg.lag))
-      val candB = Alerts.candidates(zBatchDf, cfg.alert)
-        .select("server", "service", "lag", "ts_ms", "bad", "causes")
-        .collect()
-        .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3),
-          r.getInt(4) == 1, r.getString(5)))
+      val zBatchDf = TopologyOracle.zFold(spark, glob, cfg)
+      val candB = TopologyOracle.candidatesOf(zBatchDf, cfg)
       val expAlerts = Alerts.alertsRef(candB.toIndexedSeq, cfg.alert)
         .map(a => (a._1, a._2, a._3, a._4)).sorted.toList
       assert(expAlerts.nonEmpty, "oracle produced no alerts — inert corpus")
@@ -366,13 +352,18 @@ class MultiProcessGraphSpec extends AnyFunSuite {
         assert(gotA == expAlerts,
           s"alerts diverge: got=$gotA exp=$expAlerts")
       } else {
-        assert(gotA.map(a => (a._1, a._3, a._4)) ==
-          expAlerts.map(a => (a._1, a._3, a._4)),
+        // sort/zip by (ts, service, lag) — NOT the full tuple: at a
+        // contested window a server flip must not re-pair alerts of
+        // different services that share a ts
+        val gKey = gotA.sortBy(a => (a._1, a._3, a._4))
+        val eKey = expAlerts.sortBy(a => (a._1, a._3, a._4))
+        assert(gKey.map(a => (a._1, a._3, a._4)) ==
+          eKey.map(a => (a._1, a._3, a._4)),
           s"alert times diverge: got=$gotA exp=$expAlerts")
         val firedAt = Alerts.firedRef(candB.toIndexedSeq, cfg.alert)
           .groupBy(f => (f._1, f._3, f._4))
           .view.mapValues(_.map(_._2).toSet).toMap
-        gotA.zip(expAlerts).foreach { case (g, e) =>
+        gKey.zip(eKey).foreach { case (g, e) =>
           val admissible = firedAt.getOrElse((g._1, g._3, g._4), Set.empty)
           assert(admissible.contains(g._2),
             s"alert $g names a server the batch fired set " +
@@ -492,4 +483,46 @@ class MultiProcessGraphSpec extends AnyFunSuite {
     try sixProcessScenario("", qdirOverride = Some(broker.url))
     finally broker.close()
   }
+}
+
+/** The topology specs' shared batch-oracle builder — also the forensics
+  * path ([[graft.tools.FiredProbe]]), so a postmortem adjudication can
+  * never drift from the oracle the spec asserts against.
+  */
+object TopologyOracle {
+  val sentinelServers: Seq[String] = Seq("zz", "zzf", "zz2", "zzl")
+
+  /** The batch z-score frame over a topology log glob — parse, windowed
+    * stats (sentinels filtered), fold.
+    */
+  def zFold(spark: SparkSession, glob: String,
+      cfg: ApmGraph.GraphCfg): org.apache.spark.sql.DataFrame = {
+    val parsedB = Parsing.extractStdExit(
+        LogFileSource.batch(spark, glob)
+          .filter(col("log_type") === "server_log"))
+      .select(col("server"), col("service"),
+        timestamp_millis(col("end_ms")).as("end_ts"), col("elapsed"))
+    val statsB = ApmStreaming.slidingStatsStream(
+        parsedB, cfg.windowLen, cfg.slide, cfg.lateness)
+      .filter(!col("server").isin(sentinelServers: _*))
+    ZScore.zScoreFold(
+      statsB.select("server", "service", "ts_ms", "tpm",
+        "average", "per75", "per95"), Seq(cfg.lag))
+  }
+
+  /** (server, service, lag, ts_ms, bad, causes) alert candidates from a
+    * [[zFold]] frame — the in-process batch chain the forked topology
+    * must reproduce.
+    */
+  def candidatesOf(zBatchDf: org.apache.spark.sql.DataFrame,
+      cfg: ApmGraph.GraphCfg): Array[(String, String, Int, Long, Boolean, String)] =
+    Alerts.candidates(zBatchDf, cfg.alert)
+      .select("server", "service", "lag", "ts_ms", "bad", "causes")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3),
+        r.getInt(4) == 1, r.getString(5)))
+
+  def candidates(spark: SparkSession, glob: String,
+      cfg: ApmGraph.GraphCfg): Array[(String, String, Int, Long, Boolean, String)] =
+    candidatesOf(zFold(spark, glob, cfg), cfg)
 }
