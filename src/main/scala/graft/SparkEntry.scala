@@ -190,6 +190,8 @@ object SparkEntry {
     "s12_rrf_fusion"   -> ((s, dir) => Similarity.rrfFusion(s, dir)),
     // Matryoshka funnel: prefix-8 shortlist -> prefix-32 -> full rerank
     "s13_mrl_funnel"   -> ((s, dir) => Similarity.mrlFunnel(s, dir)),
+    // filtered ANN: pre-filter truth vs post-filter recall, measured
+    "s14_filtered_knn" -> ((s, dir) => Similarity.filteredKnn(s, dir)),
     "e3_matryoshka"    -> ((s, dir) => Similarity.matryoshkaRecall(s, dir)),
     "e4_pca_cov"       -> ((s, dir) => Pca.pcaCov(s, dir)),
     "e5_pca_component" -> ((s, dir) => Pca.pcaComponent(s, dir)),
@@ -443,6 +445,7 @@ object SparkEntry {
     "s11_hamming_rerank" -> Similarity.hammingRerankSql(),
     "s12_rrf_fusion"   -> Similarity.rrfFusionSql(),
     "s13_mrl_funnel"   -> Similarity.mrlFunnelSql(),
+    "s14_filtered_knn" -> Similarity.filteredKnnSql(),
     "e3_matryoshka"    -> Similarity.matryoshkaRecallSql(),
     "e4_pca_cov"       -> Pca.pcaCovSql,
     "e5_pca_component" -> Pca.pcaComponentSql,

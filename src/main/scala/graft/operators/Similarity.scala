@@ -1549,6 +1549,84 @@ object Similarity {
         WHERE rank <= $k"""
   }
 
+  /** s14: FILTERED vector search — the metadata-constrained ANN
+    * question every serving stack faces (find nearest neighbors WITH
+    * label = X): PRE-filtering applies the predicate before the
+    * similarity scan (exact — the predicate pushes into the scan, and
+    * label-partitioned storage makes it a partition prune at 100 TB),
+    * POST-filtering takes the unfiltered top-`m` and keeps matches
+    * (cheap on an unpartitioned index, but a query whose label is rare
+    * in its cosine neighborhood loses recall — the documented failure
+    * mode that pushed real vector stores toward filter-aware search).
+    * Each query's target label is its own label; the output is the
+    * pre-filter truth top-`k` with an `in_post` flag per pair, so the
+    * per-query and aggregate recall of post-filtering at shortlist
+    * width `m` are both read directly off the relation — measured, not
+    * asserted, and the oracle checks the whole comparison.
+    *
+    * Scale shape: two [[knnBrute]]-shaped passes (nQ-row query
+    * broadcasts); the pre-filter leg's predicate reaches the scan
+    * (label = q's label inside the join condition), the post-filter leg
+    * is s1 + a residual filter on the m-row toplist.
+    */
+  def filteredKnn(spark: SparkSession, sfDir: String,
+      k: Int = 5, m: Int = 10, nQueries: Int = 20): DataFrame = {
+    val vecs = vecsDouble(spark, sfDir)
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"))
+    val c = vecs.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+      col("v").as("nv"))
+    val wC = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    val pre = q.join(c,
+        col("q_id") =!= col("n_id") && col("q_label") === col("n_label"))
+      .withColumn("cos",
+        dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
+      .withColumn("rank", row_number().over(wC).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "q_label", "n_id", "cos", "rank")
+    val post = q.join(c, col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
+      .withColumn("mrank", row_number().over(wC))
+      .filter(col("mrank") <= m && col("q_label") === col("n_label"))
+      .select(col("q_id"), col("n_id"), lit(1L).as("in_post"))
+    pre.join(post, Seq("q_id", "n_id"), "left_outer")
+      .select(col("q_id"), col("q_label"), col("n_id"), col("cos"),
+        col("rank"), coalesce(col("in_post"), lit(0L)).as("in_post"))
+  }
+
+  def filteredKnnSql(k: Int = 5, m: Int = 10, nQueries: Int = 20): String =
+    s"""WITH vecs AS ($vecsDoubleSql),
+        q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM vecs
+              WHERE vec_id < $nQueries),
+        c AS (SELECT vec_id AS n_id, label AS n_label, v AS nv FROM vecs),
+        pre AS (
+          SELECT q_id, q_label, n_id, cos, rank FROM (
+            SELECT q_id, q_label, n_id, cos,
+              CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, n_id ASC) AS BIGINT) AS rank
+            FROM (SELECT q_id, q_label, n_id,
+                    ${dotSql("qv", "nv")} /
+                      (${normSql("qv")} * ${normSql("nv")}) AS cos
+                  FROM q JOIN c
+                    ON q_id <> n_id AND q_label = n_label))
+          WHERE rank <= $k),
+        post AS (
+          SELECT q_id, n_id, CAST(1 AS BIGINT) AS in_post FROM (
+            SELECT q_id, q_label, n_id, n_label,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, n_id ASC) AS mrank
+            FROM (SELECT q_id, q_label, n_id, n_label,
+                    ${dotSql("qv", "nv")} /
+                      (${normSql("qv")} * ${normSql("nv")}) AS cos
+                  FROM q JOIN c ON q_id <> n_id))
+          WHERE mrank <= $m AND q_label = n_label)
+        SELECT pre.q_id, pre.q_label, pre.n_id, pre.cos, pre.rank,
+          coalesce(post.in_post, CAST(0 AS BIGINT)) AS in_post
+        FROM pre LEFT JOIN post
+          ON pre.q_id = post.q_id AND pre.n_id = post.n_id"""
+
   /** s12: HYBRID retrieval — a lexical BM25 leg and a dense cosine leg
     * fused with Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009:
     * score = Σ 1/(K + rank_leg), K = 60). The query set is the first

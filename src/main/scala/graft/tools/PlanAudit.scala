@@ -80,7 +80,12 @@ object PlanAudit {
     "s13_mrl_funnel" -> 1,
     // q30: the 1-row hour-origin scalar aggregate crossed onto the
     // events scan, once per layout leg of the union
-    "q30_zorder" -> 2)
+    "q30_zorder" -> 2,
+    // s14: the post-filter leg's nQ-row query broadcast only — the
+    // pre-filter leg's label predicate becomes the JOIN KEY (BHJ with
+    // the id-inequality as residual), the filtered-ANN point made by
+    // the plan itself
+    "s14_filtered_knn" -> 1)
 
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
     val direct = p.collect { case n => n }
