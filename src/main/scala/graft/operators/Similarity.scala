@@ -1554,15 +1554,17 @@ object Similarity {
     * label = X): PRE-filtering applies the predicate before the
     * similarity scan (exact — the predicate pushes into the scan, and
     * label-partitioned storage makes it a partition prune at 100 TB),
-    * POST-filtering takes the unfiltered top-`m` and keeps matches
-    * (cheap on an unpartitioned index, but a query whose label is rare
-    * in its cosine neighborhood loses recall — the documented failure
-    * mode that pushed real vector stores toward filter-aware search).
-    * Each query's target label is its own label; the output is the
-    * pre-filter truth top-`k` with an `in_post` flag per pair, so the
-    * per-query and aggregate recall of post-filtering at shortlist
-    * width `m` are both read directly off the relation — measured, not
-    * asserted, and the oracle checks the whole comparison.
+    * POST-filtering takes the unfiltered top-`m`, keeps label matches,
+    * and serves the best `k` survivors (cheap on an unpartitioned
+    * index, but a query whose label is rare in its cosine neighborhood
+    * loses recall — the documented failure mode that pushed real
+    * vector stores toward filter-aware search). Each query's target
+    * label is its own label; the output is the pre-filter truth
+    * top-`k` with an `in_post` flag per pair marking membership in the
+    * post-filter stack's actual served set, so per-query and aggregate
+    * post-filter@k recall at shortlist width `m` are read directly off
+    * the relation — measured, not asserted, and the oracle checks the
+    * whole comparison.
     *
     * Scale shape: two [[knnBrute]]-shaped passes (nQ-row query
     * broadcasts); the pre-filter leg's predicate reaches the scan
@@ -1585,11 +1587,19 @@ object Similarity {
       .withColumn("rank", row_number().over(wC).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "q_label", "n_id", "cos", "rank")
+    // a real post-filter stack returns the k best SURVIVORS of the
+    // unfiltered top-m — the prank truncation models that, so in_post
+    // is membership in the actual served set, not mere shortlist
+    // retention (which would overstate recall in label-dense
+    // neighborhoods)
+    val wP = Window.partitionBy("q_id").orderBy(col("mrank").asc)
     val post = q.join(c, col("q_id") =!= col("n_id"))
       .withColumn("cos",
         dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
       .withColumn("mrank", row_number().over(wC))
       .filter(col("mrank") <= m && col("q_label") === col("n_label"))
+      .withColumn("prank", row_number().over(wP))
+      .filter(col("prank") <= k)
       .select(col("q_id"), col("n_id"), lit(1L).as("in_post"))
     pre.join(post, Seq("q_id", "n_id"), "left_outer")
       .select(col("q_id"), col("q_label"), col("n_id"), col("cos"),
@@ -1614,14 +1624,19 @@ object Similarity {
           WHERE rank <= $k),
         post AS (
           SELECT q_id, n_id, CAST(1 AS BIGINT) AS in_post FROM (
-            SELECT q_id, q_label, n_id, n_label,
-              row_number() OVER (PARTITION BY q_id
-                ORDER BY cos DESC, n_id ASC) AS mrank
-            FROM (SELECT q_id, q_label, n_id, n_label,
-                    ${dotSql("qv", "nv")} /
-                      (${normSql("qv")} * ${normSql("nv")}) AS cos
-                  FROM q JOIN c ON q_id <> n_id))
-          WHERE mrank <= $m AND q_label = n_label)
+            SELECT q_id, n_id,
+              row_number() OVER (PARTITION BY q_id ORDER BY mrank ASC)
+                AS prank
+            FROM (
+              SELECT q_id, q_label, n_id, n_label,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, n_id ASC) AS mrank
+              FROM (SELECT q_id, q_label, n_id, n_label,
+                      ${dotSql("qv", "nv")} /
+                        (${normSql("qv")} * ${normSql("nv")}) AS cos
+                    FROM q JOIN c ON q_id <> n_id))
+            WHERE mrank <= $m AND q_label = n_label)
+          WHERE prank <= $k)
         SELECT pre.q_id, pre.q_label, pre.n_id, pre.cos, pre.rank,
           coalesce(post.in_post, CAST(0 AS BIGINT)) AS in_post
         FROM pre LEFT JOIN post
