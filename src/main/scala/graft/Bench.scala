@@ -124,6 +124,9 @@ object Bench {
     // LSH pair graph shared by its three consumers (banding cost stays
     // with the unshared d4_dedup_minhash_lsh).
     val dedupFam = Set("c2_dup_clusters", "c18_pagerank", "c22_leak_split")
+    // BPE tokenizer trained once (cost stays with the unshared
+    // t15_bpe_merges trainer); the apply query times only its join.
+    val bpeFam = Set("t16_bpe_tokens")
     // Families are built LAZILY at their first consumer (outside the
     // timed passes) and their checkpointed frames unpersisted right
     // after their LAST consumer — so no family's resident blocks leak
@@ -134,7 +137,8 @@ object Bench {
     val fams: Seq[(Set[String], () => FamBuild)] = Seq(
       (alertFam, () => SparkEntry.alertFamilyShared(spark, sfDir)),
       (annFam,   () => SparkEntry.annFamilyShared(spark, sfDir)),
-      (dedupFam, () => SparkEntry.dedupFamilyShared(spark, sfDir)))
+      (dedupFam, () => SparkEntry.dedupFamilyShared(spark, sfDir)),
+      (bpeFam,   () => SparkEntry.bpeFamilyShared(spark, sfDir)))
     // Oracle-only queries: correctness-gated in Verify but NOT timed —
     // d6_embed_recall is the FULL all-pairs recall truth, the test-scale
     // twin of the sampled-truth measurement (d6_recall_sampled, which IS

@@ -312,6 +312,20 @@ object SparkEntry {
       Seq(pairs, clusters))
   }
 
+  /** BPE train-once/apply-many sharing: the trainer query
+    * (t15_bpe_merges, unshared) keeps the full 8-round training cost;
+    * t16_bpe_tokens times only the tokenize join over the shared trained
+    * vocab — the production shape (a tokenizer is trained once and
+    * applied to every corpus shard).
+    */
+  def bpeFamilyShared(spark: SparkSession,
+      dir: String): (Map[String, () => DataFrame], Seq[DataFrame]) = {
+    val vocab = TextAnalysis.bpeTrainedVocab(spark, dir).localCheckpoint()
+    (Map(
+      "t16_bpe_tokens" -> (() => TextAnalysis.bpeTokensFrom(spark, dir, vocab))),
+      Seq(vocab))
+  }
+
   /** Alert config used by registered queries: thresholds tuned so the test
     * data produces a mix of firing and quiet intervals; one per-service
     * hard-max override exercises the J4 broadcast-config join.

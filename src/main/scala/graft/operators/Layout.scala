@@ -119,9 +119,12 @@ object Layout {
           sum(when(col("x_lo") < x1 && col("x_hi") >= x0 &&
             col("y_lo") < y1 && col("y_hi") >= y0, 1L).otherwise(0L))
             .as("files_touched"),
-          (sum(col("x_hi") - col("x_lo")).cast("double") / files)
+          // Divide by the counted bucket total, not the `files`
+          // parameter: ntile yields fewer buckets than requested when
+          // the table has fewer rows than `files`.
+          (sum(col("x_hi") - col("x_lo")).cast("double") / count(lit(1)))
             .as("avg_x_span"),
-          (sum(col("y_hi") - col("y_lo")).cast("double") / files)
+          (sum(col("y_hi") - col("y_lo")).cast("double") / count(lit(1)))
             .as("avg_y_span"))
         .select(lit(name).as("layout"), col("n_files"),
           col("files_touched"), col("avg_x_span"), col("avg_y_span"))
@@ -142,8 +145,8 @@ object Layout {
             CAST(sum(CASE WHEN x_lo < $x1 AND x_hi >= $x0
                 AND y_lo < $y1 AND y_hi >= $y0 THEN 1 ELSE 0 END)
               AS BIGINT) AS files_touched,
-            CAST(sum(x_hi - x_lo) AS DOUBLE) / $files AS avg_x_span,
-            CAST(sum(y_hi - y_lo) AS DOUBLE) / $files AS avg_y_span
+            CAST(sum(x_hi - x_lo) AS DOUBLE) / count(*) AS avg_x_span,
+            CAST(sum(y_hi - y_lo) AS DOUBLE) / count(*) AS avg_y_span
           FROM (
             SELECT file_id, min(x) AS x_lo, max(x) AS x_hi,
               min(y) AS y_lo, max(y) AS y_hi

@@ -1500,7 +1500,11 @@ object Similarity {
     val qv = vecs.select(col("vec_id").as("q_id"), col("v").as("qv"))
     val nv = vecs.select(col("vec_id").as("n_id"), col("v").as("nv"))
     val w2 = Window.partitionBy("q_id").orderBy(col("cos2").desc, col("n_id").asc)
-    val s2 = broadcast(broadcast(s1).join(qv, "q_id")).join(nv, "n_id")
+    // s1 is at most nQueries*m1 rows; after picking up each query's
+    // full vector it is still tiny, so broadcast the joined shortlist
+    // into the big nv side rather than shuffling nv.
+    val s1q = broadcast(s1).join(qv, "q_id")
+    val s2 = broadcast(s1q).join(nv, "n_id")
       .withColumn("cos2", cosP(col("qv"), col("nv"), p2))
       .withColumn("r2", row_number().over(w2))
       .filter(col("r2") <= m2)

@@ -106,8 +106,16 @@ object DedupStreaming {
     * band (downstream dedups, e.g. min-canonical per doc), and
     * production ingest bounds the per-bucket state list with an
     * event-time timeout.
+    *
+    * `maxBucket` bounds the retained per-bucket state to the most
+    * recent N entries (FIFO eviction): with it set, a prior older than
+    * the bucket's last `maxBucket` arrivals can no longer be matched —
+    * the recall trade a production ingest path makes explicitly. The
+    * default keeps the bucket unbounded, preserving the exact-recall
+    * contract the spec pins.
     */
-  def pHashDupStream(hashes: DataFrame, tau: Int = 3): Dataset[PHashMatch] = {
+  def pHashDupStream(hashes: DataFrame, tau: Int = 3,
+      maxBucket: Int = Int.MaxValue): Dataset[PHashMatch] = {
     import hashes.sparkSession.implicits._
     require(tau >= 0 && tau <= Multimodal.PHashBands - 1,
       s"banded recall is exact only for tau <= ${Multimodal.PHashBands - 1}, got $tau")
@@ -128,7 +136,7 @@ object DedupStreaming {
                 java.lang.Long.bitCount(chi ^ d.hi)
               if (h <= tau) out += PHashMatch(d.doc_id, cid, h)
             }
-            seen = (d.doc_id, d.lo, d.hi) :: seen
+            seen = ((d.doc_id, d.lo, d.hi) :: seen).take(maxBucket)
           }
           state.update(PHashBucketState(seen))
           out.result().iterator
