@@ -152,6 +152,7 @@ object SparkEntry {
     "w6_inter_arrival" -> ((s, dir) => Sessionize.interArrival(s, dir)),
     // Language-ID confusion matrix vs corpus labels.
     "t21_langid_eval"  -> ((s, dir) => TextAnalysis.langIdEval(s, dir)),
+    "t23_unicode_repair" -> ((s, dir) => TextAnalysis.unicodeRepair(s, dir)),
     // Latest-record-wins CDC compaction via one map-side max_by agg.
     "q26_compaction"   -> ((s, dir) => Relational.q26Compaction(s, dir)),
     // ADC candidates + exact refine: recall lift measured side by side.
@@ -432,6 +433,7 @@ object SparkEntry {
     "w6_inter_arrival" -> Sessionize.interArrivalSql,
     "w7_active_users"  -> Sessionize.activeUsersSql(),
     "t21_langid_eval"  -> TextAnalysis.langIdEvalSql(TextAnalysis.langIdSql),
+    "t23_unicode_repair" -> TextAnalysis.unicodeRepairSql,
     "q26_compaction"   -> Relational.q26CompactionSql,
     "s10_pq_refine"    -> Similarity.pqRefineRecallSql(),
     "q27_window_suite" -> Relational.q27WindowSuiteSql,

@@ -1033,4 +1033,109 @@ object TextAnalysis {
         ORDER BY score DESC, doc_id ASC
         LIMIT $k"""
   }
+
+  // ---------------------------------------------------------------- t23
+
+  /** Mojibake repair table: the classic UTF-8-bytes-read-as-cp1252
+    * double-decodes. Keys are the mis-decoded sequences as they appear in
+    * the corrupted text; values are the intended characters. Deliberately
+    * NOT exhaustive — t23's eval plants one sequence outside the table so
+    * the residue detector is a live measurement.
+    */
+  private val mojiMap: Seq[(String, String)] = Seq(
+    "Ã¡" -> "á", // a-acute
+    "Ã¶" -> "ö", // o-umlaut
+    "â€™" -> "’", // right single quote
+    "â€œ" -> "“") // left double quote
+
+  /** C0 controls except \t \n \r, plus DEL. */
+  private val ctlPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Unicode/encoding repair (t23): mojibake reversal -> control-char
+    * strip -> NFC canonical composition, with the corruption PLANTED
+    * closed-form so the repair is measured against known ground truth
+    * (the m6/m7 planted-truth discipline). Corruption model per doc: two
+    * in-table mojibake sequences substituted into the text, one
+    * out-of-table mojibake appended for doc_id%7==0 (unrepairable ->
+    * exercises the residue detector), a BEL control for doc_id%5==0, and
+    * a combining-acute sequence for doc_id%3==0 (composed by NFC).
+    *
+    * This op sits directly upstream of every content hash in d1-d9: a
+    * stray combining sequence or mojibake shifts every shingle hash after
+    * it, so exact dedup silently loses recall on un-normalized corpora.
+    * All pure column expressions (replace chains, one regex, the
+    * [[graft.functions.NfcNormalize]] codegen expression) —
+    * scan-parallel, no shuffle, linear at 100 TB.
+    *
+    * Columns: n_moji_fixed / n_ctl_stripped are CHAR-COUNT deltas of
+    * their repair stage (each planted fix removes exactly one char);
+    * n_moji_residue counts surviving mis-decode lead chars (U+00C3);
+    * repair_exact compares against the closed-form expected text and is 0
+    * exactly for the docs carrying the out-of-table plant.
+    */
+  def unicodeRepair(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NfcNormalize.nfc_normalize
+    val t = col("text")
+    val d = col("doc_id")
+    def opt(cond: Column, s: String): Column =
+      when(cond, lit(s)).otherwise(lit(""))
+    val corrupted = concat(
+      replace(replace(t, lit(" data "), lit(" dÃ¡ta ")),
+        lit(" sort "), lit(" sÃ¶rt ")),
+      opt(d % 7 === 0, " Ã¸"),
+      opt(d % 5 === 0, "\u0007"),
+      opt(d % 3 === 0, " cafe\u0301"))
+    val moji = mojiMap.foldLeft(corrupted) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good)) }
+    val ctl = regexp_replace(moji, ctlPattern, "")
+    val repaired = nfc_normalize(ctl)
+    val expected = concat(
+      replace(replace(t, lit(" data "), lit(" dáta ")),
+        lit(" sort "), lit(" sört ")),
+      opt(d % 7 === 0, " Ã¸"),
+      opt(d % 3 === 0, " café"))
+    Tables.load(spark, sfDir, "documents").select(
+      d,
+      (length(corrupted) - length(moji)).cast("long").as("n_moji_fixed"),
+      (length(moji) - length(ctl)).cast("long").as("n_ctl_stripped"),
+      (repaired =!= ctl).cast("int").as("nfc_changed"),
+      (length(repaired) - length(replace(repaired, lit("Ã"), lit(""))))
+        .cast("long").as("n_moji_residue"),
+      length(repaired).cast("long").as("repaired_len"),
+      (repaired === expected).cast("int").as("repair_exact"))
+  }
+
+  val unicodeRepairSql: String = {
+    val fixes = mojiMap.foldLeft("corrupted") { case (e, (bad, good)) =>
+      s"replace($e, '$bad', '$good')" }
+    s"""WITH c AS (
+          SELECT doc_id,
+            replace(replace(text, ' data ', ' dÃ¡ta '),
+                ' sort ', ' sÃ¶rt ')
+              || CASE WHEN doc_id % 7 = 0 THEN ' Ã¸' ELSE '' END
+              || CASE WHEN doc_id % 5 = 0 THEN chr(7) ELSE '' END
+              || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) ELSE '' END
+              AS corrupted,
+            replace(replace(text, ' data ', ' dáta '),
+                ' sort ', ' sört ')
+              || CASE WHEN doc_id % 7 = 0 THEN ' Ã¸' ELSE '' END
+              || CASE WHEN doc_id % 3 = 0 THEN ' café' ELSE '' END
+              AS expected
+          FROM documents),
+        f AS (SELECT doc_id, corrupted, expected, $fixes AS moji FROM c),
+        s AS (SELECT doc_id, corrupted, expected, moji,
+                regexp_replace(moji,
+                  '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') AS ctl
+              FROM f),
+        r AS (SELECT *, nfc_normalize(ctl) AS repaired FROM s)
+        SELECT doc_id,
+          CAST(length(corrupted) - length(moji) AS BIGINT) AS n_moji_fixed,
+          CAST(length(moji) - length(ctl) AS BIGINT) AS n_ctl_stripped,
+          CAST(repaired <> ctl AS INT) AS nfc_changed,
+          CAST(length(repaired) - length(replace(repaired, 'Ã', ''))
+            AS BIGINT) AS n_moji_residue,
+          CAST(length(repaired) AS BIGINT) AS repaired_len,
+          CAST(repaired = expected AS INT) AS repair_exact
+        FROM r"""
+  }
 }

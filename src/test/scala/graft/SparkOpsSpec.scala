@@ -651,4 +651,35 @@ class SparkOpsSpec extends AnyFunSuite {
     }
     assert(checked > 1000)
   }
+
+  test("NfcNormalize: composes combining sequences, identity on composed, " +
+      "null-safe; unicodeRepair recovers planted ground truth") {
+    import graft.functions.NfcNormalize.nfc_normalize
+    import spark.implicits._
+    val rows = Seq(
+      ("cafe\u0301", "caf\u00e9"),   // decomposed -> composed
+      ("caf\u00e9", "caf\u00e9"),    // already composed: identity
+      ("plain ascii", "plain ascii"),
+      ("A\u030a", "\u00c5"))         // A + ring -> Angstrom A
+    rows.foreach { case (in, want) =>
+      val got = Seq(Tuple1(in)).toDF("s")
+        .select(nfc_normalize(col("s"))).head.getString(0)
+      assert(got == want, s"NFC($in)")
+    }
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("s")
+      .select(nfc_normalize(col("s"))).head
+    assert(n.isNullAt(0), "null propagates")
+    // planted-truth invariants of the registered t23 query at test scale
+    val r = TextAnalysis.unicodeRepair(spark, sf)
+      .agg(sum("repair_exact"), sum("nfc_changed"), sum("n_ctl_stripped"),
+        sum("n_moji_residue"), count(lit(1))).head
+    val total = r.getLong(4)
+    assert(r.getLong(0) == total, "every doc repairs to its expected text")
+    assert(r.getLong(1) == (0L until total).count(_ % 3 == 0),
+      "NFC fires exactly on the combining-plant docs")
+    assert(r.getLong(2) == (0L until total).count(_ % 5 == 0),
+      "one control char stripped per BEL-plant doc")
+    assert(r.getLong(3) == (0L until total).count(_ % 7 == 0),
+      "one residue char per out-of-table-plant doc")
+  }
 }
