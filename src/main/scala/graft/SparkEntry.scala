@@ -153,6 +153,7 @@ object SparkEntry {
     // Language-ID confusion matrix vs corpus labels.
     "t21_langid_eval"  -> ((s, dir) => TextAnalysis.langIdEval(s, dir)),
     "t23_unicode_repair" -> ((s, dir) => TextAnalysis.unicodeRepair(s, dir)),
+    "d10_suffix_runs"  -> ((s, dir) => Dedup.suffixRuns(s, dir)),
     // Latest-record-wins CDC compaction via one map-side max_by agg.
     "q26_compaction"   -> ((s, dir) => Relational.q26Compaction(s, dir)),
     // ADC candidates + exact refine: recall lift measured side by side.
@@ -434,6 +435,7 @@ object SparkEntry {
     "w7_active_users"  -> Sessionize.activeUsersSql(),
     "t21_langid_eval"  -> TextAnalysis.langIdEvalSql(TextAnalysis.langIdSql),
     "t23_unicode_repair" -> TextAnalysis.unicodeRepairSql,
+    "d10_suffix_runs"  -> Dedup.suffixRunsSql(),
     "q26_compaction"   -> Relational.q26CompactionSql,
     "s10_pq_refine"    -> Similarity.pqRefineRecallSql(),
     "q27_window_suite" -> Relational.q27WindowSuiteSql,

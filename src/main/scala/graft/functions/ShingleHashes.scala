@@ -51,11 +51,38 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
       s"${ev.value} = graft.functions.ShingleHashes.compute($c, $k);")
 }
 
+/** Positional sibling of [[ShingleHashes]]: ALL word-k-gram hashes in
+  * position order (index = 0-based word offset of the gram), no distinct.
+  * The exact-substring family (d10) needs positions to reconstruct
+  * maximal shared runs — two grams at consecutive positions extend one
+  * run — so the distinct fused variant can't serve it. Same prefix
+  * decomposition, same O(chars + grams) cost. Texts with fewer than k
+  * words emit an EMPTY array (they cannot host a k-token run; the
+  * whole-string fallback of the distinct variant would invent spurious
+  * position-0 matches between short docs).
+  */
+case class ShingleHashesPos(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesPos =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes.computePos(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashes.computePos($c, $k);")
+}
+
 object ShingleHashes {
   private final val Mod = 1000000007L
 
   def shingle_hashes(c: Column, k: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), k))
+
+  def shingle_hashes_pos(c: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHashesPos(ColumnBridge.expression(c), k))
 
   /** Static entry shared by eval and generated code.
     *
@@ -123,5 +150,54 @@ object ShingleHashes {
       g += 1
     }
     new GenericArrayData(if (n == nGrams) out else java.util.Arrays.copyOf(out, n))
+  }
+
+  /** Positional entry: every gram hash in position order, empty when
+    * fewer than k words. Shares the prefix-decomposition core.
+    */
+  def computePos(u: UTF8String, k: Int): ArrayData = {
+    val s = u.toString
+    val nCp = s.codePointCount(0, s.length)
+    val cps = new Array[Int](nCp)
+    var ci = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(ci) = cp; ci += 1
+      i += Character.charCount(cp)
+    }
+    val pre = new Array[Long](nCp + 1)
+    val pow = new Array[Long](nCp + 1)
+    pow(0) = 1L
+    var j = 0
+    while (j < nCp) {
+      pre(j + 1) = (pre(j) * 31L + cps(j)) % Mod
+      pow(j + 1) = pow(j) * 31L % Mod
+      j += 1
+    }
+    def rangeHash(a: Int, b: Int): Long = {
+      val x = (pre(b) - pre(a) * pow(b - a)) % Mod
+      if (x < 0) x + Mod else x
+    }
+    var nWords = 1
+    j = 0
+    while (j < nCp) { if (cps(j) == ' ') nWords += 1; j += 1 }
+    if (nWords < k) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](nWords)
+    var w = 1
+    j = 0
+    while (j < nCp) {
+      if (cps(j) == ' ') { starts(w) = j + 1; w += 1 }
+      j += 1
+    }
+    val nGrams = nWords - k + 1
+    val out = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      val end = if (g + k < nWords) starts(g + k) - 1 else nCp
+      out(g) = rangeHash(starts(g), end)
+      g += 1
+    }
+    new GenericArrayData(out)
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.PolyHash.{poly_hash, sql => polySql}
 import graft.functions.MinHashSig.min_hash_sig
-import graft.functions.ShingleHashes.shingle_hashes
+import graft.functions.ShingleHashes.{shingle_hashes, shingle_hashes_pos}
 
 /** Deduplication operators for the training-data pipeline: exact
   * (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard. All built on
@@ -774,6 +774,81 @@ object Dedup {
           CAST(coalesce(repcnt.n_repeated, 0) / ds.n_spans > $maxFrac AS INT)
             AS span_contaminated
         FROM ds LEFT JOIN repcnt ON ds.doc_id = repcnt.doc_id"""
+  }
+
+  /** Exact-substring dedup at SUFFIX granularity (d10) — maximal shared
+    * verbatim token runs across document pairs, the longest-common-
+    * substring semantics production suffix-array dedup implements (cf.
+    * the d8 scaladoc's paper): for every pair of docs sharing a verbatim
+    * run of >= minRun tokens, emit the run's start position in each doc
+    * and its exact token length. d8 answers "how much of this doc is
+    * repeated SOMEWHERE" (per-span df); d10 reconstructs WHERE and HOW
+    * LONG, pairwise — a 40-token run offset by 3 words between two docs
+    * comes back as one (doc_a, doc_b, start_a, start_b, 40) row.
+    *
+    * Sorted-suffix formulation, shuffle-bounded: every position's k-gram
+    * hash ([[graft.functions.ShingleHashesPos]], fused positional
+    * variant) -> hot-gram DF cap (d1's guard: boilerplate grams with
+    * more than dfCap occurrences are dropped BEFORE the pair join, so
+    * the join fan-out is bounded by dfCap^2 per gram, never corpus^2) ->
+    * equi-join on gram hash -> gaps-and-islands merge per (pair,
+    * alignment offset): consecutive matching positions collapse to one
+    * maximal run of count + k - 1 tokens. Shuffles: gram-hash count,
+    * gram-hash join, one (pair, offset) window — all keyed, no
+    * cartesian. Run identity is hash-based (PolyHash mod 1e9+7), the
+    * same trade every hash-dedup family here makes.
+    */
+  def suffixRuns(spark: SparkSession, sfDir: String, k: Int = 8,
+      minRun: Int = 12, dfCap: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(shingle_hashes_pos(normText, k)).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+    val keep = g.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= dfCap).select("h")
+    val gg = g.join(keep, Seq("h"))
+    val m = gg.as("a").join(gg.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .withColumn("off", col("pa") - col("pb"))
+    val w = Window.partitionBy("doc_a", "doc_b", "off").orderBy("pa")
+    m.withColumn("island", col("pa") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "off", "island")
+      .agg(min("pa").as("start_a"), min("pb").as("start_b"),
+        (count(lit(1)) + lit(k - 1).cast("long")).as("run_tokens"))
+      .filter(col("run_tokens") >= minRun)
+      .select("doc_a", "doc_b", "start_a", "start_b", "run_tokens")
+  }
+
+  def suffixRunsSql(k: Int = 8, minRun: Int = 12, dfCap: Int = 128): String = {
+    val gram = s"array_to_string(list_slice(ws, CAST(pos+1 AS INT), " +
+      s"CAST(pos+$k AS INT)), ' ')"
+    s"""WITH toks AS (
+          SELECT doc_id, string_split($normTextSql, ' ') AS ws
+          FROM documents),
+        g AS (
+          SELECT doc_id, pos, ${polySql(gram)} AS h
+          FROM (SELECT doc_id, ws, unnest(range(len(ws)-$k+1)) AS pos
+                FROM toks WHERE len(ws) >= $k)),
+        keep AS (SELECT h FROM (SELECT h, count(*) AS c FROM g GROUP BY h)
+                 WHERE c <= $dfCap),
+        gg AS (SELECT g.* FROM g JOIN keep USING (h)),
+        m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.pos AS pa, b.pos AS pb, a.pos - b.pos AS off
+              FROM gg a JOIN gg b
+                ON a.h = b.h AND a.doc_id < b.doc_id),
+        isl AS (SELECT doc_a, doc_b, off, pa, pb,
+                pa - row_number() OVER (
+                  PARTITION BY doc_a, doc_b, off ORDER BY pa) AS island
+                FROM m)
+        SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS start_a,
+          CAST(min(pb) AS BIGINT) AS start_b,
+          CAST(count(*) + $k - 1 AS BIGINT) AS run_tokens
+        FROM isl
+        GROUP BY doc_a, doc_b, off, island
+        HAVING count(*) + $k - 1 >= $minRun"""
   }
 
   /** Near-dup removal APPLIED — the curated corpus after dropping every

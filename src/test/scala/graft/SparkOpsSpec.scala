@@ -682,4 +682,83 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(r.getLong(3) == (0L until total).count(_ % 7 == 0),
       "one residue char per out-of-table-plant doc")
   }
+
+  test("suffixRuns: planted fixture — maximal runs, boundaries, sub-k runs") {
+    import spark.implicits._
+    val R = (0 until 40).map(i => s"r$i").mkString(" ")   // 40-token run
+    val S = (0 until 12).map(i => s"s$i").mkString(" ")   // exactly minRun
+    val T = (0 until 11).map(i => s"t$i").mkString(" ")   // minRun - 1
+    val U = (0 until 7).map(i => s"u$i").mkString(" ")    // below k=8
+    val docs = Seq(
+      (0L, s"f0 f1 f2 $R $S"),            // run starts at 3; S at 43
+      (1L, s"g0 g1 g2 g3 g4 g5 $R x0"),   // run starts at 6 (offset -3)
+      (2L, s"h0 h1 $S y0 $U"),            // S at 2; U below gram size
+      (3L, s"$T z0 $U"),                  // T sub-minRun, U sub-k
+      (4L, s"w0 $T"))                     // T at 1 vs doc 3's 0
+      .toDF("doc_id", "text")
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("src"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite")
+      .parquet(java.nio.file.Files.createTempDirectory("graft_d10")
+        .resolve("documents.parquet").toString match { case p0 =>
+          val d = new java.io.File(p0).getParentFile.getAbsolutePath
+          sys.props.put("graft.d10.fixture", d); p0 })
+    val dir = sys.props("graft.d10.fixture")
+    val got = Dedup.suffixRuns(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // the 40-token run offset by 3 words (defeats a fixed 16-word
+    // stride: no stride boundary aligns across the two docs) comes back
+    // as ONE maximal run; the 12-token run sits exactly on minRun; the
+    // 11-token and 7-token overlaps are rejected by minRun and gram
+    // size respectively.
+    assert(got == Set((0L, 1L, 3L, 6L, 40L), (0L, 2L, 43L, 2L, 12L)),
+      s"got $got")
+  }
+
+  test("suffixRuns == brute-force string-equality maximal runs (sf corpus)") {
+    val k = 8
+    val minRun = 12
+    val docsArr = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ").split(" "))
+      .sortBy(_._1)
+    // candidate pairs: docs sharing at least one k-gram STRING (so the
+    // brute side is hash-free — it independently checks PolyHash
+    // collisions never inflated a run on this corpus)
+    val gmap = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.ArrayBuffer[(Long, Int)]]
+    for ((id, ws) <- docsArr; i <- 0 to ws.length - k)
+      gmap.getOrElseUpdate(ws.slice(i, i + k).mkString(" "),
+        scala.collection.mutable.ArrayBuffer.empty) += ((id, i))
+    val matches = scala.collection.mutable.Map.empty[(Long, Long),
+      scala.collection.mutable.ArrayBuffer[(Int, Int)]]
+    for (occ <- gmap.values; (a, pa) <- occ; (b, pb) <- occ if a < b)
+      matches.getOrElseUpdate((a, b),
+        scala.collection.mutable.ArrayBuffer.empty) += ((pa, pb))
+    val want = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, Long)]
+    for (((a, b), ms) <- matches; ((off), grp) <- ms.groupBy { case (pa, pb) => pa - pb }) {
+      val ps = grp.map(_._1).distinct.sorted
+      // islands of consecutive positions
+      var runStart = ps.head
+      var prev = ps.head
+      def close(last: Int): Unit = {
+        val runTokens = last - runStart + k
+        if (runTokens >= minRun)
+          want += ((a, b, runStart.toLong, (runStart - off).toLong,
+            runTokens.toLong))
+      }
+      for (p <- ps.tail) {
+        if (p != prev + 1) { close(prev); runStart = p }
+        prev = p
+      }
+      close(prev)
+    }
+    val got = Dedup.suffixRuns(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got.nonEmpty, "corpus has verbatim cross-doc runs")
+    assert(got == want.toSet, s"diff: extra=${got -- want} missing=${want.toSet -- got}")
+  }
 }
