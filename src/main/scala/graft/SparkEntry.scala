@@ -154,6 +154,8 @@ object SparkEntry {
     "t21_langid_eval"  -> ((s, dir) => TextAnalysis.langIdEval(s, dir)),
     "t23_unicode_repair" -> ((s, dir) => TextAnalysis.unicodeRepair(s, dir)),
     "d10_suffix_runs"  -> ((s, dir) => Dedup.suffixRuns(s, dir)),
+    "t22_markup_extract" -> ((s, dir) => Markup.extract(s, dir)),
+    "t22_extract_quality" -> ((s, dir) => Markup.quality(s, dir)),
     // Latest-record-wins CDC compaction via one map-side max_by agg.
     "q26_compaction"   -> ((s, dir) => Relational.q26Compaction(s, dir)),
     // ADC candidates + exact refine: recall lift measured side by side.
@@ -436,6 +438,8 @@ object SparkEntry {
     "t21_langid_eval"  -> TextAnalysis.langIdEvalSql(TextAnalysis.langIdSql),
     "t23_unicode_repair" -> TextAnalysis.unicodeRepairSql,
     "d10_suffix_runs"  -> Dedup.suffixRunsSql(),
+    "t22_markup_extract" -> Markup.extractSql,
+    "t22_extract_quality" -> Markup.qualitySql,
     "q26_compaction"   -> Relational.q26CompactionSql,
     "s10_pq_refine"    -> Similarity.pqRefineRecallSql(),
     "q27_window_suite" -> Relational.q27WindowSuiteSql,

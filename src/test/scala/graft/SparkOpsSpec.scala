@@ -761,4 +761,43 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "corpus has verbatim cross-doc runs")
     assert(got == want.toSet, s"diff: extra=${got -- want} missing=${want.toSet -- got}")
   }
+
+  test("Markup extraction: planted failure modes, pre verbatim, inline links") {
+    val rows = Markup.extract(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      val exact = r.getInt(r.fieldIndex("extract_exact"))
+      val (nc, nkc) = (r.getLong(r.fieldIndex("n_content")),
+        r.getLong(r.fieldIndex("n_kept_content")))
+      val nk = r.getLong(r.fieldIndex("n_kept"))
+      assert(exact == (if (id % 5 != 0 && id % 7 != 0) 1 else 0),
+        s"doc $id exactness")
+      assert((nkc < nc) == (id % 5 == 0), s"doc $id recall miss")
+      assert((nk > nkc) == (id % 7 == 0), s"doc $id precision miss")
+    }
+    val texts = Markup.extractedText(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    texts.foreach { case (id, html, extracted, expected) =>
+      // nav/footer boilerplate never leaks through
+      assert(!extracted.contains("home") || expected.contains("home"))
+      assert(!extracted.contains("sitemap"))
+      if (id % 4 == 0) {
+        // <pre> body preserved VERBATIM, inner markup untouched
+        assert(extracted.contains(
+          s"""code_$id alpha <a href="/k">q</a> beta"""), s"doc $id pre")
+      }
+      if (id % 3 == 0) {
+        // the inline <a> was flattened, not dropped: first paragraph's
+        // first word survives in the extraction
+        assert(!extracted.contains("href=\"/x\""), s"doc $id link tag")
+      }
+      if (id % 5 == 0)
+        assert(!extracted.contains("extra1"), s"doc $id degraded dropped")
+      if (id % 7 == 0)
+        assert(extracted.contains("accept cookies"), s"doc $id cookie kept")
+      if (id % 5 != 0 && id % 7 != 0)
+        assert(extracted == expected, s"doc $id roundtrip")
+    }
+  }
 }
