@@ -155,6 +155,7 @@ object SparkEntry {
     "t23_unicode_repair" -> ((s, dir) => TextAnalysis.unicodeRepair(s, dir)),
     "d10_suffix_runs"  -> ((s, dir) => Dedup.suffixRuns(s, dir)),
     "t22_markup_extract" -> ((s, dir) => Markup.extract(s, dir)),
+    "s15_fused_hybrid" -> ((s, dir) => Similarity.fusedHybrid(s, dir)),
     "t22_extract_quality" -> ((s, dir) => Markup.quality(s, dir)),
     // Latest-record-wins CDC compaction via one map-side max_by agg.
     "q26_compaction"   -> ((s, dir) => Relational.q26Compaction(s, dir)),
@@ -439,6 +440,7 @@ object SparkEntry {
     "t23_unicode_repair" -> TextAnalysis.unicodeRepairSql,
     "d10_suffix_runs"  -> Dedup.suffixRunsSql(),
     "t22_markup_extract" -> Markup.extractSql,
+    "s15_fused_hybrid" -> Similarity.fusedHybridSql(),
     "t22_extract_quality" -> Markup.qualitySql,
     "q26_compaction"   -> Relational.q26CompactionSql,
     "s10_pq_refine"    -> Similarity.pqRefineRecallSql(),

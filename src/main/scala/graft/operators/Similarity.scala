@@ -1685,7 +1685,15 @@ object Similarity {
     */
   def rrfFusion(spark: SparkSession, sfDir: String,
       nQ: Int = 8, n: Int = 30, k: Int = 10, t: Int = 24,
-      k1: Double = 1.2, b: Double = 0.75, rrfK: Int = 60): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, rrfK: Int = 60): DataFrame =
+    rrfFuse(bm25LexRanks(spark, sfDir, nQ, n, t, k1, b),
+      denseExactRanks(spark, sfDir, nQ, n), k, rrfK)
+
+  /** BM25 leg of the hybrid retrievers (s12/s15): term-budgeted scores
+    * -> per-query lexical top-`n` ranks.
+    */
+  private def bm25LexRanks(spark: SparkSession, sfDir: String,
+      nQ: Int, n: Int, t: Int, k1: Double, b: Double): DataFrame = {
     val docs = Tables.loadSpread(spark, sfDir, "documents")
       .select(col("doc_id"),
         split(trim(lower(col("text"))), "\\s+").as("ws"))
@@ -1730,18 +1738,61 @@ object Similarity {
       .withColumn("lex_rank", row_number().over(wLex).cast("long"))
       .filter(col("lex_rank") <= n)
       .select("q_id", "doc_id", "lex_rank")
+    lex
+  }
+
+  /** Exact brute-force dense leg (s12): per-query cosine top-`n`. */
+  private def denseExactRanks(spark: SparkSession, sfDir: String,
+      nQ: Int, n: Int): DataFrame = {
     val vecs = vecsDouble(spark, sfDir)
     val qv = vecs.filter(col("vec_id") < nQ)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val cv = vecs.select(col("vec_id").as("doc_id"), col("v").as("nv"))
     val wDen = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("doc_id").asc)
-    val dense = qv.join(cv, col("q_id") =!= col("doc_id"))
+    qv.join(cv, col("q_id") =!= col("doc_id"))
       .withColumn("cos",
         dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
       .withColumn("dense_rank", row_number().over(wDen).cast("long"))
       .filter(col("dense_rank") <= n)
       .select("q_id", "doc_id", "dense_rank")
+  }
+
+  /** Binary-code dense leg (s15): Hamming top-`m` shortlist over the
+    * 1-bit sign codes (the s11 memory-bound scan), exact-cosine rerank
+    * of the shortlist only, per-query top-`n` — the scale path that
+    * never runs the float cosine against the full corpus.
+    */
+  private def denseHammingRanks(spark: SparkSession, sfDir: String,
+      nQ: Int, n: Int, m: Int): DataFrame = {
+    val vecs = vecsDouble(spark, sfDir)
+    val codes = vecs.select(col("vec_id"), signCode(col("v")).as("code"))
+    val q = codes.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("code").as("qc"))
+    val c = codes.select(col("vec_id").as("doc_id"), col("code").as("cc"))
+    val wH = Window.partitionBy("q_id")
+      .orderBy(col("ham").asc, col("doc_id").asc)
+    val short = q.join(c, col("q_id") =!= col("doc_id"))
+      .withColumn("ham", hammingDist(col("qc"), col("cc")))
+      .withColumn("hrank", row_number().over(wH))
+      .filter(col("hrank") <= m)
+      .select("q_id", "doc_id")
+    val qv = vecs.select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val nv = vecs.select(col("vec_id").as("doc_id"), col("v").as("nv"))
+    val wC = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    val shortQ = broadcast(short).join(qv, "q_id")
+    broadcast(shortQ).join(nv, "doc_id")
+      .withColumn("cos",
+        dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
+      .withColumn("dense_rank", row_number().over(wC).cast("long"))
+      .filter(col("dense_rank") <= n)
+      .select("q_id", "doc_id", "dense_rank")
+  }
+
+  /** Reciprocal-rank fusion of a lexical and a dense rank leg. */
+  private def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int,
+      rrfK: Int): DataFrame = {
     val wF = Window.partitionBy("q_id")
       .orderBy(col("rrf").desc, col("doc_id").asc)
     lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
@@ -1753,9 +1804,46 @@ object Similarity {
       .select("q_id", "doc_id", "lex_rank", "dense_rank", "rrf", "rank")
   }
 
-  def rrfFusionSql(nQ: Int = 8, n: Int = 30, k: Int = 10, t: Int = 24,
-      k1: Double = 1.2, b: Double = 0.75, rrfK: Int = 60): String =
-    s"""WITH d AS (
+  /** s15: hybrid retrieval at SCALE — s12's fusion with the dense leg
+    * served from the s11 binary-code shortlist instead of the exact
+    * brute-force scan, plus the fusion-recall measurement against the
+    * exact fusion IN the result (the d6_recall_sampled discipline: the
+    * quality delta of the approximation is a measured column, not an
+    * assumption). The lexical leg is computed ONCE and shared by both
+    * fusion variants; only the dense legs differ. At 100 TB the exact
+    * leg is the sampled-truth half (nQ stays fixed while the corpus
+    * grows — its cost is one scan), and the serving path is the
+    * code-scan leg.
+    *
+    * Output: the approximate fused top-k per query, each row flagged
+    * `in_exact` (member of the exact fused top-k), with the per-query
+    * match count and recall@k replicated per row (integer-sum window,
+    * one final division — deterministic).
+    */
+  def fusedHybrid(spark: SparkSession, sfDir: String,
+      nQ: Int = 8, n: Int = 30, k: Int = 10, t: Int = 24, m: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75, rrfK: Int = 60): DataFrame = {
+    val lex = bm25LexRanks(spark, sfDir, nQ, n, t, k1, b).localCheckpoint()
+    val approx = rrfFuse(lex, denseHammingRanks(spark, sfDir, nQ, n, m),
+      k, rrfK)
+    val exact = rrfFuse(lex, denseExactRanks(spark, sfDir, nQ, n), k, rrfK)
+      .select(col("q_id"), col("doc_id"), lit(1).as("in_exact"))
+    val wQ = Window.partitionBy("q_id")
+    approx.join(broadcast(exact), Seq("q_id", "doc_id"), "left")
+      .withColumn("in_exact", coalesce(col("in_exact"), lit(0)))
+      .withColumn("n_match", sum("in_exact").over(wQ).cast("long"))
+      .withColumn("recall_at_k",
+        col("n_match").cast("double") / lit(k).cast("double"))
+      .select("q_id", "doc_id", "rrf", "rank", "in_exact", "n_match",
+        "recall_at_k")
+  }
+
+  /** Lexical-leg CTE chain shared by the s12/s15 oracles: documents ->
+    * term-budgeted BM25 -> per-query lexical top-n (`lex`).
+    */
+  private def hybridLexCtes(nQ: Int, n: Int, t: Int,
+      k1: Double, b: Double): String =
+    s"""d AS (
           SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl
           FROM (SELECT doc_id,
                   string_split_regex(trim(lower(text)), '\\s+') AS ws
@@ -1804,8 +1892,11 @@ object Similarity {
                 PARTITION BY q_id ORDER BY lex_s DESC, doc_id ASC)
               AS BIGINT) AS lex_rank
             FROM lexs)
-          WHERE lex_rank <= $n),
-        vecs AS ($vecsDoubleSql),
+          WHERE lex_rank <= $n)"""
+
+  /** Exact dense-leg CTEs (`vecs`, `dense`) — the brute-force cosine. */
+  private def denseExactCtes(nQ: Int, n: Int): String =
+    s"""vecs AS ($vecsDoubleSql),
         dens AS (
           SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
             ${dotSql("q.v", "c.v")} / (${normSql("q.v")} * ${normSql("c.v")})
@@ -1818,8 +1909,63 @@ object Similarity {
                 PARTITION BY q_id ORDER BY cos DESC, doc_id ASC)
               AS BIGINT) AS dense_rank
             FROM dens)
-          WHERE dense_rank <= $n),
-        fused AS (
+          WHERE dense_rank <= $n)"""
+
+  /** Hamming-shortlist dense-leg CTEs (`denseh`), over the `vecs` CTE:
+    * sign codes -> Hamming top-m -> exact-cosine rerank top-n (the SQL
+    * twin of [[denseHammingRanks]]; code construction mirrors
+    * [[hammingRerankSql]]).
+    */
+  private def denseHammingCtes(nQ: Int, n: Int, m: Int): String = {
+    val W = BinWordBits
+    s"""bits AS (
+          SELECT vec_id, list_transform(range(1, len(v)+1), i ->
+            CASE WHEN v[i] > 0 THEN 1::BIGINT << ((i-1) % $W)
+                 ELSE 0::BIGINT END) AS b
+          FROM vecs),
+        codes AS (
+          SELECT vec_id,
+            list_transform(range(0, CAST(floor((len(b) + ${W - 1}) / ${W}.0) AS INT)), w ->
+              list_reduce(list_prepend(0::BIGINT,
+                list_transform(range(1, ${W + 1}), j ->
+                  CASE WHEN w*$W + j <= len(b) THEN b[w*$W + j]
+                       ELSE 0::BIGINT END)),
+                (x, y) -> x | y)) AS code
+          FROM bits),
+        hamm AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+            list_reduce(list_prepend(0::BIGINT,
+              list_transform(range(1, len(q.code)+1), w ->
+                bit_count(xor(q.code[w], c.code[w]))::BIGINT)),
+              (x, y) -> x + y) AS ham
+          FROM codes q JOIN codes c
+            ON q.vec_id < $nQ AND q.vec_id <> c.vec_id),
+        hshort AS (
+          SELECT q_id, doc_id FROM (
+            SELECT q_id, doc_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY ham ASC, doc_id ASC) AS hrank
+            FROM hamm)
+          WHERE hrank <= $m),
+        hscored AS (
+          SELECT s.q_id, s.doc_id,
+            ${dotSql("qt.v", "nt.v")} / (${normSql("qt.v")} * ${normSql("nt.v")})
+              AS cos
+          FROM hshort s
+            JOIN vecs qt ON qt.vec_id = s.q_id
+            JOIN vecs nt ON nt.vec_id = s.doc_id),
+        denseh AS (
+          SELECT q_id, doc_id, dense_rank FROM (
+            SELECT q_id, doc_id, CAST(row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, doc_id ASC)
+              AS BIGINT) AS dense_rank
+            FROM hscored)
+          WHERE dense_rank <= $n)"""
+  }
+
+  /** One RRF fusion CTE over `lex` and a dense relation. */
+  private def rrfFusedCte(name: String, denseRel: String,
+      rrfK: Int): String =
+    s"""$name AS (
           SELECT coalesce(l.q_id, e.q_id) AS q_id,
             coalesce(l.doc_id, e.doc_id) AS doc_id,
             l.lex_rank, e.dense_rank,
@@ -1827,12 +1973,49 @@ object Similarity {
               CAST(0 AS DOUBLE)) +
             coalesce(CAST(1.0 AS DOUBLE) / ($rrfK + e.dense_rank),
               CAST(0 AS DOUBLE)) AS rrf
-          FROM lex l FULL JOIN dense e
-            ON l.q_id = e.q_id AND l.doc_id = e.doc_id)
+          FROM lex l FULL JOIN $denseRel e
+            ON l.q_id = e.q_id AND l.doc_id = e.doc_id)"""
+
+  def rrfFusionSql(nQ: Int = 8, n: Int = 30, k: Int = 10, t: Int = 24,
+      k1: Double = 1.2, b: Double = 0.75, rrfK: Int = 60): String =
+    s"""WITH ${hybridLexCtes(nQ, n, t, k1, b)},
+        ${denseExactCtes(nQ, n)},
+        ${rrfFusedCte("fused", "dense", rrfK)}
         SELECT q_id, doc_id, lex_rank, dense_rank, rrf, rank FROM (
           SELECT *, CAST(row_number() OVER (
               PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC)
             AS BIGINT) AS rank
           FROM fused)
         WHERE rank <= $k"""
+
+  def fusedHybridSql(nQ: Int = 8, n: Int = 30, k: Int = 10, t: Int = 24,
+      m: Int = 60, k1: Double = 1.2, b: Double = 0.75,
+      rrfK: Int = 60): String =
+    s"""WITH ${hybridLexCtes(nQ, n, t, k1, b)},
+        ${denseExactCtes(nQ, n)},
+        ${denseHammingCtes(nQ, n, m)},
+        ${rrfFusedCte("fuseda", "denseh", rrfK)},
+        ${rrfFusedCte("fusede", "dense", rrfK)},
+        ranka AS (
+          SELECT q_id, doc_id, rrf, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC)
+              AS BIGINT) AS rank
+            FROM fuseda)
+          WHERE rank <= $k),
+        ranke AS (
+          SELECT q_id, doc_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC) AS rank
+            FROM fusede)
+          WHERE rank <= $k)
+        SELECT q_id, doc_id, rrf, rank, in_exact,
+          CAST(sum(in_exact) OVER (PARTITION BY q_id) AS BIGINT) AS n_match,
+          CAST(CAST(sum(in_exact) OVER (PARTITION BY q_id) AS BIGINT)
+            AS DOUBLE) / CAST($k AS DOUBLE) AS recall_at_k
+        FROM (
+          SELECT a.q_id, a.doc_id, a.rrf, a.rank,
+            CAST(e.q_id IS NOT NULL AS INT) AS in_exact
+          FROM ranka a LEFT JOIN ranke e
+            ON a.q_id = e.q_id AND a.doc_id = e.doc_id)"""
 }
