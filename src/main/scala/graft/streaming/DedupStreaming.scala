@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import graft.operators.{Dedup, Multimodal}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Streaming near-duplicate DEDUP-AT-INGEST — the streaming twin of the
   * batch MinHash-LSH pass ([[Dedup.minhashLsh]]): as documents arrive,
@@ -139,6 +139,65 @@ object DedupStreaming {
             seen = ((d.doc_id, d.lo, d.hi) :: seen).take(maxBucket)
           }
           state.update(PHashBucketState(seen))
+          out.result().iterator
+        })
+  }
+
+  case class EmbBand(band: Int, bkey: Long, vec_id: Long,
+      v: Seq[Double], bks: Seq[Long])
+  case class EmbMatch(vec_id: Long, canonical_id: Long, cos: Double)
+  case class EmbBucketState(docs: List[(Long, Seq[Double], Seq[Long])])
+
+  /** Streaming twin of [[Similarity.embedNearDup]] — EMBEDDING near-dup
+    * check at ingest, the highest-volume family's ingest-dedup story: as
+    * vectors arrive, each is SRP-banded with the batch pass's exact
+    * plane table ([[Similarity.srpBandKeys]], bit-identical arithmetic)
+    * and compared by exact cosine against everything already ingested in
+    * its band buckets; a match emits (vec_id, canonical_id, cos).
+    *
+    * Batch-contract carryovers: canonical-witness band dedup — a pair is
+    * emitted only at the FIRST band where the two signatures agree, so a
+    * pair sharing several bands emits ONCE (the batch side's
+    * no-distinct-shuffle trick, replayed against state priors using the
+    * signature vectors both sides carry); first-INGESTED canonical (the
+    * [[pHashDupStream]] widening — under in-id-order ingest this
+    * coincides with the batch id_a < id_b relation and stream == batch
+    * exactly, cosines included). State per (band, bkey) holds (id, v,
+    * bks) — the vector is needed for the exact-cosine verify; a
+    * production deployment bounds it with `maxBucket` (FIFO eviction)
+    * or an event-time timeout, default unbounded for the exact-recall
+    * contract the spec pins.
+    */
+  def embedDupStream(vecs: DataFrame, threshold: Double = 0.3,
+      maxBucket: Int = Int.MaxValue): Dataset[EmbMatch] = {
+    import vecs.sparkSession.implicits._
+    val typed = vecs.select(col("vec_id").cast("long").as("vec_id"),
+      col("v")).as[(Long, Seq[Double])]
+    val banded = typed.flatMap { case (id, v) =>
+      val bks = Similarity.srpBandKeys(v.toIndexedSeq)
+      bks.iterator.zipWithIndex.map { case (bk, band) =>
+        EmbBand(band, bk, id, v, bks.toSeq)
+      }
+    }
+    banded.groupByKey(d => (d.band, d.bkey))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), rows: Iterator[EmbBand],
+            state: GroupState[EmbBucketState]) => {
+          var seen = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = List.newBuilder[EmbMatch]
+          rows.toSeq.sortBy(_.vec_id).foreach { d =>
+            seen.foreach { case (cid, cv, cbks) =>
+              val firstBand = cbks.zip(d.bks).indexWhere {
+                case (x, y) => x == y }
+              if (firstBand == d.band) {
+                val cos = Similarity.cosineSeq(cv.toIndexedSeq,
+                  d.v.toIndexedSeq)
+                if (cos >= threshold) out += EmbMatch(d.vec_id, cid, cos)
+              }
+            }
+            seen = ((d.vec_id, d.v, d.bks) :: seen).take(maxBucket)
+          }
+          state.update(EmbBucketState(seen))
           out.result().iterator
         })
   }

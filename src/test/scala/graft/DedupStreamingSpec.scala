@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import graft.streaming.DedupStreaming
 
 /** Streaming dedup-at-ingest vs the batch pair relation: feeding docs in
@@ -13,7 +13,7 @@ import graft.streaming.DedupStreaming
   * pass — including dups whose canonical arrived in an EARLIER
   * micro-batch (the cross-batch state contract).
   */
-class DedupStreamingSpec extends AnyFunSuite {
+class DedupStreamingSpec extends AnyFunSuite with RocksDbSupport {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -184,5 +184,54 @@ class DedupStreamingSpec extends AnyFunSuite {
       assert(got == Set((7L, 500L)),
         s"expected the late lower-id doc flagged against the prior: $got")
     } finally q.stop()
+  }
+
+  /** The embedding twin: streaming SRP-band near-dup at ingest == the
+    * batch multi-band pair relation of d6 (first matching band, exact
+    * cosine >= t, lower-id canonical), across micro-batches, over the
+    * real test embeddings — on BOTH state-store providers. Cosines are
+    * compared EXACTLY: the stream's plain-JVM signature/cosine path must
+    * be bit-identical to the batch VecDot expressions.
+    */
+  test("stream embed near-dup == batch SRP band pair relation (both providers)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val expected = Similarity.embedNearDup(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "corpus must contain embedding near-dups")
+    val vecRows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    var runId = 0
+    def run(): Set[(Long, Long, Double)] = {
+      runId += 1
+      val in = MemoryStream[(Long, Seq[Double])]
+      val out = DedupStreaming.embedDupStream(in.toDF.toDF("vec_id", "v"))
+      val name = s"embed_ingest_$runId"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val (b1, b2) = vecRows.splitAt(vecRows.length / 2)
+        in.addData(b1)
+        q.processAllAvailable()
+        in.addData(b2)
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      } finally q.stop()
+    }
+    val got = run()
+    assert(got == expected, s"default provider: extra=${got -- expected} " +
+      s"missing=${expected -- got}")
+    val boundary = vecRows(vecRows.length / 2 - 1)._1
+    assert(expected.exists { case (d, c, _) => d > boundary && c <= boundary },
+      "corpus must exercise a cross-batch pair")
+    withRocksDb {
+      val gotR = run()
+      assert(gotR == expected, s"rocksdb provider: extra=${gotR -- expected} " +
+        s"missing=${expected -- gotR}")
+    }
   }
 }
