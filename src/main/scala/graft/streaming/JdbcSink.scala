@@ -107,7 +107,9 @@ object JdbcSink {
       * connection closes. Exactly-once belongs to the layer above: the
       * streaming requeue wrapper replays whole micro-batches, and the
       * reference accepts the same duplicate window
-      * (stream_insert_db.js:295-327 has no dedup key either).
+      * (stream_insert_db.js:295-327 has no dedup key either). Sinks
+      * fronting a non-replayable consumer use [[JdbcSink.upsertBatch]]
+      * instead — keyed idempotence closes the window.
       */
     def writeBatch(df: DataFrame, url: String, table: String): Unit = {
       require(df.columns.toSeq == columns.map(_._1),
@@ -156,6 +158,80 @@ object JdbcSink {
     }
   }
 
+  /** Keyed IDEMPOTENT upsert — the exactly-once variant of
+    * [[writeBatch]] for sinks fronting non-replayable consumers. Each
+    * partition runs delete-then-insert on its key set inside ONE
+    * transaction (the portable upsert: no MERGE/ON CONFLICT dialect
+    * divergence between Derby, the live test engine, and Postgres), so
+    * any replay — a task retried after its commit, or a whole
+    * micro-batch replayed by the requeue wrapper after a partial
+    * failure — converges to exactly one row per key instead of
+    * appending duplicates.
+    *
+    * Contract: the target table exists (the append path's auto-create
+    * belongs to Spark's writer; an upsert's key columns are schema
+    * design, not inference), and keys are unique WITHIN a batch (true
+    * for every keyed frame here, e.g. stats rows on (ts_ms, server,
+    * service, lag) — the deletes all run before the inserts, so an
+    * in-batch duplicate key would survive as two inserted rows).
+    *
+    * `onPartitionCommit` is a post-commit hook (partitionId => Unit)
+    * used by the fault-injection spec to stage the committed-then-failed
+    * replay window; production callers leave the default no-op.
+    */
+  def upsertBatch(df: DataFrame, url: String, table: String,
+      keyCols: Seq[String], numPartitions: Int = 8,
+      onPartitionCommit: Int => Unit = _ => ()): Unit = {
+    val cols = df.columns.toSeq
+    require(keyCols.nonEmpty && keyCols.forall(cols.contains),
+      s"key columns $keyCols must be a subset of ${cols}")
+    val capped =
+      if (df.rdd.getNumPartitions > numPartitions) df.coalesce(numPartitions)
+      else df
+    val delSql = s"DELETE FROM $table WHERE " +
+      keyCols.map(k => s"$k = ?").mkString(" AND ")
+    val insSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val keyIdx = keyCols.map(cols.indexOf)
+    val n = cols.size
+    capped.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val c = java.sql.DriverManager.getConnection(url)
+        try {
+          c.setAutoCommit(false)
+          val del = c.prepareStatement(delSql)
+          val ins = c.prepareStatement(insSql)
+          try {
+            rows.foreach { r =>
+              var i = 0
+              while (i < keyIdx.size) {
+                del.setObject(i + 1, r.get(keyIdx(i))); i += 1
+              }
+              del.addBatch()
+              i = 0
+              while (i < n) {
+                if (r.isNullAt(i)) ins.setObject(i + 1, null)
+                else ins.setObject(i + 1, r.get(i))
+                i += 1
+              }
+              ins.addBatch()
+            }
+            del.executeBatch()
+            ins.executeBatch()
+            c.commit()
+          } catch {
+            case e: Throwable =>
+              try c.rollback() catch {
+                case scala.util.control.NonFatal(r) => e.addSuppressed(r)
+              }
+              throw e
+          } finally { del.close(); ins.close() }
+        } finally c.close()
+        onPartitionCommit(org.apache.spark.TaskContext.getPartitionId())
+      }
+    }
+  }
+
   /** The `stats`-table row shape (stream_insert_db.js:149-160): flat
     * identity/measure columns + the 15 z-score fields as ONE json
     * string column, exactly the reference's jsonb payload.
@@ -178,5 +254,18 @@ object JdbcSink {
       : StreamingQuery =
     ApmStreaming.sinkWithRequeue(df, checkpoint, parkDir,
       (batch, _) => writeBatch(batch, url, table),
+      availableNow = availableNow, trigger = trigger)
+
+  /** [[sinkToJdbc]] with the idempotent [[upsertBatch]] writer: the
+    * requeue wrapper's whole-batch replays (and Spark's own task
+    * retries) converge instead of duplicating — exactly-once by keyed
+    * idempotence.
+    */
+  def sinkToJdbcUpsert(df: DataFrame, url: String, table: String,
+      keyCols: Seq[String], checkpoint: String, parkDir: String,
+      availableNow: Boolean = true, trigger: String = "5 seconds")
+      : StreamingQuery =
+    ApmStreaming.sinkWithRequeue(df, checkpoint, parkDir,
+      (batch, _) => upsertBatch(batch, url, table, keyCols),
       availableNow = availableNow, trigger = trigger)
 }

@@ -195,6 +195,57 @@ class JdbcSinkSpec extends AnyFunSuite {
       assert(w.parkedBatches().isEmpty, "park dir must drain")
     } finally q.stop()
   }
+
+  test("keyed upsert converges across a committed-then-failed replay " +
+      "(exactly-once); append duplicates under the same replay") {
+    val url = derbyUrl()
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(
+          "CREATE TABLE ups (k BIGINT NOT NULL PRIMARY KEY, " +
+            "server VARCHAR(16), v DOUBLE)")
+        ()
+      } finally st.close()
+    } finally conn.close()
+    val df = spark.range(0, 100)
+      .select(col("id").as("k"),
+        concat(lit("s"), (col("id") % 4).cast("string")).as("server"),
+        (col("id") * lit(0.5)).as("v"))
+      .repartition(4).cache()
+    df.count()
+    // Stage the at-least-once window the requeue wrapper actually
+    // produces: one partition COMMITS, then its task fails -> the batch
+    // as a whole errors with part of it already durable, and the wrapper
+    // replays the WHOLE batch.
+    JdbcUpsertFailOnce.reset()
+    intercept[Exception] {
+      JdbcSink.upsertBatch(df, url, "ups", Seq("k"),
+        onPartitionCommit = JdbcUpsertFailOnce.hook)
+    }
+    val partial = readTable(url, "ups").count()
+    assert(partial > 0, "the failed run must leave committed rows behind")
+    // full replay via the same upsert: converges to exactly one row/key
+    JdbcSink.upsertBatch(df, url, "ups", Seq("k"))
+    val back = readTable(url, "ups")
+    assert(back.count() == 100)
+    val got = back.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val want = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == want, "cell-exact convergence")
+    // a third replay is a no-op too (idempotence, not luck)
+    JdbcSink.upsertBatch(df, url, "ups", Seq("k"))
+    assert(readTable(url, "ups").count() == 100)
+    // contrast: the append writer duplicates under the same whole-batch
+    // replay — the at-least-once window the upsert closes
+    JdbcSink.writeBatch(df, url, "app")
+    JdbcSink.writeBatch(df, url, "app")
+    assert(readTable(url, "app").count() == 200)
+    df.unpersist(); ()
+  }
+
 }
 
 /** A recording JDBC driver double registered under `jdbc:postgresql:`
@@ -281,4 +332,16 @@ object PgDriverDouble {
   }
 
   def ensureRegistered(): Unit = registered
+}
+
+/** Post-commit fault injection for the upsert spec: a static singleton so
+  * the executor-side closure shares the flag in local mode (a captured
+  * AtomicBoolean would be serialized per task and mutate a copy).
+  */
+object JdbcUpsertFailOnce {
+  private val done = new AtomicBoolean(false)
+  def reset(): Unit = done.set(false)
+  def hook(pid: Int): Unit =
+    if (pid == 0 && !done.getAndSet(true))
+      throw new RuntimeException("injected post-commit failure")
 }
