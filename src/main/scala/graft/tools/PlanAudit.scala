@@ -78,6 +78,12 @@ object PlanAudit {
     // s13: the nQ-row query broadcast of the prefix-8 funnel mouth (the
     // one corpus-wide stage); stages 2/3 are shortlist equi BHJs
     "s13_mrl_funnel" -> 1,
+    // s15: the nQ-row broadcasts of its two dense legs — the exact
+    // truth leg (s12's knnBrute shape) and the Hamming code scan (s11's
+    // shape); the shared lexical leg is eagerly checkpointed at
+    // construction, so its 1-row stats cross never appears in the
+    // audited plan, and all rerank/fusion joins are equi BHJ/SMJ
+    "s15_fused_hybrid" -> 2,
     // q30: the 1-row hour-origin scalar aggregate crossed onto the
     // events scan, once per layout leg of the union
     "q30_zorder" -> 2,
