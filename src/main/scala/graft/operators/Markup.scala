@@ -72,7 +72,11 @@ object Markup {
     val w0 = element_at(split(p0, " "), 1)
     val p0linked = concat(lit("<a href=\"/x\">"), w0, lit("</a>"),
       p0.substr(length(w0) + lit(1), length(p0)))
-    val parasFinal = when(col("doc_id") % 3 === 0 && size(paras) > 0,
+    // plant the inline link only into a FULL first paragraph: a short
+    // one (rest < 20 words) could push density past the keep threshold,
+    // turning planted content into an unplanned failure mode (the %5
+    // paragraph exists to plant that deliberately)
+    val parasFinal = when(col("doc_id") % 3 === 0 && size(rest) >= 20,
       concat(array(p0linked),
         slice(paras, lit(2), greatest(size(paras) - 1, lit(0)))))
       .otherwise(paras)
@@ -202,13 +206,13 @@ object Markup {
             list_slice(ws, 5, len(ws)) AS rest
           FROM toks),
         paras0 AS (
-          SELECT doc_id, source, norm, h1w,
+          SELECT doc_id, source, norm, h1w, len(rest) AS nrest,
             list_transform(range(CAST(ceil(len(rest)/20.0) AS BIGINT)),
               j -> $para) AS paras
           FROM seg),
         paras1 AS (
           SELECT doc_id, source, norm, h1w,
-            CASE WHEN doc_id % 3 = 0 AND len(paras) > 0 THEN
+            CASE WHEN doc_id % 3 = 0 AND nrest >= 20 THEN
               list_prepend(
                 '<a href="/x">' || string_split(paras[1], ' ')[1] ||
                   '</a>' || substr(paras[1],

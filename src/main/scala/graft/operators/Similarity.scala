@@ -168,6 +168,12 @@ object Similarity {
     * equivalence spec pins bit-exactness.
     */
   private[graft] def srpBandKeys(v: IndexedSeq[Double]): Array[Long] = {
+    // the same loud dimension guard as the batch side's
+    // vecsDoubleChecked: a short vector would throw a bare
+    // IndexOutOfBounds inside the stateful operator, a long one would
+    // silently truncate the banding while the cosine uses full length
+    require(v.length == SrpDim,
+      s"SRP-LSH requires embedding dim $SrpDim, got ${v.length}")
     val out = new Array[Long](LshBands)
     var f = 0
     while (f < LshBands) {

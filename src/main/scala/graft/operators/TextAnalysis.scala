@@ -1069,9 +1069,11 @@ object TextAnalysis {
     *
     * Columns: n_moji_fixed / n_ctl_stripped are CHAR-COUNT deltas of
     * their repair stage (each planted fix removes exactly one char);
-    * n_moji_residue counts surviving mis-decode lead chars (U+00C3);
-    * repair_exact compares against the closed-form expected text and is 0
-    * exactly for the docs carrying the out-of-table plant.
+    * n_moji_residue counts surviving mis-decode lead chars (U+00C3) —
+    * it is the live detector for the out-of-table plant (one per %7
+    * doc); repair_exact compares against the closed-form expected text,
+    * which models the unrepairable residue STAYING in place, so a
+    * correct repair scores 1 on every doc (the spec pins both).
     */
   def unicodeRepair(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.NfcNormalize.nfc_normalize
@@ -1127,7 +1129,7 @@ object TextAnalysis {
                 regexp_replace(moji,
                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') AS ctl
               FROM f),
-        r AS (SELECT *, nfc_normalize(ctl) AS repaired FROM s)
+        r AS (SELECT *, ${graft.functions.NfcNormalize.sql("ctl")} AS repaired FROM s)
         SELECT doc_id,
           CAST(length(corrupted) - length(moji) AS BIGINT) AS n_moji_fixed,
           CAST(length(moji) - length(ctl) AS BIGINT) AS n_ctl_stripped,

@@ -136,7 +136,10 @@ object DedupStreaming {
                 java.lang.Long.bitCount(chi ^ d.hi)
               if (h <= tau) out += PHashMatch(d.doc_id, cid, h)
             }
-            seen = ((d.doc_id, d.lo, d.hi) :: seen).take(maxBucket)
+            // cap only when asked: List.take walks/allocates the whole
+            // prefix, so the unbounded default stays an O(1) prepend
+            seen = (d.doc_id, d.lo, d.hi) :: seen
+            if (maxBucket != Int.MaxValue) seen = seen.take(maxBucket)
           }
           state.update(PHashBucketState(seen))
           out.result().iterator
@@ -195,7 +198,8 @@ object DedupStreaming {
                 if (cos >= threshold) out += EmbMatch(d.vec_id, cid, cos)
               }
             }
-            seen = ((d.vec_id, d.v, d.bks) :: seen).take(maxBucket)
+            seen = (d.vec_id, d.v, d.bks) :: seen
+            if (maxBucket != Int.MaxValue) seen = seen.take(maxBucket)
           }
           state.update(EmbBucketState(seen))
           out.result().iterator

@@ -175,6 +175,11 @@ object JdbcSink {
     * service, lag) — the deletes all run before the inserts, so an
     * in-batch duplicate key would survive as two inserted rows).
     *
+    * Key columns must be NON-NULL: the keyed delete uses `k = ?`, and
+    * SQL three-valued logic makes `k = NULL` match nothing — a null key
+    * would silently reopen the duplicate window on replay, so the
+    * writer rejects it loudly instead.
+    *
     * `onPartitionCommit` is a post-commit hook (partitionId => Unit)
     * used by the fault-injection spec to stage the committed-then-failed
     * replay window; production callers leave the default no-op.
@@ -190,8 +195,17 @@ object JdbcSink {
       else df
     val delSql = s"DELETE FROM $table WHERE " +
       keyCols.map(k => s"$k = ?").mkString(" AND ")
+    // Dialect-aware insert placeholders: against Postgres, columns the
+    // PgStats dialect declares (e.g. the stats table's jsonb payload)
+    // keep their cast placeholder — the same reason writeBatch routes
+    // through PgStats (a plain VARCHAR parameter is rejected against a
+    // jsonb column).
+    def placeholder(c: String): String =
+      if (PgStats.isPostgres(url))
+        PgStats.columns.find(_._1 == c).map(_._3).getOrElse("?")
+      else "?"
     val insSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
-      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+      s"VALUES (${cols.map(placeholder).mkString(", ")})"
     val keyIdx = keyCols.map(cols.indexOf)
     val n = cols.size
     capped.foreachPartition { (rows: Iterator[Row]) =>
@@ -205,6 +219,11 @@ object JdbcSink {
             rows.foreach { r =>
               var i = 0
               while (i < keyIdx.size) {
+                if (r.isNullAt(keyIdx(i)))
+                  throw new IllegalArgumentException(
+                    s"upsert key column ${cols(keyIdx(i))} is null — " +
+                      "a null key cannot be matched by the keyed delete " +
+                      "and would duplicate on replay")
                 del.setObject(i + 1, r.get(keyIdx(i))); i += 1
               }
               del.addBatch()
