@@ -154,6 +154,7 @@ object SparkEntry {
     "t21_langid_eval"  -> ((s, dir) => TextAnalysis.langIdEval(s, dir)),
     "t23_unicode_repair" -> ((s, dir) => TextAnalysis.unicodeRepair(s, dir)),
     "d10_suffix_runs"  -> ((s, dir) => Dedup.suffixRuns(s, dir)),
+    "d11_span_scrub"   -> ((s, dir) => Dedup.spanScrub(s, dir)),
     "t22_markup_extract" -> ((s, dir) => Markup.extract(s, dir)),
     "s15_fused_hybrid" -> ((s, dir) => Similarity.fusedHybrid(s, dir)),
     "t22_extract_quality" -> ((s, dir) => Markup.quality(s, dir)),
@@ -439,6 +440,7 @@ object SparkEntry {
     "t21_langid_eval"  -> TextAnalysis.langIdEvalSql(TextAnalysis.langIdSql),
     "t23_unicode_repair" -> TextAnalysis.unicodeRepairSql,
     "d10_suffix_runs"  -> Dedup.suffixRunsSql(),
+    "d11_span_scrub"   -> Dedup.spanScrubSql(),
     "t22_markup_extract" -> Markup.extractSql,
     "s15_fused_hybrid" -> Similarity.fusedHybridSql(),
     "t22_extract_quality" -> Markup.qualitySql,

@@ -822,10 +822,13 @@ object Dedup {
       .select("doc_a", "doc_b", "start_a", "start_b", "run_tokens")
   }
 
-  def suffixRunsSql(k: Int = 8, minRun: Int = 12, dfCap: Int = 128): String = {
+  /** The d10 CTE chain ending in `runs(doc_a, doc_b, start_a, start_b,
+    * run_tokens)` — shared by the run query and the scrub apply.
+    */
+  private def suffixRunsCtes(k: Int, minRun: Int, dfCap: Int): String = {
     val gram = s"array_to_string(list_slice(ws, CAST(pos+1 AS INT), " +
       s"CAST(pos+$k AS INT)), ' ')"
-    s"""WITH toks AS (
+    s"""toks AS (
           SELECT doc_id, string_split($normTextSql, ' ') AS ws
           FROM documents),
         g AS (
@@ -842,14 +845,104 @@ object Dedup {
         isl AS (SELECT doc_a, doc_b, off, pa, pb,
                 pa - row_number() OVER (
                   PARTITION BY doc_a, doc_b, off ORDER BY pa) AS island
-                FROM m)
-        SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS start_a,
-          CAST(min(pb) AS BIGINT) AS start_b,
-          CAST(count(*) + $k - 1 AS BIGINT) AS run_tokens
-        FROM isl
-        GROUP BY doc_a, doc_b, off, island
-        HAVING count(*) + $k - 1 >= $minRun"""
+                FROM m),
+        runs AS (
+          SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS start_a,
+            CAST(min(pb) AS BIGINT) AS start_b,
+            CAST(count(*) + $k - 1 AS BIGINT) AS run_tokens
+          FROM isl
+          GROUP BY doc_a, doc_b, off, island
+          HAVING count(*) + $k - 1 >= $minRun)"""
   }
+
+  def suffixRunsSql(k: Int = 8, minRun: Int = 12, dfCap: Int = 128): String =
+    s"""WITH ${suffixRunsCtes(k, minRun, dfCap)}
+        SELECT doc_a, doc_b, start_a, start_b, run_tokens FROM runs"""
+
+  /** d10 APPLIED — exact-substring scrub (d11): for every doc, the
+    * verbatim token spans it shares with an EARLIER doc (its doc_b-side
+    * [[suffixRuns]] intervals — the canonical lower-id copy keeps its
+    * text, the later copy is scrubbed, the dedupApply convention) are
+    * unioned into disjoint intervals and the doc's scrubbed size
+    * reported. This is the contamination cut production suffix-dedup
+    * pipelines apply: verbatim repeats >= minRun tokens survive only in
+    * their first document.
+    *
+    * Interval union is the classic sweep, relationally: distinct
+    * intervals ordered by (start, end), an island opens where start
+    * exceeds the running max end of everything before it (ROWS frame),
+    * island id = running sum of opens, then min(start)/max(end) per
+    * island. One (doc, interval) window over the run set — the run set
+    * is pairs-bounded, orders of magnitude smaller than the corpus, so
+    * the apply step adds no corpus-scale shuffle beyond d10 itself.
+    */
+  def spanScrub(spark: SparkSession, sfDir: String, k: Int = 8,
+      minRun: Int = 12, dfCap: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = suffixRuns(spark, sfDir, k, minRun, dfCap)
+      .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+        (col("start_b") + col("run_tokens")).as("e"))
+      .distinct()
+    val wPrev = Window.partitionBy("doc_id").orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wSum = Window.partitionBy("doc_id").orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val removed = iv
+      .withColumn("prevmax", max("e").over(wPrev))
+      .withColumn("opens",
+        (col("prevmax").isNull || col("s") > col("prevmax")).cast("int"))
+      .withColumn("isl", sum("opens").over(wSum))
+      .groupBy("doc_id", "isl")
+      .agg(min("s").as("lo"), max("e").as("hi"))
+      .groupBy("doc_id")
+      .agg(sum(col("hi") - col("lo")).as("n_removed"))
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(normText, " ")).cast("long").as("n_tokens"))
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("n_tokens") - coalesce(col("n_removed"), lit(0L)))
+          .as("kept_tokens"),
+        (coalesce(col("n_removed"), lit(0L)).cast("double") /
+          col("n_tokens")).as("scrub_frac"))
+  }
+
+  def spanScrubSql(k: Int = 8, minRun: Int = 12, dfCap: Int = 128): String =
+    s"""WITH ${suffixRunsCtes(k, minRun, dfCap)},
+        iv AS (
+          SELECT DISTINCT doc_b AS doc_id, start_b AS s,
+            start_b + run_tokens AS e
+          FROM runs),
+        swept AS (
+          SELECT doc_id, s, e,
+            CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS opens
+          FROM iv),
+        sisl AS (
+          SELECT doc_id, s, e,
+            sum(opens) OVER (PARTITION BY doc_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+          FROM swept),
+        removed AS (
+          SELECT doc_id, CAST(sum(hi - lo) AS BIGINT) AS n_removed
+          FROM (SELECT doc_id, isl_id, min(s) AS lo, max(e) AS hi
+                FROM sisl GROUP BY doc_id, isl_id)
+          GROUP BY doc_id),
+        dn AS (
+          SELECT doc_id,
+            CAST(len(string_split($normTextSql, ' ')) AS BIGINT)
+              AS n_tokens
+          FROM documents)
+        SELECT dn.doc_id, dn.n_tokens,
+          coalesce(removed.n_removed, 0) AS n_removed,
+          dn.n_tokens - coalesce(removed.n_removed, 0) AS kept_tokens,
+          CAST(coalesce(removed.n_removed, 0) AS DOUBLE) / dn.n_tokens
+            AS scrub_frac
+        FROM dn LEFT JOIN removed ON dn.doc_id = removed.doc_id"""
 
   /** Near-dup removal APPLIED — the curated corpus after dropping every
     * non-canonical cluster member (the step the pair/cluster operators

@@ -800,4 +800,39 @@ class SparkOpsSpec extends AnyFunSuite {
         assert(extracted == expected, s"doc $id roundtrip")
     }
   }
+
+  test("spanScrub == brute interval union of the doc_b-side run intervals") {
+    val runs = Dedup.suffixRuns(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(3) + r.getLong(4)))
+    val expectedRemoved: Map[Long, Long] = runs.groupBy(_._1).map {
+      case (d, ivs0) =>
+        val ivs = ivs0.map(t => (t._2, t._3)).distinct.sorted
+        var total = 0L
+        var lo = ivs.head._1
+        var hi = ivs.head._2
+        ivs.tail.foreach { case (s0, e0) =>
+          if (s0 > hi) { total += hi - lo; lo = s0; hi = e0 }
+          else if (e0 > hi) hi = e0
+        }
+        total += hi - lo
+        d -> total
+    }
+    assert(expectedRemoved.nonEmpty, "corpus must contain scrubable runs")
+    val got = Dedup.spanScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    got.foreach { case (d, (nTok, nRem, kept)) =>
+      assert(nRem == expectedRemoved.getOrElse(d, 0L), s"doc $d removed")
+      assert(kept == nTok - nRem, s"doc $d kept")
+      assert(nRem <= nTok, s"doc $d bounds")
+    }
+    assert(got.keySet.size == got.size &&
+      expectedRemoved.keySet.subsetOf(got.keySet))
+    // overlapping runs must actually occur somewhere for the union
+    // logic to be exercised: a doc with more intervals than islands
+    val multi = runs.groupBy(_._1).exists { case (d, ivs) =>
+      ivs.map(t => (t._2, t._3)).distinct.size > 1
+    }
+    assert(multi, "fixture must exercise multi-interval union")
+  }
 }
