@@ -153,10 +153,12 @@ object SparkEntry {
     // Language-ID confusion matrix vs corpus labels.
     "t21_langid_eval"  -> ((s, dir) => TextAnalysis.langIdEval(s, dir)),
     "t23_unicode_repair" -> ((s, dir) => TextAnalysis.unicodeRepair(s, dir)),
+    "t24_pii_redact"   -> ((s, dir) => TextAnalysis.piiRedact(s, dir)),
     "d10_suffix_runs"  -> ((s, dir) => Dedup.suffixRuns(s, dir)),
     "d11_span_scrub"   -> ((s, dir) => Dedup.spanScrub(s, dir)),
     "t22_markup_extract" -> ((s, dir) => Markup.extract(s, dir)),
     "s15_fused_hybrid" -> ((s, dir) => Similarity.fusedHybrid(s, dir)),
+    "q31_bloom_skip"   -> ((s, dir) => Layout.bloomSkip(s, dir)),
     "t22_extract_quality" -> ((s, dir) => Markup.quality(s, dir)),
     // Latest-record-wins CDC compaction via one map-side max_by agg.
     "q26_compaction"   -> ((s, dir) => Relational.q26Compaction(s, dir)),
@@ -439,10 +441,12 @@ object SparkEntry {
     "w7_active_users"  -> Sessionize.activeUsersSql(),
     "t21_langid_eval"  -> TextAnalysis.langIdEvalSql(TextAnalysis.langIdSql),
     "t23_unicode_repair" -> TextAnalysis.unicodeRepairSql,
+    "t24_pii_redact"   -> TextAnalysis.piiRedactSql,
     "d10_suffix_runs"  -> Dedup.suffixRunsSql(),
     "d11_span_scrub"   -> Dedup.spanScrubSql(),
     "t22_markup_extract" -> Markup.extractSql,
     "s15_fused_hybrid" -> Similarity.fusedHybridSql(),
+    "q31_bloom_skip"   -> Layout.bloomSkipSql(),
     "t22_extract_quality" -> Markup.qualitySql,
     "q26_compaction"   -> Relational.q26CompactionSql,
     "s10_pq_refine"    -> Similarity.pqRefineRecallSql(),

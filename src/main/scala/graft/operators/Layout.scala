@@ -133,6 +133,138 @@ object Layout {
         Seq(col("x"), col("y"), col("event_id"))))
   }
 
+  /** q31 — per-file BLOOM-FILTER data skipping (the Parquet bloom /
+    * Delta-stats idea for point predicates, where q30's min-max boxes
+    * can't prune): events are assigned to `files` range-buckets under
+    * two layouts — `insertion` (event_id order: every file holds a
+    * slice of every user's history) and `clustered` (user_id order:
+    * each user touches few files) — a per-file Bloom filter over
+    * user_id is built relationally (distinct (file, user) -> 2 hash
+    * positions -> 32-bit words OR-aggregated), and `nProbes` point
+    * lookups report files-actually-containing vs files-the-bloom-says-
+    * maybe, so false-positive pruning loss is a measured column.
+    *
+    * The structural point the numbers make: the bloom prunes ONLY as
+    * well as the layout concentrates the key (clustered: maybe ~=
+    * actual ~= few files; insertion: actual ~= most files, nothing to
+    * prune) — data-skipping indexes and clustering are one decision,
+    * not two. Integer-exact end-to-end (LCG hash positions, 32-bit
+    * words per the engines' shared shift range), no floating point.
+    * Shape at scale: one distinct shuffle on (layout, file, user), one
+    * small OR-aggregate, probe joins against a words table of
+    * files x mBits/32 rows — the bloom table is metadata-sized.
+    */
+  def bloomSkip(spark: SparkSession, sfDir: String, files: Int = 64,
+      mBits: Int = 256, nProbes: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.Tables
+    val P = 1000000007L
+    val hparams = Seq((1103515245L, 12345L), (1566083941L, 1013904223L))
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"))
+    def lay(name: String, order: Seq[Column]): DataFrame =
+      ev.withColumn("fid",
+          ntile(files).over(Window.orderBy(order: _*)).cast("long"))
+        .withColumn("layout", lit(name))
+    val membership = lay("insertion", Seq(col("event_id")))
+      .unionAll(lay("clustered", Seq(col("user_id"), col("event_id"))))
+      .select("layout", "fid", "user_id").distinct()
+    // double multiply: a single LCG step leaves small user ids on a
+    // lattice mod mBits (measured: ZERO bloom collisions at every test
+    // scale, which killed the fp_files column); the second multiply
+    // mixes the high bits back down
+    def hpos(u: Column, a: Long, b: Long): Column =
+      ((((u * lit(a) + lit(b)) % lit(P)) * lit(2654435761L)) % lit(P)) %
+        lit(mBits.toLong)
+    val posArr = array(hparams.map { case (a, b) =>
+      hpos(col("user_id"), a, b) }: _*)
+    val bloom = membership
+      .select(col("layout"), col("fid"), explode(posArr).as("pos"))
+      .select(col("layout"), col("fid"), (col("pos") / 32).cast("long").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("mask"))
+      .groupBy("layout", "fid", "word")
+      .agg(expr("bit_or(mask)").as("bits"))
+    val probes = membership.select("user_id").distinct()
+      .filter(col("user_id") < nProbes)
+    val pb = probes
+      .select(col("user_id"), posexplode(posArr).as(Seq("hi", "pos")))
+      .select(col("user_id"), col("hi"),
+        (col("pos") / 32).cast("long").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("mask"))
+    val maybe = pb.join(bloom, Seq("word"))
+      .filter((col("bits").bitwiseAND(col("mask"))) =!= 0)
+      .groupBy("layout", "fid", "user_id")
+      .agg(countDistinct("hi").as("nh"))
+      .filter(col("nh") === hparams.size)
+      .groupBy("layout", "user_id")
+      .agg(count(lit(1)).as("n_files_maybe"))
+    val actual = membership.filter(col("user_id") < nProbes)
+      .groupBy("layout", "user_id")
+      .agg(count(lit(1)).as("n_files_actual"))
+    actual.join(maybe, Seq("layout", "user_id"))
+      .select(col("layout"), col("user_id"), col("n_files_actual"),
+        col("n_files_maybe"),
+        (col("n_files_maybe") - col("n_files_actual")).as("fp_files"))
+  }
+
+  def bloomSkipSql(files: Int = 64, mBits: Int = 256,
+      nProbes: Int = 20): String = {
+    val P = 1000000007L
+    val hparams = Seq((1103515245L, 12345L), (1566083941L, 1013904223L))
+    val posList = hparams.map { case (a, b) =>
+      s"((((user_id * $a + $b) % $P) * 2654435761) % $P) % $mBits"
+    }.mkString("[", ", ", "]")
+    s"""WITH ev AS (SELECT event_id, user_id FROM events),
+        membership AS (
+          SELECT DISTINCT layout, fid, user_id FROM (
+            SELECT 'insertion' AS layout,
+              CAST(ntile($files) OVER (ORDER BY event_id) AS BIGINT) AS fid,
+              user_id
+            FROM ev
+            UNION ALL
+            SELECT 'clustered' AS layout,
+              CAST(ntile($files) OVER (ORDER BY user_id, event_id)
+                AS BIGINT) AS fid,
+              user_id
+            FROM ev)),
+        mbits AS (
+          SELECT layout, fid, pos // 32 AS word,
+            (1::BIGINT << CAST(pos % 32 AS INT)) AS mask
+          FROM (SELECT layout, fid, unnest($posList) AS pos
+                FROM membership)),
+        bloom AS (
+          SELECT layout, fid, word, bit_or(mask) AS bits
+          FROM mbits GROUP BY layout, fid, word),
+        probes AS (
+          SELECT DISTINCT user_id FROM membership
+          WHERE user_id < $nProbes),
+        pb AS (
+          SELECT user_id, hi, pos // 32 AS word,
+            (1::BIGINT << CAST(pos % 32 AS INT)) AS mask
+          FROM (SELECT user_id,
+                  generate_subscripts($posList, 1) AS hi,
+                  unnest($posList) AS pos
+                FROM probes)),
+        maybe AS (
+          SELECT layout, user_id, CAST(count(*) AS BIGINT) AS n_files_maybe
+          FROM (
+            SELECT b.layout, b.fid, pb.user_id
+            FROM pb JOIN bloom b ON pb.word = b.word
+            WHERE (b.bits & pb.mask) <> 0
+            GROUP BY b.layout, b.fid, pb.user_id
+            HAVING count(DISTINCT pb.hi) = ${hparams.size})
+          GROUP BY layout, user_id),
+        actual AS (
+          SELECT layout, user_id, CAST(count(*) AS BIGINT)
+            AS n_files_actual
+          FROM membership WHERE user_id < $nProbes
+          GROUP BY layout, user_id)
+        SELECT a.layout, a.user_id, a.n_files_actual, m.n_files_maybe,
+          m.n_files_maybe - a.n_files_actual AS fp_files
+        FROM actual a JOIN maybe m
+          ON a.layout = m.layout AND a.user_id = m.user_id"""
+  }
+
   def zorderLayoutSql(files: Int = 64, x0: Long = 32, x1: Long = 96,
       y0: Long = 120, y1: Long = 360): String = {
     val zterms = (0 until 10).map { b =>

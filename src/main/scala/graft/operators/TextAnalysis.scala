@@ -1034,6 +1034,103 @@ object TextAnalysis {
         LIMIT $k"""
   }
 
+  // ---------------------------------------------------------------- t24
+
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhonePat = "\\b555-[0-9]{4}\\b"
+  private val IpPat = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+  private val ObfuscatedPat = " at [a-z]+ dot com"
+
+  /** PII redaction (t24) — the pattern-scrub pass every released
+    * pretraining corpus runs (emails/phones/IPs replaced by typed
+    * placeholders), with the PII PLANTED closed-form so the redactor is
+    * graded against known ground truth: an id-derived email for
+    * doc_id%3==0, a phone for %4==0, an id-derived IPv4 for %5==0, and
+    * an OBFUSCATED email ("bob at example dot com") for %7==0 that the
+    * regexes deliberately miss — the heuristic-limit measurement (the
+    * t22 cookie-banner discipline), surfaced by the obfuscated_left
+    * detector column rather than hidden.
+    *
+    * All patterns are RE2-safe (no backreferences/lookaround), so the
+    * DuckDB oracle runs the identical expressions. Pure scan shape:
+    * three regexp_extract_all counts + three regexp_replace passes,
+    * zero shuffles, linear at 100 TB.
+    */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = col("doc_id")
+    def opt(cond: Column, s: Column): Column =
+      when(cond, s).otherwise(lit(""))
+    val planted = concat(col("text"),
+      opt(d % 3 === 0, concat(lit(" contact user"), d.cast("string"),
+        lit("@example.com"))),
+      opt(d % 4 === 0, lit(" call 555-0142")),
+      opt(d % 5 === 0, concat(lit(" from 192.168."),
+        (d % 256).cast("string"), lit("."), (d % 100).cast("string"))),
+      opt(d % 7 === 0, lit(" bob at example dot com")))
+    val redacted = regexp_replace(regexp_replace(regexp_replace(planted,
+      EmailPat, "<EMAIL>"), PhonePat, "<PHONE>"), IpPat, "<IP>")
+    val expected = concat(col("text"),
+      opt(d % 3 === 0, lit(" contact <EMAIL>")),
+      opt(d % 4 === 0, lit(" call <PHONE>")),
+      opt(d % 5 === 0, lit(" from <IP>")),
+      opt(d % 7 === 0, lit(" bob at example dot com")))
+    Tables.load(spark, sfDir, "documents").select(
+      d,
+      size(regexp_extract_all(planted, lit(EmailPat), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(planted, lit(PhonePat), lit(0)))
+        .cast("long").as("n_phones"),
+      size(regexp_extract_all(planted, lit(IpPat), lit(0)))
+        .cast("long").as("n_ips"),
+      length(redacted).cast("long").as("redacted_len"),
+      (redacted === expected).cast("int").as("redact_exact"),
+      size(regexp_extract_all(redacted, lit(ObfuscatedPat), lit(0)))
+        .cast("int").as("obfuscated_left"))
+  }
+
+  val piiRedactSql: String = {
+    // RE2 in DuckDB: same patterns; single-quoted SQL literals keep
+    // backslashes verbatim
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\b555-[0-9]{4}\\b"
+    val ip = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+    s"""WITH p AS (
+          SELECT doc_id, text ||
+            CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+            CASE WHEN doc_id % 4 = 0 THEN ' call 555-0142' ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0
+              THEN ' from 192.168.' || (doc_id % 256) || '.' ||
+                (doc_id % 100) ELSE '' END ||
+            CASE WHEN doc_id % 7 = 0
+              THEN ' bob at example dot com' ELSE '' END AS planted,
+            text ||
+            CASE WHEN doc_id % 3 = 0 THEN ' contact <EMAIL>' ELSE '' END ||
+            CASE WHEN doc_id % 4 = 0 THEN ' call <PHONE>' ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0 THEN ' from <IP>' ELSE '' END ||
+            CASE WHEN doc_id % 7 = 0
+              THEN ' bob at example dot com' ELSE '' END AS expected
+          FROM documents),
+        r AS (
+          SELECT doc_id, planted, expected,
+            regexp_replace(regexp_replace(regexp_replace(planted,
+              '$email', '<EMAIL>', 'g'),
+              '$phone', '<PHONE>', 'g'),
+              '$ip', '<IP>', 'g') AS redacted
+          FROM p)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(planted, '$email')) AS BIGINT)
+            AS n_emails,
+          CAST(len(regexp_extract_all(planted, '$phone')) AS BIGINT)
+            AS n_phones,
+          CAST(len(regexp_extract_all(planted, '$ip')) AS BIGINT) AS n_ips,
+          CAST(length(redacted) AS BIGINT) AS redacted_len,
+          CAST(redacted = expected AS INT) AS redact_exact,
+          CAST(len(regexp_extract_all(redacted, '$ObfuscatedPat'))
+            AS INT) AS obfuscated_left
+        FROM r"""
+  }
+
   // ---------------------------------------------------------------- t23
 
   /** Mojibake repair table: the classic UTF-8-bytes-read-as-cp1252

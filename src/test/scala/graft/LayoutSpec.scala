@@ -60,4 +60,28 @@ class LayoutSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("bloomSkip: no false negatives, clustering concentrates probes") {
+    val rows = graft.operators.Layout.bloomSkip(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lay, u, actual, maybe, fp) =>
+      assert(maybe >= actual, s"$lay/$u bloom false negative")
+      assert(fp == maybe - actual, s"$lay/$u fp arithmetic")
+      assert(actual >= 1, s"$lay/$u probe user must exist")
+    }
+    val byUser = rows.groupBy(_._2)
+    byUser.foreach { case (u, rs) =>
+      val ins = rs.find(_._1 == "insertion").get._3
+      val clu = rs.find(_._1 == "clustered").get._3
+      assert(clu <= ins, s"user $u: clustering cannot spread the key")
+    }
+    // the structural claim: clustered layouts concentrate every probe
+    // into a small fraction of the insertion layout's file count
+    val insTot = rows.filter(_._1 == "insertion").map(_._3).sum
+    val cluTot = rows.filter(_._1 == "clustered").map(_._3).sum
+    assert(cluTot * 4 < insTot,
+      s"clustered $cluTot vs insertion $insTot files touched")
+  }
 }
