@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -453,6 +453,101 @@ object ApmStats {
       (col("bucket") * intervalMs).as("ts_ms"), col("cnt"),
       trend.as("trend"), seas.as("seasonal"),
       ((col("cnt").cast("double") - trend) - seas).as("resid"))
+  }
+
+  /** a13 — Holt DOUBLE-EXPONENTIAL smoothing (level + trend) over the
+    * per-key dense traffic series: the forecast-based anomaly primitive
+    * (one step ahead: forecast_t = level_{t-1} + trend_{t-1}; err = y -
+    * forecast is the residual an alert rule thresholds). The recursion
+    *   l_t = a*y_t + (1-a)*(l_{t-1} + b_{t-1})
+    *   b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}
+    * is inherently ordered, so the engine side is one typed linear pass
+    * per key (groupByKey + flatMapGroups: sort the key's dense series,
+    * run the recurrence once, emit every step) — the first draft used
+    * the z2_fold expression idiom but accumulated its output rows with
+    * array-concat, which is O(steps^2) copying and measured 40 s at the
+    * 10x probe; the typed pass is O(steps) with the IDENTICAL fp
+    * operation sequence. The oracle replays the SAME recursion as a
+    * recursive CTE (the zScoreFoldSql idiom), so the gate checks every
+    * step, not just the final state. a and B default to exactly-
+    * representable binaries (0.5, 0.25) and both sides evaluate the
+    * identical expression order, so the double sequences match
+    * bit-for-bit (the spec pins exact equality against a sequential
+    * reference).
+    *
+    * Scale shape: one shuffle to the (server, service) key, state per
+    * key is the series itself (bounded: buckets in the retention
+    * window), embarrassingly parallel across keys — the same contract
+    * as a12.
+    */
+  def holtForecast(spark: SparkSession, sfDir: String,
+      intervalMs: Long = 3600000L, alpha: Double = 0.5,
+      beta: Double = 0.25): DataFrame = {
+    import spark.implicits._
+    val dense = denseBuckets(spark, sfDir, intervalMs)
+      .select(col("server"), col("service"), col("bucket"), col("cnt"))
+      .as[(String, String, Long, Long)]
+    dense.groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (String, String),
+          rows: Iterator[(String, String, Long, Long)]) =>
+        val (srv, svc) = key
+        val series = rows.map(t => (t._3, t._4)).toArray.sortBy(_._1)
+        if (series.length < 2) Iterator.empty
+        else {
+          var l = series(0)._2.toDouble
+          var b = series(1)._2.toDouble - series(0)._2.toDouble
+          series.iterator.drop(1).map { case (bucket, cnt) =>
+            val y = cnt.toDouble
+            val f = l + b
+            val l1 = alpha * y + (1 - alpha) * f
+            val b1 = beta * (l1 - l) + (1 - beta) * b
+            l = l1; b = b1
+            (srv, svc, bucket * intervalMs, y, f, y - f, l1, b1)
+          }
+        }
+      }
+      .toDF("server", "service", "ts_ms", "y", "forecast", "err",
+        "level", "trend")
+  }
+
+  def holtForecastSql(intervalMs: Long = 3600000L, alpha: Double = 0.5,
+      beta: Double = 0.25): String = {
+    def d(x: Double) = s"CAST($x AS DOUBLE)"
+    s"""WITH RECURSIVE
+        dense AS (
+          SELECT server, service, bucket, CAST(cnt AS BIGINT) AS cnt
+          FROM (${denseBucketsSql(intervalMs)})),
+        ser AS MATERIALIZED (
+          SELECT server, service, bucket, cnt,
+            row_number() OVER (PARTITION BY server, service
+                               ORDER BY bucket) AS t
+          FROM dense),
+        init AS (
+          SELECT a.server, a.service, CAST(a.cnt AS DOUBLE) AS l,
+            CAST(b.cnt AS DOUBLE) - CAST(a.cnt AS DOUBLE) AS b
+          FROM ser a JOIN ser b
+            ON a.server = b.server AND a.service = b.service
+           AND a.t = 1 AND b.t = 2),
+        step AS (
+          SELECT server, service, CAST(1 AS BIGINT) AS t,
+            CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS DOUBLE) AS y,
+            CAST(NULL AS DOUBLE) AS forecast, l, b
+          FROM init
+          UNION ALL
+          SELECT server, service, t, bucket, y, forecast,
+            l1 AS l, ${d(beta)} * (l1 - l0) + ${d(1 - beta)} * b0 AS b
+          FROM (
+            SELECT k.server, k.service, k.t, k.bucket,
+              CAST(k.cnt AS DOUBLE) AS y, s.l + s.b AS forecast,
+              ${d(alpha)} * CAST(k.cnt AS DOUBLE) +
+                ${d(1 - alpha)} * (s.l + s.b) AS l1,
+              s.l AS l0, s.b AS b0
+            FROM step s JOIN ser k
+              ON k.server = s.server AND k.service = s.service
+             AND k.t = s.t + 1))
+        SELECT server, service, bucket * $intervalMs AS ts_ms, y,
+          forecast, y - forecast AS err, l AS level, b AS trend
+        FROM step WHERE t >= 2"""
   }
 
   def seasonalDecomposeSql(intervalMs: Long = 600000L,

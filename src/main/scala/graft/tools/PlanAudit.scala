@@ -43,6 +43,9 @@ object PlanAudit {
     // (scaffold size = keys x windows, data-independent)
     "a5_sliding_stats" -> 1, "a10_sliding_hist" -> 1, "a11_locf_fill" -> 1,
     "a12_seasonal" -> 1, "w7_active_users" -> 1,
+    // a13: the dense-scaffold keys x buckets broadcast cross (the same
+    // denseBuckets idiom a11/a12 pin)
+    "a13_holt_forecast" -> 1,
     // alert/z-score config-override struct (J4/Z1): a constant 1-row
     // settings frame every stage crosses in
     "r2_candidates" -> 1, "r3_alerts" -> 1, "r5_assembly" -> 1,

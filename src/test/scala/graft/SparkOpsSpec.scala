@@ -835,4 +835,37 @@ class SparkOpsSpec extends AnyFunSuite {
     }
     assert(multi, "fixture must exercise multi-interval union")
   }
+
+  test("holtForecast == sequential reference recursion, bit-exact") {
+    val intervalMs = 3600000L
+    val (alpha, beta) = (0.5, 0.25)
+    val dense = ApmStats.denseBuckets(spark, sf, intervalMs)
+      .select("server", "service", "bucket", "cnt").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sortBy(_._1) }
+    val want = scala.collection.mutable.Map.empty[
+      (String, String, Long), (Double, Double, Double, Double)]
+    dense.foreach { case ((srv, svc), series) =>
+      var l = series(0)._2.toDouble
+      var b = series(1)._2.toDouble - series(0)._2.toDouble
+      series.drop(1).foreach { case (bucket, cnt) =>
+        val y = cnt.toDouble
+        val f = l + b
+        val l1 = alpha * y + (1 - alpha) * f
+        val b1 = beta * (l1 - l) + (1 - beta) * b
+        want((srv, svc, bucket * intervalMs)) = (y, f, l1, b1)
+        l = l1; b = b1
+      }
+    }
+    val got = ApmStats.holtForecast(spark, sf, intervalMs).collect()
+    assert(got.length == want.size, s"${got.length} vs ${want.size}")
+    got.foreach { r =>
+      val k = (r.getString(0), r.getString(1), r.getLong(2))
+      val (y, f, l1, b1) = want(k)
+      // exact equality: both sides evaluate the identical fp expression
+      assert(r.getDouble(3) == y && r.getDouble(4) == f &&
+        r.getDouble(6) == l1 && r.getDouble(7) == b1, s"$k")
+      assert(r.getDouble(5) == y - f, s"$k err")
+    }
+  }
 }
