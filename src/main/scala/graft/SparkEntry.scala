@@ -155,6 +155,7 @@ object SparkEntry {
     "t23_unicode_repair" -> ((s, dir) => TextAnalysis.unicodeRepair(s, dir)),
     "t24_pii_redact"   -> ((s, dir) => TextAnalysis.piiRedact(s, dir)),
     "a13_holt_forecast" -> ((s, dir) => ApmStats.holtForecast(s, dir)),
+    "m9_keyframes"     -> ((s, dir) => Multimodal.keyframes(s, dir).toDF),
     "d10_suffix_runs"  -> ((s, dir) => Dedup.suffixRuns(s, dir)),
     "d11_span_scrub"   -> ((s, dir) => Dedup.spanScrub(s, dir)),
     "t22_markup_extract" -> ((s, dir) => Markup.extract(s, dir)),
@@ -444,6 +445,7 @@ object SparkEntry {
     "t23_unicode_repair" -> TextAnalysis.unicodeRepairSql,
     "t24_pii_redact"   -> TextAnalysis.piiRedactSql,
     "a13_holt_forecast" -> ApmStats.holtForecastSql(),
+    "m9_keyframes"     -> Multimodal.keyframesSql(),
     "d10_suffix_runs"  -> Dedup.suffixRunsSql(),
     "d11_span_scrub"   -> Dedup.spanScrubSql(),
     "t22_markup_extract" -> Markup.extractSql,

@@ -726,6 +726,113 @@ object Multimodal {
         FROM sad GROUP BY doc_id, nf"""
   }
 
+  case class Keyframe(doc_id: Long, keyframe_idx: Long, shot_idx: Long,
+      shot_len: Long)
+
+  /** m9: KEYFRAME selection — m7's cut detector APPLIED, the
+    * frame-sampling step a video training pipeline runs after shot
+    * detection (one representative frame per shot, here the shot's
+    * first frame: frame 0 plus every cut frame), each with its shot
+    * index and length. Same corpus (incl. m7's planted mid-video
+    * variants, whose nf/2 cut is provable), same SAD threshold, same
+    * typed one-pass-over-payload-bytes shape; the oracle reconstructs
+    * cut positions from the closed-form synthesis and derives shots
+    * relationally (lead over cut frames). A video with no cuts yields
+    * exactly one keyframe (frame 0, shot_len = n_frames).
+    */
+  def keyframes(spark: SparkSession, sfDir: String,
+      variantCut: Long = 30L, thresh: Int = 100,
+      minFb: Int = 45): Dataset[Keyframe] = {
+    import spark.implicits._
+    mediaContainers(spark, sfDir)
+      .filter(col("kind") === "video").as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        val d = MediaCodec.decode(r.doc_id, r.payload)
+        val hdr = r.payload.indexOf('\n'.toByte) + 1
+        val fb = d.width * d.height * 3 / 2
+        val nf = d.n_frames.toInt
+        if (nf < 2 || fb < minFb) Nil
+        else {
+          val variant = if (r.doc_id < variantCut) {
+            val p = r.payload.clone()
+            var f = nf / 2
+            while (f < nf) {
+              val off = hdr + f * (6 + fb) + 6
+              var j = 0
+              while (j < fb) {
+                p(off + j) = (((p(off + j) & 0xff) + 97) % 251).toByte
+                j += 1
+              }
+              f += 1
+            }
+            Seq(MediaRecord(r.doc_id + 2000000L, r.kind, p))
+          } else Nil
+          (Seq(r) ++ variant).flatMap { rec =>
+            val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var f = 1
+            while (f < nf) {
+              val offA = hdr + (f - 1) * (6 + fb) + 6
+              val offB = hdr + f * (6 + fb) + 6
+              var sad = 0L
+              var j = 0
+              while (j < fb) {
+                sad += math.abs((rec.payload(offA + j) & 0xff) -
+                  (rec.payload(offB + j) & 0xff))
+                j += 1
+              }
+              if (sad > thresh.toLong * fb) cuts += f
+              f += 1
+            }
+            val starts = 0 +: cuts.toSeq
+            starts.zipWithIndex.map { case (st, i) =>
+              val end = if (i + 1 < starts.length) starts(i + 1) else nf
+              Keyframe(rec.doc_id, st.toLong, i.toLong, (end - st).toLong)
+            }
+          }
+        }
+      })
+  }
+
+  def keyframesSql(variantCut: Long = 30L, thresh: Int = 100,
+      minFb: Int = 45): String = {
+    def pix(fe: String) =
+      s"""(seed + ($fe)*17 + j + CASE WHEN pert = 1 AND ($fe) >= nf // 2
+            THEN 97 ELSE 0 END) % 251"""
+    s"""WITH vids AS (
+          SELECT doc_id, doc_id AS seed, 0 AS pert, doc_id % 24 + 1 AS nf,
+            2*(doc_id % 16 + 1) * 2*(doc_id % 12 + 1) * 3 // 2 AS fb
+          FROM documents WHERE doc_id % 3 = 2
+          UNION ALL
+          SELECT doc_id + 2000000 AS doc_id, doc_id AS seed, 1 AS pert,
+            doc_id % 24 + 1 AS nf,
+            2*(doc_id % 16 + 1) * 2*(doc_id % 12 + 1) * 3 // 2 AS fb
+          FROM documents WHERE doc_id % 3 = 2 AND doc_id < $variantCut),
+        eligible AS (
+          SELECT doc_id, seed, pert, nf, fb FROM vids
+          WHERE nf >= 2 AND fb >= $minFb),
+        bnd AS (
+          SELECT doc_id, seed, pert, nf, fb, unnest(range(1, nf)) AS f
+          FROM eligible),
+        sad AS (
+          SELECT doc_id, nf, fb, f,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(0, fb), j ->
+                CAST(abs((${pix("f")}) - (${pix("f - 1")})) AS BIGINT))),
+              (a, x) -> a + x) AS sad
+          FROM bnd),
+        kf AS (
+          SELECT doc_id, nf, CAST(0 AS BIGINT) AS kf_idx FROM eligible
+          UNION ALL
+          SELECT doc_id, nf, CAST(f AS BIGINT) AS kf_idx
+          FROM sad WHERE sad > $thresh * fb)
+        SELECT doc_id, kf_idx AS keyframe_idx,
+          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY kf_idx) - 1
+            AS BIGINT) AS shot_idx,
+          CAST(coalesce(lead(kf_idx) OVER (PARTITION BY doc_id
+              ORDER BY kf_idx), nf) - kf_idx AS BIGINT) AS shot_len
+        FROM kf"""
+  }
+
   case class SilenceProfile(doc_id: Long, n_samples: Long, n_zeros: Long,
       max_zero_run: Long, lead_zeros: Long, trail_zeros: Long)
 
