@@ -157,4 +157,5 @@ class MediaCodecSpec extends AnyFunSuite {
       assert(shared, s"pair ($ia,$ib) at Hamming<=3 shares no band")
     }
   }
+
 }

@@ -868,4 +868,32 @@ class SparkOpsSpec extends AnyFunSuite {
       assert(r.getDouble(5) == y - f, s"$k err")
     }
   }
+
+  test("keyframes partition each video exactly into its m7 shots") {
+    val cuts = graft.operators.Multimodal.sceneCuts(spark, sf).collect()
+      .map(c => c.doc_id -> c).toMap
+    val kfs = graft.operators.Multimodal.keyframes(spark, sf).collect()
+      .groupBy(_.doc_id)
+    assert(kfs.keySet == cuts.keySet, "same eligible video set")
+    kfs.foreach { case (id, rows) =>
+      val c = cuts(id)
+      assert(rows.length == c.n_cuts + 1, s"vid $id one keyframe per shot")
+      assert(rows.map(_.shot_len).sum == c.n_frames, s"vid $id partition")
+      val sorted = rows.sortBy(_.keyframe_idx)
+      assert(sorted.head.keyframe_idx == 0L, s"vid $id starts at frame 0")
+      assert(sorted.map(_.shot_idx).toSeq == sorted.indices.map(_.toLong),
+        s"vid $id shot numbering")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.keyframe_idx + a.shot_len == b.keyframe_idx,
+            s"vid $id contiguous shots")
+        case _ =>
+      }
+      if (c.n_cuts > 0)
+        assert(sorted(1).keyframe_idx == c.first_cut,
+          s"vid $id second shot starts at first cut")
+    }
+    // the planted variants guarantee multi-shot coverage
+    assert(kfs.exists(_._2.length > 1), "fixture must contain cuts")
+  }
 }
