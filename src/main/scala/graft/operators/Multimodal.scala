@@ -599,6 +599,89 @@ object Multimodal {
   case class SceneCuts(doc_id: Long, n_frames: Long, n_cuts: Long,
       first_cut: Long)
 
+  /** Shared m7/m9 geometry + planted-variant expansion: decode the Y4M,
+    * and for doc_id < variantCut add the content-shifted copy (+97 mod
+    * 251 on the second half of frames, re-keyed +2e6). ONE edit point
+    * for the variant convention — m7 detects its cut, m9 samples its
+    * shots, and both must see the identical corpus.
+    * Returns (headerLen, frameBytes, nFrames, records) or None when the
+    * video is ineligible (single frame or sub-minFb).
+    */
+  private def videoWithVariants(r: MediaRecord, variantCut: Long,
+      minFb: Int): Option[(Int, Int, Int, Seq[MediaRecord])] = {
+    val d = MediaCodec.decode(r.doc_id, r.payload)
+    val hdr = r.payload.indexOf('\n'.toByte) + 1
+    val fb = d.width * d.height * 3 / 2
+    val nf = d.n_frames.toInt
+    if (nf < 2 || fb < minFb) None
+    else {
+      val variant = if (r.doc_id < variantCut) {
+        val p = r.payload.clone()
+        var f = nf / 2
+        while (f < nf) {
+          val off = hdr + f * (6 + fb) + 6
+          var j = 0
+          while (j < fb) {
+            p(off + j) = (((p(off + j) & 0xff) + 97) % 251).toByte
+            j += 1
+          }
+          f += 1
+        }
+        Seq(MediaRecord(r.doc_id + 2000000L, r.kind, p))
+      } else Nil
+      Some((hdr, fb, nf, Seq(r) ++ variant))
+    }
+  }
+
+  /** SAD between frames f-1 and f of a parsed Y4M payload. */
+  private def sadAt(payload: Array[Byte], hdr: Int, fb: Int,
+      f: Int): Long = {
+    val offA = hdr + (f - 1) * (6 + fb) + 6
+    val offB = hdr + f * (6 + fb) + 6
+    var sad = 0L
+    var j = 0
+    while (j < fb) {
+      sad += math.abs((payload(offA + j) & 0xff) - (payload(offB + j) & 0xff))
+      j += 1
+    }
+    sad
+  }
+
+  /** Shared m7/m9 oracle fragments: the vids CTE (corpus + planted
+    * variants in closed form) and the per-byte pixel expression.
+    */
+  private def videoVidsCte(variantCut: Long): String =
+    s"""vids AS (
+          SELECT doc_id, doc_id AS seed, 0 AS pert, doc_id % 24 + 1 AS nf,
+            2*(doc_id % 16 + 1) * 2*(doc_id % 12 + 1) * 3 // 2 AS fb
+          FROM documents WHERE doc_id % 3 = 2
+          UNION ALL
+          SELECT doc_id + 2000000 AS doc_id, doc_id AS seed, 1 AS pert,
+            doc_id % 24 + 1 AS nf,
+            2*(doc_id % 16 + 1) * 2*(doc_id % 12 + 1) * 3 // 2 AS fb
+          FROM documents WHERE doc_id % 3 = 2 AND doc_id < $variantCut)"""
+
+  private def videoPixSql(fe: String): String =
+    s"""(seed + ($fe)*17 + j + CASE WHEN pert = 1 AND ($fe) >= nf // 2
+          THEN 97 ELSE 0 END) % 251"""
+
+  private def videoSadCtes(variantCut: Long, minFb: Int): String =
+    s"""${videoVidsCte(variantCut)},
+        eligible AS (
+          SELECT doc_id, seed, pert, nf, fb FROM vids
+          WHERE nf >= 2 AND fb >= $minFb),
+        bnd AS (
+          SELECT doc_id, seed, pert, nf, fb, unnest(range(1, nf)) AS f
+          FROM eligible),
+        sad AS (
+          SELECT doc_id, nf, fb, f,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(0, fb), j ->
+                CAST(abs((${videoPixSql("f")}) - (${videoPixSql("f - 1")}))
+                  AS BIGINT))),
+              (a, x) -> a + x) AS sad
+          FROM bnd)"""
+
   /** m7: scene-CUT detection over the real Y4M payloads — the shot-
     * boundary step of a video curation pipeline (sample frames per shot,
     * dedup per shot, caption per shot): consecutive frames are compared
@@ -644,87 +727,34 @@ object Multimodal {
     mediaContainers(spark, sfDir)
       .filter(col("kind") === "video").as[MediaRecord]
       .mapPartitions(_.flatMap { r =>
-        val d = MediaCodec.decode(r.doc_id, r.payload)
-        val hdr = r.payload.indexOf('\n'.toByte) + 1
-        val fb = d.width * d.height * 3 / 2
-        val nf = d.n_frames.toInt
-        if (nf < 2 || fb < minFb) Nil
-        else {
-        val variant = if (r.doc_id < variantCut) {
-          val p = r.payload.clone()
-          var f = nf / 2
-          while (f < nf) {
-            val off = hdr + f * (6 + fb) + 6
-            var j = 0
-            while (j < fb) {
-              p(off + j) = (((p(off + j) & 0xff) + 97) % 251).toByte
-              j += 1
+        videoWithVariants(r, variantCut, minFb).toSeq.flatMap {
+          case (hdr, fb, nf, recs) =>
+            recs.map { rec =>
+              var nCuts = 0L
+              var firstCut = 0L
+              var f = 1
+              while (f < nf) {
+                if (sadAt(rec.payload, hdr, fb, f) > thresh.toLong * fb) {
+                  nCuts += 1
+                  if (firstCut == 0L) firstCut = f.toLong
+                }
+                f += 1
+              }
+              SceneCuts(rec.doc_id, nf.toLong, nCuts, firstCut)
             }
-            f += 1
-          }
-          Seq(MediaRecord(r.doc_id + 2000000L, r.kind, p))
-        } else Nil
-        (Seq(r) ++ variant).map { rec =>
-          var nCuts = 0L
-          var firstCut = 0L
-          var f = 1
-          while (f < nf) {
-            val offA = hdr + (f - 1) * (6 + fb) + 6
-            val offB = hdr + f * (6 + fb) + 6
-            var sad = 0L
-            var j = 0
-            while (j < fb) {
-              val a = rec.payload(offA + j) & 0xff
-              val b = rec.payload(offB + j) & 0xff
-              sad += math.abs(a - b)
-              j += 1
-            }
-            if (sad > thresh.toLong * fb) {
-              nCuts += 1
-              if (firstCut == 0L) firstCut = f.toLong
-            }
-            f += 1
-          }
-          SceneCuts(rec.doc_id, nf.toLong, nCuts, firstCut)
-        }
         }
       })
   }
 
   def sceneCutsSql(variantCut: Long = 30L, thresh: Int = 100,
-      minFb: Int = 45): String = {
-    // frame f, byte j of seed's Y4M payload (synthesis closed form,
-    // frameExtract's (seed + f*17 + j) % 251 fill), with the variant's
-    // +97 mod-251 content shift on the second half of frames
-    def pix(fe: String) =
-      s"""(seed + ($fe)*17 + j + CASE WHEN pert = 1 AND ($fe) >= nf // 2
-            THEN 97 ELSE 0 END) % 251"""
-    s"""WITH vids AS (
-          SELECT doc_id, doc_id AS seed, 0 AS pert, doc_id % 24 + 1 AS nf,
-            2*(doc_id % 16 + 1) * 2*(doc_id % 12 + 1) * 3 // 2 AS fb
-          FROM documents WHERE doc_id % 3 = 2
-          UNION ALL
-          SELECT doc_id + 2000000 AS doc_id, doc_id AS seed, 1 AS pert,
-            doc_id % 24 + 1 AS nf,
-            2*(doc_id % 16 + 1) * 2*(doc_id % 12 + 1) * 3 // 2 AS fb
-          FROM documents WHERE doc_id % 3 = 2 AND doc_id < $variantCut),
-        bnd AS (
-          SELECT doc_id, seed, pert, nf, fb, unnest(range(1, nf)) AS f
-          FROM vids WHERE nf >= 2 AND fb >= $minFb),
-        sad AS (
-          SELECT doc_id, nf, fb, f,
-            list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(range(0, fb), j ->
-                CAST(abs((${pix("f")}) - (${pix("f - 1")})) AS BIGINT))),
-              (a, x) -> a + x) AS sad
-          FROM bnd)
+      minFb: Int = 45): String =
+    s"""WITH ${videoSadCtes(variantCut, minFb)}
         SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
           CAST(count(CASE WHEN sad > $thresh * fb THEN 1 END) AS BIGINT)
             AS n_cuts,
           CAST(coalesce(min(CASE WHEN sad > $thresh * fb THEN f END), 0)
             AS BIGINT) AS first_cut
         FROM sad GROUP BY doc_id, nf"""
-  }
 
   case class Keyframe(doc_id: Long, keyframe_idx: Long, shot_idx: Long,
       shot_len: Long)
@@ -747,79 +777,29 @@ object Multimodal {
     mediaContainers(spark, sfDir)
       .filter(col("kind") === "video").as[MediaRecord]
       .mapPartitions(_.flatMap { r =>
-        val d = MediaCodec.decode(r.doc_id, r.payload)
-        val hdr = r.payload.indexOf('\n'.toByte) + 1
-        val fb = d.width * d.height * 3 / 2
-        val nf = d.n_frames.toInt
-        if (nf < 2 || fb < minFb) Nil
-        else {
-          val variant = if (r.doc_id < variantCut) {
-            val p = r.payload.clone()
-            var f = nf / 2
-            while (f < nf) {
-              val off = hdr + f * (6 + fb) + 6
-              var j = 0
-              while (j < fb) {
-                p(off + j) = (((p(off + j) & 0xff) + 97) % 251).toByte
-                j += 1
+        videoWithVariants(r, variantCut, minFb).toSeq.flatMap {
+          case (hdr, fb, nf, recs) =>
+            recs.flatMap { rec =>
+              val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+              var f = 1
+              while (f < nf) {
+                if (sadAt(rec.payload, hdr, fb, f) > thresh.toLong * fb)
+                  cuts += f
+                f += 1
               }
-              f += 1
-            }
-            Seq(MediaRecord(r.doc_id + 2000000L, r.kind, p))
-          } else Nil
-          (Seq(r) ++ variant).flatMap { rec =>
-            val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
-            var f = 1
-            while (f < nf) {
-              val offA = hdr + (f - 1) * (6 + fb) + 6
-              val offB = hdr + f * (6 + fb) + 6
-              var sad = 0L
-              var j = 0
-              while (j < fb) {
-                sad += math.abs((rec.payload(offA + j) & 0xff) -
-                  (rec.payload(offB + j) & 0xff))
-                j += 1
+              val starts = 0 +: cuts.toSeq
+              starts.zipWithIndex.map { case (st, i) =>
+                val end = if (i + 1 < starts.length) starts(i + 1) else nf
+                Keyframe(rec.doc_id, st.toLong, i.toLong, (end - st).toLong)
               }
-              if (sad > thresh.toLong * fb) cuts += f
-              f += 1
             }
-            val starts = 0 +: cuts.toSeq
-            starts.zipWithIndex.map { case (st, i) =>
-              val end = if (i + 1 < starts.length) starts(i + 1) else nf
-              Keyframe(rec.doc_id, st.toLong, i.toLong, (end - st).toLong)
-            }
-          }
         }
       })
   }
 
   def keyframesSql(variantCut: Long = 30L, thresh: Int = 100,
-      minFb: Int = 45): String = {
-    def pix(fe: String) =
-      s"""(seed + ($fe)*17 + j + CASE WHEN pert = 1 AND ($fe) >= nf // 2
-            THEN 97 ELSE 0 END) % 251"""
-    s"""WITH vids AS (
-          SELECT doc_id, doc_id AS seed, 0 AS pert, doc_id % 24 + 1 AS nf,
-            2*(doc_id % 16 + 1) * 2*(doc_id % 12 + 1) * 3 // 2 AS fb
-          FROM documents WHERE doc_id % 3 = 2
-          UNION ALL
-          SELECT doc_id + 2000000 AS doc_id, doc_id AS seed, 1 AS pert,
-            doc_id % 24 + 1 AS nf,
-            2*(doc_id % 16 + 1) * 2*(doc_id % 12 + 1) * 3 // 2 AS fb
-          FROM documents WHERE doc_id % 3 = 2 AND doc_id < $variantCut),
-        eligible AS (
-          SELECT doc_id, seed, pert, nf, fb FROM vids
-          WHERE nf >= 2 AND fb >= $minFb),
-        bnd AS (
-          SELECT doc_id, seed, pert, nf, fb, unnest(range(1, nf)) AS f
-          FROM eligible),
-        sad AS (
-          SELECT doc_id, nf, fb, f,
-            list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(range(0, fb), j ->
-                CAST(abs((${pix("f")}) - (${pix("f - 1")})) AS BIGINT))),
-              (a, x) -> a + x) AS sad
-          FROM bnd),
+      minFb: Int = 45): String =
+    s"""WITH ${videoSadCtes(variantCut, minFb)},
         kf AS (
           SELECT doc_id, nf, CAST(0 AS BIGINT) AS kf_idx FROM eligible
           UNION ALL
@@ -831,7 +811,6 @@ object Multimodal {
           CAST(coalesce(lead(kf_idx) OVER (PARTITION BY doc_id
               ORDER BY kf_idx), nf) - kf_idx AS BIGINT) AS shot_len
         FROM kf"""
-  }
 
   case class SilenceProfile(doc_id: Long, n_samples: Long, n_zeros: Long,
       max_zero_run: Long, lead_zeros: Long, trail_zeros: Long)

@@ -83,5 +83,17 @@ class LayoutSpec extends AnyFunSuite {
     val cluTot = rows.filter(_._1 == "clustered").map(_._3).sum
     assert(cluTot * 4 < insTot,
       s"clustered $cluTot vs insertion $insTot files touched")
+    // regression pin for the documented silent failure mode: the first
+    // single-LCG hash draft produced ZERO bloom collisions at every
+    // scale (lattice artifact), which killed fp_files as a measurement.
+    // At sf0.01 (150 users, ~97/file) a healthy 256-bit bloom MUST show
+    // false positives on the unclustered layout; a degenerate hash
+    // shows none and fails here.
+    val rows01 = graft.operators.Layout.bloomSkip(spark,
+      "/root/testdata/sf0.01").collect()
+      .map(r => (r.getString(0), r.getLong(4)))
+    assert(rows01.exists { case (lay, fp) => lay == "insertion" && fp > 0 },
+      "insertion-layout blooms must collide at sf0.01 — " +
+        "a zero-fp result means the hash lattice regressed")
   }
 }

@@ -828,12 +828,47 @@ class SparkOpsSpec extends AnyFunSuite {
     }
     assert(got.keySet.size == got.size &&
       expectedRemoved.keySet.subsetOf(got.keySet))
-    // overlapping runs must actually occur somewhere for the union
-    // logic to be exercised: a doc with more intervals than islands
+    // multi-interval docs must occur for the sweep to be exercised
     val multi = runs.groupBy(_._1).exists { case (d, ivs) =>
       ivs.map(t => (t._2, t._3)).distinct.size > 1
     }
-    assert(multi, "fixture must exercise multi-interval union")
+    assert(multi, "fixture must exercise multi-interval docs")
+  }
+
+  test("spanScrub merges OVERLAPPING intervals (planted fixture)") {
+    import spark.implicits._
+    // doc 2's text is three 20-token blocks P Q R; doc 0 shares P+Q
+    // (doc-2 interval [0, 40)), doc 1 shares Q+R ([20, 60)) — the two
+    // intervals overlap on Q, so a correct union removes 60 tokens,
+    // while per-interval summing would claim 80
+    val P = (0 until 20).map(i => s"p$i").mkString(" ")
+    val Q = (0 until 20).map(i => s"q$i").mkString(" ")
+    val R = (0 until 20).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$P $Q"),
+      (1L, s"$Q $R"),
+      (2L, s"$P $Q $R"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_d11").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val runs = Dedup.suffixRuns(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(3) + r.getLong(4)))
+    val ivs2 = runs.filter(_._2 == 2L).map(t => (t._3, t._4)).distinct
+    assert(ivs2.length == 2 &&
+      ivs2.exists { case (s0, e0) => ivs2.exists { case (s1, e1) =>
+        (s0, e0) != (s1, e1) && s1 < e0 && s0 < e1 } },
+      s"fixture must give doc 2 two OVERLAPPING intervals: ${ivs2.toSeq}")
+    val got = Dedup.spanScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(2L) == ((60L, 60L)),
+      s"union must merge the overlap (60 tokens, not 80): ${got(2L)}")
+    // doc 1 loses its Q+R copy to doc 0's Q? no — doc 0 and doc 1 share
+    // only Q (20 tokens >= minRun): doc 1's scrubbed span is [0, 20)
+    assert(got(1L) == ((40L, 20L)), s"doc 1: ${got(1L)}")
+    assert(got(0L) == ((40L, 0L)), s"doc 0 is canonical: ${got(0L)}")
   }
 
   test("holtForecast == sequential reference recursion, bit-exact") {
