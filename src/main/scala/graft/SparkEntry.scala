@@ -156,6 +156,7 @@ object SparkEntry {
     "t24_pii_redact"   -> ((s, dir) => TextAnalysis.piiRedact(s, dir)),
     "a13_holt_forecast" -> ((s, dir) => ApmStats.holtForecast(s, dir)),
     "m9_keyframes"     -> ((s, dir) => Multimodal.keyframes(s, dir).toDF),
+    "w8_attribution"   -> ((s, dir) => Sessionize.attribution(s, dir)),
     "d10_suffix_runs"  -> ((s, dir) => Dedup.suffixRuns(s, dir)),
     "d11_span_scrub"   -> ((s, dir) => Dedup.spanScrub(s, dir)),
     "t22_markup_extract" -> ((s, dir) => Markup.extract(s, dir)),
@@ -446,6 +447,7 @@ object SparkEntry {
     "t24_pii_redact"   -> TextAnalysis.piiRedactSql,
     "a13_holt_forecast" -> ApmStats.holtForecastSql(),
     "m9_keyframes"     -> Multimodal.keyframesSql(),
+    "w8_attribution"   -> Sessionize.attributionSql(),
     "d10_suffix_runs"  -> Dedup.suffixRunsSql(),
     "d11_span_scrub"   -> Dedup.spanScrubSql(),
     "t22_markup_extract" -> Markup.extractSql,

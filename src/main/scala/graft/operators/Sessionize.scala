@@ -374,4 +374,92 @@ object Sessionize {
        FROM p
        JOIN tc ta ON p.type_a = ta.event_type
        JOIN tc tb ON p.type_b = tb.event_type, ns"""
+
+  /** w8 — multi-touch ATTRIBUTION: for every conversion (a `purchase`
+    * event), the marketing touches (`click`/`view`/`signup`) the same
+    * user made in the `lookbackMs` window before it, credited
+    * first-touch and last-touch. Integer/string outputs only — per-
+    * conversion linear credit is a ratio whose cross-row float
+    * summation order differs between engines, so the per-conversion
+    * frame IS the deliverable and any credit model aggregates it
+    * downstream (first/last counts are exact GROUP BYs over this).
+    *
+    * Tie-breaks are total: touches order by (ms, event_id) both ways.
+    * Conversions with NO touch in window are kept ('none', 0) — the
+    * organic-conversion segment an attribution report must not drop.
+    * Shape: one user-keyed equi-join (conversions x touches of the
+    * same user, window-bounded) + one per-conversion window — at 100 TB
+    * both shuffles key on user/conversion ids; no cross-user work.
+    */
+  def attribution(spark: SparkSession, sfDir: String,
+      lookbackMs: Long = 86400000L): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val ms = Tables.tsMillis(ev)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        ms.as("conv_ms"))
+    val touch = ev.filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        ms.as("touch_ms"), col("event_type").as("touch_type"))
+    val j = conv.join(touch, Seq("user_id"))
+      .filter(col("touch_ms") <= col("conv_ms") &&
+        col("touch_ms") > col("conv_ms") - lookbackMs)
+    val wF = Window.partitionBy("conv_id")
+      .orderBy(col("touch_ms").asc, col("touch_id").asc)
+    val wL = Window.partitionBy("conv_id")
+      .orderBy(col("touch_ms").desc, col("touch_id").desc)
+    val agg = j
+      .withColumn("rn_f", row_number().over(wF))
+      .withColumn("rn_l", row_number().over(wL))
+      .withColumn("n_touches",
+        count(lit(1)).over(Window.partitionBy("conv_id")))
+      .filter(col("rn_f") === 1)
+      .select(col("conv_id"),
+        col("touch_type").as("first_touch"),
+        col("n_touches").cast("long").as("n_touches"))
+    val lastT = j
+      .withColumn("rn_l", row_number().over(wL))
+      .filter(col("rn_l") === 1)
+      .select(col("conv_id"), col("touch_type").as("last_touch"))
+    conv.join(agg, Seq("conv_id"), "left")
+      .join(lastT, Seq("conv_id"), "left")
+      .select(col("user_id"), col("conv_id"), col("conv_ms"),
+        coalesce(col("first_touch"), lit("none")).as("first_touch"),
+        coalesce(col("last_touch"), lit("none")).as("last_touch"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"))
+  }
+
+  def attributionSql(lookbackMs: Long = 86400000L): String =
+    s"""WITH conv AS (
+          SELECT user_id, event_id AS conv_id, epoch_ms(ts) AS conv_ms
+          FROM events WHERE event_type = 'purchase'),
+        touch AS (
+          SELECT user_id, event_id AS touch_id, epoch_ms(ts) AS touch_ms,
+            event_type AS touch_type
+          FROM events WHERE event_type IN ('click', 'view', 'signup')),
+        j AS (
+          SELECT c.conv_id, t.touch_id, t.touch_ms, t.touch_type
+          FROM conv c JOIN touch t ON c.user_id = t.user_id
+          WHERE t.touch_ms <= c.conv_ms
+            AND t.touch_ms > c.conv_ms - $lookbackMs),
+        r AS (
+          SELECT conv_id, touch_type,
+            row_number() OVER (PARTITION BY conv_id
+              ORDER BY touch_ms ASC, touch_id ASC) AS rn_f,
+            row_number() OVER (PARTITION BY conv_id
+              ORDER BY touch_ms DESC, touch_id DESC) AS rn_l,
+            CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT)
+              AS n_touches
+          FROM j),
+        f AS (SELECT conv_id, touch_type AS first_touch, n_touches
+              FROM r WHERE rn_f = 1),
+        l AS (SELECT conv_id, touch_type AS last_touch
+              FROM r WHERE rn_l = 1)
+        SELECT c.user_id, c.conv_id, c.conv_ms,
+          coalesce(f.first_touch, 'none') AS first_touch,
+          coalesce(l.last_touch, 'none') AS last_touch,
+          coalesce(f.n_touches, 0) AS n_touches
+        FROM conv c
+        LEFT JOIN f ON c.conv_id = f.conv_id
+        LEFT JOIN l ON c.conv_id = l.conv_id"""
 }

@@ -931,4 +931,32 @@ class SparkOpsSpec extends AnyFunSuite {
     // the planted variants guarantee multi-shot coverage
     assert(kfs.exists(_._2.length > 1), "fixture must contain cuts")
   }
+
+  test("attribution == brute per-conversion first/last/count") {
+    val lookback = 86400000L
+    val evs = graft.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"),
+        graft.Tables.tsMillis(graft.Tables.load(spark, sf, "events")).as("ms"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val touchTypes = Set("click", "view", "signup")
+    val byUser = evs.groupBy(_._2)
+    val want = evs.filter(_._4 == "purchase").map { case (cid, uid, cms, _) =>
+      val ts = byUser(uid).filter(t => touchTypes(t._4) &&
+        t._3 <= cms && t._3 > cms - lookback)
+      if (ts.isEmpty) cid -> (("none", "none", 0L))
+      else {
+        val first = ts.minBy(t => (t._3, t._1))._4
+        val last = ts.maxBy(t => (t._3, t._1))._4
+        cid -> ((first, last, ts.length.toLong))
+      }
+    }.toMap
+    val got = Sessionize.attribution(spark, sf).collect()
+      .map(r => r.getLong(1) ->
+        ((r.getString(3), r.getString(4), r.getLong(5)))).toMap
+    assert(got == want,
+      s"diff: ${want.keysIterator.filter(k => got.get(k) != want.get(k)).take(3).toList}")
+    assert(want.values.exists(_._3 == 0L), "organic conversions present")
+    assert(want.values.exists(_._3 > 1L), "multi-touch present")
+  }
 }
