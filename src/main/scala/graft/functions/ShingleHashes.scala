@@ -179,6 +179,10 @@ object ShingleHashes {
       val x = (pre(b) - pre(a) * pow(b - a)) % Mod
       if (x < 0) x + Mod else x
     }
+    // an empty string has ZERO words, not one — without this guard the
+    // spaces+1 count below would emit one hash of the empty gram at
+    // k=1, contradicting the fewer-than-k => empty-array contract
+    if (nCp == 0) return new GenericArrayData(Array.emptyLongArray)
     var nWords = 1
     j = 0
     while (j < nCp) { if (cps(j) == ' ') nWords += 1; j += 1 }

@@ -84,7 +84,11 @@ object Layout {
     * ntile'd into `files` range-buckets under each ordering (ntile
     * over a total order is the deterministic stand-in for
     * `repartitionByRange(zkey)` — which is how [[compactDir]] would
-    * apply it at scale with a sampled, parallel range shuffle), then
+    * apply it at scale with a sampled, parallel range shuffle; the
+    * unpartitioned `Window.orderBy` ntile funnels the table through one
+    * task and is a TEST-SCALE simplification chosen for oracle
+    * determinism — the production assignment is the range shuffle, not
+    * this window), then
     * per-file (x, y) bounding boxes aggregated into the two numbers
     * that matter: files touched by a fixed box query and mean per-file
     * span on each dimension. The hour-origin min is a 1-row broadcast
@@ -152,7 +156,12 @@ object Layout {
     * words per the engines' shared shift range), no floating point.
     * Shape at scale: one distinct shuffle on (layout, file, user), one
     * small OR-aggregate, probe joins against a words table of
-    * files x mBits/32 rows — the bloom table is metadata-sized.
+    * files x mBits/32 rows — the bloom table is metadata-sized. The
+    * ntile file assignment (unpartitioned `Window.orderBy`, one task)
+    * is the same test-scale, oracle-deterministic stand-in as
+    * [[zorderLayout]]'s — production file boundaries come from
+    * `repartitionByRange`'s sampled range shuffle, and the bloom build
+    * downstream of it is unchanged.
     */
   def bloomSkip(spark: SparkSession, sfDir: String, files: Int = 64,
       mBits: Int = 256, nProbes: Int = 20): DataFrame = {

@@ -722,7 +722,11 @@ object Similarity {
     val qv = vecs.select(col("vec_id").as("q_id"), col("v").as("qv"))
     val nv = vecs.select(col("vec_id").as("n_id"), col("v").as("nv"))
     val wC = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    broadcast(broadcast(short).join(qv, "q_id")).join(nv, "n_id")
+    // shortlist is at most nQueries*m rows; join the query vectors in
+    // first, then broadcast that joined shortlist into the big nv side
+    // (the split form used by mrlFunnel / denseHammingRanks).
+    val shortQ = broadcast(short).join(qv, "q_id")
+    broadcast(shortQ).join(nv, "n_id")
       .withColumn("cos",
         dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
       .withColumn("rank", row_number().over(wC).cast("long"))

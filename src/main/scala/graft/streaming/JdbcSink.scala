@@ -88,6 +88,15 @@ object JdbcSink {
       columns.map { case (n, t, _) => s"$n $t" }
         .mkString(s"CREATE TABLE IF NOT EXISTS $table (", ", ", ")")
 
+    /** The cast placeholders a STATS-shaped upsert needs under Postgres
+      * (currently just `stats_json -> ?::jsonb`), for
+      * [[JdbcSink.upsertBatch]]'s per-call `placeholders` — scoped to
+      * callers that actually write this shape instead of inferred from
+      * bare column names.
+      */
+    val placeholderMap: Map[String, String] =
+      columns.collect { case (n, _, p) if p != "?" => n -> p }.toMap
+
     def insertSql(table: String): String =
       s"INSERT INTO $table (${columns.map(_._1).mkString(", ")}) " +
         s"VALUES (${columns.map(_._3).mkString(", ")})"
@@ -172,13 +181,23 @@ object JdbcSink {
     * belongs to Spark's writer; an upsert's key columns are schema
     * design, not inference), and keys are unique WITHIN a batch (true
     * for every keyed frame here, e.g. stats rows on (ts_ms, server,
-    * service, lag) — the deletes all run before the inserts, so an
-    * in-batch duplicate key would survive as two inserted rows).
+    * service, lag)). Because the deletes all run before the inserts, an
+    * in-batch duplicate key would silently survive as two inserted rows
+    * — the exact corruption this writer exists to prevent — so the
+    * contract is ENFORCED: each partition tracks its key tuples and
+    * throws on a repeat before anything commits.
     *
     * Key columns must be NON-NULL: the keyed delete uses `k = ?`, and
     * SQL three-valued logic makes `k = NULL` match nothing — a null key
     * would silently reopen the duplicate window on replay, so the
     * writer rejects it loudly instead.
+    *
+    * `placeholders` maps column name -> insert placeholder for columns
+    * that need a typed cast against the target dialect (e.g. the stats
+    * table's `?::jsonb` payload under Postgres — see
+    * [[PgStats.placeholderMap]]). Scoped PER CALL rather than inferred
+    * from the URL + bare column names, so a different table that merely
+    * shares a column name never inherits the cast.
     *
     * `onPartitionCommit` is a post-commit hook (partitionId => Unit)
     * used by the fault-injection spec to stage the committed-then-failed
@@ -186,6 +205,7 @@ object JdbcSink {
     */
   def upsertBatch(df: DataFrame, url: String, table: String,
       keyCols: Seq[String], numPartitions: Int = 8,
+      placeholders: Map[String, String] = Map.empty,
       onPartitionCommit: Int => Unit = _ => ()): Unit = {
     val cols = df.columns.toSeq
     require(keyCols.nonEmpty && keyCols.forall(cols.contains),
@@ -195,17 +215,8 @@ object JdbcSink {
       else df
     val delSql = s"DELETE FROM $table WHERE " +
       keyCols.map(k => s"$k = ?").mkString(" AND ")
-    // Dialect-aware insert placeholders: against Postgres, columns the
-    // PgStats dialect declares (e.g. the stats table's jsonb payload)
-    // keep their cast placeholder — the same reason writeBatch routes
-    // through PgStats (a plain VARCHAR parameter is rejected against a
-    // jsonb column).
-    def placeholder(c: String): String =
-      if (PgStats.isPostgres(url))
-        PgStats.columns.find(_._1 == c).map(_._3).getOrElse("?")
-      else "?"
     val insSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
-      s"VALUES (${cols.map(placeholder).mkString(", ")})"
+      s"VALUES (${cols.map(c => placeholders.getOrElse(c, "?")).mkString(", ")})"
     val keyIdx = keyCols.map(cols.indexOf)
     val n = cols.size
     capped.foreachPartition { (rows: Iterator[Row]) =>
@@ -215,6 +226,13 @@ object JdbcSink {
           c.setAutoCommit(false)
           val del = c.prepareStatement(delSql)
           val ins = c.prepareStatement(insSql)
+          // In-batch key uniqueness is enforced, not just documented:
+          // within one partition all deletes run before all inserts, so
+          // a repeated key would silently insert twice. (Across
+          // partitions each transaction re-deletes the key, so a
+          // cross-partition repeat converges to one row — the loud
+          // check is needed exactly where the corruption is silent.)
+          val seen = new java.util.HashSet[Seq[Any]]()
           try {
             rows.foreach { r =>
               var i = 0
@@ -226,6 +244,12 @@ object JdbcSink {
                       "and would duplicate on replay")
                 del.setObject(i + 1, r.get(keyIdx(i))); i += 1
               }
+              val keyTuple = keyIdx.map(r.get)
+              if (!seen.add(keyTuple))
+                throw new IllegalArgumentException(
+                  s"duplicate upsert key ${keyCols.zip(keyTuple)} within " +
+                    "one batch — deletes run before inserts, so the " +
+                    "repeat would silently persist as two rows")
               del.addBatch()
               i = 0
               while (i < n) {
@@ -282,9 +306,11 @@ object JdbcSink {
     */
   def sinkToJdbcUpsert(df: DataFrame, url: String, table: String,
       keyCols: Seq[String], checkpoint: String, parkDir: String,
-      availableNow: Boolean = true, trigger: String = "5 seconds")
+      availableNow: Boolean = true, trigger: String = "5 seconds",
+      placeholders: Map[String, String] = Map.empty)
       : StreamingQuery =
     ApmStreaming.sinkWithRequeue(df, checkpoint, parkDir,
-      (batch, _) => upsertBatch(batch, url, table, keyCols),
+      (batch, _) => upsertBatch(batch, url, table, keyCols,
+        placeholders = placeholders),
       availableNow = availableNow, trigger = trigger)
 }

@@ -246,6 +246,40 @@ class JdbcSinkSpec extends AnyFunSuite {
     df.unpersist(); ()
   }
 
+  test("upsert rejects an in-batch duplicate key loudly and rolls back") {
+    val url = derbyUrl()
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(
+          "CREATE TABLE dupk (k BIGINT NOT NULL, v DOUBLE)")
+        ()
+      } finally st.close()
+    } finally conn.close()
+    // two rows share k=7 — deletes run before inserts, so without the
+    // guard the repeat would silently persist as two rows
+    val df = spark.range(0, 10)
+      .select((col("id") % 9).as("k"), (col("id") * lit(0.5)).as("v"))
+      .coalesce(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      JdbcSink.upsertBatch(df, url, "dupk", Seq("k"))
+    }
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    assert(causes(e).exists(c =>
+      c.isInstanceOf[IllegalArgumentException] &&
+        c.getMessage.contains("duplicate upsert key")), s"got: $e")
+    // nothing committed: the throw precedes executeBatch/commit
+    assert(readTable(url, "dupk").count() == 0)
+    // unique keys on the same table still go through
+    JdbcSink.upsertBatch(
+      spark.range(0, 9).select(col("id").as("k"),
+        (col("id") * lit(0.5)).as("v")),
+      url, "dupk", Seq("k"))
+    assert(readTable(url, "dupk").count() == 9)
+  }
+
 }
 
 /** A recording JDBC driver double registered under `jdbc:postgresql:`

@@ -153,4 +153,23 @@ class ShingleSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("positional hashes: empty string emits an empty array at every k") {
+    // an empty string has zero words; the fewer-than-k => empty-array
+    // contract must hold even at k=1 (the spaces+1 word count would
+    // otherwise invent a single empty-gram hash)
+    for (k <- Seq(1, 2, 8)) {
+      val got = graft.functions.ShingleHashes.computePos(
+        org.apache.spark.unsafe.types.UTF8String.fromString(""), k)
+      assert(got.numElements() == 0, s"k=$k")
+    }
+    // non-empty single word still behaves per contract: one gram at k=1,
+    // empty below-k otherwise
+    val one = graft.functions.ShingleHashes.computePos(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a"), 1)
+    assert(one.numElements() == 1)
+    val below = graft.functions.ShingleHashes.computePos(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a"), 2)
+    assert(below.numElements() == 0)
+  }
 }
