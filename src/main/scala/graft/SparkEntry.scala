@@ -161,6 +161,7 @@ object SparkEntry {
     "d11_span_scrub"   -> ((s, dir) => Dedup.spanScrub(s, dir)),
     "t22_markup_extract" -> ((s, dir) => Markup.extract(s, dir)),
     "s15_fused_hybrid" -> ((s, dir) => Similarity.fusedHybrid(s, dir)),
+    "s16_index_serve"  -> ((s, dir) => Similarity.indexServe(s, dir)),
     "q31_bloom_skip"   -> ((s, dir) => Layout.bloomSkip(s, dir)),
     "t22_extract_quality" -> ((s, dir) => Markup.quality(s, dir)),
     // Latest-record-wins CDC compaction via one map-side max_by agg.
@@ -294,6 +295,15 @@ object SparkEntry {
     // passes so no single pass absorbs the chain cost
     val trained = Similarity.pqTrainedShared(spark, dir)
     val ivfpq = Similarity.ivfPq(spark, dir).localCheckpoint()
+    // persisted-index serving (s16): train + WRITE the snapshot once in
+    // the family build (the training cost is already represented by the
+    // unshared s7_ivfpq; the write is one-time index-build work a
+    // production deployment amortizes over every query) — the timed s16
+    // is the pure STORED-INDEX serve path, which is the number that
+    // matters at serving time
+    val annDir = java.nio.file.Files
+      .createTempDirectory("graft_ann_bench").toString
+    Similarity.persistIvfPqIndex(spark, dir, annDir, "bench")
     (Map(
       "s5_pq_adc"       -> (() => Similarity.pqAdcFrom(spark, dir,
         trained._1, trained._2)),
@@ -301,7 +311,9 @@ object SparkEntry {
         Similarity.pqAdcFrom(spark, dir, trained._1, trained._2))),
       "s10_pq_refine"   -> (() => Similarity.pqRefineRecallFrom(spark, dir,
         Similarity.pqAdcFrom(spark, dir, trained._1, trained._2, k = 25))),
-      "s8_ivfpq_recall" -> (() => Similarity.ivfPqRecallFrom(spark, dir, ivfpq))),
+      "s8_ivfpq_recall" -> (() => Similarity.ivfPqRecallFrom(spark, dir, ivfpq)),
+      "s16_index_serve" -> (() => Similarity.ivfPqServe(spark, dir,
+        annDir, "bench"))),
       Seq(trained._1, ivfpq))
   }
 
@@ -452,6 +464,10 @@ object SparkEntry {
     "d11_span_scrub"   -> Dedup.spanScrubSql(),
     "t22_markup_extract" -> Markup.extractSql,
     "s15_fused_hybrid" -> Similarity.fusedHybridSql(),
+    // s16 serves s7's query from the persisted index; parquet round-trips
+    // doubles bit-exactly, so the stored-index answer must equal the
+    // train-and-serve answer — the oracle IS s7's.
+    "s16_index_serve"  -> Similarity.ivfPqSql(),
     "q31_bloom_skip"   -> Layout.bloomSkipSql(),
     "t22_extract_quality" -> Markup.qualitySql,
     "q26_compaction"   -> Relational.q26CompactionSql,

@@ -1097,8 +1097,26 @@ object Similarity {
     */
   def ivfPq(spark: SparkSession, sfDir: String,
       k: Int = 5, nQueries: Int = 20, nprobe: Int = 2): DataFrame = {
-    val subDim = SrpDim / PqSubspaces
     val vecs = vecsDouble(spark, sfDir).select("vec_id", "v")
+    ivfPqServeFrom(vecs.filter(col("vec_id") < nQueries),
+      ivfPqTrain(vecs), k, nprobe)
+  }
+
+  /** The IVF-PQ index as three relations — exactly what a production
+    * serving tier stores: coarse centroids (cells x dim), the shared
+    * residual codebook (subspaces x K x subDim) and the corpus codes
+    * (one 4-code row set per vector; the floats are NOT part of the
+    * index). [[ivfPqTrain]] produces it, [[ivfPqServeFrom]] consumes it
+    * — the same value either fresh (s7) or read back from parquet (s16),
+    * which is what makes serve == train-and-serve oracle-checkable.
+    */
+  case class IvfPqIndex(cents: DataFrame, codebook: DataFrame,
+      codes: DataFrame)
+
+  /** Training half of [[ivfPq]]: coarse k-means, residual computation,
+    * residual-PQ codebook + corpus code assignment.
+    */
+  private def ivfPqTrain(vecs: DataFrame): IvfPqIndex = {
     val cents = ivfCentroids(vecs, 2)
     val cellCv = cents.select(col("cent_id").as("cell"), col("cv"))
     val assigned = assignCells(vecs, cents)
@@ -1106,9 +1124,21 @@ object Similarity {
       .select(col("vec_id"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"), col("cell"))
     val (asgR, cbR) = pqTrainedFrom(rcorpus.select("vec_id", "v"))
-    val corpusCodes = asgR.select(col("vec_id").as("n_id"), col("sub"), col("code"))
+    val codes = asgR.select(col("vec_id").as("n_id"), col("sub"), col("code"))
       .join(rcorpus.select(col("vec_id").as("n_id"), col("cell")), Seq("n_id"))
-    val qres = probeCells(vecs.filter(col("vec_id") < nQueries), cents, nprobe)
+    IvfPqIndex(cents, cbR, codes)
+  }
+
+  /** Query half of [[ivfPq]]: probe `nprobe` cells, per-(query, cell)
+    * residual LUT against the codebook, ADC scoring of the probed cells'
+    * codes, top-k. Touches only `queries` floats and the index relations
+    * — never the corpus vectors.
+    */
+  private def ivfPqServeFrom(queries: DataFrame, idx: IvfPqIndex,
+      k: Int, nprobe: Int): DataFrame = {
+    val subDim = SrpDim / PqSubspaces
+    val cellCv = idx.cents.select(col("cent_id").as("cell"), col("cv"))
+    val qres = probeCells(queries, idx.cents, nprobe)
       .join(broadcast(cellCv), Seq("cell"))
       .select(col("vec_id").as("q_id"), col("cell"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
@@ -1116,12 +1146,12 @@ object Similarity {
         (0 until PqSubspaces).map(s => struct(lit(s).as("sub"),
           slice(col("rv"), s * subDim + 1, subDim).as("sv"))): _*)).as("x"))
       .select(col("q_id"), col("cell"), col("x.sub").as("sub"), col("x.sv").as("sv"))
-    val qlut = qsubs.join(broadcast(cbR), Seq("sub"))
+    val qlut = qsubs.join(broadcast(idx.codebook), Seq("sub"))
       .select(col("q_id"), col("cell"), col("sub"), col("code"),
         aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, e) => acc + e).as("dq"))
     def dAt(s: Int) = max(when(col("sub") === s, col("dq")))
-    val scored = corpusCodes.join(broadcast(qlut), Seq("cell", "sub", "code"))
+    val scored = idx.codes.join(broadcast(qlut), Seq("cell", "sub", "code"))
       .filter(col("q_id") =!= col("n_id"))
       .groupBy("q_id", "n_id")
       .agg((dAt(0) + dAt(1) + dAt(2) + dAt(3)).as("adc_d2"))
@@ -1129,6 +1159,60 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "adc_d2", "rank")
+  }
+
+  /** Persist a trained IVF-PQ index under `indexDir/snapshot_id=<id>/`
+    * as three parquet relations (the [[IvfPqIndex]] shape) and return
+    * the snapshot path. This is the production serving discipline the
+    * corpus snapshots (c8/c11) already model, applied to the index:
+    * train once per corpus snapshot, serve any number of queries from
+    * the stored artifacts with zero training work. Doubles round-trip
+    * parquet bit-exactly, so a served result is IDENTICAL to the
+    * train-and-serve result — the s16 oracle is s7's.
+    */
+  def persistIvfPqIndex(spark: SparkSession, sfDir: String,
+      indexDir: String, snapshotId: String): String = {
+    val dir = s"$indexDir/snapshot_id=$snapshotId"
+    val idx = ivfPqTrain(vecsDouble(spark, sfDir).select("vec_id", "v"))
+    idx.cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    idx.codebook.write.mode("overwrite").parquet(s"$dir/codebook")
+    idx.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    dir
+  }
+
+  /** Read a persisted snapshot back as an [[IvfPqIndex]]. */
+  def loadIvfPqIndex(spark: SparkSession, indexDir: String,
+      snapshotId: String): IvfPqIndex = {
+    val dir = s"$indexDir/snapshot_id=$snapshotId"
+    IvfPqIndex(spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/codes"))
+  }
+
+  /** Answer [[ivfPq]]'s query from a STORED index: no k-means, no PQ
+    * training, no corpus-vector scan — the plan reads the three index
+    * parquet relations plus the query vectors only (AnnIndexSpec pins
+    * the absence of training shapes in the optimized plan).
+    */
+  def ivfPqServe(spark: SparkSession, sfDir: String, indexDir: String,
+      snapshotId: String, k: Int = 5, nQueries: Int = 20,
+      nprobe: Int = 2): DataFrame = {
+    val queries = vecsDouble(spark, sfDir).select("vec_id", "v")
+      .filter(col("vec_id") < nQueries)
+    ivfPqServeFrom(queries, loadIvfPqIndex(spark, indexDir, snapshotId),
+      k, nprobe)
+  }
+
+  /** s16 — the end-to-end persist/serve round-trip as a verify entry:
+    * train + write the snapshot, then answer from the STORED artifacts.
+    * Output (and oracle) are exactly s7's.
+    */
+  def indexServe(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 20, nprobe: Int = 2): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_index")
+      .toString
+    persistIvfPqIndex(spark, sfDir, tmp, "s16")
+    ivfPqServe(spark, sfDir, tmp, "s16", k, nQueries, nprobe)
   }
 
   def ivfPqSql(k: Int = 5, nQueries: Int = 20, nprobe: Int = 2): String = {

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+/** Persisted ANN index serving (s16): the stored-snapshot serve path
+  * answers s7's query EXACTLY (parquet round-trips doubles bit-exactly),
+  * and its plan carries no training work — the production shape where an
+  * index is trained once per corpus snapshot and queried many times.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("serve from stored snapshot == train-and-serve, cell-exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    val path = Similarity.persistIvfPqIndex(spark, sf, dir, "t1")
+    assert(path.endsWith("snapshot_id=t1"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val served = rows(Similarity.ivfPqServe(spark, sf, dir, "t1"))
+    val fresh = rows(Similarity.ivfPq(spark, sf))
+    assert(served == fresh, "stored-index serve must equal s7 exactly")
+    assert(served.nonEmpty)
+  }
+
+  test("the serve plan reads the index and does no training") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    Similarity.persistIvfPqIndex(spark, sf, dir, "t2")
+    val served = Similarity.ivfPqServe(spark, sf, dir, "t2")
+    val plan = served.queryExecution.optimizedPlan.toString
+    // training is characterized by the k-means/PQ refinement fold
+    // (sort_array(collect_list(...)) per cell/code); a serve plan that
+    // contains it is retraining behind the caller's back
+    assert(!plan.contains("collect_list"),
+      "serve plan must not contain the training fold")
+    // and it must actually read the stored snapshot relations (file
+    // paths print in the PHYSICAL plan's FileScan locations)
+    assert(served.queryExecution.executedPlan.toString
+        .contains("snapshot_id=t2"),
+      "serve plan must scan the persisted index parquet")
+  }
+
+  test("snapshots are independent: serving an absent id fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    Similarity.persistIvfPqIndex(spark, sf, dir, "present")
+    intercept[Exception] {
+      Similarity.ivfPqServe(spark, sf, dir, "absent").collect()
+    }
+    ()
+  }
+}
