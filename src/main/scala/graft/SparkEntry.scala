@@ -156,6 +156,7 @@ object SparkEntry {
     "t24_pii_redact"   -> ((s, dir) => TextAnalysis.piiRedact(s, dir)),
     "a13_holt_forecast" -> ((s, dir) => ApmStats.holtForecast(s, dir)),
     "m9_keyframes"     -> ((s, dir) => Multimodal.keyframes(s, dir).toDF),
+    "x1_crossmodal"    -> ((s, dir) => Multimodal.crossModalDedup(s, dir)),
     "w8_attribution"   -> ((s, dir) => Sessionize.attribution(s, dir)),
     "d10_suffix_runs"  -> ((s, dir) => Dedup.suffixRuns(s, dir)),
     "d11_span_scrub"   -> ((s, dir) => Dedup.spanScrub(s, dir)),
@@ -459,6 +460,7 @@ object SparkEntry {
     "t24_pii_redact"   -> TextAnalysis.piiRedactSql,
     "a13_holt_forecast" -> ApmStats.holtForecastSql(),
     "m9_keyframes"     -> Multimodal.keyframesSql(),
+    "x1_crossmodal"    -> Multimodal.crossModalDedupSql(),
     "w8_attribution"   -> Sessionize.attributionSql(),
     "d10_suffix_runs"  -> Dedup.suffixRunsSql(),
     "d11_span_scrub"   -> Dedup.spanScrubSql(),

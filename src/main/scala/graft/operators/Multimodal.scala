@@ -172,10 +172,19 @@ object Multimodal {
     * which is what lets the DuckDB oracle check the decode output without
     * being able to run the decoder itself.
     */
-  def mediaContainers(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+  def mediaContainers(spark: SparkSession, sfDir: String,
+      kind: Option[String] = None): Dataset[MediaRecord] = {
     import spark.implicits._
-    Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id")).as[Long]
+    // Push a kind filter BEFORE synthesis/decode: kind is closed-form in
+    // doc_id (id % 3), so a single-modality consumer (most of the
+    // family) never pays for the other two modalities' payload bytes —
+    // at scale the equivalent is partition pruning on a kind-partitioned
+    // media table, and video payloads dominate the skipped bytes.
+    val base = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    val wanted = kind.map(k => Seq("image", "audio", "video").indexOf(k))
+    require(wanted.forall(_ >= 0), s"unknown media kind: $kind")
+    wanted.fold(base)(m => base.filter(col("doc_id") % 3 === m))
+      .as[Long]
       .mapPartitions(_.map { id =>
         val payload = (id % 3) match {
           case 0 => MediaCodec.bmp((id % 64).toInt + 1, (id % 48).toInt + 1, id)
@@ -279,8 +288,7 @@ object Multimodal {
 
   def audioFeatures(spark: SparkSession, sfDir: String): Dataset[AudioFeatures] = {
     import spark.implicits._
-    mediaContainers(spark, sfDir)
-      .filter(col("kind") === "audio").as[MediaRecord]
+    mediaContainers(spark, sfDir, Some("audio")).as[MediaRecord]
       .mapPartitions(_.map { r =>
         val d = MediaCodec.decode(r.doc_id, r.payload)
         require(d.container == "wav", s"expected wav, got ${d.container}")
@@ -341,8 +349,7 @@ object Multimodal {
   def frameExtract(spark: SparkSession, sfDir: String,
       sampleEvery: Int = 4): Dataset[FrameRow] = {
     import spark.implicits._
-    mediaContainers(spark, sfDir)
-      .filter(col("kind") === "video").as[MediaRecord]
+    mediaContainers(spark, sfDir, Some("video")).as[MediaRecord]
       .mapPartitions(_.flatMap { r =>
         val d = MediaCodec.decode(r.doc_id, r.payload)
         require(d.container == "y4m", s"expected y4m, got ${d.container}")
@@ -500,8 +507,7 @@ object Multimodal {
     import spark.implicits._
     require(tau >= 0 && tau <= PHashBands - 1,
       s"banded recall is exact only for tau <= ${PHashBands - 1}, got $tau")
-    val hashes: Dataset[ImagePHash] = mediaContainers(spark, sfDir)
-      .filter(col("kind") === "image").as[MediaRecord]
+    val hashes: Dataset[ImagePHash] = mediaContainers(spark, sfDir, Some("image")).as[MediaRecord]
       .mapPartitions(_.flatMap { r =>
         val variant = if (r.doc_id < variantCut) {
           val p = r.payload.clone()
@@ -724,8 +730,7 @@ object Multimodal {
       variantCut: Long = 30L, thresh: Int = 100,
       minFb: Int = 45): Dataset[SceneCuts] = {
     import spark.implicits._
-    mediaContainers(spark, sfDir)
-      .filter(col("kind") === "video").as[MediaRecord]
+    mediaContainers(spark, sfDir, Some("video")).as[MediaRecord]
       .mapPartitions(_.flatMap { r =>
         videoWithVariants(r, variantCut, minFb).toSeq.flatMap {
           case (hdr, fb, nf, recs) =>
@@ -774,8 +779,7 @@ object Multimodal {
       variantCut: Long = 30L, thresh: Int = 100,
       minFb: Int = 45): Dataset[Keyframe] = {
     import spark.implicits._
-    mediaContainers(spark, sfDir)
-      .filter(col("kind") === "video").as[MediaRecord]
+    mediaContainers(spark, sfDir, Some("video")).as[MediaRecord]
       .mapPartitions(_.flatMap { r =>
         videoWithVariants(r, variantCut, minFb).toSeq.flatMap {
           case (hdr, fb, nf, recs) =>
@@ -840,8 +844,7 @@ object Multimodal {
   def silenceProfile(spark: SparkSession, sfDir: String,
       variantCut: Long = 30L): Dataset[SilenceProfile] = {
     import spark.implicits._
-    mediaContainers(spark, sfDir)
-      .filter(col("kind") === "audio").as[MediaRecord]
+    mediaContainers(spark, sfDir, Some("audio")).as[MediaRecord]
       .mapPartitions(_.flatMap { r =>
         val d = MediaCodec.decode(r.doc_id, r.payload)
         val n = d.n_frames.toInt
@@ -923,5 +926,161 @@ object Multimodal {
           frame_idx * $frameLen + 1 AS offset,
           ${polySql(s"substring(body, CAST(frame_idx * $frameLen + 1 AS INT), $frameLen)")} AS frame_fp
         FROM f"""
+  }
+
+  /** x1 — cross-modal PAIR dedup: the LAION-style multimodal cleanup
+    * where neither modality alone decides. A (caption, image) pair is a
+    * duplicate only when BOTH sides collide — its caption fingerprint
+    * matches another pair's AND the two images are perceptual near-dups
+    * ([[imagePHash]]'s banded Hamming identity). A caption collision
+    * over genuinely DIFFERENT images is the opposite of noise: it is the
+    * classic contrastive hard negative (same text, distinct visuals),
+    * so those pairs are labeled `hard_negative` and kept.
+    *
+    * Corpus: one pair per image container (caption = the document's own
+    * normalized text, the [[graft.operators.Dedup]] normalization), plus
+    * planted variants for doc_id < `variantCut` reusing m6's perturbed
+    * near-dup images (re-keyed +10^6): even seeds repeat their OWN
+    * caption (caption-dup + image near-dup => the drop case), odd seeds
+    * borrow the NEXT image doc's caption (caption-dup across distinct
+    * images => the hard-negative case). Both branches are thereby
+    * non-empty by construction and every label is closed-form for the
+    * oracle — the m6 planting discipline extended to pairs.
+    *
+    * Decisions (first-witness dedup, the family's canonical-witness
+    * discipline): `drop` = an EARLIER pair (lower pair_id) in the same
+    * caption group has a near-dup image; `hard_negative` = survived and
+    * at least one caption peer has a genuinely different image; `keep`
+    * otherwise; `hot_caption` = caption group larger than `capMax`,
+    * excluded from pairwise testing (the d10 dfCap discipline — at
+    * 100 TB boilerplate captions make group-size² fan-out the
+    * scale-killer, so hot groups are flagged, never joined; `capMax`
+    * bounds the per-group fan-out at capMax² exactly like d10's dfCap²
+    * per gram). Candidate generation is caption-group-keyed and the
+    * image test is one equi-join probe into the banded pHash pair set —
+    * never all-pairs on either modality.
+    */
+  def crossModalDedup(spark: SparkSession, sfDir: String,
+      variantCut: Long = 30L, tau: Int = 3, capMax: Int = 64): DataFrame = {
+    import graft.functions.PolyHash.poly_hash
+    // hash the caption AT THE SCAN and drop the string immediately: the
+    // fingerprint is the caption's only downstream identity, and this
+    // subtree is consumed three times (base, variant, borrowed-caption
+    // lookup) — re-running the normalize+hash per use is one cheap
+    // column expression per scan, while carrying the full text through
+    // the union and joins was a 10x-probe CPU scale-killer
+    // localCheckpoint: this 2-column (id, fingerprint) projection is
+    // consumed three times (base pairs, variant pairs, borrowed-caption
+    // lookup); materializing it once means the wide text column is
+    // decompressed + normalized + hashed in ONE scan instead of three —
+    // the s15/pq codebook sharing discipline applied to captions
+    val caps = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        poly_hash(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+          .as("cap_fp"))
+      .localCheckpoint()
+    val base = caps.select(col("doc_id").as("pair_id"),
+      col("doc_id").as("image_id"), col("cap_fp"))
+    val nextCap = caps.select((col("doc_id") - 3).as("doc_id"),
+      col("cap_fp").as("next_fp"))
+    val variants = caps.filter(col("doc_id") < variantCut)
+      .join(nextCap, Seq("doc_id"), "left")
+      .select((col("doc_id") + 1000000L).as("pair_id"),
+        (col("doc_id") + 1000000L).as("image_id"),
+        when(col("doc_id") % 2 === 0, col("cap_fp"))
+          .otherwise(coalesce(col("next_fp"), col("cap_fp"))).as("cap_fp"))
+    val pairs = base.unionAll(variants)
+    val gsz = pairs.groupBy("cap_fp").agg(count(lit(1)).as("gsz"))
+    val wsz = pairs.join(gsz, Seq("cap_fp"))
+    val small = wsz.filter(col("gsz") <= capMax)
+    val a = small.select(col("cap_fp"), col("pair_id").as("p"),
+      col("image_id").as("img_p"))
+    val b = small.select(col("cap_fp"), col("pair_id").as("q"),
+      col("image_id").as("img_q"))
+    val pp = a.join(b, Seq("cap_fp")).filter(col("p") < col("q"))
+    val ph = imagePHash(spark, sfDir, variantCut, tau)
+      .select(col("id_a"), col("id_b"))
+    val tested = pp
+      .join(ph, least(col("img_p"), col("img_q")) === col("id_a") &&
+        greatest(col("img_p"), col("img_q")) === col("id_b"), "left")
+      .select(col("p"), col("q"),
+        (col("img_p") === col("img_q") || col("id_a").isNotNull)
+          .as("is_imgdup"))
+    val peers = tested.select(col("p").as("pair_id"), col("is_imgdup"))
+      .unionAll(tested.select(col("q").as("pair_id"), col("is_imgdup")))
+    val stats = peers.groupBy("pair_id")
+      .agg(count(lit(1)).as("n_cap_dups"),
+        sum(when(col("is_imgdup"), 1L).otherwise(0L)).as("n_img_dups"),
+        sum(when(col("is_imgdup"), 0L).otherwise(1L)).as("n_distinct_img"))
+    val dropped = tested.filter(col("is_imgdup"))
+      .select(col("q").as("pair_id")).distinct()
+      .withColumn("is_drop", lit(1))
+    wsz.join(stats, Seq("pair_id"), "left")
+      .join(dropped, Seq("pair_id"), "left")
+      .select(col("pair_id"), col("image_id"), col("cap_fp"),
+        coalesce(col("n_cap_dups"), lit(0L)).as("n_cap_dups"),
+        coalesce(col("n_img_dups"), lit(0L)).as("n_img_dups"),
+        when(col("gsz") > capMax, "hot_caption")
+          .when(col("is_drop").isNotNull, "drop")
+          .when(coalesce(col("n_distinct_img"), lit(0L)) >= 1,
+            "hard_negative")
+          .otherwise("keep").as("decision"))
+  }
+
+  def crossModalDedupSql(variantCut: Long = 30L, tau: Int = 3,
+      capMax: Int = 64): String = {
+    import graft.functions.PolyHash.{sql => polySql}
+    val normCap = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    s"""WITH imgdocs AS (
+          SELECT doc_id, ${polySql(normCap)} AS cap_fp FROM documents
+          WHERE doc_id % 3 = 0),
+        fp AS (
+          SELECT doc_id AS pair_id, doc_id AS image_id, cap_fp
+          FROM imgdocs
+          UNION ALL
+          SELECT d.doc_id + 1000000, d.doc_id + 1000000,
+            CASE WHEN d.doc_id % 2 = 0 THEN d.cap_fp
+                 ELSE coalesce(n.cap_fp, d.cap_fp) END
+          FROM imgdocs d LEFT JOIN imgdocs n ON n.doc_id = d.doc_id + 3
+          WHERE d.doc_id < $variantCut),
+        gsz AS (SELECT cap_fp, count(*) AS gsz FROM fp GROUP BY 1),
+        wsz AS (SELECT f.*, g.gsz FROM fp f JOIN gsz g USING (cap_fp)),
+        small AS (SELECT * FROM wsz WHERE gsz <= $capMax),
+        pp AS (
+          SELECT a.cap_fp, a.pair_id AS p, a.image_id AS img_p,
+            b.pair_id AS q, b.image_id AS img_q
+          FROM small a JOIN small b
+            ON a.cap_fp = b.cap_fp AND a.pair_id < b.pair_id),
+        ph AS (SELECT id_a, id_b FROM (${imagePHashSql(variantCut, tau)})),
+        tested AS (
+          SELECT pp.p, pp.q,
+            (pp.img_p = pp.img_q OR ph.id_a IS NOT NULL) AS is_imgdup
+          FROM pp LEFT JOIN ph
+            ON least(pp.img_p, pp.img_q) = ph.id_a
+              AND greatest(pp.img_p, pp.img_q) = ph.id_b),
+        peers AS (
+          SELECT p AS pair_id, is_imgdup FROM tested
+          UNION ALL
+          SELECT q AS pair_id, is_imgdup FROM tested),
+        pstats AS (
+          SELECT pair_id, count(*) AS n_cap_dups,
+            CAST(sum(CASE WHEN is_imgdup THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_img_dups,
+            CAST(sum(CASE WHEN is_imgdup THEN 0 ELSE 1 END) AS BIGINT)
+              AS n_distinct_img
+          FROM peers GROUP BY 1),
+        dropped AS (
+          SELECT DISTINCT q AS pair_id FROM tested WHERE is_imgdup)
+        SELECT w.pair_id, w.image_id, w.cap_fp,
+          coalesce(s.n_cap_dups, 0) AS n_cap_dups,
+          coalesce(s.n_img_dups, 0) AS n_img_dups,
+          CASE WHEN w.gsz > $capMax THEN 'hot_caption'
+               WHEN d.pair_id IS NOT NULL THEN 'drop'
+               WHEN coalesce(s.n_distinct_img, 0) >= 1 THEN 'hard_negative'
+               ELSE 'keep' END AS decision
+        FROM wsz w
+        LEFT JOIN pstats s ON w.pair_id = s.pair_id
+        LEFT JOIN dropped d ON w.pair_id = d.pair_id"""
   }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaCodec
+
+/** x1 cross-modal pair dedup vs an INDEPENDENT JVM re-derivation: the
+  * corpus synthesis, the perceptual hashing (via the real codec +
+  * pHashOf), the banded near-dup identity, and the decision rules are
+  * all recomputed here from first principles — so a natural pHash
+  * collision changes both sides identically, and a rule bug in the
+  * Spark plan fails loudly against the planted expectations.
+  */
+class CrossModalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("x1 decisions == independent re-derivation; both branches planted") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val imgIds = docs.keys.filter(_ % 3 == 0).toSeq.sorted
+    def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    case class P(pid: Long, imgSeed: Long, pert: Boolean, cap: String)
+    val base = imgIds.map(d => P(d, d, pert = false, norm(docs(d))))
+    val variants = imgIds.filter(_ < 30L).map { d =>
+      val cap =
+        if (d % 2 == 0) norm(docs(d))
+        else norm(docs.get(d + 3).map(_.toString).getOrElse(docs(d)))
+      P(d + 1000000L, d, pert = true, cap)
+    }
+    val all = base ++ variants
+    val hash: Map[Long, (Long, Long)] = all.map { p =>
+      val b0 = MediaCodec.bmp((p.imgSeed % 64).toInt + 1,
+        (p.imgSeed % 48).toInt + 1, p.imgSeed)
+      val b = if (p.pert) {
+        val v = b0.clone()
+        (0 until v.length - 54).foreach(i =>
+          if (i % 97 == 0) v(54 + i) = (v(54 + i) + 1).toByte)
+        v
+      } else b0
+      p.pid -> Multimodal.pHashOf(b)
+    }.toMap
+    def bands(h: (Long, Long)): Seq[Long] =
+      Seq(h._1 & 0xffffL, (h._1 >> 16) & 0xffffL,
+        h._2 & 0xffffL, (h._2 >> 16) & 0xffffL)
+    def imgdup(x: P, y: P): Boolean = {
+      val (ha, hb) = (hash(x.pid), hash(y.pid))
+      val ham = java.lang.Long.bitCount(ha._1 ^ hb._1) +
+        java.lang.Long.bitCount(ha._2 ^ hb._2)
+      // the banded join's identity: shared 16-bit band AND Hamming<=tau
+      ham <= 3 && bands(ha).zip(bands(hb)).exists { case (a, b) => a == b }
+    }
+    val byCap = all.groupBy(_.cap)
+    val expected: Map[Long, String] = all.map { p =>
+      val group = byCap(p.cap)
+      val peers = group.filterNot(_.pid == p.pid)
+      val dec =
+        if (group.size > 64) "hot_caption"
+        else if (peers.exists(q => q.pid < p.pid && imgdup(p, q))) "drop"
+        else if (peers.exists(q => !imgdup(p, q))) "hard_negative"
+        else "keep"
+      p.pid -> dec
+    }.toMap
+    val got = Multimodal.crossModalDedup(spark, sf)
+      .select("pair_id", "decision").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == expected.keySet)
+    val diffs = expected.collect {
+      case (pid, d) if got(pid) != d => (pid, d, got(pid))
+    }
+    assert(diffs.isEmpty, s"mismatches (pid, want, got): $diffs")
+    // and the planting did its job: both decision branches are non-empty
+    assert(expected.values.count(_ == "drop") >= 1, "no planted drop")
+    assert(expected.values.count(_ == "hard_negative") >= 1,
+      "no planted hard negative")
+  }
+}
