@@ -39,9 +39,14 @@ object DedupStreaming {
   case class DupMatch(doc_id: Long, canonical_id: Long, est_jaccard: Double)
   case class BucketState(docs: List[(Long, Seq[Long])])
 
-  /** docs: streaming frame with (doc_id: long, text: string). */
-  def nearDupStream(docs: DataFrame,
-      threshold: Double = 0.4): Dataset[DupMatch] = {
+  /** docs: streaming frame with (doc_id: long, text: string).
+    * `maxBucket` bounds the retained per-bucket state to the most recent
+    * N entries (FIFO eviction, same contract as [[pHashDupStream]]):
+    * default unbounded preserves the exact-recall contract the spec
+    * pins; WIRED ingest paths ([[markupIngestStream]]) pass a bound.
+    */
+  def nearDupStream(docs: DataFrame, threshold: Double = 0.4,
+      maxBucket: Int = Int.MaxValue): Dataset[DupMatch] = {
     import docs.sparkSession.implicits._
     val banded = docs
       .select(col("doc_id"), Dedup.minhashSigCol(col("text")).as("sig"))
@@ -72,10 +77,36 @@ object DedupStreaming {
               }
             }
             seen = (d.doc_id, d.sig) :: seen
+            if (maxBucket != Int.MaxValue) seen = seen.take(maxBucket)
           }
           state.update(BucketState(seen))
           out.result().iterator
         })
+  }
+
+  /** The ingest FRONT DOOR, chained: markup main-content extraction
+    * ([[graft.operators.Markup.extractedFromHtml]] — t22's pure per-row
+    * expressions, stateless and therefore streaming-safe by
+    * construction) feeding the text near-dup twin, so dedup decisions
+    * are made on the EXTRACTED content, never the raw markup (shared
+    * nav/footer boilerplate would otherwise dominate the shingle sets
+    * and glue unrelated documents together).
+    *
+    * This is a WIRED production path, so the per-bucket dedup state is
+    * BOUNDED by default (`maxBucket` FIFO — a prior older than the
+    * bucket's last N arrivals can no longer be matched, the explicit
+    * recall trade; MarkupStreamingSpec pins both the stream==batch
+    * equivalence through the chain and the trade itself). The bare
+    * twins keep their unbounded exact-recall default for the spec
+    * contract.
+    *
+    * docs: streaming frame with (doc_id: long, html: string).
+    */
+  def markupIngestStream(docs: DataFrame, threshold: Double = 0.4,
+      maxBucket: Int = 256): Dataset[DupMatch] = {
+    val extracted = docs.select(col("doc_id"),
+      graft.operators.Markup.extractedFromHtml(col("html")).as("text"))
+    nearDupStream(extracted, threshold, maxBucket)
   }
 
   case class PHashBand(band_idx: Int, band_val: Long, doc_id: Long,
