@@ -67,6 +67,10 @@ object PlanAudit {
     // model-scale rows, never the corpus
     "c9_semdedup" -> 3, "c16_topic_clusters" -> 1, "c18_pagerank" -> 9,
     "s3_knn_ivf" -> 2, "s7_ivfpq" -> 3, "s9_ivf_stats" -> 3,
+    // s16 serves from the STORED index: the only BNLJ left is the query
+    // probe's broadcast of the 8-row centroid table (training's two
+    // k-means broadcasts are gone from the plan — that's the point)
+    "s16_index_serve" -> 1,
     // probe/query-point broadcast (a handful of vectors) and the exact
     // top-k frame a recall measurement joins back in
     "s1_knn_brute" -> 1, "s4_ivf_recall" -> 3, "s6_pq_recall" -> 1,
