@@ -301,8 +301,8 @@ object SparkEntry {
     // production deployment amortizes over every query) — the timed s16
     // is the pure STORED-INDEX serve path, which is the number that
     // matters at serving time
-    val annDir = java.nio.file.Files
-      .createTempDirectory("graft_ann_bench").toString
+    val annDir = s"${System.getProperty("java.io.tmpdir")}/graft_ann_bench_" +
+      Integer.toHexString(dir.hashCode) // deterministic: reruns overwrite
     Similarity.persistIvfPqIndex(spark, dir, annDir, "bench")
     // s8's recall input is served FROM that snapshot instead of training
     // a second IVF-PQ index: serve == train-and-serve exactly (the

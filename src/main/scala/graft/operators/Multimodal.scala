@@ -182,7 +182,7 @@ object Multimodal {
     // media table, and video payloads dominate the skipped bytes.
     val base = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
     val wanted = kind.map(k => Seq("image", "audio", "video").indexOf(k))
-    require(wanted.forall(_ >= 0), s"unknown media kind: $kind")
+    require(wanted.forall(_ >= 0), s"unknown media kind: ${kind.get}")
     wanted.fold(base)(m => base.filter(col("doc_id") % 3 === m))
       .as[Long]
       .mapPartitions(_.map { id =>
@@ -288,7 +288,7 @@ object Multimodal {
 
   def audioFeatures(spark: SparkSession, sfDir: String): Dataset[AudioFeatures] = {
     import spark.implicits._
-    mediaContainers(spark, sfDir, Some("audio")).as[MediaRecord]
+    mediaContainers(spark, sfDir, Some("audio"))
       .mapPartitions(_.map { r =>
         val d = MediaCodec.decode(r.doc_id, r.payload)
         require(d.container == "wav", s"expected wav, got ${d.container}")
@@ -349,7 +349,7 @@ object Multimodal {
   def frameExtract(spark: SparkSession, sfDir: String,
       sampleEvery: Int = 4): Dataset[FrameRow] = {
     import spark.implicits._
-    mediaContainers(spark, sfDir, Some("video")).as[MediaRecord]
+    mediaContainers(spark, sfDir, Some("video"))
       .mapPartitions(_.flatMap { r =>
         val d = MediaCodec.decode(r.doc_id, r.payload)
         require(d.container == "y4m", s"expected y4m, got ${d.container}")
@@ -507,7 +507,7 @@ object Multimodal {
     import spark.implicits._
     require(tau >= 0 && tau <= PHashBands - 1,
       s"banded recall is exact only for tau <= ${PHashBands - 1}, got $tau")
-    val hashes: Dataset[ImagePHash] = mediaContainers(spark, sfDir, Some("image")).as[MediaRecord]
+    val hashes: Dataset[ImagePHash] = mediaContainers(spark, sfDir, Some("image"))
       .mapPartitions(_.flatMap { r =>
         val variant = if (r.doc_id < variantCut) {
           val p = r.payload.clone()
@@ -730,7 +730,7 @@ object Multimodal {
       variantCut: Long = 30L, thresh: Int = 100,
       minFb: Int = 45): Dataset[SceneCuts] = {
     import spark.implicits._
-    mediaContainers(spark, sfDir, Some("video")).as[MediaRecord]
+    mediaContainers(spark, sfDir, Some("video"))
       .mapPartitions(_.flatMap { r =>
         videoWithVariants(r, variantCut, minFb).toSeq.flatMap {
           case (hdr, fb, nf, recs) =>
@@ -779,7 +779,7 @@ object Multimodal {
       variantCut: Long = 30L, thresh: Int = 100,
       minFb: Int = 45): Dataset[Keyframe] = {
     import spark.implicits._
-    mediaContainers(spark, sfDir, Some("video")).as[MediaRecord]
+    mediaContainers(spark, sfDir, Some("video"))
       .mapPartitions(_.flatMap { r =>
         videoWithVariants(r, variantCut, minFb).toSeq.flatMap {
           case (hdr, fb, nf, recs) =>
@@ -844,7 +844,7 @@ object Multimodal {
   def silenceProfile(spark: SparkSession, sfDir: String,
       variantCut: Long = 30L): Dataset[SilenceProfile] = {
     import spark.implicits._
-    mediaContainers(spark, sfDir, Some("audio")).as[MediaRecord]
+    mediaContainers(spark, sfDir, Some("audio"))
       .mapPartitions(_.flatMap { r =>
         val d = MediaCodec.decode(r.doc_id, r.payload)
         val n = d.n_frames.toInt

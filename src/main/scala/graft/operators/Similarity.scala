@@ -1209,8 +1209,12 @@ object Similarity {
     */
   def indexServe(spark: SparkSession, sfDir: String,
       k: Int = 5, nQueries: Int = 20, nprobe: Int = 2): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_index")
-      .toString
+    // deterministic per-corpus location (overwritten each call) rather
+    // than a fresh temp dir per invocation — repeated verify/bench
+    // cycles reuse one snapshot's disk instead of leaking a full codes
+    // table each run
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_" +
+      Integer.toHexString(sfDir.hashCode)
     persistIvfPqIndex(spark, sfDir, tmp, "s16")
     ivfPqServe(spark, sfDir, tmp, "s16", k, nQueries, nprobe)
   }

@@ -184,8 +184,11 @@ object JdbcSink {
     * service, lag)). Because the deletes all run before the inserts, an
     * in-batch duplicate key would silently survive as two inserted rows
     * — the exact corruption this writer exists to prevent — so the
-    * contract is ENFORCED: each partition tracks its key tuples and
-    * throws on a repeat before anything commits.
+    * contract is ENFORCED batch-wide: rows are hash-partitioned on the
+    * key columns (which also co-locates each key's delete+insert in one
+    * transaction — two partitions never race on the same key), and each
+    * partition tracks its key tuples and throws on a repeat before
+    * anything commits.
     *
     * Key columns must be NON-NULL: the keyed delete uses `k = ?`, and
     * SQL three-valued logic makes `k = NULL` match nothing — a null key
@@ -210,9 +213,15 @@ object JdbcSink {
     val cols = df.columns.toSeq
     require(keyCols.nonEmpty && keyCols.forall(cols.contains),
       s"key columns $keyCols must be a subset of ${cols}")
-    val capped =
-      if (df.rdd.getNumPartitions > numPartitions) df.coalesce(numPartitions)
-      else df
+    // Key-hash repartition (not coalesce): bounds the connection fan-in
+    // AND makes the duplicate-key guard batch-complete — a key split
+    // across partitions would bypass a partition-local seen-set, and
+    // under READ COMMITTED two concurrent delete+insert transactions on
+    // the same key can BOTH insert (neither delete sees the other's
+    // uncommitted row), so co-locating each key is a correctness move,
+    // not a tuning one.
+    val capped = df.repartition(numPartitions,
+      keyCols.map(org.apache.spark.sql.functions.col): _*)
     val delSql = s"DELETE FROM $table WHERE " +
       keyCols.map(k => s"$k = ?").mkString(" AND ")
     val insSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
@@ -227,11 +236,10 @@ object JdbcSink {
           val del = c.prepareStatement(delSql)
           val ins = c.prepareStatement(insSql)
           // In-batch key uniqueness is enforced, not just documented:
-          // within one partition all deletes run before all inserts, so
-          // a repeated key would silently insert twice. (Across
-          // partitions each transaction re-deletes the key, so a
-          // cross-partition repeat converges to one row — the loud
-          // check is needed exactly where the corruption is silent.)
+          // all deletes run before all inserts, so a repeated key would
+          // silently insert twice. The key-hash repartition above makes
+          // this per-partition set batch-complete (every occurrence of
+          // a key lands in one partition).
           val seen = new java.util.HashSet[Seq[Any]]()
           try {
             rows.foreach { r =>

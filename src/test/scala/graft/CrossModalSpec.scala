@@ -61,9 +61,18 @@ class CrossModalSpec extends AnyFunSuite {
       // the banded join's identity: shared 16-bit band AND Hamming<=tau
       ham <= 3 && bands(ha).zip(bands(hb)).exists { case (a, b) => a == b }
     }
-    val byCap = all.groupBy(_.cap)
+    // group by the SAME identity the operator and oracle use — the
+    // caption's PolyHash fingerprint, not the raw string — so a
+    // fingerprint collision between distinct captions changes spec and
+    // operator identically (as the image-hash side already does)
+    def polyRef(s: String): Long = {
+      var h = 0L
+      s.codePoints().forEach(cp => h = (h * 31L + cp) % 1000000007L)
+      h
+    }
+    val byCap = all.groupBy(p => polyRef(p.cap))
     val expected: Map[Long, String] = all.map { p =>
-      val group = byCap(p.cap)
+      val group = byCap(polyRef(p.cap))
       val peers = group.filterNot(_.pid == p.pid)
       val dec =
         if (group.size > 64) "hot_caption"

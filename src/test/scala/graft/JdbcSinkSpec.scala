@@ -257,11 +257,14 @@ class JdbcSinkSpec extends AnyFunSuite {
         ()
       } finally st.close()
     } finally conn.close()
-    // two rows share k=7 — deletes run before inserts, so without the
-    // guard the repeat would silently persist as two rows
+    // ids 0..9 under id % 9 collide at k=0 (ids 0 and 9) — deletes run
+    // before inserts, so without the guard the repeat would silently
+    // persist as two rows. Spread across many input partitions on
+    // purpose: the writer's key-hash repartition must bring the two
+    // k=0 rows back together for the seen-set to be batch-complete.
     val df = spark.range(0, 10)
       .select((col("id") % 9).as("k"), (col("id") * lit(0.5)).as("v"))
-      .coalesce(1)
+      .repartition(8)
     val e = intercept[org.apache.spark.SparkException] {
       JdbcSink.upsertBatch(df, url, "dupk", Seq("k"))
     }
@@ -270,8 +273,10 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(causes(e).exists(c =>
       c.isInstanceOf[IllegalArgumentException] &&
         c.getMessage.contains("duplicate upsert key")), s"got: $e")
-    // nothing committed: the throw precedes executeBatch/commit
-    assert(readTable(url, "dupk").count() == 0)
+    // the duplicate's partition rolled back before its commit: no k=0
+    // row is durable (other partitions may have committed theirs —
+    // partition transactions are independent by contract)
+    assert(readTable(url, "dupk").filter(col("k") === 0).count() == 0)
     // unique keys on the same table still go through
     JdbcSink.upsertBatch(
       spark.range(0, 9).select(col("id").as("k"),
