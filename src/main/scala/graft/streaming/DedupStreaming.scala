@@ -177,6 +177,64 @@ object DedupStreaming {
         })
   }
 
+  case class XPair(cap_fp: Long, pair_id: Long, lo: Long, hi: Long)
+  case class XMatch(pair_id: Long, canonical_id: Long, hamming: Int,
+      is_imgdup: Boolean)
+  case class XPairState(pairs: List[(Long, Long, Long)])
+
+  /** Streaming twin of [[graft.operators.Multimodal.crossModalDedup]]
+    * (x1) — cross-modal PAIR dedup at ingest: as (caption fingerprint,
+    * image pHash) pairs arrive, each is compared against its caption
+    * group's priors and every caption collision is emitted with the
+    * image verdict attached (`is_imgdup` = Hamming <= tau), so the
+    * downstream decision is one aggregation: any imgdup match => drop
+    * (the LAION cleanup), collisions but none imgdup => hard negative.
+    *
+    * State is keyed by cap_fp ONLY — no pHash band state is needed,
+    * because the caption group already bounds the candidates, and
+    * within a group a direct two-word Hamming compare equals the batch
+    * side's banded relation exactly (pigeonhole: Hamming <= 3 of 64
+    * bits always shares a 16-bit band, so the band join prunes nothing
+    * at the cut; equal image_ids compare at Hamming 0). Canonical is
+    * the first-ingested caption-mate, which under in-id-order ingest
+    * coincides with x1's p < q rule — CrossModalStreamingSpec pins
+    * stream decisions == batch x1 decisions on the planted corpus.
+    * `maxBucket` is the wired-path FIFO bound (the hot_caption guard's
+    * streaming analogue: a bounded state list caps per-arrival work the
+    * way capMax caps the batch group fan-out); default unbounded for
+    * the exact twin contract.
+    */
+  def crossModalDupStream(pairs: DataFrame, tau: Int = 3,
+      maxBucket: Int = Int.MaxValue): Dataset[XMatch] = {
+    import pairs.sparkSession.implicits._
+    require(tau >= 0 && tau <= Multimodal.PHashBands - 1,
+      s"the batch twin's banded recall is exact only for tau <= " +
+        s"${Multimodal.PHashBands - 1}, got $tau")
+    pairs.select(col("cap_fp").cast("long").as("cap_fp"),
+        col("pair_id").cast("long").as("pair_id"),
+        col("phash_lo").cast("long").as("lo"),
+        col("phash_hi").cast("long").as("hi"))
+      .as[XPair]
+      .groupByKey(_.cap_fp)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[XPair],
+            state: GroupState[XPairState]) => {
+          var seen = state.getOption.map(_.pairs).getOrElse(Nil)
+          val out = List.newBuilder[XMatch]
+          rows.toSeq.sortBy(_.pair_id).foreach { d =>
+            seen.foreach { case (cid, clo, chi) =>
+              val h = java.lang.Long.bitCount(clo ^ d.lo) +
+                java.lang.Long.bitCount(chi ^ d.hi)
+              out += XMatch(d.pair_id, cid, h, h <= tau)
+            }
+            seen = (d.pair_id, d.lo, d.hi) :: seen
+            if (maxBucket != Int.MaxValue) seen = seen.take(maxBucket)
+          }
+          state.update(XPairState(seen))
+          out.result().iterator
+        })
+  }
+
   case class EmbBand(band: Int, bkey: Long, vec_id: Long,
       v: Seq[Double], bks: Seq[Long])
   case class EmbMatch(vec_id: Long, canonical_id: Long, cos: Double)
