@@ -127,6 +127,9 @@ object Bench {
     // BPE tokenizer trained once (cost stays with the unshared
     // t15_bpe_merges trainer); the apply query times only its join.
     val bpeFam = Set("t16_bpe_tokens")
+    // Fused ranking + truth legs built once (cost stays with the
+    // unshared s12_rrf_fusion); s17 times only the O(nQ*k) grading.
+    val hybridFam = Set("s17_rank_metrics")
     // Families are built LAZILY at their first consumer (outside the
     // timed passes) and their checkpointed frames unpersisted right
     // after their LAST consumer — so no family's resident blocks leak
@@ -135,10 +138,11 @@ object Bench {
     type FamBuild = (Map[String, () => org.apache.spark.sql.DataFrame],
       Seq[org.apache.spark.sql.DataFrame])
     val fams: Seq[(Set[String], () => FamBuild)] = Seq(
-      (alertFam, () => SparkEntry.alertFamilyShared(spark, sfDir)),
-      (annFam,   () => SparkEntry.annFamilyShared(spark, sfDir)),
-      (dedupFam, () => SparkEntry.dedupFamilyShared(spark, sfDir)),
-      (bpeFam,   () => SparkEntry.bpeFamilyShared(spark, sfDir)))
+      (alertFam,  () => SparkEntry.alertFamilyShared(spark, sfDir)),
+      (annFam,    () => SparkEntry.annFamilyShared(spark, sfDir)),
+      (dedupFam,  () => SparkEntry.dedupFamilyShared(spark, sfDir)),
+      (bpeFam,    () => SparkEntry.bpeFamilyShared(spark, sfDir)),
+      (hybridFam, () => SparkEntry.hybridFamilyShared(spark, sfDir)))
     // Oracle-only queries: correctness-gated in Verify but NOT timed —
     // d6_embed_recall is the FULL all-pairs recall truth, the test-scale
     // twin of the sampled-truth measurement (d6_recall_sampled, which IS

@@ -163,6 +163,7 @@ object SparkEntry {
     "t22_markup_extract" -> ((s, dir) => Markup.extract(s, dir)),
     "s15_fused_hybrid" -> ((s, dir) => Similarity.fusedHybrid(s, dir)),
     "s16_index_serve"  -> ((s, dir) => Similarity.indexServe(s, dir)),
+    "s17_rank_metrics" -> ((s, dir) => Similarity.rankMetrics(s, dir)),
     "q31_bloom_skip"   -> ((s, dir) => Layout.bloomSkip(s, dir)),
     "t22_extract_quality" -> ((s, dir) => Markup.quality(s, dir)),
     // Latest-record-wins CDC compaction via one map-side max_by agg.
@@ -355,6 +356,18 @@ object SparkEntry {
       Seq(vocab))
   }
 
+  /** Hybrid-grading sharing: the fused ranking + truth legs ARE the s12
+    * chain, built once (cost stays with the unshared s12_rrf_fusion
+    * trainer query); s17 times only the O(nQ*k) grading over them.
+    */
+  def hybridFamilyShared(spark: SparkSession,
+      dir: String): (Map[String, () => DataFrame], Seq[DataFrame]) = {
+    val (fused, truth) = Similarity.rankMetricsSharedParts(spark, dir)
+    (Map(
+      "s17_rank_metrics" -> (() => Similarity.rankMetricsFrom(fused, truth, 10))),
+      Seq(fused, truth))
+  }
+
   /** Alert config used by registered queries: thresholds tuned so the test
     * data produces a mix of firing and quiet intervals; one per-service
     * hard-max override exercises the J4 broadcast-config join.
@@ -475,6 +488,7 @@ object SparkEntry {
     // doubles bit-exactly, so the stored-index answer must equal the
     // train-and-serve answer — the oracle IS s7's.
     "s16_index_serve"  -> Similarity.ivfPqSql(),
+    "s17_rank_metrics" -> Similarity.rankMetricsSql(),
     "q31_bloom_skip"   -> Layout.bloomSkipSql(),
     "t22_extract_quality" -> Markup.qualitySql,
     "q26_compaction"   -> Relational.q26CompactionSql,

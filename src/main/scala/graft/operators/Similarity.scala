@@ -2159,4 +2159,125 @@ object Similarity {
             CAST(e.q_id IS NOT NULL AS INT) AS in_exact
           FROM ranka a LEFT JOIN ranke e
             ON a.q_id = e.q_id AND a.doc_id = e.doc_id)"""
+
+  /** s17 — ranking-quality metrics for the hybrid retriever: the fused
+    * top-k (s12's ranking) graded against the exact-cosine top-k truth
+    * with the standard order-sensitive retrieval metrics — MRR (rank of
+    * the first relevant), AP@k (mean of precision@i over relevant
+    * positions, the MAP per-query term) and precision@k. recall@k
+    * (s4/s6/s8/e3/s15) says WHETHER the truth was retrieved; these say
+    * WHERE it landed, which is what a retriever's consumer experiences.
+    *
+    * Float-parity discipline (the repo policy): every metric is built
+    * from integer ratios — precision@i = (cumulative-relevant at i)/i
+    * with the cumulative count an INTEGER window sum — and the only
+    * cross-row float accumulation (the AP numerator) is an ordered fold
+    * over the per-query rank-sorted contribution list (sort_array +
+    * aggregate here, list(... ORDER BY rank) + list_reduce in the
+    * oracle), so both engines add identical IEEE doubles in identical
+    * order. MRR is a single division; empty-relevance queries yield 0.
+    *
+    * Scale shape: everything downstream of the fused ranking is keyed
+    * by q_id over <= k rows per query — the grading cost is O(nQ * k)
+    * regardless of corpus size; the truth leg is the same
+    * sampled-truth scan s12 already pays (nQ fixed as the corpus
+    * grows).
+    */
+  def rankMetrics(spark: SparkSession, sfDir: String,
+      nQ: Int = 8, n: Int = 30, k: Int = 10, t: Int = 24,
+      k1: Double = 1.2, b: Double = 0.75, rrfK: Int = 60): DataFrame =
+    rankMetricsFrom(
+      rrfFusion(spark, sfDir, nQ, n, k, t, k1, b, rrfK)
+        .select(col("q_id"), col("doc_id"), col("rank")),
+      denseExactRanks(spark, sfDir, nQ, k)
+        .select(col("q_id"), col("doc_id"), lit(1).as("rel")), k)
+
+  /** Bench/test sharing hook: the fused ranking and truth legs built
+    * once (checkpointed; chain cost attributed to the unshared
+    * s12_rrf_fusion trainer query the way the other families do it) so
+    * the timed s17 is the O(nQ*k) grading alone.
+    */
+  def rankMetricsSharedParts(spark: SparkSession, sfDir: String,
+      nQ: Int = 8, n: Int = 30, k: Int = 10): (DataFrame, DataFrame) = (
+    rrfFusion(spark, sfDir, nQ, n, k)
+      .select(col("q_id"), col("doc_id"), col("rank")).localCheckpoint(),
+    denseExactRanks(spark, sfDir, nQ, k)
+      .select(col("q_id"), col("doc_id"), lit(1).as("rel"))
+      .localCheckpoint())
+
+  /** The grading core over any (q_id, doc_id, rank) ranking and
+    * (q_id, doc_id, rel=1) truth relation — public so the spec can
+    * grade crafted fixtures against hand-computed metrics.
+    */
+  def rankMetricsFrom(fused: DataFrame, truth: DataFrame,
+      k: Int): DataFrame = {
+    val rSize = truth.groupBy("q_id").agg(count(lit(1)).as("n_rel_total"))
+    val wCum = Window.partitionBy("q_id").orderBy("rank")
+    val graded = fused.join(truth, Seq("q_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+      .withColumn("crel", sum("rel").over(wCum))
+      .withColumn("contrib", when(col("rel") === 1,
+        col("crel").cast("double") / col("rank").cast("double"))
+        .otherwise(lit(0.0)))
+    graded.groupBy("q_id")
+      .agg(sum("rel").cast("long").as("n_rel"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"),
+        sort_array(collect_list(struct(col("rank"), col("contrib"))))
+          .as("a"))
+      .join(broadcast(rSize), Seq("q_id"))
+      .select(col("q_id"), col("n_rel"), col("n_rel_total"),
+        (col("n_rel").cast("double") / lit(k.toDouble)).as("precision_at_k"),
+        coalesce(lit(1.0) / col("first_rel").cast("double"), lit(0.0))
+          .as("mrr"),
+        (aggregate(col("a"), lit(0.0),
+          (acc, x) => acc + x.getField("contrib")) /
+          least(lit(k.toLong), col("n_rel_total")).cast("double"))
+          .as("ap_at_k"))
+  }
+
+  def rankMetricsSql(nQ: Int = 8, n: Int = 30, k: Int = 10, t: Int = 24,
+      k1: Double = 1.2, b: Double = 0.75, rrfK: Int = 60): String =
+    s"""WITH fusedk AS (
+          SELECT q_id, doc_id, rank
+          FROM (${rrfFusionSql(nQ, n, k, t, k1, b, rrfK)})),
+        truthk AS (SELECT q_id, doc_id FROM (
+          SELECT q_id, doc_id, row_number() OVER (
+              PARTITION BY q_id ORDER BY cos DESC, doc_id ASC) AS r
+          FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+              ${dotSql("q.v", "c.v")} /
+                (${normSql("q.v")} * ${normSql("c.v")}) AS cos
+            FROM ($vecsDoubleSql) q JOIN ($vecsDoubleSql) c
+              ON q.vec_id < $nQ AND q.vec_id <> c.vec_id))
+          WHERE r <= $k),
+        rsize AS (
+          SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel_total
+          FROM truthk GROUP BY 1),
+        graded AS (
+          SELECT f.q_id, f.rank,
+            CAST(t.q_id IS NOT NULL AS INT) AS rel
+          FROM fusedk f LEFT JOIN truthk t
+            ON f.q_id = t.q_id AND f.doc_id = t.doc_id),
+        cum AS (
+          SELECT q_id, rank, rel,
+            CAST(sum(rel) OVER (PARTITION BY q_id ORDER BY rank)
+              AS BIGINT) AS crel
+          FROM graded),
+        contrib AS (
+          SELECT q_id, rank, rel,
+            CASE WHEN rel = 1
+              THEN CAST(crel AS DOUBLE) / CAST(rank AS DOUBLE)
+              ELSE 0.0 END AS c
+          FROM cum),
+        agg AS (
+          SELECT q_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+            min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+            list_reduce(list_prepend(0.0, list(c ORDER BY rank)),
+              (x, y) -> x + y) AS apsum
+          FROM contrib GROUP BY q_id)
+        SELECT a.q_id, a.n_rel, r.n_rel_total,
+          CAST(a.n_rel AS DOUBLE) / $k.0 AS precision_at_k,
+          coalesce(1.0 / CAST(first_rel AS DOUBLE), 0.0) AS mrr,
+          apsum / CAST(least($k, r.n_rel_total) AS DOUBLE) AS ap_at_k
+        FROM agg a JOIN rsize r ON a.q_id = r.q_id"""
 }

@@ -82,6 +82,10 @@ object PlanAudit {
     // knnBrute baseline shape) and the 1-row corpus-stats frame the
     // BM25 leg crosses in (t17's idiom); every lexical join is equi BHJ
     "s12_rrf_fusion" -> 2,
+    // s17 = the s12 chain (its 2) + the truth leg's query-broadcast
+    // cosine scan (nQ=8 rows broadcast into the corpus — sampled-truth
+    // idiom, bounded by construction)
+    "s17_rank_metrics" -> 3,
     // s13: the nQ-row query broadcast of the prefix-8 funnel mouth (the
     // one corpus-wide stage); stages 2/3 are shortlist equi BHJs
     "s13_mrl_funnel" -> 1,
