@@ -2176,6 +2176,10 @@ object Similarity {
     * aggregate here, list(... ORDER BY rank) + list_reduce in the
     * oracle), so both engines add identical IEEE doubles in identical
     * order. MRR is a single division; empty-relevance queries yield 0.
+    * (nDCG is deliberately NOT offered: its 1/log2(i+1) gains hang the
+    * cross-engine hash on two libm implementations agreeing about
+    * log(3) — AP@k carries the same position-sensitivity from pure
+    * integer ratios, so it is the float-parity-safe choice.)
     *
     * Scale shape: everything downstream of the fused ranking is keyed
     * by q_id over <= k rows per query — the grading cost is O(nQ * k)

@@ -193,7 +193,11 @@ object JdbcSink {
     * Key columns must be NON-NULL: the keyed delete uses `k = ?`, and
     * SQL three-valued logic makes `k = NULL` match nothing — a null key
     * would silently reopen the duplicate window on replay, so the
-    * writer rejects it loudly instead.
+    * writer rejects it loudly instead. The target should carry an
+    * index (normally the primary key) on the key columns: the keyed
+    * delete is then a point lock, whereas on an unindexed heap each
+    * partition's delete full-scans and concurrent partition
+    * transactions can deadlock on row locks (observed under Derby).
     *
     * `placeholders` maps column name -> insert placeholder for columns
     * that need a typed cast against the target dialect (e.g. the stats

@@ -252,8 +252,14 @@ class JdbcSinkSpec extends AnyFunSuite {
     try {
       val st = conn.createStatement()
       try {
+        // PRIMARY KEY matters beyond semantics: an upsert target needs
+        // an index on the key columns so the keyed DELETE takes point
+        // locks — on an unindexed heap Derby's delete full-scans and
+        // concurrent partition transactions deadlock on row locks
+        // (observed: a 3-cycle across partitions in the follow-up
+        // upsert below before this index existed)
         st.executeUpdate(
-          "CREATE TABLE dupk (k BIGINT NOT NULL, v DOUBLE)")
+          "CREATE TABLE dupk (k BIGINT NOT NULL PRIMARY KEY, v DOUBLE)")
         ()
       } finally st.close()
     } finally conn.close()
