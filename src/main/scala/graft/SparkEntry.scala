@@ -164,6 +164,7 @@ object SparkEntry {
     "s15_fused_hybrid" -> ((s, dir) => Similarity.fusedHybrid(s, dir)),
     "s16_index_serve"  -> ((s, dir) => Similarity.indexServe(s, dir)),
     "s17_rank_metrics" -> ((s, dir) => Similarity.rankMetrics(s, dir)),
+    "s18_index_append" -> ((s, dir) => Similarity.indexAppendServe(s, dir)),
     "q31_bloom_skip"   -> ((s, dir) => Layout.bloomSkip(s, dir)),
     "t22_extract_quality" -> ((s, dir) => Markup.quality(s, dir)),
     // Latest-record-wins CDC compaction via one map-side max_by agg.
@@ -489,6 +490,7 @@ object SparkEntry {
     // train-and-serve answer — the oracle IS s7's.
     "s16_index_serve"  -> Similarity.ivfPqSql(),
     "s17_rank_metrics" -> Similarity.rankMetricsSql(),
+    "s18_index_append" -> Similarity.indexAppendServeSql(),
     "q31_bloom_skip"   -> Layout.bloomSkipSql(),
     "t22_extract_quality" -> Markup.qualitySql,
     "q26_compaction"   -> Relational.q26CompactionSql,

@@ -554,14 +554,15 @@ object Similarity {
   /** CTE chain: `vecs0` corpus, k-means iterations, `assigned`
     * (vec_id, v, cell). Returns (ctes, lastCentsName).
     */
-  private def ivfCtesSql(kmeansIters: Int): (String, String) = {
+  private def ivfCtesSql(kmeansIters: Int,
+      corpusRel: String = vecsDoubleSql): (String, String) = {
     val iterCtes = (0 until kmeansIters).map { i =>
       val prev = if (i == 0) "cents0" else s"cents$i"
       s"""a$i AS (${assignCellsSql("SELECT vec_id, v FROM vecs0", s"SELECT * FROM $prev")}),
           cents${i + 1} AS (${refineCentsSql(s"SELECT * FROM a$i")})"""
     }.mkString(",\n        ")
     val last = s"cents$kmeansIters"
-    (s"""vecs0 AS ($vecsDoubleSql),
+    (s"""vecs0 AS ($corpusRel),
         cents0 AS (SELECT vec_id AS cent_id, v AS cv FROM vecs0
                    WHERE vec_id < $IvfCells),
         $iterCtes,
@@ -1116,7 +1117,7 @@ object Similarity {
   /** Training half of [[ivfPq]]: coarse k-means, residual computation,
     * residual-PQ codebook + corpus code assignment.
     */
-  private def ivfPqTrain(vecs: DataFrame): IvfPqIndex = {
+  private[graft] def ivfPqTrain(vecs: DataFrame): IvfPqIndex = {
     val cents = ivfCentroids(vecs, 2)
     val cellCv = cents.select(col("cent_id").as("cell"), col("cv"))
     val assigned = assignCells(vecs, cents)
@@ -1134,7 +1135,7 @@ object Similarity {
     * codes, top-k. Touches only `queries` floats and the index relations
     * — never the corpus vectors.
     */
-  private def ivfPqServeFrom(queries: DataFrame, idx: IvfPqIndex,
+  private[graft] def ivfPqServeFrom(queries: DataFrame, idx: IvfPqIndex,
       k: Int, nprobe: Int): DataFrame = {
     val subDim = SrpDim / PqSubspaces
     val cellCv = idx.cents.select(col("cent_id").as("cell"), col("cv"))
@@ -1203,6 +1204,56 @@ object Similarity {
       k, nprobe)
   }
 
+  /** Encode vectors with a STORED index's artifacts — cell assignment
+    * against the frozen centroids, residual against the home cell, PQ
+    * codes against the frozen codebook. ZERO training: this is the
+    * index-refresh write path ([[indexAppendServe]]), and it is
+    * stateless per vector (broadcast centroids + codebook), which is
+    * why the same computation streams (a new vector's codes depend on
+    * nothing but the snapshot).
+    */
+  private def encodeWithIndex(vecs: DataFrame, idx: IvfPqIndex): DataFrame = {
+    val cellCv = idx.cents.select(col("cent_id").as("cell"), col("cv"))
+    val assigned = assignCells(vecs, idx.cents)
+    val r = assigned.join(broadcast(cellCv), Seq("cell"))
+      .select(col("vec_id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"), col("cell"))
+    pqAssign(pqSubsFrom(r.select("vec_id", "v")), idx.codebook)
+      .select(col("vec_id").as("n_id"), col("sub"), col("code"))
+      .join(r.select(col("vec_id").as("n_id"), col("cell")), Seq("n_id"))
+  }
+
+  /** s18 — INCREMENTAL index append, the production refresh path that
+    * completes the lifecycle (train -> persist -> serve -> APPEND):
+    * the index is trained on the base corpus only (vec_id below a 3/4
+    * cut of max id — the "yesterday" snapshot), the remaining quarter
+    * are new arrivals encoded with the STORED artifacts
+    * ([[encodeWithIndex]] — no k-means, no codebook update), their
+    * codes appended, and the query served over the union. This is how
+    * real ANN deployments absorb ingest between retrains: codebooks
+    * freeze at snapshot time and only the codes table grows (quality
+    * decays as the distribution drifts — re-train cadence is a policy
+    * decision the engine leaves to the caller).
+    *
+    * The cut is computed IN-PLAN from max(vec_id) (the scalar-aggregate
+    * broadcast idiom), so the base/append proportion holds at every
+    * corpus scale; the oracle replicates it as a scalar subquery.
+    */
+  def indexAppendServe(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 20, nprobe: Int = 2): DataFrame = {
+    val all = vecsDouble(spark, sfDir).select("vec_id", "v")
+    val cut = all.agg(expr("max(vec_id) * 3 div 4").as("cut"))
+    val withCut = all.crossJoin(broadcast(cut))
+    val baseVecs = withCut.filter(col("vec_id") < col("cut"))
+      .select("vec_id", "v")
+    val newVecs = withCut.filter(col("vec_id") >= col("cut"))
+      .select("vec_id", "v")
+    val idx = ivfPqTrain(baseVecs)
+    val appended = IvfPqIndex(idx.cents, idx.codebook,
+      idx.codes.unionAll(encodeWithIndex(newVecs, idx)))
+    ivfPqServeFrom(all.filter(col("vec_id") < nQueries), appended, k, nprobe)
+  }
+
   /** s16 — the end-to-end persist/serve round-trip as a verify entry:
     * train + write the snapshot, then answer from the STORED artifacts.
     * Output (and oracle) are exactly s7's.
@@ -1254,6 +1305,87 @@ object Similarity {
               + max(CASE WHEN c.sub = 2 THEN dq END)
               + max(CASE WHEN c.sub = 3 THEN dq END) AS adc_d2
           FROM ccodes c JOIN qlut
+            ON c.cell = qlut.cell AND c.sub = qlut.sub AND c.code = qlut.code
+          WHERE q_id <> n_id
+          GROUP BY q_id, n_id),
+        ranked AS (
+          SELECT q_id, n_id, adc_d2,
+            row_number() OVER (PARTITION BY q_id
+                               ORDER BY adc_d2 ASC, n_id ASC) AS rank
+          FROM scored)
+        SELECT q_id, n_id, adc_d2, rank FROM ranked WHERE rank <= $k"""
+  }
+
+  def indexAppendServeSql(k: Int = 5, nQueries: Int = 20,
+      nprobe: Int = 2): String = {
+    val subDim = SrpDim / PqSubspaces
+    val baseRel = s"""SELECT * FROM ($vecsDoubleSql)
+      WHERE vec_id < (SELECT max(vec_id) * 3 // 4 FROM ($vecsDoubleSql))"""
+    val (ctes, last) = ivfCtesSql(2, baseRel)
+    s"""WITH $ctes,
+        rcorp AS (
+          SELECT a.vec_id AS vec_id,
+            list_transform(range(1, $SrpDim + 1), i -> a.v[i] - c.cv[i]) AS v,
+            a.cell AS cell
+          FROM assigned a JOIN $last c ON a.cell = c.cent_id),
+        ${pqCtesSql("SELECT vec_id, v FROM rcorp", "rq_")},
+        ccodes AS (
+          SELECT r.vec_id AS n_id, r.sub AS sub, r.code AS code,
+            rc.cell AS cell
+          FROM rq_a1 r JOIN rcorp rc ON r.vec_id = rc.vec_id),
+        vall AS ($vecsDoubleSql),
+        newv AS (SELECT vec_id, v FROM vall
+                 WHERE vec_id >= (SELECT max(vec_id) * 3 // 4 FROM vall)),
+        newassigned AS (${assignCellsSql("SELECT vec_id, v FROM newv",
+          s"SELECT * FROM $last")}),
+        newr AS (
+          SELECT a.vec_id AS vec_id,
+            list_transform(range(1, $SrpDim + 1), i -> a.v[i] - c.cv[i]) AS v,
+            a.cell AS cell
+          FROM newassigned a JOIN $last c ON a.cell = c.cent_id),
+        newsubs AS (
+          SELECT vec_id, sub,
+            list_transform(range(1, $subDim + 1),
+              i -> v[sub*$subDim + i]) AS sv
+          FROM newr CROSS JOIN (SELECT unnest(range(0, $PqSubspaces)) AS sub)),
+        newcodes AS (
+          SELECT n.vec_id AS n_id, n.sub AS sub, n.code AS code,
+            r.cell AS cell
+          FROM (
+            SELECT vec_id, sub,
+              CAST(-struct_extract(max({'nd': -d2, 'nc': -code}), 'nc')
+                AS INT) AS code
+            FROM (
+              SELECT vec_id, s.sub AS sub, code,
+                ${pqD2Sql("sv", "cv")} AS d2
+              FROM newsubs s JOIN rq_refined cb ON s.sub = cb.sub)
+            GROUP BY vec_id, sub) n
+          JOIN newr r ON n.vec_id = r.vec_id),
+        allcodes AS (
+          SELECT * FROM ccodes UNION ALL SELECT * FROM newcodes),
+        qprobe AS (SELECT vec_id AS q_id, v, cell FROM (
+          ${probeCellsSql(s"SELECT vec_id, v FROM vecs0 WHERE vec_id < $nQueries",
+            s"SELECT * FROM $last", nprobe)})),
+        qres AS (
+          SELECT q_id, cell,
+            list_transform(range(1, $SrpDim + 1), i -> v[i] - cv[i]) AS rv
+          FROM qprobe JOIN $last ON cell = cent_id),
+        qsubs AS (
+          SELECT q_id, cell, sub,
+            list_transform(range(1, $subDim + 1),
+              i -> rv[sub*$subDim + i]) AS sv
+          FROM qres CROSS JOIN (SELECT unnest(range(0, $PqSubspaces)) AS sub)),
+        qlut AS (
+          SELECT q_id, s.cell AS cell, s.sub AS sub, cb.code AS code,
+            ${pqD2Sql("sv", "cv")} AS dq
+          FROM qsubs s JOIN rq_refined cb ON s.sub = cb.sub),
+        scored AS (
+          SELECT q_id, n_id,
+            max(CASE WHEN c.sub = 0 THEN dq END)
+              + max(CASE WHEN c.sub = 1 THEN dq END)
+              + max(CASE WHEN c.sub = 2 THEN dq END)
+              + max(CASE WHEN c.sub = 3 THEN dq END) AS adc_d2
+          FROM allcodes c JOIN qlut
             ON c.cell = qlut.cell AND c.sub = qlut.sub AND c.code = qlut.code
           WHERE q_id <> n_id
           GROUP BY q_id, n_id),

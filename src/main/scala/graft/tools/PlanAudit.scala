@@ -71,6 +71,12 @@ object PlanAudit {
     // probe's broadcast of the 8-row centroid table (training's two
     // k-means broadcasts are gone from the plan — that's the point)
     "s16_index_serve" -> 1,
+    // s18 trains on the base cut, encodes the remainder with frozen
+    // artifacts and serves over the union: every nested loop is a
+    // broadcast of the 1-row scalar cut or the 8-row centroid table
+    // (base-filter, new-filter, 3x train assign, new-vector assign,
+    // residual joins, query probe) — scalar/model-scale idioms all
+    "s18_index_append" -> 9,
     // probe/query-point broadcast (a handful of vectors) and the exact
     // top-k frame a recall measurement joins back in
     "s1_knn_brute" -> 1, "s4_ivf_recall" -> 3, "s6_pq_recall" -> 1,

@@ -52,6 +52,33 @@ class AnnIndexSpec extends AnyFunSuite {
       "serve plan must scan the persisted index parquet")
   }
 
+  test("append freezes the artifacts: base pairs keep their exact scores") {
+    import org.apache.spark.sql.functions._
+    // the s18 cut at this corpus: max(vec_id)=499 -> 499*3/4 = 374
+    val cut = 374L
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val idx = Similarity.ivfPqTrain(all.filter(col("vec_id") < cut))
+    val baseOnly = Similarity.ivfPqServeFrom(
+        all.filter(col("vec_id") < 20), idx, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val appended = Similarity.indexAppendServe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // appended vectors actually reach the results...
+    assert(appended.exists(_._2 >= cut),
+      "no appended vector in the served top-k")
+    // ...and every BASE pair that survives the appended top-k carries
+    // the identical ADC score it had against the base-only index:
+    // adding candidates can only displace, never rescore — the frozen
+    // centroids/codebook contract of the refresh path
+    appended.filter(_._2 < cut).foreach { case (q, nId, d2) =>
+      assert(baseOnly.get((q, nId)).contains(d2),
+        s"base pair ($q,$nId) rescored: $d2 vs ${baseOnly.get((q, nId))}")
+    }
+  }
+
   test("snapshots are independent: serving an absent id fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
     Similarity.persistIvfPqIndex(spark, sf, dir, "present")
