@@ -1212,7 +1212,7 @@ object Similarity {
     * why the same computation streams (a new vector's codes depend on
     * nothing but the snapshot).
     */
-  private def encodeWithIndex(vecs: DataFrame, idx: IvfPqIndex): DataFrame = {
+  private[graft] def encodeWithIndex(vecs: DataFrame, idx: IvfPqIndex): DataFrame = {
     val cellCv = idx.cents.select(col("cent_id").as("cell"), col("cv"))
     val assigned = assignCells(vecs, idx.cents)
     val r = assigned.join(broadcast(cellCv), Seq("cell"))
@@ -1221,6 +1221,72 @@ object Similarity {
     pqAssign(pqSubsFrom(r.select("vec_id", "v")), idx.codebook)
       .select(col("vec_id").as("n_id"), col("sub"), col("code"))
       .join(r.select(col("vec_id").as("n_id"), col("cell")), Seq("n_id"))
+  }
+
+  /** Streaming twin of the refresh WRITE path ([[encodeWithIndex]]):
+    * the snapshot's centroids and codebook are BOUNDED constants
+    * (cells x dim + subspaces x K x subDim doubles), collected once to
+    * driver-side literals (the bloom plan-literal discipline), so each
+    * arriving vector's (cell, residual PQ codes) is a pure per-row
+    * computation — no state, no watermark, no shuffle: index ingest
+    * keeps up with arrival rate by construction. The arithmetic replays
+    * the batch path's exact shapes — VecDot's index-order accumulation,
+    * the struct-max tie-breaks (highest cosine then lowest cell;
+    * lowest distance then lowest code) — so stream == batch codes
+    * bit-for-bit (AnnIndexSpec pins it).
+    *
+    * vecs: streaming (or batch) frame with (vec_id: long,
+    * v: array<double>).
+    */
+  def encodeStreamWithIndex(vecs: DataFrame, idx: IvfPqIndex): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val subDim = SrpDim / PqSubspaces
+    val cents: Array[(Long, Array[Double])] = idx.cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val cb: Array[(Int, Int, Array[Double])] = idx.codebook.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(t => (t._1, t._2))
+    def dotIdx(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    vecs.select(col("vec_id").cast("long").as("vec_id"), col("v"))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, vSeq) =>
+        val v = vSeq.toArray
+        // assignCells' struct-max: highest cosine, ties -> lowest cell
+        var bestCell = -1L
+        var bestSim = Double.NegativeInfinity
+        var cellCv: Array[Double] = null
+        cents.foreach { case (cid, cv) =>
+          val sim = dotIdx(v, cv) /
+            (math.sqrt(dotIdx(v, v)) * math.sqrt(dotIdx(cv, cv)))
+          if (sim > bestSim) { bestSim = sim; bestCell = cid; cellCv = cv }
+        }
+        val r = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { r(i) = v(i) - cellCv(i); i += 1 }
+        (0 until PqSubspaces).map { s =>
+          val sv = java.util.Arrays.copyOfRange(r, s * subDim, (s + 1) * subDim)
+          // pqAssign's struct-max: lowest d2, ties -> lowest code
+          var bestCode = -1
+          var bestD2 = Double.PositiveInfinity
+          cb.foreach { case (cs, code, ccv) =>
+            if (cs == s) {
+              var d2 = 0.0
+              var j = 0
+              while (j < subDim) {
+                val d = sv(j) - ccv(j); d2 += d * d; j += 1
+              }
+              if (d2 < bestD2) { bestD2 = d2; bestCode = code }
+            }
+          }
+          (id, s, bestCode, bestCell)
+        }
+      }.toDF("n_id", "sub", "code", "cell")
   }
 
   /** s18 — INCREMENTAL index append, the production refresh path that
