@@ -124,6 +124,7 @@ object SparkEntry {
     "c23_bloom_decon"  -> ((s, dir) => Curation.bloomDecon(s, dir)),
     // DSIR-style importance selection: hashed-bigram target/raw ratios
     "c24_dsir_select"  -> ((s, dir) => Curation.dsirSelect(s, dir)),
+    "c25_mixture"      -> ((s, dir) => Curation.mixtureSample(s, dir)),
     "c15_quality_attrib" -> ((s, dir) => Curation.qualityAttribution(s, dir)),
     "c17_pps_sample"   -> ((s, dir) => Curation.ppsSample(s, dir)),
     // Leakage-aware train/val split over near-dup clusters.
@@ -158,6 +159,7 @@ object SparkEntry {
     "m9_keyframes"     -> ((s, dir) => Multimodal.keyframes(s, dir).toDF),
     "x1_crossmodal"    -> ((s, dir) => Multimodal.crossModalDedup(s, dir)),
     "w8_attribution"   -> ((s, dir) => Sessionize.attribution(s, dir)),
+    "w9_cohort_retention" -> ((s, dir) => Sessionize.cohortRetention(s, dir)),
     "d10_suffix_runs"  -> ((s, dir) => Dedup.suffixRuns(s, dir)),
     "d11_span_scrub"   -> ((s, dir) => Dedup.spanScrub(s, dir)),
     "t22_markup_extract" -> ((s, dir) => Markup.extract(s, dir)),
@@ -165,6 +167,7 @@ object SparkEntry {
     "s16_index_serve"  -> ((s, dir) => Similarity.indexServe(s, dir)),
     "s17_rank_metrics" -> ((s, dir) => Similarity.rankMetrics(s, dir)),
     "s18_index_append" -> ((s, dir) => Similarity.indexAppendServe(s, dir)),
+    "s19_index_delete" -> ((s, dir) => Similarity.indexDeleteServe(s, dir)),
     "q31_bloom_skip"   -> ((s, dir) => Layout.bloomSkip(s, dir)),
     "t22_extract_quality" -> ((s, dir) => Markup.quality(s, dir)),
     // Latest-record-wins CDC compaction via one map-side max_by agg.
@@ -321,7 +324,12 @@ object SparkEntry {
         Similarity.pqAdcFrom(spark, dir, trained._1, trained._2, k = 25))),
       "s8_ivfpq_recall" -> (() => Similarity.ivfPqRecallFrom(spark, dir, ivfpq)),
       "s16_index_serve" -> (() => Similarity.ivfPqServe(spark, dir,
-        annDir, "bench"))),
+        annDir, "bench")),
+      // s19 serves from the same stored snapshot with the tombstone
+      // anti-join — the timed work is exactly what the delete path adds
+      // over s16 (training stays attributed to the unshared s7_ivfpq)
+      "s19_index_delete" -> (() => Similarity.indexDeleteServeFrom(spark,
+        dir, Similarity.loadIvfPqIndex(spark, annDir, "bench")))),
       Seq(trained._1, ivfpq))
   }
 
@@ -454,6 +462,7 @@ object SparkEntry {
     "c14_fuzzy_decon"  -> Curation.fuzzyDeconSql(),
     "c23_bloom_decon"  -> Curation.bloomDeconSql(),
     "c24_dsir_select"  -> Curation.dsirSelectSql(),
+    "c25_mixture"      -> Curation.mixtureSampleSql,
     "c15_quality_attrib" -> Curation.qualityAttributionSql,
     "c17_pps_sample"   -> Curation.ppsSampleSql(),
     "c19_shuffle_shards" -> Curation.shuffleShardsSql(),
@@ -481,6 +490,7 @@ object SparkEntry {
     "m9_keyframes"     -> Multimodal.keyframesSql(),
     "x1_crossmodal"    -> Multimodal.crossModalDedupSql(),
     "w8_attribution"   -> Sessionize.attributionSql(),
+    "w9_cohort_retention" -> Sessionize.cohortRetentionSql,
     "d10_suffix_runs"  -> Dedup.suffixRunsSql(),
     "d11_span_scrub"   -> Dedup.spanScrubSql(),
     "t22_markup_extract" -> Markup.extractSql,
@@ -491,6 +501,7 @@ object SparkEntry {
     "s16_index_serve"  -> Similarity.ivfPqSql(),
     "s17_rank_metrics" -> Similarity.rankMetricsSql(),
     "s18_index_append" -> Similarity.indexAppendServeSql(),
+    "s19_index_delete" -> Similarity.indexDeleteServeSql(),
     "q31_bloom_skip"   -> Layout.bloomSkipSql(),
     "t22_extract_quality" -> Markup.qualitySql,
     "q26_compaction"   -> Relational.q26CompactionSql,

@@ -553,6 +553,85 @@ object Curation {
         WHERE $key % 1000 < $rate"""
   }
 
+  /** c25 — token-budget mixture sampling, the data-MIXING step of a
+    * pretraining pipeline: sample each source down so the final mix hits
+    * target per-source shares of a global budget (half the corpus chars
+    * here). Where c5 applies a given per-source rate, c25 DERIVES the
+    * rate from the data: target_chars(s) = budget * share(s) / Σshare,
+    * rate(s) = min(1, target_chars(s) / chars(s)) — an under-represented
+    * source keeps everything (its rate caps at 1000‰; the shortfall is
+    * visible as chars_kept < target_chars in the audit), an
+    * over-represented one is down-sampled to its allocation by the
+    * deterministic per-doc hash. Shares are data-derived
+    * (poly_hash(source) — the stand-in for the config map a real run
+    * supplies). All arithmetic is 64-bit integer; the output is the
+    * per-source audit a mixture run ships with.
+    *
+    * Scale: two scans of a three-column projection of documents (totals
+    * pass, then the sampled aggregate) with only the ~|sources| rate
+    * rows broadcast between them; no shuffle ever touches a text column
+    * and no per-doc state exists — the budget math is a tiny relation.
+    */
+  def mixtureSample(spark: SparkSession, sfDir: String): DataFrame =
+    mixtureSampleFrom(Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars")))
+
+  /** Frame form: (doc_id: long, source: string, n_chars: long). */
+  private[graft] def mixtureSampleFrom(d: DataFrame): DataFrame = {
+    val perSrc = d.groupBy("source")
+      .agg(sum(col("n_chars")).as("chars_total"))
+      .withColumn("share", (poly_hash(col("source")) % 150 + 25).cast("long"))
+    val tot = perSrc.agg(sum(col("chars_total")).as("corpus_chars"),
+      sum(col("share")).as("share_sum"))
+    val rates = perSrc.crossJoin(broadcast(tot))
+      .withColumn("target_chars",
+        expr("((corpus_chars div 2) * share) div share_sum"))
+      .withColumn("rate_permille",
+        least(lit(1000L), expr("(target_chars * 1000) div chars_total")))
+      .select("source", "share", "chars_total", "target_chars",
+        "rate_permille")
+    val keep = poly_hash(concat(col("doc_id").cast("string"), lit(":"),
+      col("source"))) % 1000 < col("rate_permille")
+    val kept = d
+      .join(broadcast(rates.select("source", "rate_permille")), Seq("source"))
+      .filter(keep)
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        sum(col("n_chars")).as("chars_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("share"), col("chars_total"),
+        col("target_chars"), col("rate_permille"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+  }
+
+  val mixtureSampleSql: String = {
+    val share = s"${polySql("source")} % 150 + 25"
+    val key = polySql("CAST(d.doc_id AS VARCHAR) || ':' || d.source")
+    s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars_total,
+                  CAST($share AS BIGINT) AS share
+                FROM d GROUP BY source),
+        tot AS (SELECT CAST(sum(chars_total) AS BIGINT) AS corpus_chars,
+                  CAST(sum(share) AS BIGINT) AS share_sum FROM per),
+        rates AS (SELECT source, share, chars_total,
+                    ((corpus_chars // 2) * share) // share_sum AS target_chars,
+                    least(1000, ((((corpus_chars // 2) * share) // share_sum)
+                      * 1000) // chars_total) AS rate_permille
+                  FROM per CROSS JOIN tot),
+        kept AS (SELECT d.source AS source,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+                 FROM d JOIN rates r ON d.source = r.source
+                 WHERE $key % 1000 < r.rate_permille
+                 GROUP BY d.source)
+        SELECT r.source, r.share, r.chars_total, r.target_chars,
+          r.rate_permille,
+          coalesce(k.n_kept, 0) AS n_kept,
+          coalesce(k.chars_kept, 0) AS chars_kept
+        FROM rates r LEFT JOIN kept k ON r.source = k.source"""
+  }
+
   /** Per-source document cap — keep the top `k` docs of every source by
     * a deterministic preference order (n_chars desc, doc_id asc): the
     * per-domain cap step of web-corpus curation (a handful of giant

@@ -1336,7 +1336,80 @@ object Similarity {
     ivfPqServe(spark, sfDir, tmp, "s16", k, nQueries, nprobe)
   }
 
-  def ivfPqSql(k: Int = 5, nQueries: Int = 20, nprobe: Int = 2): String = {
+  /** The tombstone set for the delete path: ids matching a deterministic
+    * revocation policy (`vec_id % 7 == 3` — "every 7th source revoked
+    * consent"). A bounded id relation, NEVER a corpus rewrite: at 100 TB
+    * deletes arrive as a trickle of ids and the codes table stays
+    * immutable until the next compaction.
+    */
+  private[graft] def tombstonesOf(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id").as("n_id")).filter(col("n_id") % 7 === 3)
+
+  /** Apply tombstones to an index WITHOUT rewriting it: the codes
+    * relation is anti-joined against the tombstone set at serve time.
+    * The tombstone side is broadcast (deletes-between-compactions are
+    * small by policy), so the serve plan gains one map-side anti-join
+    * and zero shuffles; scores of surviving pairs are untouched —
+    * deleting candidates can only PROMOTE lower-ranked neighbors, never
+    * rescore them (AnnIndexSpec pins both properties).
+    */
+  private[graft] def withTombstones(idx: IvfPqIndex,
+      tomb: DataFrame): IvfPqIndex =
+    IvfPqIndex(idx.cents, idx.codebook,
+      idx.codes.join(broadcast(tomb), Seq("n_id"), "left_anti"))
+
+  /** s19 — serve AFTER deletes, completing the index lifecycle
+    * (train -> persist -> serve -> append -> DELETE -> compact):
+    * tombstoned ids are excluded from the candidate codes by a
+    * broadcast anti-join at query time — the pre-compaction production
+    * shape, where the stored index is immutable and deletes are a
+    * side relation. [[compactIvfPqIndex]] is the rewrite half: fold the
+    * tombstones into a new snapshot so the anti-join disappears again.
+    * Serving from the compacted snapshot equals this query bit-for-bit
+    * (AnnIndexSpec) — which is what makes compaction safe to run lazily.
+    */
+  def indexDeleteServe(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 20, nprobe: Int = 2): DataFrame = {
+    val all = vecsDouble(spark, sfDir).select("vec_id", "v")
+    indexDeleteServeFrom(spark, sfDir, ivfPqTrain(all), k, nQueries, nprobe)
+  }
+
+  /** [[indexDeleteServe]] over an already-trained/loaded index — the
+    * bench family path (training cost stays with the unshared s7).
+    */
+  def indexDeleteServeFrom(spark: SparkSession, sfDir: String,
+      idx: IvfPqIndex, k: Int = 5, nQueries: Int = 20,
+      nprobe: Int = 2): DataFrame = {
+    val all = vecsDouble(spark, sfDir).select("vec_id", "v")
+    ivfPqServeFrom(all.filter(col("vec_id") < nQueries),
+      withTombstones(idx, tombstonesOf(all)), k, nprobe)
+  }
+
+  /** Compact a stored snapshot: rewrite it minus the tombstoned ids
+    * under a NEW snapshot id (snapshots are immutable — the old one
+    * stays addressable until retention drops it, the c8/c11 snapshot
+    * discipline). Centroids and codebook are copied unchanged (deletes
+    * never retrain); only the codes relation shrinks. Cost is one
+    * linear pass over the codes table — the bounded, schedulable
+    * rewrite that replaces the per-query anti-join.
+    */
+  def compactIvfPqIndex(spark: SparkSession, indexDir: String,
+      fromId: String, toId: String, tomb: DataFrame): String = {
+    val live = withTombstones(loadIvfPqIndex(spark, indexDir, fromId), tomb)
+    val dir = s"$indexDir/snapshot_id=$toId"
+    live.cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    live.codebook.write.mode("overwrite").parquet(s"$dir/codebook")
+    live.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    dir
+  }
+
+  def indexDeleteServeSql(k: Int = 5, nQueries: Int = 20,
+      nprobe: Int = 2): String =
+    ivfPqSql(k, nQueries, nprobe,
+      codesWhere = "\n          WHERE r.vec_id % 7 <> 3")
+
+  def ivfPqSql(k: Int = 5, nQueries: Int = 20, nprobe: Int = 2,
+      codesWhere: String = ""): String = {
     val subDim = SrpDim / PqSubspaces
     val (ctes, last) = ivfCtesSql(2)
     s"""WITH $ctes,
@@ -1348,7 +1421,7 @@ object Similarity {
         ${pqCtesSql("SELECT vec_id, v FROM rcorp", "rq_")},
         ccodes AS (
           SELECT r.vec_id AS n_id, r.sub AS sub, r.code AS code, rc.cell AS cell
-          FROM rq_a1 r JOIN rcorp rc ON r.vec_id = rc.vec_id),
+          FROM rq_a1 r JOIN rcorp rc ON r.vec_id = rc.vec_id$codesWhere),
         qprobe AS (SELECT vec_id AS q_id, v, cell FROM (
           ${probeCellsSql(s"SELECT vec_id, v FROM vecs0 WHERE vec_id < $nQueries",
             s"SELECT * FROM $last", nprobe)})),

@@ -113,6 +113,54 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("delete excludes tombstoned ids, promotes survivors, never rescores") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val full = rows(Similarity.ivfPq(spark, sf))
+    val deleted = rows(Similarity.indexDeleteServe(spark, sf))
+    // the plant is real: the undeleted top-k DOES contain tombstoned ids
+    assert(full.exists(_._2 % 7 == 3),
+      "planted truth broken: no tombstoned id in the undeleted top-k")
+    // ...and the delete path returns none of them
+    assert(!deleted.exists(_._2 % 7 == 3),
+      "tombstoned id served after delete")
+    // every query still gets a full top-k (promotion from below)
+    assert(deleted.groupBy(_._1).forall(_._2.size == 5))
+    // surviving (q, n) pairs carry the IDENTICAL ADC score — deleting
+    // candidates promotes, never rescores
+    val fullScore = full.map(t => (t._1, t._2) -> t._3).toMap
+    deleted.foreach { case (q, n, d2, _) =>
+      fullScore.get((q, n)).foreach(orig =>
+        assert(orig == d2, s"pair ($q,$n) rescored by delete: $d2 vs $orig"))
+    }
+  }
+
+  test("compacted snapshot serves == tombstone anti-join serve, bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    Similarity.persistIvfPqIndex(spark, sf, dir, "v1")
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val tomb = Similarity.tombstonesOf(all)
+    Similarity.compactIvfPqIndex(spark, dir, "v1", "v2", tomb)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val antiJoin = rows(Similarity.indexDeleteServeFrom(spark, sf,
+      Similarity.loadIvfPqIndex(spark, dir, "v1")))
+    val compacted = rows(Similarity.ivfPqServe(spark, sf, dir, "v2"))
+    assert(compacted == antiJoin,
+      "compacted-snapshot serve must equal the anti-join serve exactly")
+    assert(compacted.nonEmpty)
+    // the compacted codes relation physically shrank (tombstones gone
+    // from DISK, not merely filtered at read)
+    val v1n = spark.read.parquet(s"$dir/snapshot_id=v1/codes").count()
+    val v2n = spark.read.parquet(s"$dir/snapshot_id=v2/codes").count()
+    assert(v2n < v1n, s"compaction did not shrink codes: $v2n vs $v1n")
+  }
+
   test("snapshots are independent: serving an absent id fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
     Similarity.persistIvfPqIndex(spark, sf, dir, "present")

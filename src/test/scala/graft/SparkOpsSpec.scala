@@ -959,4 +959,57 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(want.values.exists(_._3 == 0L), "organic conversions present")
     assert(want.values.exists(_._3 > 1L), "multi-touch present")
   }
+
+  test("cohortRetention == brute user-week matrix; week-0 retention is 1") {
+    val ev = graft.Tables.load(spark, sf, "events")
+    val uw = ev.select(col("user_id"), graft.Tables.tsMillis(ev).as("ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 604800000L)).distinct
+    val first = uw.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val sizes = first.values.groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val want = uw.map { case (u, w) => (first(u), w - first(u)) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val got = Sessionize.cohortRetention(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4))))
+    assert(got.map(x => x._1 -> x._2._1).toMap == want)
+    got.foreach { case ((cw, off), (na, cn, ret)) =>
+      assert(cn == sizes(cw), s"cohort $cw size")
+      assert(ret == na.toDouble / cn, s"retention ratio at ($cw,$off)")
+      if (off == 0L) assert(na == cn, s"week-0 of cohort $cw not fully active")
+    }
+    assert(got.exists(_._1._2 > 0L), "no multi-week retention rows")
+  }
+
+  test("mixtureSample: audit consistent; planted fixture hits both regimes") {
+    import spark.implicits._
+    // corpus run: rates bounded, audit columns consistent with the data
+    val d = graft.Tables.load(spark, sf, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = Curation.mixtureSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._1).toSet == d.keySet, "every source audited")
+    rows.foreach { case (src, _, ct, tgt, rate, nk, ck) =>
+      assert(rate >= 0L && rate <= 1000L, s"$src rate $rate")
+      assert(ct == d(src)._2, s"$src chars_total")
+      assert(nk <= d(src)._1 && ck <= ct, s"$src kept exceeds corpus")
+      if (rate == 1000L) assert(nk == d(src)._1 && ck == ct,
+        s"$src rate 1000 must keep everything")
+    }
+    assert(rows.exists(_._5 < 1000L), "no source was down-sampled")
+    // planted fixture: one giant source (must be down-sampled to its
+    // allocation) and one tiny source (under target -> keeps all)
+    val fix = ((0L until 400L).map(i => (i, "giant", 1000L)) ++
+      Seq((1000L, "tiny", 50L))).toDF("doc_id", "source", "n_chars")
+    val fr = Curation.mixtureSampleFrom(fix).collect()
+      .map(r => r.getString(0) -> (r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(fr("tiny")._1 == 1000L && fr("tiny")._2 == 1L &&
+      fr("tiny")._3 == 50L, s"tiny source must keep all: ${fr("tiny")}")
+    assert(fr("giant")._1 < 1000L && fr("giant")._2 < 400L,
+      s"giant source must be down-sampled: ${fr("giant")}")
+  }
 }
