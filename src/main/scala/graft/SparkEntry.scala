@@ -158,6 +158,7 @@ object SparkEntry {
     "a13_holt_forecast" -> ((s, dir) => ApmStats.holtForecast(s, dir)),
     "m9_keyframes"     -> ((s, dir) => Multimodal.keyframes(s, dir).toDF),
     "x1_crossmodal"    -> ((s, dir) => Multimodal.crossModalDedup(s, dir)),
+    "x2_consistency"   -> ((s, dir) => Multimodal.captionConsistency(s, dir)),
     "w8_attribution"   -> ((s, dir) => Sessionize.attribution(s, dir)),
     "w9_cohort_retention" -> ((s, dir) => Sessionize.cohortRetention(s, dir)),
     "d10_suffix_runs"  -> ((s, dir) => Dedup.suffixRuns(s, dir)),
@@ -169,6 +170,7 @@ object SparkEntry {
     "s18_index_append" -> ((s, dir) => Similarity.indexAppendServe(s, dir)),
     "s19_index_delete" -> ((s, dir) => Similarity.indexDeleteServe(s, dir)),
     "q31_bloom_skip"   -> ((s, dir) => Layout.bloomSkip(s, dir)),
+    "q32_compaction_plan" -> ((s, dir) => Layout.compactionPlan(s, dir)),
     "t22_extract_quality" -> ((s, dir) => Markup.quality(s, dir)),
     // Latest-record-wins CDC compaction via one map-side max_by agg.
     "q26_compaction"   -> ((s, dir) => Relational.q26Compaction(s, dir)),
@@ -489,6 +491,7 @@ object SparkEntry {
     "a13_holt_forecast" -> ApmStats.holtForecastSql(),
     "m9_keyframes"     -> Multimodal.keyframesSql(),
     "x1_crossmodal"    -> Multimodal.crossModalDedupSql(),
+    "x2_consistency"   -> Multimodal.captionConsistencySql(),
     "w8_attribution"   -> Sessionize.attributionSql(),
     "w9_cohort_retention" -> Sessionize.cohortRetentionSql,
     "d10_suffix_runs"  -> Dedup.suffixRunsSql(),
@@ -503,6 +506,7 @@ object SparkEntry {
     "s18_index_append" -> Similarity.indexAppendServeSql(),
     "s19_index_delete" -> Similarity.indexDeleteServeSql(),
     "q31_bloom_skip"   -> Layout.bloomSkipSql(),
+    "q32_compaction_plan" -> Layout.compactionPlanSql(),
     "t22_extract_quality" -> Markup.qualitySql,
     "q26_compaction"   -> Relational.q26CompactionSql,
     "s10_pq_refine"    -> Similarity.pqRefineRecallSql(),

@@ -70,6 +70,69 @@ object Layout {
       .groupBy("f")
       .agg(min(column).as("lo"), max(column).as("hi"))
 
+  /** q32 — compaction PLANNING over file metadata: given the per-file
+    * (key range, byte count) statistics a table format already
+    * maintains, assign time-adjacent small files to target-size
+    * compaction groups — the planning half of OPTIMIZE, whose output is
+    * the work list [[compactDir]]-style rewrites execute. Files here
+    * are modeled as the per-hour outputs of a streaming sink (the
+    * classic small-file producer), with a deterministic byte estimate
+    * (48 bytes/row + the type string) so both engines compute identical
+    * sizes. Bins are CONTIGUOUS in the time key — compaction must
+    * preserve clustering or it destroys the min-max pruning q30
+    * measures — and sized by running-sum division: bin_id =
+    * floor(bytes_before / target), target = total/`nBins`.
+    *
+    * Scale: the planner never touches data, only the file-metadata
+    * relation — ~800k rows for 100 TB of 128 MB files — so the
+    * single-task running-sum window is honest at any corpus size (the
+    * metadata is smaller than one data partition); the expensive part,
+    * the rewrite itself, is the embarrassingly-parallel
+    * [[compactDir]] executed per emitted bin.
+    */
+  def compactionPlan(spark: SparkSession, sfDir: String,
+      nBins: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.Tables
+    val ev = Tables.load(spark, sfDir, "events")
+    val files = ev.select(Tables.colMillis(ev, "ts").as("ms"),
+        col("event_type"))
+      .withColumn("file_hr", expr("ms div 3600000"))
+      .groupBy("file_hr")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        (count(lit(1)) * 48 + sum(length(col("event_type"))))
+          .cast("long").as("bytes"))
+    val tot = files.agg(sum(col("bytes")).as("total_bytes"))
+    val w = Window.orderBy("file_hr")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files.crossJoin(broadcast(tot))
+      .withColumn("target",
+        greatest(lit(1L), expr(s"total_bytes div $nBins")))
+      .withColumn("cum_before",
+        coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .groupBy(expr("cum_before div target").as("bin_id"))
+      .agg(count(lit(1)).cast("long").as("n_files"),
+        sum(col("bytes")).as("bin_bytes"),
+        min("file_hr").as("hr_lo"), max("file_hr").as("hr_hi"))
+  }
+
+  def compactionPlanSql(nBins: Int = 32): String =
+    s"""WITH f AS (SELECT epoch_ms(ts) // 3600000 AS file_hr,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) * 48 + sum(length(event_type)) AS BIGINT) AS bytes
+           FROM events GROUP BY 1),
+        t AS (SELECT CAST(sum(bytes) AS BIGINT) AS total_bytes FROM f),
+        c AS (SELECT f.*, greatest(1, total_bytes // $nBins) AS target,
+                coalesce(CAST(sum(bytes) OVER (ORDER BY file_hr
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS cum_before
+              FROM f CROSS JOIN t)
+        SELECT cum_before // target AS bin_id,
+          CAST(count(*) AS BIGINT) AS n_files,
+          CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+          min(file_hr) AS hr_lo, max(file_hr) AS hr_hi
+        FROM c GROUP BY 1"""
+
   /** Z-ORDER vs linear clustering, measured — the multi-dimensional
     * data-skipping lever (Morton-curve clustering, the OPTIMIZE ZORDER
     * of Delta/Iceberg tables): interleaving the bits of two filter

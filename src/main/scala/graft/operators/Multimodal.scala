@@ -1083,4 +1083,108 @@ object Multimodal {
         LEFT JOIN pstats s ON w.pair_id = s.pair_id
         LEFT JOIN dropped d ON w.pair_id = d.pair_id"""
   }
+
+  /** x2 — caption↔image CONSISTENCY scoring, the CLIP-score filter of a
+    * multimodal curation pipeline: embed the caption, take its cosine
+    * against the image embedding, and drop pairs below a FIXED alignment
+    * threshold (the production shape — LAION-style pipelines filter at a
+    * constant CLIP score, not a per-batch percentile, so the operator is
+    * scan-parallel with no global ordering anywhere). The caption
+    * embedder here is deterministic feature hashing (token →
+    * poly_hash-chosen slot, ±1 sign; the stand-in for the text-tower
+    * forward pass, which is an external model call) — the Spark-side
+    * plumbing is the real deliverable: tokenize at the scan, sparse
+    * slot-sum, densify to the embedding dimension, one 1:1 equi-join
+    * against the image-embedding table, index-order fold for the cosine
+    * (bit-identical on both engines), constant-threshold decision.
+    *
+    * Scale: per-doc work is O(tokens + dim); the only shuffle is the
+    * (doc_id, slot) partial-sum aggregation (map-side combinable
+    * longs) and the id-keyed embedding join; no window, no global sort,
+    * no cross-doc state — the filter streams.
+    */
+  def captionConsistency(spark: SparkSession, sfDir: String,
+      dim: Int = 64, threshold: Double = 0.0): DataFrame = {
+    import graft.functions.PolyHash.poly_hash
+    // slot and sign must come from independent bits of the SAME hash on
+    // both engines; with a power-of-two dim, `h div dim` == `h >> log2`
+    // exactly (poly_hash is non-negative), which keeps the Spark side a
+    // shift and the oracle side plain integer division
+    require(dim > 0 && (dim & (dim - 1)) == 0, "dim must be a power of two")
+    val shift = java.lang.Integer.numberOfTrailingZeros(dim)
+    val toks = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    val h = poly_hash(col("tok"))
+    val sv = toks
+      .select(col("doc_id"), (h % dim).as("slot"),
+        when(shiftright(h, shift) % 2 === 0, 1L)
+          .otherwise(-1L).as("sgn"))
+      .groupBy("doc_id", "slot")
+      .agg(sum(col("sgn")).as("tv"))
+    val dense = sv.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(
+        struct(col("slot").cast("int").as("k"), col("tv").as("v")))).as("m"))
+      .select(col("doc_id"), transform(sequence(lit(0), lit(dim - 1)),
+        i => coalesce(element_at(col("m"), i), lit(0L)).cast("double"))
+        .as("tv"))
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("doc_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ev"))
+    def fold(c: Column) = aggregate(c, lit(0.0), (a, e) => a + e)
+    dense.join(emb, Seq("doc_id"))
+      .select(col("doc_id"),
+        fold(zip_with(col("tv"), col("ev"), (a, b) => a * b)).as("dot"),
+        fold(transform(col("tv"), a => a * a)).as("nt"),
+        fold(transform(col("ev"), a => a * a)).as("ne"))
+      .select(col("doc_id"),
+        when(col("nt") === 0.0 || col("ne") === 0.0, lit(0.0))
+          .otherwise(col("dot") / sqrt(col("nt") * col("ne")))
+          .as("consistency"))
+      .withColumn("decision",
+        when(col("consistency") >= threshold, "keep").otherwise("drop"))
+  }
+
+  def captionConsistencySql(dim: Int = 64, threshold: Double = 0.0): String = {
+    import graft.functions.PolyHash.{sql => polySql}
+    val h = polySql("tok")
+    s"""WITH img AS (SELECT doc_id, lower(trim(text)) AS t
+          FROM documents WHERE doc_id % 3 = 0),
+        tok AS (SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS tok
+                FROM img),
+        sl AS (SELECT doc_id, h % $dim AS slot,
+                 CASE WHEN (h // $dim) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+               FROM (SELECT doc_id, $h AS h FROM tok)),
+        sv AS (SELECT doc_id, slot, CAST(sum(sgn) AS BIGINT) AS tv
+               FROM sl GROUP BY doc_id, slot),
+        spine AS (SELECT doc_id, unnest(range(0, $dim)) AS slot FROM img),
+        dense AS (SELECT s.doc_id AS doc_id,
+                    list(CAST(coalesce(v.tv, 0) AS DOUBLE)
+                      ORDER BY s.slot) AS tv
+                  FROM spine s LEFT JOIN sv v
+                    ON s.doc_id = v.doc_id AND s.slot = v.slot
+                  GROUP BY s.doc_id),
+        e AS (SELECT vec_id AS doc_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+              FROM embeddings),
+        sc AS (SELECT d.doc_id AS doc_id,
+                 list_reduce(list_prepend(0.0, list_transform(
+                   range(1, $dim + 1), i -> tv[i] * ev[i])),
+                   (a, b) -> a + b) AS dot,
+                 list_reduce(list_prepend(0.0, list_transform(
+                   range(1, $dim + 1), i -> tv[i] * tv[i])),
+                   (a, b) -> a + b) AS nt,
+                 list_reduce(list_prepend(0.0, list_transform(
+                   range(1, $dim + 1), i -> ev[i] * ev[i])),
+                   (a, b) -> a + b) AS ne
+               FROM dense d JOIN e ON d.doc_id = e.doc_id)
+        SELECT doc_id,
+          CASE WHEN nt = 0.0 OR ne = 0.0 THEN 0.0
+               ELSE dot / sqrt(nt * ne) END AS consistency,
+          CASE WHEN (CASE WHEN nt = 0.0 OR ne = 0.0 THEN 0.0
+                          ELSE dot / sqrt(nt * ne) END) >= $threshold
+               THEN 'keep' ELSE 'drop' END AS decision
+        FROM sc"""
+  }
 }

@@ -25,6 +25,45 @@ class CrossModalSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("x2 consistency == independent cosine re-derivation, bit-exact") {
+    val dim = 64
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def polyRef(s: String): Long = {
+      var h = 0L
+      s.codePoints().forEach(cp => h = (h * 31L + cp) % 1000000007L)
+      h
+    }
+    val want = docs.keys.filter(_ % 3 == 0).map { id =>
+      val tv = new Array[Double](dim)
+      docs(id).toLowerCase.trim.split("\\s+", -1).foreach { t =>
+        val h = polyRef(t)
+        tv((h % dim).toInt) += (if (((h >> 6) % 2) == 0L) 1.0 else -1.0)
+      }
+      val ev = emb(id).map(_.toDouble)
+      var dot = 0.0; var nt = 0.0; var ne = 0.0
+      var i = 0
+      while (i < dim) {
+        dot += tv(i) * ev(i); nt += tv(i) * tv(i); ne += ev(i) * ev(i)
+        i += 1
+      }
+      val cos = if (nt == 0.0 || ne == 0.0) 0.0 else dot / math.sqrt(nt * ne)
+      id -> ((cos, if (cos >= 0.0) "keep" else "drop"))
+    }.toMap
+    val got = Multimodal.captionConsistency(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(got.keySet == want.keySet, "image-doc coverage")
+    val diffs = want.keysIterator.filter(k => got(k) != want(k)).take(3).toList
+    assert(diffs.isEmpty, s"cosine/decision mismatch at $diffs: " +
+      s"${diffs.map(k => (got(k), want(k)))}")
+    assert(got.values.exists(_._2 == "keep") && got.values.exists(_._2 == "drop"),
+      "both decisions must occur on the corpus")
+  }
+
   test("x1 decisions == independent re-derivation; both branches planted") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()

@@ -96,4 +96,47 @@ class LayoutSpec extends AnyFunSuite {
       "insertion-layout blooms must collide at sf0.01 — " +
         "a zero-fp result means the hash lattice regressed")
   }
+
+  test("compactionPlan: partition of all files, contiguous time ranges, " +
+    "fill discipline") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val nBins = 32
+    val plan = graft.operators.Layout.compactionPlan(spark, sf, nBins)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    // recompute the file metadata independently
+    val ev = graft.Tables.load(spark, sf, "events")
+    val files = ev.select(graft.Tables.colMillis(ev, "ts").as("ms"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0) / 3600000L, r.getString(1)))
+      .groupBy(_._1)
+      .map { case (hr, xs) => hr -> (48L * xs.length +
+        xs.map(_._2.length.toLong).sum) }
+    val total = files.values.sum
+    val target = math.max(1L, total / nBins)
+    // every file accounted for exactly once; bytes conserved
+    assert(plan.map(_._2).sum == files.size.toLong, "file count partition")
+    assert(plan.map(_._3).sum == total, "bytes conserved")
+    // bins contiguous + non-overlapping in time, in bin_id order
+    plan.sliding(2).foreach {
+      case Array((b1, _, _, _, hi1), (b2, _, _, lo2, _)) =>
+        assert(b1 < b2 && hi1 < lo2, s"bins $b1/$b2 overlap or disorder")
+      case _ =>
+    }
+    plan.foreach { case (b, _, _, lo, hi) => assert(lo <= hi, s"bin $b") }
+    // fill discipline of running-sum assignment: every bin but the last
+    // reaches the target once its LAST file lands (cum crosses the
+    // boundary), so bin_bytes + target > target i.e. no bin except the
+    // last can be "tiny" relative to one file: each non-final bin's
+    // bytes plus its successor's first file must exceed target
+    val maxFile = files.values.max
+    plan.dropRight(1).foreach { case (b, _, bytes, _, _) =>
+      assert(bytes + maxFile > target,
+        s"bin $b underfilled beyond one-file slack: $bytes vs $target")
+    }
+    assert(plan.length >= 2, "plan must produce multiple bins")
+  }
 }
