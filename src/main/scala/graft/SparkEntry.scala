@@ -160,7 +160,6 @@ object SparkEntry {
     "x1_crossmodal"    -> ((s, dir) => Multimodal.crossModalDedup(s, dir)),
     "x2_consistency"   -> ((s, dir) => Multimodal.captionConsistency(s, dir)),
     "w8_attribution"   -> ((s, dir) => Sessionize.attribution(s, dir)),
-    "w9_cohort_retention" -> ((s, dir) => Sessionize.cohortRetention(s, dir)),
     "d10_suffix_runs"  -> ((s, dir) => Dedup.suffixRuns(s, dir)),
     "d11_span_scrub"   -> ((s, dir) => Dedup.spanScrub(s, dir)),
     "t22_markup_extract" -> ((s, dir) => Markup.extract(s, dir)),
@@ -169,6 +168,8 @@ object SparkEntry {
     "s17_rank_metrics" -> ((s, dir) => Similarity.rankMetrics(s, dir)),
     "s18_index_append" -> ((s, dir) => Similarity.indexAppendServe(s, dir)),
     "s19_index_delete" -> ((s, dir) => Similarity.indexDeleteServe(s, dir)),
+    "s20_append_drift" -> ((s, dir) => Similarity.indexAppendDrift(s, dir)),
+    "s21_probe_sweep"  -> ((s, dir) => Similarity.probeSweep(s, dir)),
     "q31_bloom_skip"   -> ((s, dir) => Layout.bloomSkip(s, dir)),
     "q32_compaction_plan" -> ((s, dir) => Layout.compactionPlan(s, dir)),
     "t22_extract_quality" -> ((s, dir) => Markup.quality(s, dir)),
@@ -331,7 +332,16 @@ object SparkEntry {
       // anti-join — the timed work is exactly what the delete path adds
       // over s16 (training stays attributed to the unshared s7_ivfpq)
       "s19_index_delete" -> (() => Similarity.indexDeleteServeFrom(spark,
-        dir, Similarity.loadIvfPqIndex(spark, annDir, "bench")))),
+        dir, Similarity.loadIvfPqIndex(spark, annDir, "bench"))),
+      // s20's retrained leg is exactly the family's served IVF-PQ; the
+      // timed work is the frozen-index leg (base train + append encode
+      // + serve + recall), which is s20's own contribution
+      "s20_append_drift" -> (() => Similarity.indexAppendDriftFrom(spark,
+        dir, ivfpq)),
+      // s21 sweeps probe depths over the family's stored index — the
+      // timed work is |probes| serves + the shared truth scan
+      "s21_probe_sweep"  -> (() => Similarity.probeSweepFrom(spark, dir,
+        Similarity.loadIvfPqIndex(spark, annDir, "bench")))),
       Seq(trained._1, ivfpq))
   }
 
@@ -493,7 +503,6 @@ object SparkEntry {
     "x1_crossmodal"    -> Multimodal.crossModalDedupSql(),
     "x2_consistency"   -> Multimodal.captionConsistencySql(),
     "w8_attribution"   -> Sessionize.attributionSql(),
-    "w9_cohort_retention" -> Sessionize.cohortRetentionSql,
     "d10_suffix_runs"  -> Dedup.suffixRunsSql(),
     "d11_span_scrub"   -> Dedup.spanScrubSql(),
     "t22_markup_extract" -> Markup.extractSql,
@@ -505,6 +514,8 @@ object SparkEntry {
     "s17_rank_metrics" -> Similarity.rankMetricsSql(),
     "s18_index_append" -> Similarity.indexAppendServeSql(),
     "s19_index_delete" -> Similarity.indexDeleteServeSql(),
+    "s20_append_drift" -> Similarity.indexAppendDriftSql(),
+    "s21_probe_sweep"  -> Similarity.probeSweepSql(),
     "q31_bloom_skip"   -> Layout.bloomSkipSql(),
     "q32_compaction_plan" -> Layout.compactionPlanSql(),
     "t22_extract_quality" -> Markup.qualitySql,

@@ -1146,6 +1146,55 @@ object Multimodal {
         when(col("consistency") >= threshold, "keep").otherwise("drop"))
   }
 
+  /** Streaming twin of [[captionConsistency]] — the alignment filter at
+    * INGEST, where a multimodal pipeline actually runs it (drop
+    * misaligned pairs before they cost downstream work). Featurization
+    * is per-row stateless (a typed map replaying the batch folds: the
+    * polynomial token hash, slot/sign bit split, integer slot sums —
+    * all exact in doubles), so the stream needs no state, watermark or
+    * shuffle beyond the one stream-static id-equi-join against the
+    * embedding table; the cosine reuses the batch's index-order fold
+    * expressions, so stream == batch scores BIT-FOR-BIT across
+    * micro-batch boundaries (CrossModalStreamingSpec).
+    *
+    * docs: streaming (or batch) frame with (doc_id: long,
+    * text: string); emb: the STATIC embeddings relation
+    * (vec_id, embedding: array&lt;float&gt;).
+    */
+  def captionConsistencyStream(docs: DataFrame, emb: DataFrame,
+      dim: Int = 64, threshold: Double = 0.0): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(dim > 0 && (dim & (dim - 1)) == 0, "dim must be a power of two")
+    val shift = java.lang.Integer.numberOfTrailingZeros(dim)
+    val tv = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val v = new Array[Double](dim)
+        Option(text).getOrElse("").toLowerCase.trim.split("\\s+", -1)
+          .foreach { t =>
+            var h = 0L
+            t.codePoints().forEach(cp => h = (h * 31L + cp) % 1000000007L)
+            v((h % dim).toInt) += (if (((h >> shift) % 2) == 0L) 1.0 else -1.0)
+          }
+        (id, v.toSeq)
+      }.toDF("doc_id", "tv")
+    val ev = emb.select(col("vec_id").as("doc_id"),
+      transform(col("embedding"), x => x.cast("double")).as("ev"))
+    def fold(c: Column) = aggregate(c, lit(0.0), (a, e) => a + e)
+    tv.join(ev, Seq("doc_id"))
+      .select(col("doc_id"),
+        fold(zip_with(col("tv"), col("ev"), (a, b) => a * b)).as("dot"),
+        fold(transform(col("tv"), a => a * a)).as("nt"),
+        fold(transform(col("ev"), a => a * a)).as("ne"))
+      .select(col("doc_id"),
+        when(col("nt") === 0.0 || col("ne") === 0.0, lit(0.0))
+          .otherwise(col("dot") / sqrt(col("nt") * col("ne")))
+          .as("consistency"))
+      .withColumn("decision",
+        when(col("consistency") >= threshold, "keep").otherwise("drop"))
+  }
+
   def captionConsistencySql(dim: Int = 64, threshold: Double = 0.0): String = {
     import graft.functions.PolyHash.{sql => polySql}
     val h = polySql("tok")

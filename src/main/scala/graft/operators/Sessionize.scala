@@ -462,51 +462,4 @@ object Sessionize {
         FROM conv c
         LEFT JOIN f ON c.conv_id = f.conv_id
         LEFT JOIN l ON c.conv_id = l.conv_id"""
-
-  /** w9 — cohort retention: users grouped by first-active week, and for
-    * each (cohort, week offset) the count of that cohort's members
-    * active `offset` weeks after their first week — the retention
-    * matrix every product analytics stack computes. Weeks are epoch
-    * weeks (`ms div 604_800_000`), timezone-free and identical on both
-    * engines; `retention` is a single two-long IEEE division (same
-    * operands both engines — the repo float-parity policy).
-    *
-    * Shape: the raw stream collapses FIRST to distinct (user, week)
-    * pairs — at 100 TB that per-user-week dedup is the only scan-sized
-    * shuffle, and it's exactly the pre-aggregation that bounds
-    * everything downstream (cohort assignment is a per-user min over
-    * weeks a user has, the matrix an agg over user-weeks; cohort sizes
-    * are a tiny relation joined at the end). No window functions, no
-    * per-user ordering — counts only.
-    */
-  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.load(spark, sfDir, "events")
-    val ua = ev.select(col("user_id"), Tables.tsMillis(ev).as("ms"))
-      .withColumn("wk", expr("ms div 604800000"))
-      .select("user_id", "wk").distinct()
-    val first = ua.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
-    val sizes = first.groupBy("cohort_wk")
-      .agg(count(lit(1)).cast("long").as("cohort_n"))
-    ua.join(first, Seq("user_id"))
-      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
-      .agg(count(lit(1)).cast("long").as("n_active"))
-      .join(broadcast(sizes), Seq("cohort_wk"))
-      .select(col("cohort_wk"), col("wk_offset"), col("n_active"),
-        col("cohort_n"),
-        (col("n_active").cast("double") / col("cohort_n")).as("retention"))
-  }
-
-  val cohortRetentionSql: String =
-    """WITH ua AS (SELECT DISTINCT user_id,
-          epoch_ms(ts) // 604800000 AS wk FROM events),
-        f AS (SELECT user_id, min(wk) AS cohort_wk FROM ua GROUP BY user_id),
-        sz AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_n
-               FROM f GROUP BY cohort_wk),
-        act AS (SELECT f.cohort_wk, ua.wk - f.cohort_wk AS wk_offset,
-                  CAST(count(*) AS BIGINT) AS n_active
-                FROM ua JOIN f ON ua.user_id = f.user_id
-                GROUP BY f.cohort_wk, ua.wk - f.cohort_wk)
-        SELECT a.cohort_wk, a.wk_offset, a.n_active, s.cohort_n,
-          CAST(a.n_active AS DOUBLE) / s.cohort_n AS retention
-        FROM act a JOIN sz s ON a.cohort_wk = s.cohort_wk"""
 }

@@ -1566,7 +1566,139 @@ object Similarity {
       .agg((count(col("aq")) / lit(k.toDouble)).as("recall_at_k"))
   }
 
-  def ivfPqRecallSql(k: Int = 5, nQueries: Int = 20): String =
+  /** s20 — append-DRIFT measurement, the retrain-cadence policy input
+    * the s18 scaladoc defers to the caller: recall@k of the
+    * frozen-artifact appended index ([[indexAppendServe]] — codebooks
+    * trained on the base 3/4, appended quarter encoded without
+    * training) vs recall@k of a full retrain ([[ivfPq]]), both against
+    * the same exact-L2 truth over the FULL corpus. The retrained
+    * recall is the ceiling the frozen index decays from as the
+    * appended distribution drifts; a deployment retrains when the gap
+    * exceeds its quality budget. Each recall is an integer ratio
+    * (hits/k — hash-exact cross-engine); rows are per-query so the
+    * tail, not just the mean, is visible.
+    *
+    * Scale: both approximate legs are the bucketed serve paths; the
+    * exact-truth leg is nQ fixed scans (the d6 sampled-truth
+    * discipline — at 100 TB you grade on a fixed query sample, never
+    * all-pairs).
+    */
+  def indexAppendDrift(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 20, nprobe: Int = 2): DataFrame =
+    indexAppendDriftFrom(spark, sfDir,
+      ivfPq(spark, sfDir, k, nQueries, nprobe), k, nQueries, nprobe)
+
+  /** [[indexAppendDrift]] with the retrained serve supplied — the bench
+    * family path: the retrained leg IS the family's served IVF-PQ (the
+    * s8 input), so s20 times its own real work, the frozen-index leg.
+    */
+  def indexAppendDriftFrom(spark: SparkSession, sfDir: String,
+      retrainedServe: DataFrame, k: Int = 5, nQueries: Int = 20,
+      nprobe: Int = 2): DataFrame = {
+    val frozen = ivfPqRecallFrom(spark, sfDir,
+        indexAppendServe(spark, sfDir, k, nQueries, nprobe), k, nQueries)
+      .withColumnRenamed("recall_at_k", "recall_frozen")
+    val retrained = ivfPqRecallFrom(spark, sfDir, retrainedServe, k, nQueries)
+      .withColumnRenamed("recall_at_k", "recall_retrained")
+    frozen.join(retrained, Seq("q_id"))
+  }
+
+  def indexAppendDriftSql(k: Int = 5, nQueries: Int = 20,
+      nprobe: Int = 2): String =
+    s"""WITH fr AS (SELECT q_id, recall_at_k AS recall_frozen FROM (
+          ${ivfPqRecallSql(k, nQueries,
+            approxSql = indexAppendServeSql(k, nQueries, nprobe))})),
+        rr AS (SELECT q_id, recall_at_k AS recall_retrained FROM (
+          ${ivfPqRecallSql(k, nQueries)}))
+        SELECT fr.q_id, fr.recall_frozen, rr.recall_retrained
+        FROM fr JOIN rr ON fr.q_id = rr.q_id"""
+
+  /** s21 — the nprobe TUNING CURVE: recall@k of the IVF-PQ index at
+    * each probe depth, against one shared exact-L2 truth — the
+    * recall-vs-cost sweep every serving deployment runs before picking
+    * its operating point (nprobe is THE latency/recall knob of an IVF
+    * index; the curve, not any single point, is the tuning artifact).
+    * The index is trained ONCE and served at each depth (the
+    * train-once/serve-many production loop); recall is a total-hits
+    * integer ratio over the fixed query sample (hash-exact
+    * cross-engine).
+    *
+    * Scale: one training pass + |probes| bucketed serves (each touches
+    * nprobe/cells of the codes) + one fixed-nQ exact-truth scan shared
+    * by every depth — the sweep costs little more than its deepest
+    * point.
+    */
+  def probeSweep(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 20, probes: Seq[Int] = Seq(1, 2, 4)): DataFrame =
+    probeSweepFrom(spark, sfDir,
+      ivfPqTrain(vecsDouble(spark, sfDir).select("vec_id", "v")),
+      k, nQueries, probes)
+
+  /** [[probeSweep]] over an already-trained/loaded index (bench family
+    * path — training cost stays with the unshared s7 trainer).
+    */
+  def probeSweepFrom(spark: SparkSession, sfDir: String, idx: IvfPqIndex,
+      k: Int = 5, nQueries: Int = 20,
+      probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val vecs = vecsDouble(spark, sfDir).select("vec_id", "v")
+    val queries = vecs.filter(col("vec_id") < nQueries)
+    val q = queries.select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = vecs.select(col("vec_id").as("n_id"), col("v").as("nv"))
+    val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id").asc)
+    // exact truth computed once, shared by every depth (localCheckpoint:
+    // |probes| consumers, one nQ-row broadcast scan)
+    val exact = q.join(c, col("q_id") =!= col("n_id"))
+      .withColumn("d2", aggregate(
+        zip_with(col("qv"), col("nv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, e) => acc + e))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id")
+      .localCheckpoint()
+    probes.map { np =>
+      val approx = ivfPqServeFrom(queries, idx, k, np)
+        .select(col("q_id").as("aq"), col("n_id").as("an"))
+      exact.join(approx,
+          col("q_id") === col("aq") && col("n_id") === col("an"), "left")
+        .agg(count(col("aq")).cast("long").as("hits"))
+        .select(lit(np.toLong).as("nprobe"), col("hits"),
+          (col("hits").cast("double") / lit((nQueries * k).toDouble))
+            .as("recall_at_k"))
+    }.reduce(_ unionAll _)
+  }
+
+  def probeSweepSql(k: Int = 5, nQueries: Int = 20,
+      probes: Seq[Int] = Seq(1, 2, 4)): String = {
+    val exact =
+      s"""WITH vecs_e AS ($vecsDoubleSql),
+          q_e AS (SELECT vec_id AS q_id, v AS qv FROM vecs_e
+                  WHERE vec_id < $nQueries),
+          c_e AS (SELECT vec_id AS n_id, v AS nv FROM vecs_e)
+          SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+              row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC)
+                AS rank
+            FROM (SELECT q_id, n_id,
+                    list_reduce(list_prepend(0.0,
+                      list_transform(range(1, len(qv)+1),
+                        i -> (qv[i] - nv[i]) * (qv[i] - nv[i]))),
+                      (acc, e) -> acc + e) AS d2
+                  FROM q_e JOIN c_e ON q_id <> n_id))
+          WHERE rank <= $k"""
+    probes.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+            CAST(count(aq) AS BIGINT) AS hits,
+            CAST(count(aq) AS DOUBLE) / ${(nQueries * k).toDouble}
+              AS recall_at_k
+          FROM ($exact) e
+          LEFT JOIN (SELECT q_id AS aq, n_id AS an
+                     FROM (${ivfPqSql(k, nQueries, np)})) a
+            ON e.q_id = a.aq AND e.n_id = a.an"""
+    }.mkString("\n        UNION ALL\n        ")
+  }
+
+  def ivfPqRecallSql(k: Int = 5, nQueries: Int = 20,
+      approxSql: String = null): String =
     s"""WITH vecs_e AS ($vecsDoubleSql),
         q_e AS (SELECT vec_id AS q_id, v AS qv FROM vecs_e
                 WHERE vec_id < $nQueries),
@@ -1584,7 +1716,7 @@ object Similarity {
                   FROM q_e JOIN c_e ON q_id <> n_id))
           WHERE rank <= $k),
         approx AS (SELECT q_id AS aq, n_id AS an
-                   FROM (${ivfPqSql(k, nQueries)}))
+                   FROM (${Option(approxSql).getOrElse(ivfPqSql(k, nQueries))}))
         SELECT q_id, count(aq) / CAST($k AS DOUBLE) AS recall_at_k
         FROM exact LEFT JOIN approx ON q_id = aq AND n_id = an
         GROUP BY q_id"""

@@ -108,7 +108,30 @@ object PlanAudit {
     // pre-filter leg's label predicate becomes the JOIN KEY (BHJ with
     // the id-inequality as residual), the filtered-ANN point made by
     // the plan itself
-    "s14_filtered_knn" -> 1)
+    "s14_filtered_knn" -> 1,
+    // s19 = s7's trained-model broadcasts (3: 2x k-means assign + query
+    // probe centroids); the tombstone exclusion itself is an id-keyed
+    // broadcast ANTI join (equi, not nested-loop)
+    "s19_index_delete" -> 3,
+    // s20 = the s18 frozen-append chain (9) + the exact-truth leg's
+    // nQ-row query broadcast (the s4/s8 recall idiom; the truth scan is
+    // shared between the two recall legs, so it appears once) + the
+    // retrained leg's s7 chain (3) when run standalone — 13 total,
+    // every one a 1-row-scalar, 8-row-centroid or nQ-row broadcast
+    "s20_append_drift" -> 13,
+    // c25: the 1-row (corpus_chars, share_sum) scalar aggregate crossed
+    // onto the per-source totals — once per consumer (rates feed both
+    // the sampled aggregate and the audit join)
+    "c25_mixture" -> 2,
+    // q32: the 1-row total-bytes scalar crossed onto the file-metadata
+    // relation (the planner's target computation)
+    "q32_compaction_plan" -> 1,
+    // s21 standalone = s7's train chain (2 k-means assigns) + per-depth
+    // query-probe centroid broadcasts (3 legs x 2: probe + residual) +
+    // the shared exact-truth leg's nQ-row query broadcast — all 8-row
+    // centroid or nQ-row query frames; the family path serves from the
+    // stored snapshot and carries only the per-leg probe broadcasts
+    "s21_probe_sweep" -> 9)
 
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
     val direct = p.collect { case n => n }

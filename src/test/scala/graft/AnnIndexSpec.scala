@@ -161,6 +161,19 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(v2n < v1n, s"compaction did not shrink codes: $v2n vs $v1n")
   }
 
+  test("probe sweep: exact integer ratios, deeper probes never lose recall") {
+    val rows = Similarity.probeSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    rows.foreach { case (np, hits, rec) =>
+      assert(hits >= 0L && hits <= 100L, s"nprobe=$np hits=$hits")
+      assert(rec == hits.toDouble / 100.0, s"nprobe=$np ratio")
+    }
+    assert(rows.last._3 >= rows.head._3,
+      s"deeper probe lost recall: ${rows.toSeq}")
+    assert(rows.last._3 > 0.0)
+  }
+
   test("snapshots are independent: serving an absent id fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
     Similarity.persistIvfPqIndex(spark, sf, dir, "present")

@@ -111,4 +111,30 @@ class CrossModalStreamingSpec extends AnyFunSuite {
       got.values.count(_ == "hard_negative") >= 1,
       "both planted branches must appear through the stream")
   }
+
+  test("x2 streaming consistency == batch, bit-for-bit, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val want = Multimodal.captionConsistency(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val q = Multimodal.captionConsistencyStream(
+        in.toDF.toDF("doc_id", "text"), emb)
+      .writeStream.format("memory").queryName("x2_ingest")
+      .outputMode("append").start()
+    val got = try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      spark.table("x2_ingest").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    } finally q.stop()
+    assert(got == want, s"stream/batch divergence: " +
+      s"${(got -- want).take(3)} vs ${(want -- got).take(3)}")
+    assert(want.exists(_._3 == "keep") && want.exists(_._3 == "drop"))
+  }
 }

@@ -960,27 +960,6 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(want.values.exists(_._3 > 1L), "multi-touch present")
   }
 
-  test("cohortRetention == brute user-week matrix; week-0 retention is 1") {
-    val ev = graft.Tables.load(spark, sf, "events")
-    val uw = ev.select(col("user_id"), graft.Tables.tsMillis(ev).as("ms"))
-      .collect().map(r => (r.getLong(0), r.getLong(1) / 604800000L)).distinct
-    val first = uw.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
-    val sizes = first.values.groupBy(identity)
-      .map { case (w, xs) => w -> xs.size.toLong }
-    val want = uw.map { case (u, w) => (first(u), w - first(u)) }
-      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
-    val got = Sessionize.cohortRetention(spark, sf).collect()
-      .map(r => ((r.getLong(0), r.getLong(1)),
-        (r.getLong(2), r.getLong(3), r.getDouble(4))))
-    assert(got.map(x => x._1 -> x._2._1).toMap == want)
-    got.foreach { case ((cw, off), (na, cn, ret)) =>
-      assert(cn == sizes(cw), s"cohort $cw size")
-      assert(ret == na.toDouble / cn, s"retention ratio at ($cw,$off)")
-      if (off == 0L) assert(na == cn, s"week-0 of cohort $cw not fully active")
-    }
-    assert(got.exists(_._1._2 > 0L), "no multi-week retention rows")
-  }
-
   test("mixtureSample: audit consistent; planted fixture hits both regimes") {
     import spark.implicits._
     // corpus run: rates bounded, audit columns consistent with the data
