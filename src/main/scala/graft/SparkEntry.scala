@@ -214,6 +214,7 @@ object SparkEntry {
     // filtered ANN: pre-filter truth vs post-filter recall, measured
     "s14_filtered_knn" -> ((s, dir) => Similarity.filteredKnn(s, dir)),
     "e3_matryoshka"    -> ((s, dir) => Similarity.matryoshkaRecall(s, dir)),
+    "e8_sq8_recall"    -> ((s, dir) => Similarity.sq8Recall(s, dir)),
     "e4_pca_cov"       -> ((s, dir) => Pca.pcaCov(s, dir)),
     "e5_pca_component" -> ((s, dir) => Pca.pcaComponent(s, dir)),
     "e6_pca_project"   -> ((s, dir) => Pca.pcaProject(s, dir)),
@@ -548,6 +549,7 @@ object SparkEntry {
     "s13_mrl_funnel"   -> Similarity.mrlFunnelSql(),
     "s14_filtered_knn" -> Similarity.filteredKnnSql(),
     "e3_matryoshka"    -> Similarity.matryoshkaRecallSql(),
+    "e8_sq8_recall"    -> Similarity.sq8RecallSql(),
     "e4_pca_cov"       -> Pca.pcaCovSql,
     "e5_pca_component" -> Pca.pcaComponentSql,
     "e6_pca_project"   -> Pca.pcaProjectSql,

@@ -1613,6 +1613,69 @@ object Similarity {
         SELECT fr.q_id, fr.recall_frozen, rr.recall_retrained
         FROM fr JOIN rr ON fr.q_id = rr.q_id"""
 
+  /** e8 — SQ8 retrieval recall: what e1's int8 quantization COSTS at
+    * search time. e1 emits the codes and their MSE; this measures the
+    * number that actually gates a deployment — recall@k of the standard
+    * asymmetric SQ search (query stays exact float, corpus distances
+    * computed against the DEQUANTIZED int8 vectors) vs exact-L2 truth.
+    * Completes the quantization menu's quality column: PQ (s6), binary
+    * Hamming (s11), MRL prefix (e3), int8 scalar (here).
+    *
+    * Scale: the scan is s1_knn_brute's nQ-row broadcast shape — SQ is a
+    * COMPRESSION layer, not an index; at 100 TB it runs behind IVF
+    * pruning (s3/s7) and this query prices the compression alone, the
+    * controlled measurement a tuning decision needs.
+    */
+  def sq8Recall(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 20): DataFrame = {
+    val vecs = vecsDouble(spark, sfDir)
+    val scale = array_max(transform(col("v"), x => abs(x))) / lit(127.0)
+    // e1's exact quantize-dequantize round trip (per-vector scale,
+    // floor(x/s + .5), all-zero vectors guarded to q=0)
+    val corpus = vecs.withColumn("scale", scale)
+      .select(col("vec_id").as("n_id"), transform(col("v"), x =>
+        coalesce(floor(x / nullif(col("scale"), lit(0.0)) + lit(0.5))
+          .cast("int"), lit(0)).cast("double") * col("scale")).as("nv"))
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id").asc)
+    val approx = q.join(corpus, col("q_id") =!= col("n_id"))
+      .withColumn("d2", aggregate(
+        zip_with(col("qv"), col("nv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, e) => acc + e))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id")
+    ivfPqRecallFrom(spark, sfDir, approx, k, nQueries)
+  }
+
+  def sq8RecallSql(k: Int = 5, nQueries: Int = 20): String = {
+    val approx =
+      s"""WITH vecs_s AS ($vecsDoubleSql),
+          sc AS (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+                 FROM vecs_s),
+          r_s AS (SELECT vec_id AS n_id,
+                    list_transform(v, x ->
+                      coalesce(CAST(floor(x / nullif(scale, 0.0) + 0.5)
+                        AS INT), 0) * scale) AS nv
+                  FROM sc),
+          q_s AS (SELECT vec_id AS q_id, v AS qv FROM vecs_s
+                  WHERE vec_id < $nQueries)
+          SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+              row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC)
+                AS rank
+            FROM (SELECT q_id, n_id,
+                    list_reduce(list_prepend(0.0,
+                      list_transform(range(1, len(qv)+1),
+                        i -> (qv[i] - nv[i]) * (qv[i] - nv[i]))),
+                      (acc, e) -> acc + e) AS d2
+                  FROM q_s JOIN r_s ON q_id <> n_id))
+          WHERE rank <= $k"""
+    ivfPqRecallSql(k, nQueries, approxSql = approx)
+  }
+
   /** s21 — the nprobe TUNING CURVE: recall@k of the IVF-PQ index at
     * each probe depth, against one shared exact-L2 truth — the
     * recall-vs-cost sweep every serving deployment runs before picking

@@ -131,7 +131,10 @@ object PlanAudit {
     // the shared exact-truth leg's nQ-row query broadcast — all 8-row
     // centroid or nQ-row query frames; the family path serves from the
     // stored snapshot and carries only the per-leg probe broadcasts
-    "s21_probe_sweep" -> 9)
+    "s21_probe_sweep" -> 9,
+    // e8: the nQ-row query broadcast of each brute leg — the SQ8
+    // (dequantized-corpus) scan and the exact-truth scan
+    "e8_sq8_recall" -> 2)
 
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
     val direct = p.collect { case n => n }

@@ -174,6 +174,19 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(rows.last._3 > 0.0)
   }
 
+  test("sq8 recall: exact ratios, int8 costs little on this corpus") {
+    val rows = Similarity.sq8Recall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 20, "one recall row per query")
+    rows.foreach { case (q, rec) =>
+      assert(rec >= 0.0 && rec <= 1.0 && (rec * 5.0) == math.rint(rec * 5.0),
+        s"q=$q recall $rec must be an exact k=5 ratio")
+    }
+    val mean = rows.map(_._2).sum / rows.length
+    assert(mean >= 0.8,
+      s"int8 scalar quantization should barely move top-5 recall: $mean")
+  }
+
   test("snapshots are independent: serving an absent id fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
     Similarity.persistIvfPqIndex(spark, sf, dir, "present")
