@@ -567,8 +567,9 @@ object Curation {
     * supplies). All arithmetic is 64-bit integer; the output is the
     * per-source audit a mixture run ships with.
     *
-    * Scale: two scans of a three-column projection of documents (totals
-    * pass, then the sampled aggregate) with only the ~|sources| rate
+    * Scale: three scans of a three-column projection of documents (the
+    * per-source totals feed both the rate table and its normalizing
+    * sum, plus the sampled aggregate) with only the ~|sources| rate
     * rows broadcast between them; no shuffle ever touches a text column
     * and no per-doc state exists — the budget math is a tiny relation.
     */

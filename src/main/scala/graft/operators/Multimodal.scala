@@ -1166,12 +1166,15 @@ object Multimodal {
     import docs.sparkSession.implicits._
     require(dim > 0 && (dim & (dim - 1)) == 0, "dim must be a power of two")
     val shift = java.lang.Integer.numberOfTrailingZeros(dim)
-    val tv = docs.filter(col("doc_id") % 3 === 0)
+    // null-text docs are dropped, matching the batch path exactly
+    // (there, explode(split(null)) yields no rows, so the doc never
+    // reaches the dense join)
+    val tv = docs.filter(col("doc_id") % 3 === 0 && col("text").isNotNull)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val v = new Array[Double](dim)
-        Option(text).getOrElse("").toLowerCase.trim.split("\\s+", -1)
+        text.toLowerCase.trim.split("\\s+", -1)
           .foreach { t =>
             var h = 0L
             t.codePoints().forEach(cp => h = (h * 31L + cp) % 1000000007L)
