@@ -310,8 +310,11 @@ object SparkEntry {
     // production deployment amortizes over every query) — the timed s16
     // is the pure STORED-INDEX serve path, which is the number that
     // matters at serving time
+    // deterministic within a session (reruns overwrite); applicationId
+    // keeps concurrent sessions from clobbering each other's snapshot
     val annDir = s"${System.getProperty("java.io.tmpdir")}/graft_ann_bench_" +
-      Integer.toHexString(dir.hashCode) // deterministic: reruns overwrite
+      Integer.toHexString(dir.hashCode) + "_" +
+      spark.sparkContext.applicationId
     Similarity.persistIvfPqIndex(spark, dir, annDir, "bench")
     // s8's recall input is served FROM that snapshot instead of training
     // a second IVF-PQ index: serve == train-and-serve exactly (the

@@ -1174,7 +1174,16 @@ object Multimodal {
       .as[(Long, String)]
       .map { case (id, text) =>
         val v = new Array[Double](dim)
-        text.toLowerCase.trim.split("\\s+", -1)
+        // replicate the batch expressions exactly: Spark `lower` is
+        // locale-insensitive (Locale.ROOT — a Turkish-locale JVM must
+        // not map I to dotless ı) and Spark `trim` strips ONLY the
+        // space character, not Java trim's whole <= U+0020 range
+        val lowered = text.toLowerCase(java.util.Locale.ROOT)
+        var lo = 0
+        var hi = lowered.length
+        while (lo < hi && lowered.charAt(lo) == ' ') lo += 1
+        while (hi > lo && lowered.charAt(hi - 1) == ' ') hi -= 1
+        lowered.substring(lo, hi).split("\\s+", -1)
           .foreach { t =>
             var h = 0L
             t.codePoints().forEach(cp => h = (h * 31L + cp) % 1000000007L)
@@ -1202,7 +1211,7 @@ object Multimodal {
     import graft.functions.PolyHash.{sql => polySql}
     val h = polySql("tok")
     s"""WITH img AS (SELECT doc_id, lower(trim(text)) AS t
-          FROM documents WHERE doc_id % 3 = 0),
+          FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL),
         tok AS (SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS tok
                 FROM img),
         sl AS (SELECT doc_id, h % $dim AS slot,

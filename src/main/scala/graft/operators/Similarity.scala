@@ -1326,12 +1326,16 @@ object Similarity {
     */
   def indexServe(spark: SparkSession, sfDir: String,
       k: Int = 5, nQueries: Int = 20, nprobe: Int = 2): DataFrame = {
-    // deterministic per-corpus location (overwritten each call) rather
-    // than a fresh temp dir per invocation — repeated verify/bench
-    // cycles reuse one snapshot's disk instead of leaking a full codes
-    // table each run
+    // deterministic per-corpus-per-SESSION location (overwritten each
+    // call) rather than a fresh temp dir per invocation — repeated
+    // verify/bench cycles within a session reuse one snapshot's disk
+    // instead of leaking a full codes table each run. The applicationId
+    // discriminator keeps two concurrent sessions on the same corpus
+    // from overwriting each other's snapshot mid-read (parquet
+    // mode=overwrite is not atomic).
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_" +
-      Integer.toHexString(sfDir.hashCode)
+      Integer.toHexString(sfDir.hashCode) + "_" +
+      spark.sparkContext.applicationId
     persistIvfPqIndex(spark, sfDir, tmp, "s16")
     ivfPqServe(spark, sfDir, tmp, "s16", k, nQueries, nprobe)
   }
@@ -1708,16 +1712,24 @@ object Similarity {
     val q = queries.select(col("vec_id").as("q_id"), col("v").as("qv"))
     val c = vecs.select(col("vec_id").as("n_id"), col("v").as("nv"))
     val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id").asc)
-    // exact truth computed once, shared by every depth (localCheckpoint:
-    // |probes| consumers, one nQ-row broadcast scan)
-    val exact = q.join(c, col("q_id") =!= col("n_id"))
+    // exact truth computed ONCE and collected to a plan literal —
+    // bounded at nQueries x k rows (<= 100 here) by construction, the
+    // bounded-collect idiom. A localCheckpoint would also share the
+    // scan across the |probes| consumers but its blocks outlive the
+    // call (nothing here can unpersist a frame the returned lazy plan
+    // still references), accumulating across repeated bench/verify
+    // invocations; the literal leaks nothing.
+    import spark.implicits._
+    val exactRows = q.join(c, col("q_id") =!= col("n_id"))
       .withColumn("d2", aggregate(
         zip_with(col("qv"), col("nv"), (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, e) => acc + e))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "n_id")
-      .localCheckpoint()
+      .as[(Long, Long)]
+      .collect()
+    val exact = exactRows.toSeq.toDF("q_id", "n_id")
     probes.map { np =>
       val approx = ivfPqServeFrom(queries, idx, k, np)
         .select(col("q_id").as("aq"), col("n_id").as("an"))

@@ -315,6 +315,13 @@ object JdbcSink {
     * requeue wrapper's whole-batch replays (and Spark's own task
     * retries) converge instead of duplicating — exactly-once by keyed
     * idempotence.
+    *
+    * Migration note for pre-round-13 callers: in-batch duplicate keys
+    * now THROW instead of silently inserting twice (the contract
+    * [[upsertBatch]] documents), and dialect-typed insert casts are no
+    * longer inferred from the URL — a Postgres stats-shaped sink must
+    * pass `placeholders = PgStats.placeholderMap` explicitly to keep
+    * its `?::jsonb` payload cast.
     */
   def sinkToJdbcUpsert(df: DataFrame, url: String, table: String,
       keyCols: Seq[String], checkpoint: String, parkDir: String,
