@@ -144,18 +144,26 @@ object Layout {
     * The query models the layout assignment exactly and emits the
     * evidence: events mapped to x = user_id (10 bits) and y = hour
     * index from the corpus start, zkey = bit-interleave(x, y), rows
-    * ntile'd into `files` range-buckets under each ordering (ntile
-    * over a total order is the deterministic stand-in for
-    * `repartitionByRange(zkey)` — which is how [[compactDir]] would
-    * apply it at scale with a sampled, parallel range shuffle; the
-    * unpartitioned `Window.orderBy` ntile funnels the table through one
-    * task and is a TEST-SCALE simplification chosen for oracle
-    * determinism — the production assignment is the range shuffle, not
-    * this window), then
-    * per-file (x, y) bounding boxes aggregated into the two numbers
-    * that matter: files touched by a fixed box query and mean per-file
-    * span on each dimension. The hour-origin min is a 1-row broadcast
-    * (the scalar-aggregate cross idiom).
+    * assigned to `files` RANGE buckets by equal-depth boundaries
+    * computed from the key's cumulative histogram — the deterministic
+    * model of `repartitionByRange(zkey)` (which is how [[compactDir]]
+    * applies the layout at scale; the sampled range shuffle picks
+    * boundaries so files carry ~equal row counts, and so does this:
+    * a key whose first row is the r-th smallest lands in file
+    * floor(r * files / N), equal keys colocating exactly as a range
+    * partitioner colocates them). The assignment is the a9
+    * histogram-quantile machinery: one map-side-combinable groupBy on
+    * the key, then the cumulative window runs over the BIN relation,
+    * whose cardinality is bounded by the key DOMAIN (2^20 here — x and
+    * y are 10-bit by construction) rather than the row count, so the
+    * one single-task window touches metadata-sized input at ANY corpus
+    * scale (the q32 planner discipline) — the events table itself is
+    * never globally ordered. Per-file (x, y) bounding boxes then
+    * aggregate straight off the bins (each bin knows its x, y) into
+    * the two numbers that matter: files touched by a fixed box query
+    * and mean per-file span on each dimension. The hour-origin min and
+    * the total-count divisor are 1-row broadcasts (the scalar-aggregate
+    * cross idiom).
     */
   def zorderLayout(spark: SparkSession, sfDir: String, files: Int = 64,
       x0: Long = 32, x1: Long = 96, y0: Long = 120,
@@ -176,28 +184,47 @@ object Layout {
       .select(col("event_id"), col("x"),
         ((col("h") - col("hmin")) % 1024).as("y"))
       .withColumn("zkey", zkey)
-    def summarize(name: String, order: Seq[Column]): DataFrame =
-      d.withColumn("file_id",
-          ntile(files).over(Window.orderBy(order: _*)).cast("long"))
+    def summarize(name: String, key: Column): DataFrame = {
+      // per-key bins: cardinality <= 2^20 by construction (the key is a
+      // bijection of the 10-bit (x, y) pair), so everything below the
+      // groupBy is metadata-sized regardless of the events row count
+      val bins = d.groupBy(key.as("k"))
+        .agg(count(lit(1)).as("cnt"),
+          min("x").as("bx"), min("y").as("by"))
+      // total rows = events count (every event has exactly one key);
+      // computed off `base` so the scalar doesn't re-derive the
+      // hour-origin cross
+      val tot = base.agg(count(lit(1)).as("n"))
+      // cumulative count over the BIN relation (not the events table):
+      // cum_before = rows with a strictly smaller key = the rank of the
+      // key's first row; file = floor(rank * files / N) — equal-depth
+      // range boundaries, ties colocated (range-partitioner semantics)
+      val wb = Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bins.crossJoin(broadcast(tot))
+        .withColumn("cum_before",
+          coalesce(sum(col("cnt")).over(wb), lit(0L)))
+        .withColumn("file_id", expr(s"(cum_before * $files) div n"))
         .groupBy("file_id")
-        .agg(min("x").as("x_lo"), max("x").as("x_hi"),
-          min("y").as("y_lo"), max("y").as("y_hi"))
+        .agg(min("bx").as("x_lo"), max("bx").as("x_hi"),
+          min("by").as("y_lo"), max("by").as("y_hi"))
         .agg(count(lit(1)).as("n_files"),
           sum(when(col("x_lo") < x1 && col("x_hi") >= x0 &&
             col("y_lo") < y1 && col("y_hi") >= y0, 1L).otherwise(0L))
             .as("files_touched"),
           // Divide by the counted bucket total, not the `files`
-          // parameter: ntile yields fewer buckets than requested when
-          // the table has fewer rows than `files`.
+          // parameter: skewed key counts can skip file ids (a heavy key
+          // advances the cumulative rank past several boundaries), so
+          // realized files <= requested.
           (sum(col("x_hi") - col("x_lo")).cast("double") / count(lit(1)))
             .as("avg_x_span"),
           (sum(col("y_hi") - col("y_lo")).cast("double") / count(lit(1)))
             .as("avg_y_span"))
         .select(lit(name).as("layout"), col("n_files"),
           col("files_touched"), col("avg_x_span"), col("avg_y_span"))
-    summarize("zorder", Seq(col("zkey"), col("event_id")))
-      .unionAll(summarize("linear",
-        Seq(col("x"), col("y"), col("event_id"))))
+    }
+    summarize("zorder", col("zkey"))
+      .unionAll(summarize("linear", col("x") * lit(1024L) + col("y")))
   }
 
   /** q31 — per-file BLOOM-FILTER data skipping (the Parquet bloom /
@@ -219,27 +246,54 @@ object Layout {
     * words per the engines' shared shift range), no floating point.
     * Shape at scale: one distinct shuffle on (layout, file, user), one
     * small OR-aggregate, probe joins against a words table of
-    * files x mBits/32 rows — the bloom table is metadata-sized. The
-    * ntile file assignment (unpartitioned `Window.orderBy`, one task)
-    * is the same test-scale, oracle-deterministic stand-in as
-    * [[zorderLayout]]'s — production file boundaries come from
-    * `repartitionByRange`'s sampled range shuffle, and the bloom build
-    * downstream of it is unchanged.
+    * files x mBits/32 rows — the bloom table is metadata-sized. File
+    * assignment is [[zorderLayout]]'s equal-depth range binning: keys
+    * are first coarsened to at most `targetBins` fixed-width bins
+    * (width from the broadcast key min/max — the bin relation is
+    * bounded BY CONSTRUCTION at any corpus size, which is what an
+    * unbounded key like event_id needs), the cumulative window runs
+    * over those bins only, and rows take their bin's file via a
+    * broadcast bin→file map — the deterministic model of
+    * `repartitionByRange`'s sampled boundaries, with no global
+    * ordering of the events table anywhere.
     */
   def bloomSkip(spark: SparkSession, sfDir: String, files: Int = 64,
-      mBits: Int = 256, nProbes: Int = 20): DataFrame = {
+      mBits: Int = 256, nProbes: Int = 20,
+      targetBins: Long = 4096L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.Tables
     val P = 1000000007L
     val hparams = Seq((1103515245L, 12345L), (1566083941L, 1013904223L))
     val ev = Tables.load(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"))
-    def lay(name: String, order: Seq[Column]): DataFrame =
-      ev.withColumn("fid",
-          ntile(files).over(Window.orderBy(order: _*)).cast("long"))
-        .withColumn("layout", lit(name))
-    val membership = lay("insertion", Seq(col("event_id")))
-      .unionAll(lay("clustered", Seq(col("user_id"), col("event_id"))))
+    // equal-depth range assignment with a DOMAIN-bounded bin relation:
+    // keys coarsen to <= targetBins fixed-width bins (width from the
+    // broadcast min/max — event_id is unbounded at scale, the bin count
+    // is not), the cumulative window runs over bins only, and each row
+    // takes its bin's file id from a broadcast map. Ties (and bin-mates)
+    // colocate, exactly like repartitionByRange's sampled boundaries.
+    def lay(name: String, key: Column): DataFrame = {
+      val keyed = ev.select(col("user_id"), key.as("k"))
+      val mm = keyed.agg(min(col("k")).as("kmin"), max(col("k")).as("kmax"))
+        .select(col("kmin"),
+          expr(s"(kmax - kmin + $targetBins) div $targetBins").as("binw"))
+      val binned = keyed.crossJoin(broadcast(mm))
+        .select(col("user_id"), expr("(k - kmin) div binw").as("bin"))
+      val bins = binned.groupBy("bin").agg(count(lit(1)).as("cnt"))
+      // total rows = events count; off `ev` so the scalar skips the
+      // min/max cross subtree
+      val tot = ev.agg(count(lit(1)).as("n"))
+      val wb = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val fmap = bins.crossJoin(broadcast(tot))
+        .withColumn("cum_before",
+          coalesce(sum(col("cnt")).over(wb), lit(0L)))
+        .select(col("bin"), expr(s"(cum_before * $files) div n").as("fid"))
+      binned.join(broadcast(fmap), Seq("bin"))
+        .select(lit(name).as("layout"), col("fid"), col("user_id"))
+    }
+    val membership = lay("insertion", col("event_id"))
+      .unionAll(lay("clustered", col("user_id")))
       .select("layout", "fid", "user_id").distinct()
     // double multiply: a single LCG step leaves small user ids on a
     // lattice mod mBits (measured: ZERO bloom collisions at every test
@@ -256,7 +310,10 @@ object Layout {
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("mask"))
       .groupBy("layout", "fid", "word")
       .agg(expr("bit_or(mask)").as("bits"))
-    val probes = membership.select("user_id").distinct()
+    // probe ids from the raw events (same user set as membership —
+    // every event lands in both layouts — without re-deriving the whole
+    // assignment subtree for a third time)
+    val probes = ev.select("user_id").distinct()
       .filter(col("user_id") < nProbes)
     val pb = probes
       .select(col("user_id"), posexplode(posArr).as(Seq("hi", "pos")))
@@ -280,25 +337,37 @@ object Layout {
   }
 
   def bloomSkipSql(files: Int = 64, mBits: Int = 256,
-      nProbes: Int = 20): String = {
+      nProbes: Int = 20, targetBins: Long = 4096L): String = {
     val P = 1000000007L
     val hparams = Seq((1103515245L, 12345L), (1566083941L, 1013904223L))
     val posList = hparams.map { case (a, b) =>
       s"((((user_id * $a + $b) % $P) * 2654435761) % $P) % $mBits"
     }.mkString("[", ", ", "]")
+    // the per-layout equal-depth range assignment (bin -> cumulative
+    // count -> file id), mirroring the Spark side's bounded bin relation
+    def layCtes(sfx: String, keyExpr: String) =
+      s"""k$sfx AS (SELECT user_id, $keyExpr AS k FROM ev),
+        m$sfx AS (SELECT min(k) AS kmin,
+            (max(k) - min(k) + $targetBins) // $targetBins AS binw
+          FROM k$sfx),
+        b$sfx AS (SELECT user_id, (k - kmin) // binw AS bin
+          FROM k$sfx CROSS JOIN m$sfx),
+        f$sfx AS (SELECT bin,
+            CAST((coalesce(CAST(sum(cnt) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) * $files)
+              // CAST(sum(cnt) OVER () AS BIGINT) AS BIGINT) AS fid
+          FROM (SELECT bin, count(*) AS cnt FROM b$sfx GROUP BY 1))"""
     s"""WITH ev AS (SELECT event_id, user_id FROM events),
+        ${layCtes("i", "event_id")},
+        ${layCtes("c", "user_id")},
         membership AS (
           SELECT DISTINCT layout, fid, user_id FROM (
-            SELECT 'insertion' AS layout,
-              CAST(ntile($files) OVER (ORDER BY event_id) AS BIGINT) AS fid,
-              user_id
-            FROM ev
+            SELECT 'insertion' AS layout, f.fid AS fid, b.user_id AS user_id
+            FROM bi b JOIN fi f ON b.bin = f.bin
             UNION ALL
-            SELECT 'clustered' AS layout,
-              CAST(ntile($files) OVER (ORDER BY user_id, event_id)
-                AS BIGINT) AS fid,
-              user_id
-            FROM ev)),
+            SELECT 'clustered' AS layout, f.fid AS fid, b.user_id AS user_id
+            FROM bc b JOIN fc f ON b.bin = f.bin)),
         mbits AS (
           SELECT layout, fid, pos // 32 AS word,
             (1::BIGINT << CAST(pos % 32 AS INT)) AS mask
@@ -308,7 +377,7 @@ object Layout {
           SELECT layout, fid, word, bit_or(mask) AS bits
           FROM mbits GROUP BY layout, fid, word),
         probes AS (
-          SELECT DISTINCT user_id FROM membership
+          SELECT DISTINCT user_id FROM ev
           WHERE user_id < $nProbes),
         pb AS (
           SELECT user_id, hi, pos // 32 AS word,
@@ -343,7 +412,7 @@ object Layout {
       s"((x // ${1L << b}) % 2) * ${1L << (2 * b)} + " +
         s"((y // ${1L << b}) % 2) * ${1L << (2 * b + 1)}"
     }.mkString(" + ")
-    def leg(name: String, order: String) =
+    def leg(name: String, key: String) =
       s"""SELECT '$name' AS layout,
             CAST(count(*) AS BIGINT) AS n_files,
             CAST(sum(CASE WHEN x_lo < $x1 AND x_hi >= $x0
@@ -352,11 +421,19 @@ object Layout {
             CAST(sum(x_hi - x_lo) AS DOUBLE) / count(*) AS avg_x_span,
             CAST(sum(y_hi - y_lo) AS DOUBLE) / count(*) AS avg_y_span
           FROM (
-            SELECT file_id, min(x) AS x_lo, max(x) AS x_hi,
-              min(y) AS y_lo, max(y) AS y_hi
-            FROM (SELECT x, y,
-                    ntile($files) OVER (ORDER BY $order) AS file_id
-                  FROM z)
+            SELECT file_id, min(bx) AS x_lo, max(bx) AS x_hi,
+              min(by) AS y_lo, max(by) AS y_hi
+            FROM (
+              SELECT (cum_before * $files) // n AS file_id, bx, by
+              FROM (
+                SELECT k, bx, by,
+                  coalesce(CAST(sum(cnt) OVER (ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS cum_before,
+                  CAST(sum(cnt) OVER () AS BIGINT) AS n
+                FROM (SELECT $key AS k, count(*) AS cnt,
+                        min(x) AS bx, min(y) AS by
+                      FROM z GROUP BY 1)))
             GROUP BY file_id)"""
     s"""WITH e AS (
           SELECT event_id, user_id % 1024 AS x,
@@ -366,8 +443,8 @@ object Layout {
         d AS (SELECT event_id, x, (h - hmin) % 1024 AS y
               FROM e CROSS JOIN hm),
         z AS (SELECT event_id, x, y, $zterms AS zkey FROM d)
-        ${leg("zorder", "zkey, event_id")}
+        ${leg("zorder", "zkey")}
         UNION ALL
-        ${leg("linear", "x, y, event_id")}"""
+        ${leg("linear", "x * 1024 + y")}"""
   }
 }

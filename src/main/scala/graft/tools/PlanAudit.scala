@@ -101,9 +101,16 @@ object PlanAudit {
     // construction, so its 1-row stats cross never appears in the
     // audited plan, and all rerank/fusion joins are equi BHJ/SMJ
     "s15_fused_hybrid" -> 2,
-    // q30: the 1-row hour-origin scalar aggregate crossed onto the
-    // events scan, once per layout leg of the union
-    "q30_zorder" -> 2,
+    // q30: per layout leg, the 1-row hour-origin scalar crossed onto
+    // the events scan plus the 1-row total-count divisor crossed onto
+    // the bin relation (the equal-depth range-boundary assignment)
+    "q30_zorder" -> 4,
+    // q31: per layout leg, the 1-row (key-min, bin-width) scalar
+    // crossed onto the events scan — once for the membership rows,
+    // twice more inside the bin→file map's re-derived subtree — plus
+    // the 1-row total-count divisor; all scalar-aggregate idioms (the
+    // bin→file map join itself is an equi BHJ)
+    "q31_bloom_skip" -> 8,
     // s14: the post-filter leg's nQ-row query broadcast only — the
     // pre-filter leg's label predicate becomes the JOIN KEY (BHJ with
     // the id-inequality as residual), the filtered-ANN point made by

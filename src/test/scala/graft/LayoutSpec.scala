@@ -97,6 +97,34 @@ class LayoutSpec extends AnyFunSuite {
         "a zero-fp result means the hash lattice regressed")
   }
 
+  test("q30/q31 file assignment: every window runs over an aggregated " +
+    "bin relation, never the raw events scan") {
+    // the 100x shape pin: file ids come from equal-depth range
+    // boundaries over a DOMAIN-bounded bin relation (the a9/q32
+    // metadata-window discipline), so no WindowExec may consume the
+    // events table directly — that was the single-task ntile funnel
+    // this assignment replaced
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((name, df) <- Seq(
+          ("q30", Layout.zorderLayout(spark, "/root/testdata/sf0.001")),
+          ("q31", Layout.bloomSkip(spark, "/root/testdata/sf0.001")))) {
+        val windows = df.queryExecution.executedPlan.collect {
+          case w: WindowExec => w }
+        assert(windows.nonEmpty, s"$name: expected bin-relation windows")
+        windows.foreach { w =>
+          val aggBelow = w.child.collect {
+            case a: BaseAggregateExec => a }.nonEmpty
+          assert(aggBelow,
+            s"$name: WindowExec consumes a non-aggregated input — " +
+              "the events-table window funnel regressed")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("compactionPlan: partition of all files, contiguous time ranges, " +
     "fill discipline") {
     import org.apache.spark.sql.functions._
