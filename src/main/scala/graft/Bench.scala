@@ -121,7 +121,7 @@ object Bench {
     // queries time only their own search/recall work.
     val annFam = Set("s5_pq_adc", "s6_pq_recall", "s10_pq_refine",
       "s8_ivfpq_recall", "s16_index_serve", "s19_index_delete",
-      "s20_append_drift", "s21_probe_sweep")
+      "s20_append_drift", "s21_probe_sweep", "s22_retention")
     // LSH pair graph shared by its three consumers (banding cost stays
     // with the unshared d4_dedup_minhash_lsh).
     val dedupFam = Set("c2_dup_clusters", "c18_pagerank", "c22_leak_split")

@@ -170,6 +170,7 @@ object SparkEntry {
     "s19_index_delete" -> ((s, dir) => Similarity.indexDeleteServe(s, dir)),
     "s20_append_drift" -> ((s, dir) => Similarity.indexAppendDrift(s, dir)),
     "s21_probe_sweep"  -> ((s, dir) => Similarity.probeSweep(s, dir)),
+    "s22_retention"    -> ((s, dir) => Similarity.indexRetention(s, dir)),
     "q31_bloom_skip"   -> ((s, dir) => Layout.bloomSkip(s, dir)),
     "q32_compaction_plan" -> ((s, dir) => Layout.compactionPlan(s, dir)),
     "t22_extract_quality" -> ((s, dir) => Markup.quality(s, dir)),
@@ -345,7 +346,12 @@ object SparkEntry {
       // s21 sweeps probe depths over the family's stored index — the
       // timed work is |probes| serves + the shared truth scan
       "s21_probe_sweep"  -> (() => Similarity.probeSweepFrom(spark, dir,
-        Similarity.loadIvfPqIndex(spark, annDir, "bench")))),
+        Similarity.loadIvfPqIndex(spark, annDir, "bench"))),
+      // s22 writes the snapshot chain from the family's trained index
+      // and sweeps it — the timed work is the persist/compact/sweep
+      // lifecycle, not training
+      "s22_retention"    -> (() => Similarity.indexRetentionFrom(spark, dir,
+        annDir + "_retn", Similarity.loadIvfPqIndex(spark, annDir, "bench")))),
       Seq(trained._1, ivfpq))
   }
 
@@ -520,6 +526,7 @@ object SparkEntry {
     "s19_index_delete" -> Similarity.indexDeleteServeSql(),
     "s20_append_drift" -> Similarity.indexAppendDriftSql(),
     "s21_probe_sweep"  -> Similarity.probeSweepSql(),
+    "s22_retention"    -> Similarity.indexRetentionSql(),
     "q31_bloom_skip"   -> Layout.bloomSkipSql(),
     "q32_compaction_plan" -> Layout.compactionPlanSql(),
     "t22_extract_quality" -> Markup.qualitySql,

@@ -1289,6 +1289,127 @@ object Similarity {
       }.toDF("n_id", "sub", "code", "cell")
   }
 
+  /** Streaming twin of [[ivfPqServeFrom]] — top-k ANN serving at QUERY
+    * time inside a structured-streaming job, closing the serving story
+    * the way [[encodeStreamWithIndex]] closed refresh: queries arrive
+    * as a stream, the bounded index artifacts (centroids, codebook) are
+    * collected once to plan literals, and the only data-scaled relation
+    * — the stored codes — joins stream-static. Stream == batch top-k
+    * BIT-FOR-BIT (AnnIndexSpec), because every stage replays the batch
+    * arithmetic exactly:
+    *
+    *  1. Per query (stateless map): probe-cell ranking replicates
+    *     [[probeCells]]' (csim desc, cent_id asc) order with
+    *     `Double.compare` semantics, and the FULL ADC lookup table
+    *     (PqSubspaces x PqK squared-distance entries per probed cell)
+    *     is computed with the batch fold's operand order.
+    *  2. One stream-static equi-join on `cell` against the codes
+    *     relation PIVOTED to one row per (cell, n_id): the ADC score is
+    *     then four `element_at` LUT lookups summed in sub order —
+    *     identical doubles to the batch's join + max-when aggregate,
+    *     with NO aggregation on the joined stream (the pivot is static
+    *     prep a production index would store directly).
+    *  3. Per-query top-k via `flatMapGroupsWithState` with BOUNDED
+    *     selection state (a k-entry sorted buffer, the serving heap) —
+    *     a query's candidates all live in its own micro-batch, so no
+    *     cross-batch state is kept (NoTimeout, nothing stored).
+    *
+    * Scale: per query the work is nprobe/cells of the codes relation —
+    * the IVF contract — shuffled once by q_id for the top-k fold;
+    * nothing global, nothing all-pairs, state bounded at k per live
+    * query. Reference: the APM pipeline has no ANN tier; this is the
+    * training-data-pipeline extension serving path.
+    */
+  def serveStreamWithIndex(queries: DataFrame, idx: IvfPqIndex,
+      k: Int = 5, nprobe: Int = 2): DataFrame = {
+    import queries.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val subDim = SrpDim / PqSubspaces
+    val cents: Array[(Long, Array[Double])] = idx.cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val cb: Array[(Int, Int, Array[Double])] = idx.codebook.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(t => (t._1, t._2))
+    val nProbeEff = nprobe
+    val luts = queries
+      .select(col("vec_id").cast("long").as("q_id"), col("v"))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, vSeq) =>
+        val v = vSeq.toArray
+        def dotIdx(a: Array[Double], b: Array[Double]): Double = {
+          val n = math.min(a.length, b.length)
+          var acc = 0.0
+          var i = 0
+          while (i < n) { acc += a(i) * b(i); i += 1 }
+          acc
+        }
+        // probeCells' exact ranking: csim desc then cent_id asc, with
+        // Spark's total double order (Double.compare)
+        val ranked = cents.map { case (cid, cv) =>
+          (cid, dotIdx(v, cv) /
+            (math.sqrt(dotIdx(v, v)) * math.sqrt(dotIdx(cv, cv))), cv)
+        }.sortWith { (a, b) =>
+          val c = java.lang.Double.compare(b._2, a._2)
+          if (c != 0) c < 0 else a._1 < b._1
+        }.take(nProbeEff)
+        ranked.map { case (cell, _, cv) =>
+          val rv = new Array[Double](v.length)
+          var i = 0
+          while (i < v.length) { rv(i) = v(i) - cv(i); i += 1 }
+          // full LUT, flat [sub * PqK + code], each entry the batch
+          // fold: left-to-right sum of squared residual differences
+          val lut = new Array[Double](PqSubspaces * PqK)
+          cb.foreach { case (s, code, ccv) =>
+            var d2 = 0.0
+            var j = 0
+            while (j < subDim) {
+              val d = rv(s * subDim + j) - ccv(j); d2 += d * d; j += 1
+            }
+            lut(s * PqK + code) = d2
+          }
+          (id, cell, lut.toSeq)
+        }
+      }.toDF("q_id", "cell", "lut")
+    // static prep: codes as one row per (cell, n_id) with its
+    // PqSubspaces code columns — the layout an ADC scan wants
+    val codeCols = (0 until PqSubspaces).map(s =>
+      max(when(col("sub") === s, col("code"))).as(s"c$s"))
+    val pcodes = idx.codes.groupBy("cell", "n_id")
+      .agg(codeCols.head, codeCols.tail: _*)
+    val adc = (0 until PqSubspaces).map(s =>
+      element_at(col("lut"),
+        (lit(s * PqK) + col(s"c$s") + lit(1)).cast("int")))
+      .reduce(_ + _)
+    val scored = luts.join(pcodes, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), adc.as("adc_d2"))
+    // (adc asc, n_id asc) with Spark's total order — the batch
+    // row_number comparator
+    def lt(d1: Double, n1: Long, d2: Double, n2: Long): Boolean = {
+      val c = java.lang.Double.compare(d1, d2)
+      if (c != 0) c < 0 else n1 < n2
+    }
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (q: Long, it: Iterator[(Long, Long, Double)],
+         _: GroupState[Int]) =>
+          // bounded top-k selection — the k-entry serving heap
+          val best = new scala.collection.mutable.ArrayBuffer[(Double, Long)](k + 1)
+          it.foreach { case (_, n, d) =>
+            if (best.length < k || lt(d, n, best.last._1, best.last._2)) {
+              var i = 0
+              while (i < best.length && lt(best(i)._1, best(i)._2, d, n)) i += 1
+              best.insert(i, (d, n))
+              if (best.length > k) best.remove(k)
+            }
+          }
+          best.iterator.zipWithIndex.map { case ((d, n), i) =>
+            (q, n, d, (i + 1).toLong)
+          }
+      }.toDF("q_id", "n_id", "adc_d2", "rank")
+  }
+
   /** s18 — INCREMENTAL index append, the production refresh path that
     * completes the lifecycle (train -> persist -> serve -> APPEND):
     * the index is trained on the base corpus only (vec_id below a 3/4
@@ -1411,6 +1532,127 @@ object Similarity {
       nprobe: Int = 2): String =
     ivfPqSql(k, nQueries, nprobe,
       codesWhere = "\n          WHERE r.vec_id % 7 <> 3")
+
+  /** The snapshot ids present under an index root, in id order.
+    * Snapshot ids are zero-padded monotonic strings (the c8/c11 corpus
+    * snapshot discipline), so lexicographic order IS creation order —
+    * retention never needs file timestamps.
+    */
+  def listIndexSnapshots(spark: SparkSession, indexDir: String)
+      : Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snapshot_id="))
+      .map(_.getPath.getName.stripPrefix("snapshot_id="))
+      .sorted
+  }
+
+  /** Retention sweep over a persisted-index root: keep the newest
+    * `keepLast` snapshots, DELETE the rest (directory removal — the
+    * compaction/append write path never mutates an existing snapshot,
+    * so sweeping is the only deletion in the lifecycle). Returns
+    * (kept, dropped) in id order. The production serving tier runs this
+    * on a schedule; between sweeps every superseded snapshot stays
+    * addressable and serves bit-identically (AnnIndexSpec pins that),
+    * which is what makes the sweep safe to run lazily — the same
+    * argument [[compactIvfPqIndex]] makes for tombstone folding.
+    *
+    * Cost: one filesystem listing plus a recursive delete per dropped
+    * snapshot — metadata work only, never a data read; at 100 TB the
+    * codes relations being deleted are large but deletion is a
+    * namespace operation on any real filesystem/object store.
+    */
+  def sweepIndexSnapshots(spark: SparkSession, indexDir: String,
+      keepLast: Int): (Seq[String], Seq[String]) = {
+    require(keepLast >= 1, "retention must keep at least one snapshot")
+    val ids = listIndexSnapshots(spark, indexDir)
+    val (dropped, kept) = ids.splitAt(math.max(0, ids.length - keepLast))
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dropped.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"snapshot_id=$id"), true)
+    }
+    (kept, dropped)
+  }
+
+  /** s22 — snapshot retention as a verify entry: build the index
+    * lifecycle's snapshot chain (full train -> tombstone compaction ->
+    * second compaction), run the keep-last-`keepLast` sweep, and emit
+    * the per-snapshot inventory with the sweep's decision and the
+    * post-sweep filesystem truth. The codes row counts are POLICY-
+    * derived (each compaction's tombstone predicate is deterministic),
+    * so the whole inventory — sizes, decisions, and which directories
+    * actually survived — is closed-form for the oracle: a snapshot
+    * inventory is a bounded relation (ids x counts), which is exactly
+    * why retention belongs in the engine rather than an ops script.
+    */
+  def indexRetention(spark: SparkSession, sfDir: String,
+      keepLast: Int = 2): DataFrame = {
+    import spark.implicits._
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ann_retn_" +
+      Integer.toHexString(sfDir.hashCode) + "_" +
+      spark.sparkContext.applicationId
+    indexRetentionFrom(spark, sfDir, root,
+      ivfPqTrain(vecsDouble(spark, sfDir).select("vec_id", "v")), keepLast)
+  }
+
+  /** [[indexRetention]] over an already-trained index (bench family
+    * path — training cost stays with the unshared s7 trainer).
+    */
+  def indexRetentionFrom(spark: SparkSession, sfDir: String, root: String,
+      idx: IvfPqIndex, keepLast: Int = 2): DataFrame = {
+    import spark.implicits._
+    val all = vecsDouble(spark, sfDir).select("vec_id", "v")
+    // deterministic rerun: clear any previous chain under this root
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    // the lifecycle chain: 0001 full -> 0002 folds the %7 revocations ->
+    // 0003 additionally folds the %5 batch (compaction tombstones are
+    // cumulative — each snapshot is the previous minus its batch)
+    idx.cents.write.mode("overwrite")
+      .parquet(s"$root/snapshot_id=0001/centroids")
+    idx.codebook.write.mode("overwrite")
+      .parquet(s"$root/snapshot_id=0001/codebook")
+    idx.codes.write.mode("overwrite")
+      .parquet(s"$root/snapshot_id=0001/codes")
+    compactIvfPqIndex(spark, root, "0001", "0002", tombstonesOf(all))
+    compactIvfPqIndex(spark, root, "0002", "0003",
+      all.select(col("vec_id").as("n_id")).filter(col("n_id") % 5 === 2))
+    // inventory BEFORE the sweep (dropped snapshots' sizes must be read
+    // while they exist) — a bounded collect: one (id, count) scalar per
+    // snapshot
+    val ids = listIndexSnapshots(spark, root)
+    val sizes = ids.map { id =>
+      id -> spark.read.parquet(s"$root/snapshot_id=$id/codes").count()
+    }
+    val (kept, _) = sweepIndexSnapshots(spark, root, keepLast)
+    val after = listIndexSnapshots(spark, root).toSet
+    assert(after == kept.toSet, "sweep listing must equal kept set")
+    sizes.map { case (id, n) =>
+      (id, n, if (kept.contains(id)) "keep" else "drop", after.contains(id))
+    }.toDF("snapshot_id", "codes_rows", "decision", "present_after")
+  }
+
+  def indexRetentionSql(keepLast: Int = 2): String = {
+    // policy-derived inventory: codes carry PqSubspaces rows per live
+    // vector; the WHERE chains are the compaction tombstone predicates
+    val chain = Seq(
+      ("0001", ""),
+      ("0002", " WHERE vec_id % 7 <> 3"),
+      ("0003", " WHERE vec_id % 7 <> 3 AND vec_id % 5 <> 2"))
+    val nDrop = math.max(0, chain.size - keepLast)
+    chain.zipWithIndex.map { case ((id, where), i) =>
+      val keep = i >= nDrop
+      s"""SELECT '$id' AS snapshot_id,
+          CAST($PqSubspaces * count(*) AS BIGINT) AS codes_rows,
+          '${if (keep) "keep" else "drop"}' AS decision,
+          ${if (keep) "TRUE" else "FALSE"} AS present_after
+        FROM embeddings$where"""
+    }.mkString("\n        UNION ALL\n        ")
+  }
 
   def ivfPqSql(k: Int = 5, nQueries: Int = 20, nprobe: Int = 2,
       codesWhere: String = ""): String = {

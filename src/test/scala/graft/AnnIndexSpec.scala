@@ -113,6 +113,39 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("streaming top-k serve == batch serve, bit-for-bit, across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val idx = Similarity.ivfPqTrain(all)
+    val queries = all.filter(col("vec_id") < 20)
+    val want = Similarity.ivfPqServeFrom(queries, idx, 5, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val rows = queries.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = Similarity.serveStreamWithIndex(
+        in.toDF.toDF("vec_id", "v"), idx, 5, 2)
+      .writeStream.format("memory").queryName("serve_stream")
+      .outputMode("append").start()
+    val got = try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      spark.table("serve_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    } finally q.stop()
+    assert(got == want,
+      s"stream/batch serve divergence: ${(got -- want).take(3)} vs ${(want -- got).take(3)}")
+    assert(want.nonEmpty)
+  }
+
   test("delete excludes tombstoned ids, promotes survivors, never rescores") {
     import org.apache.spark.sql.functions._
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -194,5 +227,50 @@ class AnnIndexSpec extends AnyFunSuite {
       Similarity.ivfPqServe(spark, sf, dir, "absent").collect()
     }
     ()
+  }
+
+  test("retention sweep: superseded snapshots serve identically until " +
+    "swept, the live one is untouched, dropped ids are gone") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    Similarity.persistIvfPqIndex(spark, sf, dir, "0001")
+    val serve1Fresh = rows(Similarity.ivfPqServe(spark, sf, dir, "0001"))
+    // compaction supersedes 0001 but must not touch it: the old
+    // snapshot keeps serving bit-identically until retention drops it
+    val idx1 = Similarity.loadIvfPqIndex(spark, dir, "0001")
+    Similarity.compactIvfPqIndex(spark, dir, "0001", "0002",
+      idx1.codes.select(col("n_id")).filter(col("n_id") % 7 === 3)
+        .distinct())
+    assert(rows(Similarity.ivfPqServe(spark, sf, dir, "0001")) ==
+      serve1Fresh, "superseded snapshot must serve unchanged")
+    assert(Similarity.listIndexSnapshots(spark, dir) == Seq("0001", "0002"))
+    val serve2Before = rows(Similarity.ivfPqServe(spark, sf, dir, "0002"))
+    val (kept, dropped) = Similarity.sweepIndexSnapshots(spark, dir, 1)
+    assert(kept == Seq("0002") && dropped == Seq("0001"))
+    assert(Similarity.listIndexSnapshots(spark, dir) == Seq("0002"))
+    // the survivor serves bit-identically after the sweep...
+    assert(rows(Similarity.ivfPqServe(spark, sf, dir, "0002")) ==
+      serve2Before, "sweep must not touch the live snapshot")
+    // ...and the dropped snapshot is actually gone
+    intercept[Exception] {
+      Similarity.ivfPqServe(spark, sf, dir, "0001").collect()
+    }
+    ()
+  }
+
+  test("s22 inventory matches the policy-derived oracle shape") {
+    val out = Similarity.indexRetention(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq("0001", "0002", "0003"))
+    // keep-last-2 drops only the oldest, and the filesystem agrees
+    assert(out.map(t => (t._3, t._4)).toSeq ==
+      Seq(("drop", false), ("keep", true), ("keep", true)))
+    // each compaction strictly shrinks the codes relation
+    assert(out(0)._2 > out(1)._2 && out(1)._2 > out(2)._2)
   }
 }
