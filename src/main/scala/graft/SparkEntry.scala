@@ -159,6 +159,8 @@ object SparkEntry {
     "m9_keyframes"     -> ((s, dir) => Multimodal.keyframes(s, dir).toDF),
     "x1_crossmodal"    -> ((s, dir) => Multimodal.crossModalDedup(s, dir)),
     "x2_consistency"   -> ((s, dir) => Multimodal.captionConsistency(s, dir)),
+    "x3_audio_align"   -> ((s, dir) =>
+      Multimodal.audioAlign(graft.Tables.load(s, dir, "documents"))),
     "w8_attribution"   -> ((s, dir) => Sessionize.attribution(s, dir)),
     "d10_suffix_runs"  -> ((s, dir) => Dedup.suffixRuns(s, dir)),
     "d11_span_scrub"   -> ((s, dir) => Dedup.spanScrub(s, dir)),
@@ -512,6 +514,7 @@ object SparkEntry {
     "m9_keyframes"     -> Multimodal.keyframesSql(),
     "x1_crossmodal"    -> Multimodal.crossModalDedupSql(),
     "x2_consistency"   -> Multimodal.captionConsistencySql(),
+    "x3_audio_align"   -> Multimodal.audioAlignSql(),
     "w8_attribution"   -> Sessionize.attributionSql(),
     "d10_suffix_runs"  -> Dedup.suffixRunsSql(),
     "d11_span_scrub"   -> Dedup.spanScrubSql(),

@@ -95,6 +95,30 @@ object Multimodal {
       out
     }
 
+    /** A WAV container around caller-supplied 16-bit PCM samples
+      * (values taken mod 2^16) — the planted-variant constructor
+      * ([[Multimodal.audioAlign]]'s caption-modulated audio).
+      */
+    def wavPcm(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+      val dataSize = samples.length * 2
+      val out = new Array[Byte](44 + dataSize)
+      ascii(out, 0, "RIFF"); leU32(out, 4, 36L + dataSize)
+      ascii(out, 8, "WAVE"); ascii(out, 12, "fmt ")
+      leU32(out, 16, 16)
+      leU16(out, 20, 1)
+      leU16(out, 22, 1)
+      leU32(out, 24, sampleRate.toLong)
+      leU32(out, 28, sampleRate.toLong * 2)
+      leU16(out, 32, 2)
+      leU16(out, 34, 16)
+      ascii(out, 36, "data"); leU32(out, 40, dataSize.toLong)
+      var i = 0
+      while (i < samples.length) {
+        leU16(out, 44 + 2 * i, samples(i) & 0xffff); i += 1
+      }
+      out
+    }
+
     def wav(sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
       val dataSize = nSamples * 2 // mono, 16-bit PCM
       val out = new Array[Byte](44 + dataSize)
@@ -1161,11 +1185,37 @@ object Multimodal {
     * text: string); emb: the STATIC embeddings relation
     * (vec_id, embedding: array&lt;float&gt;).
     */
+  /** The x-family caption featurizer as a plain JVM function — the
+    * exact replay of [[captionConsistency]]'s batch expressions
+    * (`lower`/`trim`/`split`/poly_hash/slot-sign split), shared by the
+    * streaming twin and the audio-alignment scorer so every path hashes
+    * captions identically. Spark `lower` is locale-insensitive
+    * (Locale.ROOT — a Turkish-locale JVM must not map I to dotless ı)
+    * and Spark `trim` strips ONLY the space character, not Java trim's
+    * whole <= U+0020 range. Slot sums are exact longs (the batch sums
+    * +/-1 longs before any cast).
+    */
+  private[graft] def captionSlotSums(text: String, dim: Int): Array[Long] = {
+    val shift = java.lang.Integer.numberOfTrailingZeros(dim)
+    val v = new Array[Long](dim)
+    val lowered = text.toLowerCase(java.util.Locale.ROOT)
+    var lo = 0
+    var hi = lowered.length
+    while (lo < hi && lowered.charAt(lo) == ' ') lo += 1
+    while (hi > lo && lowered.charAt(hi - 1) == ' ') hi -= 1
+    lowered.substring(lo, hi).split("\\s+", -1)
+      .foreach { t =>
+        var h = 0L
+        t.codePoints().forEach(cp => h = (h * 31L + cp) % 1000000007L)
+        v((h % dim).toInt) += (if (((h >> shift) % 2) == 0L) 1L else -1L)
+      }
+    v
+  }
+
   def captionConsistencyStream(docs: DataFrame, emb: DataFrame,
       dim: Int = 64, threshold: Double = 0.0): DataFrame = {
     import docs.sparkSession.implicits._
     require(dim > 0 && (dim & (dim - 1)) == 0, "dim must be a power of two")
-    val shift = java.lang.Integer.numberOfTrailingZeros(dim)
     // null-text docs are dropped, matching the batch path exactly
     // (there, explode(split(null)) yields no rows, so the doc never
     // reaches the dense join)
@@ -1173,23 +1223,7 @@ object Multimodal {
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val v = new Array[Double](dim)
-        // replicate the batch expressions exactly: Spark `lower` is
-        // locale-insensitive (Locale.ROOT — a Turkish-locale JVM must
-        // not map I to dotless ı) and Spark `trim` strips ONLY the
-        // space character, not Java trim's whole <= U+0020 range
-        val lowered = text.toLowerCase(java.util.Locale.ROOT)
-        var lo = 0
-        var hi = lowered.length
-        while (lo < hi && lowered.charAt(lo) == ' ') lo += 1
-        while (hi > lo && lowered.charAt(hi - 1) == ' ') hi -= 1
-        lowered.substring(lo, hi).split("\\s+", -1)
-          .foreach { t =>
-            var h = 0L
-            t.codePoints().forEach(cp => h = (h * 31L + cp) % 1000000007L)
-            v((h % dim).toInt) += (if (((h >> shift) % 2) == 0L) 1.0 else -1.0)
-          }
-        (id, v.toSeq)
+        (id, captionSlotSums(text, dim).map(_.toDouble).toSeq)
       }.toDF("doc_id", "tv")
     val ev = emb.select(col("vec_id").as("doc_id"),
       transform(col("embedding"), x => x.cast("double")).as("ev"))
@@ -1246,6 +1280,178 @@ object Multimodal {
           CASE WHEN (CASE WHEN nt = 0.0 OR ne = 0.0 THEN 0.0
                           ELSE dot / sqrt(nt * ne) END) >= $threshold
                THEN 'keep' ELSE 'drop' END AS decision
+        FROM sc"""
+  }
+
+  case class AudioAlign(doc_id: Long, n_samples: Long, score: Double,
+      decision: String)
+
+  /** x3 — audio↔caption ALIGNMENT, the third modality pair (x1 paired
+    * image↔image through captions, x2 scored caption↔image-embedding;
+    * this scores caption↔AUDIO-CONTENT): per audio document, the
+    * decoded PCM's energy envelope over `dim` time buckets ([[m4]]'s
+    * container-byte read-back, reduced per bucket instead of globally)
+    * is contrasted against the bucket mean and cosine-scored against
+    * the caption's hash-sign vector ([[captionSlotSums]] signs — the
+    * same featurizer every x-family path shares). A fixed threshold
+    * splits 'aligned' from 'unaligned' — the CLIP-score shape of x2
+    * applied to audio, which is how audio-text pairs are filtered
+    * before contrastive training.
+    *
+    * Planted ground truth (the m6/m8 discipline): for doc_id <
+    * `variantCut` the corpus carries an ALIGNED variant (re-keyed
+    * +5·10^6) whose PCM is caption-MODULATED — `plantN` samples of
+    * amplitude `plantAmp` exactly in the buckets whose caption sign is
+    * positive, silence elsewhere — so its envelope contrast is
+    * positively proportional to the caption vector wherever the sign
+    * is nonzero (score -> 1 as zero-sign buckets vanish), while
+    * natural audio's near-uniform envelope is uncorrelated with any
+    * caption (CrossModalSpec pins the separation margin on both test
+    * corpora). Everything is integer-exact until one shared double
+    * fold in bucket order — dot, norms and the division are the only
+    * float ops, replicated operand-for-operand by the oracle.
+    *
+    * Scale shape: one narrow typed map over the audio scan — payload
+    * bytes never shuffle, no join (both modalities live on the doc
+    * row), no window, no state; the filter streams, and the SAME
+    * function body serves batch and streaming ingest
+    * (CrossModalStreamingSpec pins stream == batch bit-for-bit).
+    */
+  def audioAlign(docs: DataFrame, dim: Int = 64, threshold: Double = 0.5,
+      variantCut: Long = 30L, plantN: Int = 256,
+      plantAmp: Int = 1000): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(dim > 0 && (dim & (dim - 1)) == 0, "dim must be a power of two")
+    require(plantN % dim == 0, "plantN must fill buckets evenly")
+    docs.filter(col("doc_id") % 3 === 1 && col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t: Array[Long] = captionSlotSums(text, dim)
+          .map(x => java.lang.Long.signum(x).toLong)
+        def rowFor(outId: Long, payload: Array[Byte]): AudioAlign = {
+          val d = MediaCodec.decode(outId, payload)
+          require(d.container == "wav", s"expected wav for doc $outId")
+          val n = d.n_frames.toInt
+          // bucketed energy envelope from the container bytes (m4's
+          // sample read-back) — exact longs
+          val e = new Array[Long](dim)
+          var i = 0
+          while (i < n) {
+            val u = MediaCodec.rdU16(payload, 44 + 2 * i)
+            val v = if (u < 32768) u.toLong else u.toLong - 65536L
+            e((i.toLong * dim / n).toInt) += v * v
+            i += 1
+          }
+          var tot = 0L
+          var b = 0
+          while (b < dim) { tot += e(b); b += 1 }
+          // signed contrast c_b = dim*e_b - total (integer-exact, sums
+          // to zero), then ONE double fold in bucket order
+          var dot = 0.0
+          var nc = 0.0
+          var nt = 0.0
+          b = 0
+          while (b < dim) {
+            val c = (dim.toLong * e(b) - tot).toDouble
+            val tb = t(b).toDouble
+            dot += c * tb; nc += c * c; nt += tb * tb
+            b += 1
+          }
+          val score =
+            if (nc == 0.0 || nt == 0.0) 0.0 else dot / math.sqrt(nc * nt)
+          AudioAlign(outId, n.toLong, score,
+            if (score >= threshold) "aligned" else "unaligned")
+        }
+        val nat = rowFor(id, MediaCodec.wav(8000 + (id % 8).toInt * 1000,
+          (id % 1000).toInt + 1, id))
+        if (id < variantCut) {
+          val planted = new Array[Int](plantN)
+          var i = 0
+          while (i < plantN) {
+            if (t((i.toLong * dim / plantN).toInt) > 0) planted(i) = plantAmp
+            i += 1
+          }
+          Seq(nat, rowFor(id + 5000000L, MediaCodec.wavPcm(8000, planted)))
+        } else Seq(nat)
+      }.toDF()
+  }
+
+  def audioAlignSql(dim: Int = 64, threshold: Double = 0.5,
+      variantCut: Long = 30L, plantN: Int = 256,
+      plantAmp: Int = 1000): String = {
+    import graft.functions.PolyHash.{sql => polySql}
+    val h = polySql("tok")
+    val perBucket = plantN / dim
+    // the shared double fold over (c, tb) pairs in bucket order; c and
+    // tb arrive as exact integers, each product/square rounds in double
+    // exactly like the JVM loop
+    def fold(expr: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(
+            range(1, $dim + 1), i -> $expr)), (a, x) -> a + x)"""
+    s"""WITH aud AS (SELECT doc_id, lower(trim(text)) AS t
+          FROM documents WHERE doc_id % 3 = 1 AND text IS NOT NULL),
+        tok AS (SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS tok
+                FROM aud),
+        sl AS (SELECT doc_id, h % $dim AS slot,
+                 CASE WHEN (h // $dim) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+               FROM (SELECT doc_id, $h AS h FROM tok)),
+        sv AS (SELECT doc_id, slot, CAST(sum(sgn) AS BIGINT) AS c
+               FROM sl GROUP BY doc_id, slot),
+        spine AS (SELECT doc_id, unnest(range(0, $dim)) AS b FROM aud),
+        tvec AS (SELECT s.doc_id AS doc_id,
+                   list(CAST(sign(coalesce(v.c, 0)) AS BIGINT)
+                     ORDER BY s.b) AS tb
+                 FROM spine s LEFT JOIN sv v
+                   ON s.doc_id = v.doc_id AND s.b = v.slot
+                 GROUP BY s.doc_id),
+        nats AS (SELECT doc_id, n, (i * $dim) // n AS b,
+                   CASE WHEN (doc_id + i*37) % 65536 < 32768
+                        THEN (doc_id + i*37) % 65536
+                        ELSE (doc_id + i*37) % 65536 - 65536 END AS v
+                 FROM (SELECT doc_id, doc_id % 1000 + 1 AS n,
+                         unnest(range(0, doc_id % 1000 + 1)) AS i
+                       FROM aud)),
+        nate AS (SELECT doc_id, b, CAST(sum(v*v) AS BIGINT) AS e
+                 FROM nats GROUP BY doc_id, b),
+        natv AS (SELECT s.doc_id AS doc_id,
+                   CAST(max(n.n) AS BIGINT) AS n_samples,
+                   list(CAST(coalesce(ne.e, 0) AS BIGINT)
+                     ORDER BY s.b) AS ev
+                 FROM spine s
+                 JOIN (SELECT DISTINCT doc_id, n FROM nats) n
+                   ON s.doc_id = n.doc_id
+                 LEFT JOIN nate ne
+                   ON s.doc_id = ne.doc_id AND s.b = ne.b
+                 GROUP BY s.doc_id),
+        plantv AS (SELECT t.doc_id + 5000000 AS doc_id,
+                     CAST($plantN AS BIGINT) AS n_samples,
+                     list_transform(tb, s ->
+                       CASE WHEN s > 0
+                         THEN CAST($perBucket * $plantAmp * $plantAmp
+                           AS BIGINT)
+                         ELSE CAST(0 AS BIGINT) END) AS ev,
+                     tb
+                   FROM tvec t WHERE t.doc_id < $variantCut),
+        uni AS (SELECT n.doc_id AS doc_id, n.n_samples AS n_samples,
+                   n.ev AS ev, t.tb AS tb
+                 FROM natv n JOIN tvec t ON n.doc_id = t.doc_id
+                 UNION ALL
+                 SELECT doc_id, n_samples, ev, tb FROM plantv),
+        sc AS (SELECT doc_id, n_samples,
+                 ${fold(s"CAST($dim * ev[i] - tot AS DOUBLE) * CAST(tb[i] AS DOUBLE)")} AS dot,
+                 ${fold(s"CAST($dim * ev[i] - tot AS DOUBLE) * CAST($dim * ev[i] - tot AS DOUBLE)")} AS nc,
+                 ${fold("CAST(tb[i] AS DOUBLE) * CAST(tb[i] AS DOUBLE)")} AS nt
+               FROM (SELECT doc_id, n_samples, ev, tb,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT), ev),
+                         (a, x) -> a + x) AS tot
+                     FROM uni))
+        SELECT doc_id, n_samples,
+          CASE WHEN nc = 0.0 OR nt = 0.0 THEN 0.0
+               ELSE dot / sqrt(nc * nt) END AS score,
+          CASE WHEN (CASE WHEN nc = 0.0 OR nt = 0.0 THEN 0.0
+                          ELSE dot / sqrt(nc * nt) END) >= $threshold
+               THEN 'aligned' ELSE 'unaligned' END AS decision
         FROM sc"""
   }
 }

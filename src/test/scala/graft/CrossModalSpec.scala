@@ -133,4 +133,28 @@ class CrossModalSpec extends AnyFunSuite {
     assert(expected.values.count(_ == "hard_negative") >= 1,
       "no planted hard negative")
   }
+
+  test("x3 planted aligned audio separates from natural audio with margin") {
+    // the m6/m8 planted-ground-truth discipline: every caption-modulated
+    // variant (re-keyed +5e6) must classify 'aligned', every natural
+    // audio doc 'unaligned', with a real score gap on BOTH test corpora
+    // — a threshold that only just works at one scale is tuned, not
+    // structural
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val rows = Multimodal.audioAlign(docs).collect()
+        .map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+      val (planted, natural) = rows.partition(_._1 >= 5000000L)
+      assert(planted.nonEmpty && natural.nonEmpty, s"$dir: empty corpus leg")
+      assert(planted.forall(_._3 == "aligned"),
+        s"$dir: planted variant misclassified: " +
+          planted.filter(_._3 != "aligned").take(3).mkString(","))
+      assert(natural.forall(_._3 == "unaligned"),
+        s"$dir: natural audio misclassified: " +
+          natural.filter(_._3 != "unaligned").take(3).mkString(","))
+      val margin = planted.map(_._2).min - natural.map(_._2).max
+      assert(margin > 0.3,
+        s"$dir: separation margin collapsed to $margin")
+    }
+  }
 }
