@@ -210,6 +210,24 @@ object JdbcSink {
     * used by the fault-injection spec to stage the committed-then-failed
     * replay window; production callers leave the default no-op.
     */
+  /** The keyed-delete statement [[upsertBatch]] prepares — factored so
+    * the dialect-sensitive statement TEXT is pinnable in a spec even
+    * where the dialect's engine isn't installable (the Postgres
+    * `?::jsonb` branch has no live engine in this environment).
+    */
+  private[streaming] def upsertDeleteSql(table: String,
+      keyCols: Seq[String]): String =
+    s"DELETE FROM $table WHERE " +
+      keyCols.map(k => s"$k = ?").mkString(" AND ")
+
+  /** The insert statement [[upsertBatch]] prepares, with per-column
+    * placeholder overrides applied (e.g. `?::jsonb`).
+    */
+  private[streaming] def upsertInsertSql(table: String, cols: Seq[String],
+      placeholders: Map[String, String]): String =
+    s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(c => placeholders.getOrElse(c, "?")).mkString(", ")})"
+
   def upsertBatch(df: DataFrame, url: String, table: String,
       keyCols: Seq[String], numPartitions: Int = 8,
       placeholders: Map[String, String] = Map.empty,
@@ -226,10 +244,8 @@ object JdbcSink {
     // not a tuning one.
     val capped = df.repartition(numPartitions,
       keyCols.map(org.apache.spark.sql.functions.col): _*)
-    val delSql = s"DELETE FROM $table WHERE " +
-      keyCols.map(k => s"$k = ?").mkString(" AND ")
-    val insSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
-      s"VALUES (${cols.map(c => placeholders.getOrElse(c, "?")).mkString(", ")})"
+    val delSql = upsertDeleteSql(table, keyCols)
+    val insSql = upsertInsertSql(table, cols, placeholders)
     val keyIdx = keyCols.map(cols.indexOf)
     val n = cols.size
     capped.foreachPartition { (rows: Iterator[Row]) =>

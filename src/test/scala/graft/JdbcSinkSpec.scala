@@ -117,6 +117,40 @@ class JdbcSinkSpec extends AnyFunSuite {
     cand.unpersist(); shaped.unpersist(); ()
   }
 
+  test("postgres dialect: upsertBatch prepares the keyed delete and the " +
+      "?::jsonb-cast insert at the wire (recording driver double; no " +
+      "live Postgres exists in this container — documented skip of the " +
+      "live leg)") {
+    // Environmental receipt: no Postgres server OR driver jar is
+    // installable here (offline resolver, Derby only), so the live leg
+    // of the dialect is out of reach; what IS pinned is the exact JDBC
+    // wire surface the pgjdbc driver would receive from upsertBatch —
+    // statement texts, batched parameter rows, transaction commit.
+    import scala.jdk.CollectionConverters._
+    PgDriverDouble.ensureRegistered()
+    PgDriverDouble.reset()
+    val url = "jdbc:postgresql://dbhost:5432/apm"
+    val cand = SparkEntry.entry(spark).limit(20).cache()
+    val shaped = JdbcSink.statsTableRows(cand).cache()
+    JdbcSink.upsertBatch(shaped, url, "stats",
+      keyCols = Seq("ts_ms", "server", "service", "lag"),
+      placeholders = JdbcSink.PgStats.placeholderMap)
+    val sqls = PgDriverDouble.insertSqls.asScala.toSet
+    assert(sqls == Set(
+      "DELETE FROM stats WHERE ts_ms = ? AND server = ? AND " +
+        "service = ? AND lag = ?",
+      "INSERT INTO stats (ts_ms, server, service, lag, tpm, stats_json) " +
+        "VALUES (?, ?, ?, ?, ?, ?::jsonb)"),
+      s"wire statements diverge: $sqls")
+    // every row produced one 4-param delete and one 6-param insert
+    val nRows = shaped.count()
+    val recorded = PgDriverDouble.rows.asScala.map(_.toList)
+    assert(recorded.count(_.size == 4) == nRows, "keyed deletes batched")
+    assert(recorded.count(_.size == 6) == nRows, "inserts batched")
+    assert(PgDriverDouble.commits.get() >= 1, "upsert committed")
+    cand.unpersist(); shaped.unpersist(); ()
+  }
+
   test("flush policy: count-bound batches and time-bound trickle flushes") {
     // The reference flushes its insert buffer at 1000 rows OR 5 s idle
     // (config/apm_config.json:230-231). Spark-side the micro-batch IS
