@@ -124,7 +124,8 @@ object Bench {
       "s20_append_drift", "s21_probe_sweep", "s22_retention")
     // LSH pair graph shared by its three consumers (banding cost stays
     // with the unshared d4_dedup_minhash_lsh).
-    val dedupFam = Set("c2_dup_clusters", "c18_pagerank", "c22_leak_split")
+    val dedupFam = Set("c2_dup_clusters", "c18_pagerank", "c22_leak_split",
+      "c7_dedup_apply")
     // BPE tokenizer trained once (cost stays with the unshared
     // t15_bpe_merges trainer); the apply query times only its join.
     val bpeFam = Set("t16_bpe_tokens")

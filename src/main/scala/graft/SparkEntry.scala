@@ -371,7 +371,11 @@ object SparkEntry {
     (Map(
       "c2_dup_clusters" -> (() => Dedup.dupClustersFrom(spark, dir, pairs)),
       "c18_pagerank"    -> (() => Dedup.pagerankFrom(pairs)),
-      "c22_leak_split"  -> (() => Curation.leakSplitFrom(spark, dir, clusters))),
+      "c22_leak_split"  -> (() => Curation.leakSplitFrom(spark, dir, clusters)),
+      // the APPLY step consumes the same shared clusters (cluster once,
+      // apply once — its timed work is the sizes agg + doc joins; the
+      // chain cost stays visible via the unshared d4/c2 timings)
+      "c7_dedup_apply"  -> (() => Dedup.dedupApplyFrom(spark, dir, clusters))),
       Seq(pairs, clusters))
   }
 

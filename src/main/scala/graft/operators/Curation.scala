@@ -67,8 +67,11 @@ object Curation {
     */
   def decontaminate(spark: SparkSession, sfDir: String,
       benchMod: Long = 47, minOverlap: Double = 0.2): DataFrame = {
+    // d feeds the bench set, the probe explode and the final doc list;
+    // materialize once so the normalize+shingle pass runs once, not 3x
     val d = Tables.loadSpread(spark, sfDir, "documents")
       .select(col("doc_id"), Dedup.shingleHashes.as("sh"))
+      .localCheckpoint()
     val bench = d.filter(col("doc_id") % benchMod === 0)
       .select(explode(col("sh")).as("s")).distinct()
     val corpus = d.filter(col("doc_id") % benchMod =!= 0)
@@ -141,8 +144,12 @@ object Curation {
     require(mBits % 64 == 0)
     // spanHashes (ShingleHashes) emits DISTINCT hashes by contract (d8
     // relies on the same), so sp needs no extra dedup pass
+    // d feeds the bloom build, the exact confirm, the probe stream and
+    // the final doc list; materialize once so the normalize+shingle
+    // pass runs once, not 4x
     val d = Tables.loadSpread(spark, sfDir, "documents")
       .select(col("doc_id"), Dedup.spanHashes(spanWords).as("sp"))
+      .localCheckpoint()
     val bench = d.filter(col("doc_id") % benchMod === 0)
       .select(explode(col("sp")).as("h")).distinct()
     val corpus = d.filter(col("doc_id") % benchMod =!= 0)
@@ -477,9 +484,12 @@ object Curation {
       .select("doc_id", "n_words", "quality_ok")
     val l = TextAnalysis.langId(spark, sfDir).select("doc_id", "lang_pred")
     val d = Dedup.exact(spark, sfDir).select("doc_id", "is_dup")
+    // per feeds the top-lang vote and the card aggregate; materialize
+    // once so the quality/langid/dedup join chain runs once, not twice
     val per = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "source")
       .join(q, Seq("doc_id")).join(l, Seq("doc_id")).join(d, Seq("doc_id"))
+      .localCheckpoint()
     val topLang = per.groupBy("source", "lang_pred")
       .agg(count(lit(1)).as("lcnt"))
       .groupBy("source")
@@ -1103,20 +1113,25 @@ object Curation {
       k: Int = 40): DataFrame = {
     import graft.functions.BigramHashes.{bigram_hashes, Pack}
     val normed = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    // perDoc feeds three consumers (bucket weights and the scoring
+    // join); materialize it once so the bigram explode + groupBy chain
+    // doesn't re-run per consumer (it was evaluated 3x as a lazy plan)
     val perDoc = Tables.loadSpread(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"),
         explode(bigram_hashes(normed)).as("h"))
       .select(col("doc_id"), col("lang"),
         (col("h").bitwiseAND(lit(Pack - 1)) % buckets.toLong).as("b"))
       .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
-    val ct = perDoc.filter(col("lang") === targetLang)
-      .groupBy("b").agg(sum("n").as("ct"))
-    val cq = perDoc.filter(col("lang") =!= targetLang)
-      .groupBy("b").agg(sum("n").as("cq"))
+      .localCheckpoint()
     val whole = Window.partitionBy()
-    val weights = ct.join(cq, Seq("b"), "full_outer")
-      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
-        coalesce(col("cq"), lit(0L)).as("cq"))
+    // one conditional aggregation == the former two filtered groupBys
+    // full-outer-joined: same bucket set (buckets with any rows), same
+    // integer sums (null when a side has no rows -> coalesce 0)
+    val weights = perDoc.groupBy("b").agg(
+        sum(when(col("lang") === targetLang, col("n"))).as("ct0"),
+        sum(when(col("lang") =!= targetLang, col("n"))).as("cq0"))
+      .select(col("b"), coalesce(col("ct0"), lit(0L)).as("ct"),
+        coalesce(col("cq0"), lit(0L)).as("cq"))
       .withColumn("st", sum("ct").over(whole))
       .withColumn("sq", sum("cq").over(whole))
       .select(col("b"),

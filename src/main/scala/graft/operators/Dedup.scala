@@ -108,9 +108,12 @@ object Dedup {
     // the inverted index is keyed by shingle HASH (long), not the shingle
     // string: 8-byte shuffle keys instead of ~20-char strings, and the
     // join is a long equi-join — same pairs (the hash is the identity)
+    // d feeds the hot-shingle census and both join sides; materialize
+    // once so the normalize+shingle pass runs once, not 3x
     val d = docs(spark, sfDir)
       .select(col("doc_id"), col("source"), shingleHashes.as("sh"))
       .withColumn("n", size(col("sh")))
+      .localCheckpoint()
     val tok = d.select(col("source"), col("doc_id"), col("n"),
       explode(col("sh")).as("s"))
     // hot-shingle set is usually tiny, but its worst case is bounded by
@@ -741,9 +744,12 @@ object Dedup {
     */
   def spanDedup(spark: SparkSession, sfDir: String,
       spanWords: Int = 16, maxFrac: Double = 0.2): DataFrame = {
+    // d feeds three consumers (span census, join-back, final doc list);
+    // materialize once so the normalize+shingle pass runs once, not 3x
     val d = docs(spark, sfDir)
       .select(col("doc_id"), shingle_hashes(normText, spanWords).as("sp"))
       .withColumn("n_spans", size(col("sp")).cast("long"))
+      .localCheckpoint()
     val spans = d.select(col("doc_id"), col("n_spans"), explode(col("sp")).as("h"))
     val repeated = spans.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > 1).select("h")
@@ -801,10 +807,13 @@ object Dedup {
   def suffixRuns(spark: SparkSession, sfDir: String, k: Int = 8,
       minRun: Int = 12, dfCap: Int = 128): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // g feeds the df census and both sides of the pair self-join;
+    // materialize once so the positional-shingle pass runs once, not 3x
     val g = docs(spark, sfDir)
       .select(col("doc_id"),
         posexplode(shingle_hashes_pos(normText, k)).as(Seq("pos", "h")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+      .localCheckpoint()
     val keep = g.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") <= dfCap).select("h")
     val gg = g.join(keep, Seq("h"))
@@ -953,8 +962,16 @@ object Dedup {
     * [[dupClusters]] itself.
     */
   def dedupApply(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.4): DataFrame = {
-    val clusters = dupClusters(spark, sfDir, threshold)
+      threshold: Double = 0.4): DataFrame =
+    dedupApplyFrom(spark, sfDir, dupClusters(spark, sfDir, threshold))
+
+  /** [[dedupApply]] over an already-built cluster frame — the bench
+    * family surface (the LSH pair + connected-components chain is shared
+    * with c2/c18/c22; apply times only its own sizes + joins, the way a
+    * production pipeline clusters once and applies once).
+    */
+  def dedupApplyFrom(spark: SparkSession, sfDir: String,
+      clusters: DataFrame): DataFrame = {
     val sizes = clusters.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))
     clusters.filter(col("is_canonical") === 1)
@@ -1121,9 +1138,12 @@ object Dedup {
     val d = docs(spark, sfDir)
       .select(col("doc_id"), segsCol.as("segs"))
       .localCheckpoint()
+    // segRows feeds three consumers (dup census, touched set, rebuild);
+    // materialize it too so the explode+hash runs once, not 3x
     val segRows = d
       .select(col("doc_id"), posexplode(col("segs")).as(Seq("pos", "seg")))
       .withColumn("h", poly_hash(col("seg")))
+      .localCheckpoint()
     val dup = segRows.groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
       .groupBy("h").agg(count(lit(1)).as("ddf"))
       .filter(col("ddf") > 1).select("h")

@@ -292,6 +292,11 @@ object Layout {
       binned.join(broadcast(fmap), Seq("bin"))
         .select(lit(name).as("layout"), col("fid"), col("user_id"))
     }
+    // membership feeds the bloom build AND the actual-files census; a
+    // localCheckpoint here would halve that double evaluation, but it
+    // also hides the bin-relation windows from LayoutSpec's 100x-shape
+    // pin (the assignment plan must stay inspectable) — left lazy, the
+    // distinct's exchange is reusable across the two consumers
     val membership = lay("insertion", col("event_id"))
       .unionAll(lay("clustered", col("user_id")))
       .select("layout", "fid", "user_id").distinct()

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.VecDot.vec_dot
 
 /** Multimodal-column plumbing: treat image/audio/video payloads as opaque
   * `binary` columns with typed metadata, processed in distributed batches.
@@ -1156,12 +1157,11 @@ object Multimodal {
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id").as("doc_id"),
         transform(col("embedding"), x => x.cast("double")).as("ev"))
-    def fold(c: Column) = aggregate(c, lit(0.0), (a, e) => a + e)
     dense.join(emb, Seq("doc_id"))
       .select(col("doc_id"),
-        fold(zip_with(col("tv"), col("ev"), (a, b) => a * b)).as("dot"),
-        fold(transform(col("tv"), a => a * a)).as("nt"),
-        fold(transform(col("ev"), a => a * a)).as("ne"))
+        vec_dot(col("tv"), col("ev")).as("dot"),
+        vec_dot(col("tv"), col("tv")).as("nt"),
+        vec_dot(col("ev"), col("ev")).as("ne"))
       .select(col("doc_id"),
         when(col("nt") === 0.0 || col("ne") === 0.0, lit(0.0))
           .otherwise(col("dot") / sqrt(col("nt") * col("ne")))
@@ -1227,12 +1227,11 @@ object Multimodal {
       }.toDF("doc_id", "tv")
     val ev = emb.select(col("vec_id").as("doc_id"),
       transform(col("embedding"), x => x.cast("double")).as("ev"))
-    def fold(c: Column) = aggregate(c, lit(0.0), (a, e) => a + e)
     tv.join(ev, Seq("doc_id"))
       .select(col("doc_id"),
-        fold(zip_with(col("tv"), col("ev"), (a, b) => a * b)).as("dot"),
-        fold(transform(col("tv"), a => a * a)).as("nt"),
-        fold(transform(col("ev"), a => a * a)).as("ne"))
+        vec_dot(col("tv"), col("ev")).as("dot"),
+        vec_dot(col("tv"), col("tv")).as("nt"),
+        vec_dot(col("ev"), col("ev")).as("ne"))
       .select(col("doc_id"),
         when(col("nt") === 0.0 || col("ne") === 0.0, lit(0.0))
           .otherwise(col("dot") / sqrt(col("nt") * col("ne")))

@@ -231,8 +231,8 @@ object Pca {
       transform(col("embedding"), x => x.cast("double")),
       typedlit(mu.toSeq), (x, m) => x - m)
     def proj(v: Array[Double]): Column =
-      aggregate(zip_with(centered, typedlit(v.toSeq), (c, vi) => c * vi),
-        lit(0.0), (acc, e) => acc + e)
+      // native vec_dot == the former aggregate(zip_with(_*_)) fold
+      graft.functions.VecDot.vec_dot(centered, typedlit(v.toSeq))
     Tables.load(spark, sfDir, "embeddings").select(
       col("vec_id"), proj(v1).as("pc1"), proj(v2).as("pc2"))
   }
@@ -254,8 +254,8 @@ object Pca {
       transform(col("embedding"), x => x.cast("double")),
       typedlit(mu.toSeq), (x, m) => x - m)
     def proj(c: Column, v: Array[Double]): Column =
-      aggregate(zip_with(c, typedlit(v.toSeq), (ci, vi) => ci * vi),
-        lit(0.0), (acc, e) => acc + e)
+      // native vec_dot == the former aggregate(zip_with(_*_)) fold
+      graft.functions.VecDot.vec_dot(c, typedlit(v.toSeq))
     val v1l = typedlit(v1.toSeq)
     val v2l = typedlit(v2.toSeq)
     // p1/p2 ride in the fold's INITIAL accumulator, evaluated once per

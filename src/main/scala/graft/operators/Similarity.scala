@@ -27,6 +27,7 @@ import graft.Tables
 object Similarity {
 
   import graft.functions.VecDot.vec_dot
+import graft.functions.VecOps.{vec_d2, vec_sub, struct_vec_mean}
   private def dot(a: Column, b: Column): Column = vec_dot(a, b)
   private def norm(a: Column): Column = sqrt(vec_dot(a, a))
 
@@ -458,15 +459,13 @@ object Similarity {
   private def refineCents(assigned: DataFrame): DataFrame = {
     val grouped = assigned.groupBy("cell")
       .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("mv"))
-    // mv is an attribute here (Aggregate is a CollapseProject barrier), so
-    // the fold lambdas index a materialized array — no re-evaluation trap.
+    // struct_vec_mean replays the former transform(sequence)/aggregate
+    // fold bit-for-bit (per position, member-order accumulation) in one
+    // native pass — the HOF form cost O(dim x members) interpreted
+    // closure calls per cell.
     grouped.select(
       col("cell").as("cent_id"),
-      transform(
-        sequence(lit(1), size(element_at(col("mv"), 1).getField("v"))),
-        p => aggregate(col("mv"), lit(0.0),
-          (acc, m) => acc + element_at(m.getField("v"), p)) /
-          size(col("mv")).cast("double")).as("cv"))
+      struct_vec_mean(col("mv")).as("cv"))
   }
 
   private def refineCentsSql(assignedRel: String): String =
@@ -850,32 +849,46 @@ object Similarity {
   val PqSubspaces = 4
   val PqK = 16
 
-  /** Per-subspace rows (vec_id, sub, sv) from any (vec_id, v) frame. */
-  private def pqSubsFrom(vecs: DataFrame): DataFrame = {
+  /** Per-subspace rows (vec_id[, carry...], sub, sv) from any
+    * (vec_id[, carry...], v) frame. `carry` columns (e.g. the home cell)
+    * ride along unchanged so downstream consumers don't need to join
+    * them back on vec_id (that join forced a SortMergeJoin AND a second
+    * evaluation of the whole residual-corpus subtree in ivfPqTrain —
+    * two exchanges plus a duplicated scan chain per index build).
+    */
+  private def pqSubsFrom(vecs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val subDim = SrpDim / PqSubspaces
-    vecs.select(col("vec_id"), explode(array(
+    val keep = col("vec_id") +: carry.map(col)
+    vecs.select(keep :+ explode(array(
         (0 until PqSubspaces).map(s => struct(lit(s).as("sub"),
-          slice(col("v"), s * subDim + 1, subDim).as("sv"))): _*)).as("x"))
-      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+          slice(col("v"), s * subDim + 1, subDim).as("sv"))): _*)).as("x"): _*)
+      .select(keep :+ col("x.sub").as("sub") :+ col("x.sv").as("sv"): _*)
   }
 
   private def pqSubs(spark: SparkSession, sfDir: String): DataFrame =
     pqSubsFrom(vecsDoubleChecked(spark, sfDir).select("vec_id", "v"))
 
-  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
+  /** Nearest-codeword assignment. `carry` columns are functionally
+    * dependent on vec_id, so adding them to the grouping changes no
+    * groups — they just stay addressable without a re-join.
+    */
+  private def pqAssign(subs: DataFrame, cb: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keys = Seq("vec_id") ++ carry ++ Seq("sub", "sv")
     subs.join(broadcast(cb), Seq("sub"))
-      .withColumn("d2", aggregate(
-        zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, e) => acc + e))
-      .groupBy("vec_id", "sub", "sv")
+      .withColumn("d2", vec_d2(col("sv"), col("cv")))
+      .groupBy(keys.head, keys.tail: _*)
       .agg(max(struct((-col("d2")).as("nd"), (-col("code")).as("nc"))).as("b"))
-      .select(col("vec_id"), col("sub"), col("sv"),
-        (-col("b.nc")).cast("int").as("code"), (-col("b.nd")).as("d2"))
+      .select(keys.map(col) :+
+        (-col("b.nc")).cast("int").as("code") :+ (-col("b.nd")).as("d2"): _*)
+  }
 
-  /** Trained codebook + final assignment over any (vec_id, v) frame. */
-  private def pqTrainedFrom(vecs: DataFrame): (DataFrame, DataFrame) = {
-    val subDim = SrpDim / PqSubspaces
-    val subs = pqSubsFrom(vecs)
+  /** Trained codebook + final assignment over any (vec_id[, carry], v)
+    * frame.
+    */
+  private def pqTrainedFrom(vecs: DataFrame,
+      carry: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    val subs = pqSubsFrom(vecs, carry)
     val seed = subs.filter(col("vec_id") < PqK)
       .select(col("sub"), col("vec_id").cast("int").as("code"),
         col("sv").as("cv"))
@@ -883,16 +896,14 @@ object Similarity {
     val refined = pqAssign(subs, seed)
       .groupBy("sub", "code")
       .agg(sort_array(collect_list(struct(col("vec_id"), col("sv")))).as("mv"))
-      .select(col("sub"), col("code"),
-        transform(sequence(lit(1), lit(subDim)),
-          p => aggregate(col("mv"), lit(0.0),
-            (acc, m) => acc + element_at(m.getField("sv"), p)) /
-            size(col("mv")).cast("double")).as("cv"))
+      // struct_vec_mean == the former transform(sequence)/aggregate fold
+      // (per position, member-order accumulation), natively
+      .select(col("sub"), col("code"), struct_vec_mean(col("mv")).as("cv"))
     // the codebook is subspaces x K x subDim (tiny) — truncate its
     // lineage so the final assignment and every LUT reuse don't re-inline
     // the training chain
     val cb = refined.localCheckpoint()
-    (pqAssign(subs, cb), cb)
+    (pqAssign(subs, cb, carry), cb)
   }
 
   private def pqTrained(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
@@ -998,8 +1009,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("sub"), col("sv"))
       .join(broadcast(cb), Seq("sub"))
       .select(col("q_id"), col("sub"), col("code"),
-        aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, e) => acc + e).as("dq"))
+        vec_d2(col("sv"), col("cv")).as("dq"))
     def dAt(s: Int) = max(when(col("sub") === s, col("dq")))
     val scored = asg.select(col("vec_id").as("n_id"), col("sub"), col("code"))
       .join(broadcast(qlut), Seq("sub", "code"))
@@ -1051,9 +1061,7 @@ object Similarity {
     val c = vecs.select(col("vec_id").as("n_id"), col("v").as("nv"))
     val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id").asc)
     val exact = q.join(c, col("q_id") =!= col("n_id"))
-      .withColumn("d2", aggregate(
-        zip_with(col("qv"), col("nv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, e) => acc + e))
+      .withColumn("d2", vec_d2(col("qv"), col("nv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "n_id")
@@ -1123,10 +1131,15 @@ object Similarity {
     val assigned = assignCells(vecs, cents)
     val rcorpus = assigned.join(broadcast(cellCv), Seq("cell"))
       .select(col("vec_id"),
-        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"), col("cell"))
-    val (asgR, cbR) = pqTrainedFrom(rcorpus.select("vec_id", "v"))
-    val codes = asgR.select(col("vec_id").as("n_id"), col("sub"), col("code"))
-      .join(rcorpus.select(col("vec_id").as("n_id"), col("cell")), Seq("n_id"))
+        vec_sub(col("v"), col("cv")).as("v"), col("cell"))
+    // `cell` rides through the PQ training as a carry column (it is
+    // functionally dependent on vec_id), so the codes relation needs no
+    // re-join on n_id — the former join cost a SortMergeJoin (2 Exchange
+    // + 2 Sort) AND re-evaluated the whole rcorpus subtree a second time
+    val (asgR, cbR) = pqTrainedFrom(
+      rcorpus.select("vec_id", "cell", "v"), carry = Seq("cell"))
+    val codes = asgR.select(col("vec_id").as("n_id"), col("sub"),
+      col("code"), col("cell"))
     IvfPqIndex(cents, cbR, codes)
   }
 
@@ -1142,15 +1155,14 @@ object Similarity {
     val qres = probeCells(queries, idx.cents, nprobe)
       .join(broadcast(cellCv), Seq("cell"))
       .select(col("vec_id").as("q_id"), col("cell"),
-        zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
+        vec_sub(col("v"), col("cv")).as("rv"))
     val qsubs = qres.select(col("q_id"), col("cell"), explode(array(
         (0 until PqSubspaces).map(s => struct(lit(s).as("sub"),
           slice(col("rv"), s * subDim + 1, subDim).as("sv"))): _*)).as("x"))
       .select(col("q_id"), col("cell"), col("x.sub").as("sub"), col("x.sv").as("sv"))
     val qlut = qsubs.join(broadcast(idx.codebook), Seq("sub"))
       .select(col("q_id"), col("cell"), col("sub"), col("code"),
-        aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, e) => acc + e).as("dq"))
+        vec_d2(col("sv"), col("cv")).as("dq"))
     def dAt(s: Int) = max(when(col("sub") === s, col("dq")))
     val scored = idx.codes.join(broadcast(qlut), Seq("cell", "sub", "code"))
       .filter(col("q_id") =!= col("n_id"))
@@ -1217,10 +1229,12 @@ object Similarity {
     val assigned = assignCells(vecs, idx.cents)
     val r = assigned.join(broadcast(cellCv), Seq("cell"))
       .select(col("vec_id"),
-        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"), col("cell"))
-    pqAssign(pqSubsFrom(r.select("vec_id", "v")), idx.codebook)
-      .select(col("vec_id").as("n_id"), col("sub"), col("code"))
-      .join(r.select(col("vec_id").as("n_id"), col("cell")), Seq("n_id"))
+        vec_sub(col("v"), col("cv")).as("v"), col("cell"))
+    // cell carried through the assignment — no n_id re-join (see
+    // ivfPqTrain)
+    pqAssign(pqSubsFrom(r.select("vec_id", "cell", "v"), carry = Seq("cell")),
+        idx.codebook, carry = Seq("cell"))
+      .select(col("vec_id").as("n_id"), col("sub"), col("code"), col("cell"))
   }
 
   /** Streaming twin of the refresh WRITE path ([[encodeWithIndex]]):
@@ -1798,9 +1812,7 @@ object Similarity {
     val c = vecs.select(col("vec_id").as("n_id"), col("v").as("nv"))
     val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id").asc)
     val exact = q.join(c, col("q_id") =!= col("n_id"))
-      .withColumn("d2", aggregate(
-        zip_with(col("qv"), col("nv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, e) => acc + e))
+      .withColumn("d2", vec_d2(col("qv"), col("nv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "n_id")
@@ -1886,9 +1898,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id").asc)
     val approx = q.join(corpus, col("q_id") =!= col("n_id"))
-      .withColumn("d2", aggregate(
-        zip_with(col("qv"), col("nv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, e) => acc + e))
+      .withColumn("d2", vec_d2(col("qv"), col("nv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "n_id")
@@ -1963,9 +1973,7 @@ object Similarity {
     // invocations; the literal leaks nothing.
     import spark.implicits._
     val exactRows = q.join(c, col("q_id") =!= col("n_id"))
-      .withColumn("d2", aggregate(
-        zip_with(col("qv"), col("nv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, e) => acc + e))
+      .withColumn("d2", vec_d2(col("qv"), col("nv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "n_id")
@@ -2065,18 +2073,14 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id").asc)
     val refined = coarse.select("q_id", "n_id")
       .join(q, "q_id").join(c, "n_id")
-      .withColumn("d2", aggregate(
-        zip_with(col("qv"), col("nv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, e) => acc + e))
+      .withColumn("d2", vec_d2(col("qv"), col("nv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id").as("rq"), col("n_id").as("rn"))
     val adcK = coarse.filter(col("rank") <= k)
       .select(col("q_id").as("aq"), col("n_id").as("an"))
     val exact = q.join(c, col("q_id") =!= col("n_id"))
-      .withColumn("d2", aggregate(
-        zip_with(col("qv"), col("nv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, e) => acc + e))
+      .withColumn("d2", vec_d2(col("qv"), col("nv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("q_id", "n_id")
@@ -2560,17 +2564,26 @@ object Similarity {
         split(trim(lower(col("text"))), "\\s+").as("ws"))
       .select(col("doc_id"), col("ws"),
         size(col("ws")).cast("long").as("dl"))
+    // qTerms doubles as the semi-join build side for tf (a semi join
+    // needs no distinct build — the former separate `termU` distinct
+    // cost one more shuffle inside every evaluation of the tf chain)
     val qTerms = docs.filter(col("doc_id") < nQ)
       .select(col("doc_id").as("q_id"), explode(col("ws")).as("w"))
       .filter(col("w") =!= "").distinct()
-    val termU = qTerms.select("w").distinct()
+      .localCheckpoint()
     val stats = docs.agg(count(lit(1)).as("nd"), sum("dl").as("toktot"))
       .select(col("nd"),
         (col("toktot").cast("double") / col("nd")).as("avgdl"))
+    // tf sits under three consumers (df census -> term budget, and the
+    // scoring join): left lazy, each broadcast BUILD below re-evaluated
+    // the whole corpus tokenize chain (profiled: perTerm cost ≈ 3x a
+    // single tf evaluation). Materialize tf once — guide §2.4, "two
+    // operations keyed the same way can share one evaluation".
     val tf = docs.select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
-      .join(broadcast(termU), Seq("w"), "left_semi")
+      .join(broadcast(qTerms.select("w")), Seq("w"), "left_semi")
       .groupBy("doc_id", "dl", "w")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val wT = Window.partitionBy("q_id").orderBy(col("df").asc, col("w").asc)
     // df >= 2: a df=1 term lives only in the (self-excluded) query doc —
@@ -2650,6 +2663,14 @@ object Similarity {
       .filter(col("dense_rank") <= n)
       .select("q_id", "doc_id", "dense_rank")
   }
+
+  // dev-only decomposition hooks for tools.HybridProfile
+  private[graft] def bm25LexRanksDev(spark: SparkSession, sfDir: String): DataFrame =
+    bm25LexRanks(spark, sfDir, 8, 30, 24, 1.2, 0.75)
+  private[graft] def denseExactRanksDev(spark: SparkSession, sfDir: String): DataFrame =
+    denseExactRanks(spark, sfDir, 8, 30)
+  private[graft] def denseHammingRanksDev(spark: SparkSession, sfDir: String): DataFrame =
+    denseHammingRanks(spark, sfDir, 8, 30, 60)
 
   /** Reciprocal-rank fusion of a lexical and a dense rank leg. */
   private def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int,

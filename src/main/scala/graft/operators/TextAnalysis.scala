@@ -244,8 +244,11 @@ object TextAnalysis {
     */
   def repetition(spark: SparkSession, sfDir: String,
       dupThresh: Double = 0.4, bigramThresh: Double = 0.18): DataFrame = {
+    // docs feeds the unigram and bigram passes; materialize once so
+    // the tokenize split runs once, not per consumer
     val docs = Tables.loadSpread(spark, sfDir, "documents")
       .select(col("doc_id"), split(trim(col("text")), wsSplit).as("ws"))
+      .localCheckpoint()
     val uni = docs.select(col("doc_id"), explode(col("ws")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id").agg(
@@ -375,12 +378,17 @@ object TextAnalysis {
     // everything downstream (explode, aggs, the scoring join) carries
     // 8-byte keys and zero per-gram allocations
     val normed = regexp_replace(lower(trim(col("text"))), wsSplit, " ")
+    // docBigrams feeds the model build AND the scoring join, and c12
+    // feeds both model sides — materialize each once (the lazy plan
+    // re-ran the bigram explode 3x)
     val docBigrams = Tables.loadSpread(spark, sfDir, "documents")
       .select(col("doc_id"), explode(bigram_hashes(normed)).as("h"))
       .select(col("doc_id"),
         shiftright(col("h"), 31).as("k1"),
         col("h").bitwiseAND(lit(Pack - 1)).as("gk"))
+      .localCheckpoint()
     val c12 = docBigrams.groupBy("k1", "gk").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
     val c1 = c12.groupBy("k1").agg(sum(col("c12")).as("c1"))
     val v = docs.select(explode(col("ws")).as("w"))
       .agg(countDistinct(poly_hash(col("w"))).as("vocab"))
@@ -972,10 +980,13 @@ object TextAnalysis {
     val stats = docs.agg(count(lit(1)).as("nd"), sum("dl").as("toktot"))
       .select(col("nd"),
         (col("toktot").cast("double") / col("nd")).as("avgdl"))
+    // tf feeds the df census and the scoring join; materialize once so
+    // the corpus tokenize+filter pass runs once, not twice
     val tf = docs.select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
       .filter(col("w").isin(terms: _*))
       .groupBy("doc_id", "dl", "w")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfT), Seq("w"))
       .crossJoin(broadcast(stats))

@@ -38,6 +38,10 @@ object PlanAudit {
     * whitelist), fails the audit and PlanAuditSpec until consciously
     * re-pinned.
     */
+  // (r14 re-pin: the IVF-PQ index builds carry `cell` through the PQ
+  // assignment instead of re-joining it on n_id, so every query that
+  // trains or re-encodes an index lost the duplicated residual-corpus
+  // subtree and its broadcast joins — counts shrank accordingly.)
   val pinnedBnlj: Map[String, Int] = Map(
     // dense scaffold / per-key bucket bounds crossed onto the stream
     // (scaffold size = keys x windows, data-independent)
@@ -66,7 +70,7 @@ object PlanAudit {
     // trained-model broadcast: centroids / codebooks / PageRank mass —
     // model-scale rows, never the corpus
     "c9_semdedup" -> 3, "c16_topic_clusters" -> 1, "c18_pagerank" -> 9,
-    "s3_knn_ivf" -> 2, "s7_ivfpq" -> 3, "s9_ivf_stats" -> 3,
+    "s3_knn_ivf" -> 2, "s7_ivfpq" -> 2, "s9_ivf_stats" -> 3,
     // s16 serves from the STORED index: the only BNLJ left is the query
     // probe's broadcast of the 8-row centroid table (training's two
     // k-means broadcasts are gone from the plan — that's the point)
@@ -76,11 +80,11 @@ object PlanAudit {
     // broadcast of the 1-row scalar cut or the 8-row centroid table
     // (base-filter, new-filter, 3x train assign, new-vector assign,
     // residual joins, query probe) — scalar/model-scale idioms all
-    "s18_index_append" -> 9,
+    "s18_index_append" -> 5,
     // probe/query-point broadcast (a handful of vectors) and the exact
     // top-k frame a recall measurement joins back in
     "s1_knn_brute" -> 1, "s4_ivf_recall" -> 3, "s6_pq_recall" -> 1,
-    "s8_ivfpq_recall" -> 4, "s10_pq_refine" -> 1,
+    "s8_ivfpq_recall" -> 3, "s10_pq_refine" -> 1,
     // s11: the 20-row query-code frame broadcast across the candidate
     // code scan (the Hamming shortlist pass; rerank joins are equi BHJ)
     "s11_hamming_rerank" -> 1,
@@ -119,13 +123,13 @@ object PlanAudit {
     // s19 = s7's trained-model broadcasts (3: 2x k-means assign + query
     // probe centroids); the tombstone exclusion itself is an id-keyed
     // broadcast ANTI join (equi, not nested-loop)
-    "s19_index_delete" -> 3,
+    "s19_index_delete" -> 2,
     // s20 = the s18 frozen-append chain (9) + the exact-truth leg's
     // nQ-row query broadcast (the s4/s8 recall idiom; the truth scan is
     // shared between the two recall legs, so it appears once) + the
     // retrained leg's s7 chain (3) when run standalone — 13 total,
     // every one a 1-row-scalar, 8-row-centroid or nQ-row broadcast
-    "s20_append_drift" -> 13,
+    "s20_append_drift" -> 8,
     // c25: the 1-row (corpus_chars, share_sum) scalar aggregate crossed
     // onto the per-source totals — once per consumer (rates feed both
     // the sampled aggregate and the audit join)
@@ -138,7 +142,7 @@ object PlanAudit {
     // the shared exact-truth leg's nQ-row query broadcast — all 8-row
     // centroid or nQ-row query frames; the family path serves from the
     // stored snapshot and carries only the per-leg probe broadcasts
-    "s21_probe_sweep" -> 9,
+    "s21_probe_sweep" -> 6,
     // e8: the nQ-row query broadcast of each brute leg — the SQ8
     // (dequantized-corpus) scan and the exact-truth scan
     "e8_sq8_recall" -> 2)

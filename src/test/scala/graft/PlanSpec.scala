@@ -118,7 +118,9 @@ class PlanSpec extends AnyFunSuite {
     // projection folds must sit in the outer fold's INITIAL struct
     // (evaluated once per row) — the bad shape re-evaluates them inside
     // the per-element merge lambda, d times per row
-    assert(p.contains("struct(s, 0.0, p1, aggregate("),
+    // (r14: the projections are the native vecdot expression now — same
+    // fold order, still evaluated once per row in the initial struct)
+    assert(p.contains("struct(s, 0.0, p1, vecdot("),
       s"p1/p2 folds not in the initial accumulator: $p")
   }
 
