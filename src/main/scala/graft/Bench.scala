@@ -343,14 +343,36 @@ object Bench {
     try Files.writeString(Paths.get("bench_out.json"), full)
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
+    // Per-core-count copy: the driver benches the SAME tree at two core
+    // counts back to back, and the second run's bench_out.json write
+    // clobbers the first's — which left round 14 with no committed
+    // 32-core per-query detail at all. One file per cpus value keeps
+    // both runs' detail on disk for the scaling comparison.
+    try Files.writeString(Paths.get(s"bench_out_c$cpus.json"), full)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out_c$cpus.json write failed: ${e.getMessage}") }
     // COMPACT final stdout line, NO per-query map: three straight rounds
     // proved the driver's log-tail buffer clips anything past a few
-    // hundred bytes (r3's 2.8 KB wall-only map still arrived mid-key).
-    // The stdout line carries only the headline scalars — total wall,
-    // query count, error map, stream block, sf — and points at
-    // bench_out.json for the per-query detail. Must stay under 400 B.
+    // hundred bytes (r3's 2.8 KB wall-only map still arrived mid-key;
+    // the r14 BENCH artifact's stored tail is 2000 chars). The stdout
+    // line carries only the headline scalars — total wall, query count,
+    // error map, stream block, sf — and points at bench_out.json for
+    // the per-query detail. Must stay under 400 B.
     val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"errors":$errJson$streamJsonCompact,"calib":${jnum(calibEnd)},"sf":"$sfDir","detail":"bench_out.json"}"""
     spark.stop()
+    // Per-query wall map as its OWN stdout line, printed BEFORE the
+    // compact total line (r14 verdict item 1: the driver's PERF
+    // per-query comparator has been empty since round 2). Ordering is
+    // the clip-safety argument: the log tail keeps the END of stdout,
+    // so a clip can only cut this line's HEAD — the compact total line
+    // below always survives intact, exactly as it has since round 2. A
+    // parser that reads complete `{"metric":...}` lines gains the map
+    // when the tail buffer is large enough and sees no change when it
+    // is not (a clipped fragment no longer starts with '{' and parses
+    // as nothing). Centisecond precision keeps it ~3.5 KB.
+    val qsCenti = results.map { case (k, w, _, _) => s""""$k":${f"$w%.2f"}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"queries","unit":"sec","cpus":$cpus,"queries":$qsCenti}""")
     // Bare, final stdout line (spark.stop() already happened so nothing
     // logs after it; run/outputStrategy passes it through un-prefixed).
     println(compact)

@@ -351,9 +351,11 @@ object SparkEntry {
         Similarity.loadIvfPqIndex(spark, annDir, "bench"))),
       // s22 writes the snapshot chain from the family's trained index
       // and sweeps it — the timed work is the persist/compact/sweep
-      // lifecycle, not training
+      // lifecycle, not training. The stored snapshot seeds the chain as
+      // a byte-copy (srcDir), the immutable-snapshot discipline.
       "s22_retention"    -> (() => Similarity.indexRetentionFrom(spark, dir,
-        annDir + "_retn", Similarity.loadIvfPqIndex(spark, annDir, "bench")))),
+        annDir + "_retn", Similarity.loadIvfPqIndex(spark, annDir, "bench"),
+        srcDir = Some(s"$annDir/snapshot_id=bench")))),
       Seq(trained._1, ivfpq))
   }
 

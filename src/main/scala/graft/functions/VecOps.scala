@@ -2,11 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StructType}
 
 /** Native vector arithmetic for the similarity/ANN hot paths, replacing
   * interpreted higher-order-function forms with tight JVM loops while
@@ -23,6 +24,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   */
 object VecOps {
 
+  /** Shared analysis-time check: both inputs must be array<double>
+    * (either nullability) — a wrong-typed input fails analysis instead
+    * of a runtime ClassCastException. (ExpectsInputTypes is not usable
+    * outside the sql package — AbstractDataType is private[sql] — so
+    * the check is hand-rolled.)
+    */
+  private def checkVecInputs(name: String,
+      types: Seq[DataType]): TypeCheckResult =
+    if (types.forall {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<double> inputs, got ${types.mkString(", ")}")
+
   /** Squared L2 distance with index-order accumulation:
     * `(((0 + d0^2) + d1^2) + ...)` where `d_i = a[i] - b[i]` — the same
     * operation sequence as
@@ -30,7 +46,10 @@ object VecOps {
     * Inputs always have equal length in this library (fixed-dim vectors);
     * like [[VecDot]] the loop runs over the shorter length.
     */
-  case class VecD2(left: Expression, right: Expression) extends BinaryExpression {
+  case class VecD2(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVecInputs("vec_d2", Seq(left.dataType, right.dataType))
     override def dataType: DataType = DoubleType
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): VecD2 =
@@ -72,7 +91,10 @@ object VecOps {
     * value-identical to `zip_with(a, b, (x, y) => x - y)` for the
     * equal-length vectors this library feeds it.
     */
-  case class VecSub(left: Expression, right: Expression) extends BinaryExpression {
+  case class VecSub(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVecInputs("vec_sub", Seq(left.dataType, right.dataType))
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): VecSub =
@@ -122,6 +144,20 @@ object VecOps {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def nullable: Boolean = true
+
+    // analysis-time contract: array of structs whose SECOND field is the
+    // vector (array<double>) — a wrong-typed input fails analysis, not
+    // with a runtime ClassCastException
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(st: StructType, _) if st.length >= 2 &&
+          (st.fields(1).dataType match {
+            case ArrayType(DoubleType, _) => true
+            case _ => false
+          }) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"struct_vec_mean expects array<struct<_, array<double>>>, got $other")
+    }
     override protected def withNewChildInternal(newChild: Expression): StructVecMean =
       copy(child = newChild)
 

@@ -1126,7 +1126,13 @@ object Curation {
     val whole = Window.partitionBy()
     // one conditional aggregation == the former two filtered groupBys
     // full-outer-joined: same bucket set (buckets with any rows), same
-    // integer sums (null when a side has no rows -> coalesce 0)
+    // integer sums (null when a side has no rows -> coalesce 0).
+    // The equivalence assumes lang is NON-NULL (the documents table's
+    // contract — lang is a generated label): a null-lang row would fall
+    // into neither the `=== targetLang` nor the `=!= targetLang` sum
+    // here but would also have been excluded by both former filtered
+    // groupBys, so only a bucket whose rows are ALL null-lang could
+    // differ (present here with ct=cq=0, absent before).
     val weights = perDoc.groupBy("b").agg(
         sum(when(col("lang") === targetLang, col("n"))).as("ct0"),
         sum(when(col("lang") =!= targetLang, col("n"))).as("cq0"))

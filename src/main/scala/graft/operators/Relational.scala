@@ -903,11 +903,21 @@ object Relational {
     * count the multi-supplier orders where THIS supplier shipped late
     * (ship > orderdate + 90 d, the schema's lateness proxy) and no
     * OTHER supplier in the order did — a correlated EXISTS and a
-    * correlated NOT EXISTS against the same table in one query, the one
-    * double-correlation join shape the suite lacked. Spark plans the
-    * pair as a left-semi then left-anti join on the order key with the
-    * supplier-inequality as residual; both shuffle on the same key so
-    * the exchange is reused.
+    * correlated NOT EXISTS against the same table in one query (the
+    * oracle keeps that declared form).
+    *
+    * Shape (r15): the semi + anti self-join pair evaluated the
+    * lineitem x orders join THREE times (candidate side + each join's
+    * probe side) and shuffled it twice more. Both correlations only ask
+    * per-ORDER census questions, so one window pass over the joined
+    * frame answers them with a single evaluation and a single shuffle
+    * (guide §3 self-join elimination):
+    *   EXISTS other supplier          <=> |distinct suppliers| > 1
+    *   NOT EXISTS other LATE supplier <=> |distinct late suppliers| = 1
+    * (the candidate row is itself late, so "no other late" means the
+    * late-supplier set is exactly {this supplier}). Multiplicity is
+    * preserved — every candidate ROW either survives both original
+    * joins or both window predicates — so numwait is bit-identical.
     */
   def q29WaitingSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     val li0 = Tables.load(spark, sfDir, "lineitem")
@@ -920,16 +930,15 @@ object Relational {
       .withColumn("late",
         (col("ship_ms") > col("odate_ms") + day90Ms).cast("int"))
       .select("l_orderkey", "l_suppkey", "late")
-    val cand = withLate.filter(col("late") === 1)
-    val other = withLate.select(col("l_orderkey").as("o_k"),
-      col("l_suppkey").as("o_s"), col("late").as("o_late"))
-    val semi = cand.join(other,
-      col("l_orderkey") === col("o_k") && col("l_suppkey") =!= col("o_s"),
-      "left_semi")
-    val anti = semi.join(other.filter(col("o_late") === 1),
-      col("l_orderkey") === col("o_k") && col("l_suppkey") =!= col("o_s"),
-      "left_anti")
-    anti.groupBy(col("l_suppkey").as("s_suppkey"))
+    val wOrd = Window.partitionBy("l_orderkey")
+    withLate
+      .withColumn("n_supp",
+        size(collect_set(col("l_suppkey")).over(wOrd)))
+      .withColumn("n_late_supp",
+        size(collect_set(when(col("late") === 1, col("l_suppkey"))).over(wOrd)))
+      .filter(col("late") === 1 && col("n_supp") > 1 &&
+        col("n_late_supp") === 1)
+      .groupBy(col("l_suppkey").as("s_suppkey"))
       .agg(count(lit(1)).as("numwait"))
   }
 

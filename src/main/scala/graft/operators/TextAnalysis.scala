@@ -201,16 +201,26 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "les", "est"))
 
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    val words = split(trim(lower(col("text"))), wsSplit)
-    val scores = langMarkers.map { case (lang, markers) =>
-      lang -> (size(filter(words, w => w.isin(markers: _*)))
-        .cast("double") / size(words).cast("double"))
-    }
-    val best = scores.foldLeft((lit("und"), lit(0.0))) {
-      case ((bl, bs), (lang, sc)) =>
+    // Staged selects (r15): the former single-projection fold inlined
+    // each interpreted-HOF score into every later when() branch — after
+    // expansion the 'en' score expression appeared ~16x per row. Scoring
+    // into named columns first makes the fold reference cheap attributes
+    // (CollapseProject never merges a projection that would duplicate a
+    // non-cheap expression), so each marker scan runs exactly once.
+    val tokenized = Tables.load(spark, sfDir, "documents").select(
+      col("doc_id"), col("lang"),
+      split(trim(lower(col("text"))), wsSplit).as("ws"))
+    val scored = tokenized.select(
+      Seq(col("doc_id"), col("lang")) ++ langMarkers.map { case (lang, markers) =>
+        (size(filter(col("ws"), w => w.isin(markers: _*)))
+          .cast("double") / size(col("ws")).cast("double")).as(s"sc_$lang")
+      }: _*)
+    val best = langMarkers.foldLeft((lit("und"), lit(0.0))) {
+      case ((bl, bs), (lang, _)) =>
+        val sc = col(s"sc_$lang")
         (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
     }
-    Tables.load(spark, sfDir, "documents").select(
+    scored.select(
       col("doc_id"), col("lang").as("lang_label"),
       best._1.as("lang_pred"), best._2.as("lang_score"))
   }

@@ -64,73 +64,101 @@ object ZScore {
   /** Stateless windowed z-score over a stats frame (columns: server,
     * service, ts_ms, tpm, average, per75, per95). One output row per
     * (input row x lag).
+    *
+    * Shape (r15): the per-lag outputs are STACKED (explode over an array
+    * of per-lag structs), not unioned — a union of per-lag branches
+    * physically duplicates the entire upstream stats subtree per lag
+    * (exchange reuse dedups only up to the repartition exchange; the
+    * expensive flatten-sort-percentile window above it re-ran per
+    * branch: z2_zscore_win measured ≈ 2 x a5_sliding_stats). With the
+    * stack, the stats frame is evaluated ONCE and all lags' frame lists
+    * come from one WindowExec chain over one sort (same partition and
+    * order, different frames — no extra exchange). Guide §2.4. Row SET
+    * is identical to the former union (the driver compares sorted).
     */
   def zScoreWindowed(stats: DataFrame, lags: Seq[LagCfg] = defaultLags,
       overrides: Seq[ZOverride] = Nil): DataFrame = {
     val spark = stats.sparkSession
     import spark.implicits._
-    val perLag = lags.map { cfg =>
+    val base = Seq(col("server"), col("service"), col("ts_ms"),
+      col("tpm"), col("average"), col("per75"), col("per95"))
+    // Mean and population variance as ordered folds over the frame's
+    // defined values (frame order = ts order on both engines) — exactly
+    // the reference's two-pass formula. This is deliberate: engine-
+    // native var_pop differs (DuckDB's naive E[x^2]-E[x]^2 leaves tiny
+    // nonzero variance on constant windows, breaking the "0 =>
+    // undefined" quirk; and incremental window avgs differ in final
+    // ulps, breaking rounding parity).
+    // stage 1: EVERY lag's frame lists (nulls skipped, frame-ordered) +
+    // frame count — one window pass chain, one sort
+    val staged = stats.select(base ++ lags.flatMap { cfg =>
       val w = Window.partitionBy("server", "service").orderBy("ts_ms")
         .rowsBetween(-cfg.lag, -1)
-      val cnt = count(lit(1)).over(w)
-      // Mean and population variance as ordered folds over the frame's
-      // defined values (frame order = ts order on both engines) — exactly
-      // the reference's two-pass formula. This is deliberate: engine-
-      // native var_pop differs (DuckDB's naive E[x^2]-E[x]^2 leaves tiny
-      // nonzero variance on constant windows, breaking the "0 =>
-      // undefined" quirk; and incremental window avgs differ in final
-      // ulps, breaking rounding parity).
-      val base = Seq(col("server"), col("service"), col("ts_ms"),
-        col("tpm"), col("average"), col("per75"), col("per95"))
-      // stage 1: frame lists (nulls skipped, frame-ordered) + frame count
-      val staged = stats.select(base ++ Seq(cnt.as("cnt")) ++
-        metrics.map(m => collect_list(col(m)).over(w).as(s"lst_$m")): _*)
-      // stage 2: per-metric two-pass (mean, msq) in ONE evaluation via the
-      // native ArrayStats expression — see its scaladoc for why a
-      // HOF-fold formulation here is O(lag^2) per row after optimizer
-      // inlining.
-      val withMm = staged.select(base ++ Seq(col("cnt")) ++
-        metrics.map(m =>
-          graft.functions.ArrayStats.array_stats(col(s"lst_$m")).as(s"mm_$m")): _*)
-      // stage 3: gated avg/sd as attributes
-      val withAvgSd = withMm.select(withMm.columns.map(col) ++
-        metrics.flatMap { m =>
-          val mm = col(s"mm_$m")
-          Seq(
-            when(col("cnt") >= cfg.lag, mm.getField("mean")).as(s"avgw_$m"),
-            when(col("cnt") >= cfg.lag,
-              sqrt(nullif(mm.getField("msq"), lit(0.0)))).as(s"sdw_$m"))
-        }: _*)
-      // Z1: per-service threshold for this lag — broadcast override join
-      // (no-op projection when no override targets this lag)
-      val lagOvr = overrides.filter(o => o.lag == cfg.lag && o.threshold.isDefined)
-        .map(o => (o.service, o.threshold.get))
-      val withThr =
-        if (lagOvr.isEmpty) withAvgSd.withColumn("thr", lit(cfg.threshold))
-        else withAvgSd
-          .join(broadcast(lagOvr.toDF("service", "thr_ovr")), Seq("service"), "left")
-          .withColumn("thr", coalesce(col("thr_ovr"), lit(cfg.threshold)))
-      // stage 4: z-score outputs from cheap attribute refs
-      val zCols = metrics.flatMap { m =>
-        val x = col(m)
-        val avgW = col(s"avgw_$m")
-        val sdW = col(s"sdw_$m")
-        val t = col("thr")
-        val signal = when(avgW.isNotNull && sdW.isNotNull && x.isNotNull &&
-            abs(x - avgW) > t * sdW,
-          when(x > avgW, 1).otherwise(-1)).otherwise(0)
+      count(lit(1)).over(w).as(s"cnt_${cfg.lag}") +:
+        metrics.map(m => collect_list(col(m)).over(w).as(s"lst_${m}_${cfg.lag}"))
+    }: _*)
+    // stage 2: per-(lag, metric) two-pass (mean, msq) in ONE evaluation
+    // via the native ArrayStats expression — see its scaladoc for why a
+    // HOF-fold formulation here is O(lag^2) per row after optimizer
+    // inlining.
+    val withMm = staged.select(base ++ lags.flatMap { cfg =>
+      col(s"cnt_${cfg.lag}") +: metrics.map(m =>
+        graft.functions.ArrayStats.array_stats(col(s"lst_${m}_${cfg.lag}"))
+          .as(s"mm_${m}_${cfg.lag}"))
+    }: _*)
+    // stage 3: gated avg/sd as attributes (per lag)
+    val withAvgSd = withMm.select(base ++ lags.flatMap { cfg =>
+      metrics.flatMap { m =>
+        val mm = col(s"mm_${m}_${cfg.lag}")
+        val cnt = col(s"cnt_${cfg.lag}")
         Seq(
-          avgW.as(s"${m}_avg"),
-          (avgW - t * sdW).as(s"${m}_lb"),
-          (avgW + t * sdW).as(s"${m}_ub"),
-          signal.as(s"${m}_signal"))
+          when(cnt >= cfg.lag, mm.getField("mean")).as(s"avgw_${m}_${cfg.lag}"),
+          when(cnt >= cfg.lag,
+            sqrt(nullif(mm.getField("msq"), lit(0.0)))).as(s"sdw_${m}_${cfg.lag}"))
       }
-      withThr.select(
-        Seq(col("server"), col("service"), col("ts_ms"),
-          lit(cfg.lag).as("lag"), col("tpm"),
-          col("average"), col("per75"), col("per95")) ++ zCols: _*)
+    }: _*)
+    // stage 4: stack the lags — one struct per lag, exploded to rows
+    val lagStruct = (cfg: LagCfg) => struct(
+      lit(cfg.lag).as("lag") +: metrics.flatMap(m => Seq(
+        col(s"avgw_${m}_${cfg.lag}").as(s"avgw_$m"),
+        col(s"sdw_${m}_${cfg.lag}").as(s"sdw_$m"))): _*)
+    val stacked = withAvgSd
+      .select(base :+ explode(array(lags.map(lagStruct): _*)).as("z"): _*)
+      .select(base ++ Seq(col("z.lag").as("lag")) ++ metrics.flatMap(m =>
+        Seq(col(s"z.avgw_$m").as(s"avgw_$m"), col(s"z.sdw_$m").as(s"sdw_$m"))): _*)
+    // Z1: per-(service, lag) threshold — broadcast override join
+    // (no-op projection when no override carries a threshold)
+    val thrOvr = overrides.filter(_.threshold.isDefined)
+      .map(o => (o.service, o.lag, o.threshold.get))
+    val defaultThr = lags.tail.foldLeft(
+        when(col("lag") === lags.head.lag, lit(lags.head.threshold))) {
+      (acc, cfg) => acc.when(col("lag") === cfg.lag, lit(cfg.threshold))
     }
-    perLag.reduce(_.unionAll(_))
+    val withThr =
+      if (thrOvr.isEmpty) stacked.withColumn("thr", defaultThr)
+      else stacked
+        .join(broadcast(thrOvr.toDF("service", "lag", "thr_ovr")),
+          Seq("service", "lag"), "left")
+        .withColumn("thr", coalesce(col("thr_ovr"), defaultThr))
+    // stage 5: z-score outputs from cheap attribute refs
+    val zCols = metrics.flatMap { m =>
+      val x = col(m)
+      val avgW = col(s"avgw_$m")
+      val sdW = col(s"sdw_$m")
+      val t = col("thr")
+      val signal = when(avgW.isNotNull && sdW.isNotNull && x.isNotNull &&
+          abs(x - avgW) > t * sdW,
+        when(x > avgW, 1).otherwise(-1)).otherwise(0)
+      Seq(
+        avgW.as(s"${m}_avg"),
+        (avgW - t * sdW).as(s"${m}_lb"),
+        (avgW + t * sdW).as(s"${m}_ub"),
+        signal.as(s"${m}_signal"))
+    }
+    withThr.select(
+      Seq(col("server"), col("service"), col("ts_ms"),
+        col("lag"), col("tpm"),
+        col("average"), col("per75"), col("per95")) ++ zCols: _*)
   }
 
   /** DuckDB oracle for [[zScoreWindowed]]: `statsSql` must produce the same

@@ -63,13 +63,18 @@ class JdbcSinkSpec extends AnyFunSuite {
     val back = readTable(url, "stats")
     assert(back.count() == rows.count())
     // parse the json payload read back FROM THE DB and check one nested
-    // field against the flat source column (entries.js:120-151 shape)
+    // field against the flat source column (entries.js:120-151 shape).
+    // Join on the table's FULL natural key incl. lag: a limited sample
+    // of the candidates frame may contain both lags of one
+    // (server, service, ts_ms) — the key triple alone is not unique.
     val parsed = back.select(col("server"), col("service"), col("ts_ms"),
+      col("lag").cast("int").as("lag"),
       get_json_object(col("stats_json"), "$.averagesignal")
         .cast("int").as("sig_back"))
     val src = cand.select(col("server"), col("service"), col("ts_ms"),
+      col("lag").cast("int").as("lag"),
       col("average_signal").cast("int").as("sig_src"))
-    val joined = parsed.join(src, Seq("server", "service", "ts_ms"))
+    val joined = parsed.join(src, Seq("server", "service", "ts_ms", "lag"))
     assert(joined.count() == rows.count())
     assert(joined.filter(
       !(col("sig_back") <=> col("sig_src"))).isEmpty)
