@@ -126,6 +126,46 @@ object VecOps {
       })
   }
 
+  /** Index-order fold sum `(((0.0 + a[0]) + a[1]) + ...)` — the same
+    * operation sequence as `aggregate(a, 0.0, (acc, x) => acc + x)` (and
+    * the oracle's `list_reduce(list_prepend(0.0, a), ...)`), so results
+    * are bit-identical. Elements must be non-null (the callers feed
+    * `collect_list` outputs / `getField` over non-null structs — the
+    * same invariant the HOF form silently relied on: a null element
+    * would have nulled its whole fold).
+    */
+  case class VecSum(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVecInputs("vec_sum", Seq(child.dataType))
+    override def dataType: DataType = DoubleType
+    override protected def withNewChildInternal(newChild: Expression): VecSum =
+      copy(child = newChild)
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getDouble(i); i += 1 }
+      java.lang.Double.valueOf(acc)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+          int $n = $a.numElements();
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += $a.getDouble($i);
+          }
+          ${ev.value} = $acc;
+        """
+      })
+  }
+
   /** Per-position ordered mean over an array of (key, vector) structs —
     * the k-means refine step's arithmetic:
     * for each position p: `(((0 + m_0.v[p]) + m_1.v[p]) + ...) / n`,
@@ -192,6 +232,9 @@ object VecOps {
 
   def vec_sub(a: Column, b: Column): Column =
     ColumnBridge.column(VecSub(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def vec_sum(a: Column): Column =
+    ColumnBridge.column(VecSum(ColumnBridge.expression(a)))
 
   def struct_vec_mean(mv: Column): Column =
     ColumnBridge.column(StructVecMean(ColumnBridge.expression(mv)))

@@ -58,10 +58,11 @@ object ApmStats {
       .groupBy("server", "service", "bucket")
       .agg(count(lit(1)).as("n"),
         sort_array(collect_list(col("elapsed"))).as("vals"))
-      // vals is an attribute here (Aggregate is a projection barrier), so
-      // the fold lambda indexes a materialized array
+      // vals is an attribute here (Aggregate is a projection barrier);
+      // vec_sum is the native index-order fold — bit-identical to the
+      // former aggregate() HOF and the oracle's list_reduce
       .select(col("server"), col("service"), col("bucket"), col("n"),
-        aggregate(col("vals"), lit(0.0), (a, v) => a + v).as("sum_elapsed"))
+        graft.functions.VecOps.vec_sum(col("vals")).as("sum_elapsed"))
 
   val bucketizeSql: String =
     s"""SELECT server, service, bucket, count(*) AS n,

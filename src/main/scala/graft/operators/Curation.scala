@@ -29,9 +29,16 @@ object Curation {
     val qualified = quality.filter(col("quality_ok") === 1)
       .join(fp, Seq("doc_id"))
       .join(lang, Seq("doc_id"))
-    val canon = qualified.groupBy("fingerprint")
-      .agg(min("doc_id").as("doc_id"))
-    qualified.join(canon, Seq("fingerprint", "doc_id"))
+    // canonical doc per fingerprint as a window-min + filter (r15): the
+    // former groupBy + join-back re-evaluated the whole quality/langid/
+    // fingerprint chain for the join's second side and shuffled twice;
+    // doc_id is unique, so keeping rows where doc_id == min over the
+    // fingerprint partition selects exactly the same rows with one
+    // evaluation and one shuffle (guide §2.4).
+    val wFp = Window.partitionBy("fingerprint")
+    qualified
+      .withColumn("canon_id", min("doc_id").over(wFp))
+      .filter(col("doc_id") === col("canon_id"))
       .select("doc_id", "fingerprint", "lang_pred", "n_words", "stopword_ratio")
   }
 
@@ -764,6 +771,9 @@ object Curation {
     val d = d0.withColumn("bkt", expr(s"h div $bsz").cast("int"))
     val local = Window.partitionBy("bkt").orderBy(col("h"), col("doc_id"))
     val withLocal = d.withColumn("lcum", sum("n_tok").over(local))
+    // unpartitioned window = single task BY DESIGN: it runs over the
+    // bucket RELATION (|buckets| rows, bounded by the bsz policy), never
+    // the corpus — the WindowExec warning is expected and harmless here
     val off = Window.orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = d.groupBy("bkt").agg(sum("n_tok").as("btok"))
@@ -1123,6 +1133,9 @@ object Curation {
         (col("h").bitwiseAND(lit(Pack - 1)) % buckets.toLong).as("b"))
       .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
       .localCheckpoint()
+    // unpartitioned whole-relation sums over the BUCKET weights frame
+    // (<= `buckets` = 1024 rows by construction) — the WindowExec
+    // single-partition warning is bounded, not a scale risk
     val whole = Window.partitionBy()
     // one conditional aggregation == the former two filtered groupBys
     // full-outer-joined: same bucket set (buckets with any rows), same
@@ -1152,7 +1165,7 @@ object Curation {
       .agg(sort_array(collect_list(struct(col("b"), col("c")))).as("cs"),
         sum("n").as("n_bigrams"))
       .select(col("doc_id"), col("lang"), col("n_bigrams"),
-        (aggregate(col("cs"), lit(0.0), (a, x) => a + x("c")) /
+        (graft.functions.VecOps.vec_sum(col("cs").getField("c")) /
           col("n_bigrams")).as("dsir_score"))
     scored.orderBy(col("dsir_score").desc, col("doc_id").asc).limit(k)
       .withColumn("rank", row_number().over(

@@ -680,8 +680,8 @@ object Dedup {
         .crossJoin(broadcast(nF))
         .select(col("dst").as("doc_id"),
           (lit(0.15) / col("n").cast("double") + lit(0.85) *
-            aggregate(col("cs"), lit(0.0),
-              (a, x) => a + x.getField("contrib"))).as("r"))
+            graft.functions.VecOps.vec_sum(col("cs").getField("contrib")))
+            .as("r"))
     }
     ranks.join(deg.select(col("src").as("doc_id"), col("deg")), "doc_id")
       .select(col("doc_id"), col("deg"), col("r").as("pr"))

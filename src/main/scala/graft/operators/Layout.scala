@@ -103,6 +103,9 @@ object Layout {
         (count(lit(1)) * 48 + sum(length(col("event_type"))))
           .cast("long").as("bytes"))
     val tot = files.agg(sum(col("bytes")).as("total_bytes"))
+    // unpartitioned cumulative sum over the FILE-METADATA relation
+    // (~800k rows for 100 TB of 128 MB files — smaller than one data
+    // partition, see the scaladoc); the WindowExec warning is bounded
     val w = Window.orderBy("file_hr")
       .rowsBetween(Window.unboundedPreceding, -1)
     files.crossJoin(broadcast(tot))
@@ -198,7 +201,9 @@ object Layout {
       // cumulative count over the BIN relation (not the events table):
       // cum_before = rows with a strictly smaller key = the rank of the
       // key's first row; file = floor(rank * files / N) — equal-depth
-      // range boundaries, ties colocated (range-partitioner semantics)
+      // range boundaries, ties colocated (range-partitioner semantics).
+      // Unpartitioned window = single task over <= targetBins rows by
+      // construction; the WindowExec warning is bounded.
       val wb = Window.orderBy("k")
         .rowsBetween(Window.unboundedPreceding, -1)
       bins.crossJoin(broadcast(tot))
@@ -283,6 +288,8 @@ object Layout {
       // total rows = events count; off `ev` so the scalar skips the
       // min/max cross subtree
       val tot = ev.agg(count(lit(1)).as("n"))
+      // unpartitioned window over the bounded bin relation (<= targetBins
+      // = 4096 rows by the coarsening above) — warning bounded by design
       val wb = Window.orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, -1)
       val fmap = bins.crossJoin(broadcast(tot))

@@ -206,18 +206,22 @@ object Parsing {
                    .withColumnRenamed("service", "e_service"),
         col("log_id") === col("e_log_id") && col("service") === col("e_service"), "left")
       .join(acct, col("log_id") === col("a_log_id"), "left")
-    val endMs = normTs(col("end_raw"))
-    joined.select(
-      col("event_id"),
-      col("log_id"),
-      col("server"),
-      col("service"),
-      coalesce(normTs(col("start_raw")), endMs - col("elapsed")).as("start_ms"),
-      endMs.as("end_ms"),
-      col("elapsed"),
-      lit("Y").as("top_level"), // `S:` services are top-level by definition
-      coalesce(col("acct"), lit("")).as("acct_num"),
-      normTs(col("audit_raw")).as("audit_ms"))
+    // end_ms staged as an attribute: it feeds both the start_ms fallback
+    // and the output column, and normTs is a dual-branch timestamp parse
+    // — inlined, it was evaluated twice per row
+    joined.withColumn("end_ms", normTs(col("end_raw")))
+      .select(
+        col("event_id"),
+        col("log_id"),
+        col("server"),
+        col("service"),
+        coalesce(normTs(col("start_raw")), col("end_ms") - col("elapsed"))
+          .as("start_ms"),
+        col("end_ms"),
+        col("elapsed"),
+        lit("Y").as("top_level"), // `S:` services are top-level by definition
+        coalesce(col("acct"), lit("")).as("acct_num"),
+        normTs(col("audit_raw")).as("audit_ms"))
   }
 
   val ejbRoundtripSql: String =

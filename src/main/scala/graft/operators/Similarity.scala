@@ -27,7 +27,7 @@ import graft.Tables
 object Similarity {
 
   import graft.functions.VecDot.vec_dot
-  import graft.functions.VecOps.{vec_d2, vec_sub, struct_vec_mean}
+  import graft.functions.VecOps.{vec_d2, vec_sub, vec_sum, struct_vec_mean}
   private def dot(a: Column, b: Column): Column = vec_dot(a, b)
   private def norm(a: Column): Column = sqrt(vec_dot(a, a))
 
@@ -2642,7 +2642,7 @@ object Similarity {
     val lex = perTerm.groupBy("q_id", "doc_id")
       .agg(sort_array(collect_list(struct(col("w"), col("s")))).as("ts"))
       .select(col("q_id"), col("doc_id"),
-        aggregate(col("ts"), lit(0.0), (a, x) => a + x("s")).as("lex_s"))
+        vec_sum(col("ts").getField("s")).as("lex_s"))
       .withColumn("lex_rank", row_number().over(wLex).cast("long"))
       .filter(col("lex_rank") <= n)
       .select("q_id", "doc_id", "lex_rank")
@@ -3008,8 +3008,7 @@ object Similarity {
         (col("n_rel").cast("double") / lit(k.toDouble)).as("precision_at_k"),
         coalesce(lit(1.0) / col("first_rel").cast("double"), lit(0.0))
           .as("mrr"),
-        (aggregate(col("a"), lit(0.0),
-          (acc, x) => acc + x.getField("contrib")) /
+        (vec_sum(col("a").getField("contrib")) /
           least(lit(k.toLong), col("n_rel_total")).cast("double"))
           .as("ap_at_k"))
   }

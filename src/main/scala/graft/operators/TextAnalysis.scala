@@ -409,7 +409,7 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("prob"))).as("ps"))
       .select(col("doc_id"), size(col("ps")).cast("long").as("n_bigrams"),
-        (aggregate(col("ps"), lit(0.0), (a, x) => a + x) /
+        (graft.functions.VecOps.vec_sum(col("ps")) /
           size(col("ps"))).as("avg_bigram_prob"))
       .withColumn("lm_ok",
         (col("avg_bigram_prob") >= minAvgProb).cast("int"))
@@ -649,6 +649,8 @@ object TextAnalysis {
     // the corpus histogram runs ONCE even though cum feeds both the total
     // (max hi) and the per-rank bucket lookup (the centroid-table pattern)
     val cum = hist
+      // unpartitioned cumulative sum over the bounded bucket histogram
+      // (|buckets| rows), not the corpus — WindowExec warning bounded
       .withColumn("hi", sum("c").over(Window.orderBy("bkt")))
       .withColumn("lo", col("hi") - col("c"))
       .localCheckpoint()
@@ -1009,7 +1011,7 @@ object TextAnalysis {
       .agg(sort_array(collect_list(struct(col("w"), col("s")))).as("ts"))
       .select(col("doc_id"),
         size(col("ts")).cast("long").as("n_terms"),
-        aggregate(col("ts"), lit(0.0), (a, x) => a + x("s")).as("score"))
+        graft.functions.VecOps.vec_sum(col("ts").getField("s")).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
