@@ -32,11 +32,14 @@ import graft.functions.RefStats
   *    in [[RefStats.zScoreStepRef]] (no SQL oracle exists for a recurrence).
   *
   * Scale notes: the windowed variant is one shuffle on (server, service) —
-  * the per-lag frames reuse the same sort order, and lag fan-out is a
-  * union of projections over the same shuffled data (no re-shuffle; Spark
-  * reuses the exchange). The fold variant shuffles once on
-  * (server, service, lag) and streams each group's rows through a
-  * fixed-size ring buffer (O(lag) memory per key, not O(history)).
+  * every lag's frame aggregations run in one window-pass chain over one
+  * sort (same partition and order, different frames), and the lag fan-out
+  * is an explode over per-lag structs, so the stats input is evaluated
+  * exactly once regardless of |lags| (r15; the former union-of-branches
+  * re-evaluated the whole upstream stats subtree per lag). The fold
+  * variant shuffles once on (server, service, lag) and streams each
+  * group's rows through a fixed-size ring buffer (O(lag) memory per key,
+  * not O(history)).
   */
 object ZScore {
 
