@@ -323,6 +323,83 @@ class SparkOpsSpec extends AnyFunSuite {
     a.foreach { case (k, v) => assert(v == b(k), s"$k") }
   }
 
+  test("vec_sum == aggregate((a,x)=>a+x) HOF fold, bit-exact incl. empty") {
+    import spark.implicits._
+    val rnd = new Random(41)
+    // mixed magnitudes + signs so accumulation ORDER matters in the ulps
+    val arrays = (1 to 300).map(i => (i.toLong,
+      Seq.fill(rnd.nextInt(40))(
+        (rnd.nextDouble() - 0.3) * math.pow(10, rnd.nextInt(6)))))
+    val df = arrays.toDF("id", "arr")
+    val got = df.select(col("id"),
+        graft.functions.VecOps.vec_sum(col("arr")).as("native"),
+        aggregate(col("arr"), lit(0.0), (a, x) => a + x).as("hof"))
+      .collect()
+    assert(got.length == 300)
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"id=${r.getLong(0)}: native=${r.getDouble(1)} hof=${r.getDouble(2)}")
+    }
+  }
+
+  test("zScoreWindowed stacked lags == union of single-lag evaluations") {
+    // r15 restructured zScoreWindowed from union-per-lag to a stacked
+    // explode; a single-lag call degenerates to the old per-branch
+    // computation, so unioning single-lag calls IS the former shape.
+    import spark.implicits._
+    val rnd = new Random(57)
+    val rows = for {
+      srv <- Seq("s0", "s1"); svc <- Seq("purchase", "click"); i <- 0 until 60
+    } yield (srv, svc, i * 1000L, Some(rnd.nextDouble()),
+      if (rnd.nextInt(10) == 0) None else Some(rnd.nextDouble() * 100),
+      Some(rnd.nextDouble() * 100), Some(rnd.nextDouble() * 100))
+    val df = rows.toDF("server", "service", "ts_ms", "tpm",
+      "average", "per75", "per95")
+    val lags = Seq(ZScore.LagCfg(4, 2.0, 0.5), ZScore.LagCfg(12, 1.5, 0.0))
+    // exercise the per-(service, lag) threshold override join too
+    val ovr = Seq(ZScore.ZOverride("purchase", 4, threshold = Some(0.5)),
+      ZScore.ZOverride("click", 12, threshold = Some(3.0)))
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = d.columns.sorted.toIndexedSeq
+      d.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    }
+    val stacked = canon(ZScore.zScoreWindowed(df, lags, ovr))
+    val unioned = canon(lags.map(l => ZScore.zScoreWindowed(df, Seq(l), ovr))
+      .reduce(_.unionAll(_)))
+    assert(stacked.nonEmpty && stacked == unioned)
+  }
+
+  test("q29 window census == EXISTS/NOT-EXISTS semi+anti reference") {
+    // r15 replaced the semi+anti self-join pair with a per-order window
+    // census; this pins the equivalence against the declared join form.
+    val got = Relational.q29WaitingSupplier(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li0 = graft.Tables.load(spark, sf, "lineitem")
+    val ord0 = graft.Tables.load(spark, sf, "orders")
+    val day90Ms = 90L * 86400000L
+    val li = li0.select(col("l_orderkey"), col("l_suppkey"),
+      graft.Tables.colMillis(li0, "l_shipdate").as("ship_ms"))
+    val ord = ord0.select(col("o_orderkey"),
+      graft.Tables.colMillis(ord0, "o_orderdate").as("odate_ms"))
+    val withLate = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        (col("ship_ms") > col("odate_ms") + day90Ms).cast("int"))
+      .select("l_orderkey", "l_suppkey", "late")
+    val other = withLate.select(col("l_orderkey").as("o_k"),
+      col("l_suppkey").as("o_s"), col("late").as("o_late"))
+    val ref = withLate.filter(col("late") === 1)
+      .join(other,
+        col("l_orderkey") === col("o_k") && col("l_suppkey") =!= col("o_s"),
+        "left_semi")
+      .join(other.filter(col("o_late") === 1),
+        col("l_orderkey") === col("o_k") && col("l_suppkey") =!= col("o_s"),
+        "left_anti")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got == ref)
+  }
+
   test("multimodal: parsed container fields invert the synthesis params") {
     val decoded = Multimodal.decodeAll(spark, sf)
       .collect().map(f => f.doc_id -> f).toMap
