@@ -348,9 +348,13 @@ object Bench {
     // clobbers the first's — which left round 14 with no committed
     // 32-core per-query detail at all. One file per cpus value keeps
     // both runs' detail on disk for the scaling comparison.
-    try Files.writeString(Paths.get(s"bench_out_c$cpus.json"), full)
+    // cpus is a raw env string; the driver always passes an integer, but
+    // local[*]-style values must not produce a glob filename or break
+    // the queries line's JSON number below
+    val cpusTag = if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus else "na"
+    try Files.writeString(Paths.get(s"bench_out_c$cpusTag.json"), full)
     catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_out_c$cpus.json write failed: ${e.getMessage}") }
+      System.err.println(s"[bench] bench_out_c$cpusTag.json write failed: ${e.getMessage}") }
     // COMPACT final stdout line, NO per-query map: three straight rounds
     // proved the driver's log-tail buffer clips anything past a few
     // hundred bytes (r3's 2.8 KB wall-only map still arrived mid-key;
@@ -372,7 +376,9 @@ object Bench {
     // as nothing). Centisecond precision keeps it ~3.5 KB.
     val qsCenti = results.map { case (k, w, _, _) => s""""$k":${f"$w%.2f"}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"queries","unit":"sec","cpus":$cpus,"queries":$qsCenti}""")
+    val cpusJson = if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus
+      else "\"" + cpus.replace("\"", "") + "\""
+    println(s"""{"metric":"queries","unit":"sec","cpus":$cpusJson,"queries":$qsCenti}""")
     // Bare, final stdout line (spark.stop() already happened so nothing
     // logs after it; run/outputStrategy passes it through un-prefixed).
     println(compact)

@@ -34,9 +34,13 @@ object Curation {
     // fingerprint chain for the join's second side and shuffled twice;
     // doc_id is unique, so keeping rows where doc_id == min over the
     // fingerprint partition selects exactly the same rows with one
-    // evaluation and one shuffle (guide §2.4).
+    // evaluation and one shuffle (guide §2.4). The isNotNull filter
+    // makes the equivalence unconditional: the former join on the
+    // fingerprint key (and the oracle's JOIN) silently dropped any
+    // null-fingerprint row, which a window partition would have kept.
     val wFp = Window.partitionBy("fingerprint")
     qualified
+      .filter(col("fingerprint").isNotNull)
       .withColumn("canon_id", min("doc_id").over(wFp))
       .filter(col("doc_id") === col("canon_id"))
       .select("doc_id", "fingerprint", "lang_pred", "n_words", "stopword_ratio")

@@ -1643,7 +1643,7 @@ object Similarity {
     * lifecycle never re-encodes an immutable snapshot to seed a chain.
     */
   def indexRetentionFrom(spark: SparkSession, sfDir: String, root: String,
-      idx: IvfPqIndex, keepLast: Int = 2,
+      idx: => IvfPqIndex, keepLast: Int = 2,
       srcDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     val all = vecsDouble(spark, sfDir).select("vec_id", "v")
@@ -1656,14 +1656,18 @@ object Similarity {
     // cumulative — each snapshot is the previous minus its batch)
     srcDir match {
       case Some(src) =>
+        // idx is by-name and deliberately NOT forced here: the stored
+        // snapshot seeds the chain as a byte-copy, so the caller's index
+        // (a loadIvfPqIndex or a training chain) is never even planned
         copyParquetDir(spark, src, s"$root/snapshot_id=0001",
           Seq("centroids", "codebook", "codes"))
       case None =>
-        idx.cents.write.mode("overwrite")
+        val idx0 = idx // force the by-name exactly once
+        idx0.cents.write.mode("overwrite")
           .parquet(s"$root/snapshot_id=0001/centroids")
-        idx.codebook.write.mode("overwrite")
+        idx0.codebook.write.mode("overwrite")
           .parquet(s"$root/snapshot_id=0001/codebook")
-        idx.codes.write.mode("overwrite")
+        idx0.codes.write.mode("overwrite")
           .parquet(s"$root/snapshot_id=0001/codes")
     }
     compactIvfPqIndex(spark, root, "0001", "0002", tombstonesOf(all))

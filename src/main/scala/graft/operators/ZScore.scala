@@ -81,6 +81,10 @@ object ZScore {
     */
   def zScoreWindowed(stats: DataFrame, lags: Seq[LagCfg] = defaultLags,
       overrides: Seq[ZOverride] = Nil): DataFrame = {
+    // the staged per-lag column names key on the lag value (the former
+    // union-per-lag shape tolerated duplicates; the stack cannot)
+    require(lags.map(_.lag).distinct.size == lags.size,
+      s"zScoreWindowed requires distinct lag values, got ${lags.map(_.lag)}")
     val spark = stats.sparkSession
     import spark.implicits._
     val base = Seq(col("server"), col("service"), col("ts_ms"),
